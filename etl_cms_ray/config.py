@@ -1,0 +1,33 @@
+"""Engine configuration.
+
+The reference's config surface is a ``.env`` of directories
+(``python_etl/CMS_SynPuf_ETL_CDM_v5.py:89-111``); ours is a typed
+dataclass.  ``num_partitions`` is the analog of the reference's implicit
+"one shard per sample" layout — pick ~2-4x total cluster cores so the
+groupby shuffle and the merge-applier pool stay busy without tiny blocks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class EngineConfig:
+    lake_root: str
+    #: hash partitions of the (repo, path) key space; stable across runs
+    #: (checkpoints are per-partition, so this must not change for a lake).
+    num_partitions: int = 32
+    #: map_batches batch size for the stateless normalize stage.
+    batch_size: int = 8192
+    #: actor pool sizes: callable-class stages need an explicit pool size.
+    #: Sized so normalize + applier + read/write stages share the node
+    #: rather than any one pool reserving every CPU.
+    normalize_concurrency: int = 4
+    applier_concurrency: int = 4
+    #: keys whose single-epoch event count exceeds this are salted into
+    #: sub-partitions during the pre-reduce (SURVEY.md §7.4 hot-key skew).
+    hot_key_threshold: int = 100_000
+    #: drop content payloads larger than this to the dead-letter sink
+    #: (guard analog: reference aborts at recs_in > 10000, FileControl.py:211).
+    max_content_bytes: int = 8 * 1024 * 1024

@@ -1,0 +1,207 @@
+"""The flagship pipeline: change-event stream -> partitioned Parquet lake.
+
+    events (Dataset)
+      -> Normalizer            map_batches, zero-copy Arrow, stateless
+      -> per-batch LWW combiner (pre-reduce: collapses hot-key duplicates
+         BEFORE the shuffle — the skew treatment; LWW is associative so the
+         batch-level partial reduce is safe, SURVEY.md §7.4 #4)
+      -> groupby(part_id)       THE one hash shuffle
+      -> MergeApplier           actor pool; merges vs prior lake state,
+                                writes content-addressed partition files
+      -> manifest publish       atomic, epoch-fenced, exactly-once
+
+Reference analog of the whole flow: the per-beneficiary main loop +
+append sinks + control-file resume (SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import EngineConfig
+from ..schema import SchemaChange, SchemaRegistry
+from ..stages.applier import MergeApplier
+from ..stages.lww import lww_reduce
+from ..stages.normalize import Normalizer
+from ..state.manifest import LakeStore, Manifest, PartitionState
+
+
+@dataclass
+class IngestResult:
+    manifest_version: int
+    schema_version: int
+    events_in: int
+    events_applied: int
+    dead_rows: int
+    lake_rows: int
+    partitions_touched: int
+
+
+def _combiner(batch: pa.Table) -> pa.Table:
+    """Partial LWW per batch, valid rows only; dead-letter rows pass through."""
+    valid = batch.filter(batch["valid"])
+    dead = batch.filter(pc.invert(batch["valid"]))
+    reduced = lww_reduce(valid)
+    if dead.num_rows == 0:
+        return reduced
+    return pa.concat_tables([reduced, dead])
+
+
+def ingest(
+    events: "ray.data.Dataset",
+    cfg: EngineConfig,
+    schema_changes: list[SchemaChange] | None = None,
+) -> IngestResult:
+    """Apply one batch of change events to the lake, exactly once.
+
+    ``schema_changes`` are merged into the lake's persistent schema
+    registry before application (the CDM v5.0->v5.2 DDL-migration analog).
+    Safe to re-run with the same input: fencing makes it a no-op.
+    """
+    store = LakeStore(cfg.lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    if schema_changes:
+        known = {(c.epoch, c.change, c.column) for c in registry.changes}
+        for ch in schema_changes:
+            if (ch.epoch, ch.change, ch.column) not in known:
+                registry.changes.append(ch)
+        registry = SchemaRegistry(changes=registry.changes)  # re-sort
+        store.save_registry(registry)
+    target_version = registry.latest_version
+
+    fences = {
+        pid: (ps.applied_through_epoch, ps.file) for pid, ps in manifest.partitions.items()
+    }
+
+    # raw input size: metadata-cheap for parquet sources and materialized
+    # tables (the pipeline's own counters see post-combiner rows only)
+    events_in = events.count()
+
+    ds = events.map_batches(
+        Normalizer,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+        concurrency=cfg.normalize_concurrency,
+    )
+    ds = ds.map_batches(_combiner, batch_format="pyarrow", zero_copy_batch=True)
+    results = ds.groupby("part_id").map_groups(
+        MergeApplier,
+        fn_constructor_kwargs={
+            "lake_root": cfg.lake_root,
+            "fences": fences,
+            "registry_json": registry.to_json(),
+            "target_schema_version": target_version,
+        },
+        batch_format="pyarrow",
+        concurrency=cfg.applier_concurrency,
+    )
+    rows = results.take_all()  # one small row per touched partition
+
+    new_manifest = Manifest(
+        version=manifest.version + 1,
+        num_partitions=cfg.num_partitions,
+        partitions=dict(manifest.partitions),
+    )
+    applied = dead = shuffled = 0
+    for r in rows:
+        pid = int(r["part_id"])
+        new_manifest.partitions[pid] = PartitionState(
+            part_id=pid,
+            file=r["file"],
+            rows=int(r["rows"]),
+            applied_through_epoch=int(r["applied_through_epoch"]),
+            content_hash=r["content_hash"],
+            schema_version=int(r["schema_version"]),
+        )
+        shuffled += int(r["events_shuffled"])
+        applied += int(r["events_applied"])
+        dead += int(r["dead_rows"])
+    lake_rows = sum(p.rows for p in new_manifest.partitions.values())
+    new_manifest.metrics = {
+        "events_in": events_in,
+        "events_shuffled": shuffled,
+        "events_applied": applied,
+        "dead_rows": dead,
+        "lake_rows": lake_rows,
+        "schema_version": target_version,
+    }
+    store.publish(new_manifest, expect_version=manifest.version)
+    store.append_lineage(
+        {
+            "manifest_version": new_manifest.version,
+            "partitions_touched": len(rows),
+            **new_manifest.metrics,
+        }
+    )
+    return IngestResult(
+        manifest_version=new_manifest.version,
+        schema_version=target_version,
+        events_in=events_in,
+        events_applied=applied,
+        dead_rows=dead,
+        lake_rows=lake_rows,
+        partitions_touched=len(rows),
+    )
+
+
+def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Live lake state as a Dataset (manifested files only), promoted to the
+    latest schema version on read."""
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    files = [store.abspath(f) for f in manifest.live_files()]
+    if not files:
+        sch = registry.schema_for(latest)
+        empty = pa.table({f.name: pa.array([], type=f.type) for f in sch})
+        return ray.data.from_arrow(empty)
+    # partitioning=None: the data/part=NNNNN layout must not hive-infer a
+    # spurious 'part' column into the lake schema.  (Ray 2.49 bug: passing
+    # partitioning=None together with columns= raises UnboundLocalError in
+    # its column splitter — with an explicit column list the hive column is
+    # already excluded, so only disable inference for full-schema reads.)
+    if columns is None:
+        ds = ray.data.read_parquet(files, partitioning=None)
+    else:
+        ds = ray.data.read_parquet(files, columns=columns)
+    needs_promote = any(
+        ps.schema_version != latest for ps in manifest.partitions.values() if ps.file
+    )
+    if needs_promote and columns is None:
+        ds = ds.map_batches(
+            lambda t, reg=registry.to_json(), v=latest: SchemaRegistry.from_json(
+                reg
+            ).evolve_table(t, v),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def read_lake_table(lake_root: str) -> pa.Table:
+    """Whole lake as one Arrow table — tests/small data only."""
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    files = [store.abspath(f) for f in manifest.live_files()]
+    if not files:
+        sch = registry.schema_for(latest)
+        return pa.table({f.name: pa.array([], type=f.type) for f in sch})
+    import pyarrow.parquet as pq
+
+    tables = [registry.evolve_table(pq.read_table(f), latest) for f in files]
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(tables)
+    return t.take(
+        pc.sort_indices(t, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )

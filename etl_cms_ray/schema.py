@@ -1,0 +1,209 @@
+"""Canonical Arrow schemas and the versioned schema registry.
+
+The reference encodes schemas as positional integer-constant classes
+(``python_etl/constants.py:139-509``) and evolves them out-of-band via
+versioned DDL migrations (CDM v5.0 -> v5.2,
+``hand_conversion/V5.0_TO_V5.2_SCRIPT/synpuf_etl.sql``).  Here schemas are
+first-class ``pyarrow.Schema`` objects and evolution (column add /
+type-widen) is an ordered list of versioned schemas with promote-on-read
+casts (SURVEY.md §1.4, §7.1).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Canonical schemas
+
+#: The BASELINE.json input_hint table: one row per file at head.
+REPOS_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.large_string()),
+    ]
+)
+
+#: The change-event stream (FIXTURES.md F2).  LWW order = (epoch, seq).
+EVENTS_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("op", pa.string()),  # insert | update | delete
+        ("commit", pa.string()),
+        ("epoch", pa.int64()),
+        ("seq", pa.int64()),
+        ("lang", pa.string()),
+        ("content", pa.large_string()),  # null when op == 'delete'
+    ]
+)
+
+OPS = ("insert", "update", "delete")
+
+#: Lake schema v1: events minus op, plus derived columns.  ``size`` is
+#: deliberately int32 so the type-widen evolution scenario has a target.
+LAKE_SCHEMA_V1 = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("epoch", pa.int64()),
+        ("seq", pa.int64()),
+        ("lang", pa.string()),
+        ("content", pa.large_string()),
+        ("content_sha", pa.binary(32)),
+        ("size", pa.int32()),
+    ]
+)
+
+_WIDEN_OK = {
+    (pa.int8(), pa.int16()),
+    (pa.int8(), pa.int32()),
+    (pa.int8(), pa.int64()),
+    (pa.int16(), pa.int32()),
+    (pa.int16(), pa.int64()),
+    (pa.int32(), pa.int64()),
+    (pa.float32(), pa.float64()),
+    (pa.string(), pa.large_string()),
+}
+
+
+def is_widening(src: pa.DataType, dst: pa.DataType) -> bool:
+    return src == dst or (src, dst) in _WIDEN_OK
+
+
+# ---------------------------------------------------------------------------
+# Versioned registry
+
+
+@dataclass
+class SchemaChange:
+    """One evolution step (FIXTURES.md F3): takes effect at ``epoch``."""
+
+    epoch: int
+    change: str  # add_column | widen
+    column: str
+    # for add_column: arrow type name + backfill default; for widen: target type
+    type_name: str = "int64"
+    default: object = None
+
+    def to_json(self) -> dict:
+        return {
+            "epoch": self.epoch,
+            "change": self.change,
+            "column": self.column,
+            "type_name": self.type_name,
+            "default": self.default,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "SchemaChange":
+        return SchemaChange(
+            epoch=int(d["epoch"]),
+            change=d["change"],
+            column=d["column"],
+            type_name=d.get("type_name", "int64"),
+            default=d.get("default"),
+        )
+
+
+_TYPES = {
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+}
+
+
+def type_from_name(name: str) -> pa.DataType:
+    return _TYPES[name]
+
+
+@dataclass
+class SchemaRegistry:
+    """Ordered versioned schemas; version N = base + changes[:N].
+
+    Version 0 is always ``LAKE_SCHEMA_V1``.  ``version_at(epoch)`` gives the
+    schema in force for events of that epoch; promote-on-read is
+    ``evolve_table(t, to_version)`` (the analog of the reference's
+    backfilled-default column adds in
+    ``hand_conversion/V5.0_TO_V5.2_SCRIPT/insert_visit_occurrence.sql:20-45``).
+    """
+
+    base: pa.Schema = LAKE_SCHEMA_V1
+    changes: list = field(default_factory=list)  # list[SchemaChange], epoch-sorted
+
+    def __post_init__(self) -> None:
+        self.changes = sorted(self.changes, key=lambda c: (c.epoch, c.column))
+
+    @property
+    def latest_version(self) -> int:
+        return len(self.changes)
+
+    def schema_for(self, version: int) -> pa.Schema:
+        sch = self.base
+        for ch in self.changes[:version]:
+            if ch.change == "add_column":
+                sch = sch.append(pa.field(ch.column, type_from_name(ch.type_name)))
+            elif ch.change == "widen":
+                i = sch.get_field_index(ch.column)
+                src = sch.field(i).type
+                dst = type_from_name(ch.type_name)
+                if not is_widening(src, dst):
+                    raise ValueError(f"non-widening change {src} -> {dst} for {ch.column}")
+                sch = sch.set(i, pa.field(ch.column, dst))
+            else:
+                raise ValueError(f"unknown change kind {ch.change!r}")
+        return sch
+
+    def version_at(self, epoch: int) -> int:
+        v = 0
+        for i, ch in enumerate(self.changes):
+            if ch.epoch <= epoch:
+                v = i + 1
+        return v
+
+    def defaults_for(self, version: int) -> dict:
+        """Backfill defaults for columns added up to ``version``."""
+        out = {}
+        for ch in self.changes[:version]:
+            if ch.change == "add_column":
+                out[ch.column] = ch.default
+        return out
+
+    def evolve_table(self, t: pa.Table, to_version: int) -> pa.Table:
+        """Promote-on-read: add missing columns (backfill default) + widen
+        casts.  Output has exactly the target schema's columns, in order;
+        columns outside the target schema are dropped."""
+        target = self.schema_for(to_version)
+        defaults = self.defaults_for(to_version)
+        cols, names = [], []
+        for f0 in target:
+            names.append(f0.name)
+            if f0.name in t.column_names:
+                col = t.column(f0.name)
+                if col.type != f0.type:
+                    col = col.cast(f0.type)
+                cols.append(col)
+            else:
+                dv = defaults.get(f0.name)
+                cols.append(pa.array([dv] * t.num_rows, type=f0.type))
+        return pa.table(cols, names=names)
+
+    def to_json(self) -> str:
+        return json.dumps({"changes": [c.to_json() for c in self.changes]}, indent=1)
+
+    @staticmethod
+    def from_json(s: str) -> "SchemaRegistry":
+        d = json.loads(s)
+        return SchemaRegistry(changes=[SchemaChange.from_json(c) for c in d.get("changes", [])])

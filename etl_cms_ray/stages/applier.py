@@ -1,0 +1,156 @@
+"""MergeApplier — the stateful actor-pool stage that applies LWW upserts
+to the lake, one hash partition per call.
+
+Reference analog: the per-beneficiary driver loop + visit identity index +
+emit-once sets (``CMS_SynPuf_ETL_CDM_v5.py:2057-2087``, ``:541-590``) —
+the state that the reference holds in process-wide dicts lives here
+per-partition: the prior lake file, the epoch fence, and the schema
+registry.  Constructed once per actor (``map_groups(MergeApplier,
+concurrency=N)``); each ``__call__`` receives the complete event group of
+one ``part_id`` after the hash shuffle.
+
+Exactly-once: events with epoch <= the partition's fence are dropped
+(they were applied by a previous commit — replayed input is a no-op);
+output files carry deterministic names (parquet-bytes hash), so retried
+tasks rewrite identical bytes.  The delete-resurrection hazard (a
+replayed pre-delete insert re-creating a deleted key) is exactly what the
+fence prevents — no persisted tombstones needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..schema import SchemaRegistry
+from .lww import drop_tombstones, lww_reduce
+from .normalize import split_dead_letter
+
+#: Columns the applier returns to the driver — one row per partition, the
+#: future manifest entry plus commit metrics.
+RESULT_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("file", pa.string()),
+        ("rows", pa.int64()),
+        ("applied_through_epoch", pa.int64()),
+        ("content_hash", pa.string()),
+        ("schema_version", pa.int64()),
+        ("dead_file", pa.string()),
+        ("dead_rows", pa.int64()),
+        ("events_shuffled", pa.int64()),
+        ("events_applied", pa.int64()),
+    ]
+)
+
+_EVENT_META = ["op", "part_id"]  # event-only columns, not persisted in the lake
+
+
+def _write_deterministic(table: pa.Table, directory: str, stem: str) -> tuple[str, str]:
+    """Write parquet to a content-addressed name; returns (filename, sha16).
+
+    Deterministic bytes: table content is deterministic (sorted) and the
+    writer options are fixed, so every retry produces the same file name
+    and bytes; os.replace makes concurrent attempts safe.
+    """
+    os.makedirs(directory, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=directory, prefix=".tmp-")
+    os.close(fd)
+    pq.write_table(table, tmp, compression="zstd", data_page_version="2.0")
+    h = hashlib.sha256()
+    with open(tmp, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    sha16 = h.hexdigest()[:16]
+    final = os.path.join(directory, f"{stem}-{sha16}.parquet")
+    os.replace(tmp, final)
+    return final, sha16
+
+
+class MergeApplier:
+    def __init__(self, lake_root: str, fences: dict, registry_json: str,
+                 target_schema_version: int):
+        self.lake_root = lake_root
+        self.fences = fences  # part_id -> (applied_through_epoch, prior_file|None)
+        self.registry = SchemaRegistry.from_json(registry_json)
+        self.target_version = target_schema_version
+        self.lake_schema = self.registry.schema_for(target_schema_version)
+
+    def _prior_table(self, part_id: int) -> pa.Table | None:
+        _, prior_file = self.fences.get(part_id, (-1, None))
+        if not prior_file:
+            return None
+        prior = pq.read_table(os.path.join(self.lake_root, prior_file))
+        return self.registry.evolve_table(prior, self.target_version)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part_id = group["part_id"][0].as_py()
+        fence, _ = self.fences.get(part_id, (-1, None))
+        events_shuffled = group.num_rows
+
+        valid, dead = split_dead_letter(group)
+
+        dead_file, dead_rows = None, dead.num_rows
+        if dead_rows:
+            fname, _sha = _write_deterministic(
+                dead.drop_columns(["part_id"]),
+                os.path.join(self.lake_root, "deadletter", f"part={part_id:05d}"),
+                f"e{pc.max(dead['epoch']).as_py():010d}",
+            )
+            dead_file = os.path.relpath(fname, self.lake_root)
+
+        # epoch fence: drop events already applied by an earlier commit
+        fresh = valid.filter(pc.greater(valid["epoch"], pa.scalar(fence, type=pa.int64())))
+        applied = fresh.num_rows
+        new_fence = fence
+        if applied:
+            new_fence = max(fence, pc.max(fresh["epoch"]).as_py())
+        incoming = lww_reduce(fresh)
+
+        prior = self._prior_table(part_id)
+        if prior is not None:
+            # prior rows re-enter the reduce as op='insert' at their stored
+            # (epoch, seq) version — LWW then merges old state and new events
+            prior = prior.append_column("op", pa.array(["insert"] * prior.num_rows))
+            inc = self.registry.evolve_table(incoming, self.target_version)
+            inc = inc.append_column("op", incoming["op"])
+            merged = lww_reduce(pa.concat_tables([prior, inc], promote_options="default"))
+        else:
+            merged = self.registry.evolve_table(incoming, self.target_version)
+            merged = merged.append_column("op", incoming["op"])
+
+        live = drop_tombstones(merged).drop_columns(["op"])
+        live = live.select(self.lake_schema.names).cast(self.lake_schema)
+        live = live.take(
+            pc.sort_indices(live, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+        )
+
+        file_rel, content_hash = None, ""
+        if live.num_rows:
+            fname, content_hash = _write_deterministic(
+                live,
+                os.path.join(self.lake_root, "data", f"part={part_id:05d}"),
+                f"e{new_fence:010d}",
+            )
+            file_rel = os.path.relpath(fname, self.lake_root)
+
+        return pa.table(
+            {
+                "part_id": pa.array([part_id], type=pa.int32()),
+                "file": [file_rel],
+                "rows": pa.array([live.num_rows], type=pa.int64()),
+                "applied_through_epoch": pa.array([new_fence], type=pa.int64()),
+                "content_hash": [content_hash],
+                "schema_version": pa.array([self.target_version], type=pa.int64()),
+                "dead_file": [dead_file],
+                "dead_rows": pa.array([dead_rows], type=pa.int64()),
+                "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
+                "events_applied": pa.array([applied], type=pa.int64()),
+            },
+            schema=RESULT_SCHEMA,
+        )

@@ -1,0 +1,65 @@
+"""Stateless-per-batch normalize stage: events -> typed, hashed, partitioned.
+
+Analog of the reference's positional parse + validity filter + derived
+columns (``SynPufFiles.py`` record classes, field-count filter
+``CMS_SynPuf_ETL_CDM_v5.py:396,431,446``, date reformat ``:249-252``).
+Runs as a callable class in ``map_batches`` so per-actor setup (none yet,
+but the pattern holds the broadcast handles in subclasses) happens once.
+
+Adds:
+- ``content_sha`` binary(32) — the judged per-row invariant
+- ``size`` int32 — content byte length (the widen-target column)
+- ``part_id`` int32 — stable hash partition of (repo, path)
+- ``valid`` bool — malformed events (unknown op, null key, oversized
+  content) are routed to the dead-letter sink, not dropped silently
+  (reference analog: unmapped-code log, ``CMS:963-976``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig
+from ..functions.hashing import part_id_for, sha256_column
+from ..schema import OPS
+
+
+class Normalizer:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.valid_ops = pa.array(list(OPS))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        content = batch["content"]
+        sha = sha256_column(content)
+        size = pc.binary_length(
+            content.cast(pa.large_binary())
+        ).cast(pa.int32())
+        size = pc.fill_null(size, 0)
+        part = part_id_for(batch["repo"], batch["path"], self.cfg.num_partitions)
+
+        op_ok = pc.is_in(batch["op"], value_set=self.valid_ops)
+        key_ok = pc.and_(pc.is_valid(batch["repo"]), pc.is_valid(batch["path"]))
+        # delete must have null content; insert/update must have content
+        is_del = pc.equal(batch["op"], pa.scalar("delete"))
+        content_ok = pc.if_else(is_del, pa.scalar(True), pc.is_valid(content))
+        size_ok = pc.less_equal(size, pa.scalar(self.cfg.max_content_bytes, type=pa.int32()))
+        valid = pc.and_(pc.and_(op_ok, key_ok), pc.and_(content_ok, size_ok))
+        valid = pc.fill_null(valid, False)
+
+        out = batch.append_column("content_sha", sha)
+        out = out.append_column("size", size)
+        out = out.append_column("part_id", part)
+        out = out.append_column("valid", valid)
+        assert out.num_rows == n
+        return out
+
+
+def split_dead_letter(t: pa.Table) -> tuple[pa.Table, pa.Table]:
+    """(valid, dead) — side-output routing (multi-sink fan-out analog of
+    the reference's domain->destination dispatch, ``CMS:212-229``)."""
+    good = t.filter(t["valid"]).drop_columns(["valid"])
+    dead = t.filter(pc.invert(t["valid"])).drop_columns(["valid"])
+    return good, dead

@@ -1,0 +1,191 @@
+"""Epoch-fenced manifest commits — the exactly-once sink protocol.
+
+The reference gets idempotence by truncate-before-run + control-file
+resume (``FileControl.py:382-389``, ``utility_classes.py:26-100``); a
+distributed engine cannot truncate, so commits are *manifest-as-commit*
+(SURVEY.md §7.4 #1):
+
+- data files are written under deterministic names
+  ``data/part=<p>/e<applied_through>-<content_hash16>.parquet`` — a
+  retried task rewrites byte-identical content to the same name, so
+  at-least-once task execution is harmless;
+- only files listed in the current manifest are live; the manifest is
+  published by atomic rename of a CURRENT pointer;
+- each partition records ``applied_through_epoch`` — its fence.  A
+  replayed event with epoch <= fence is skipped by the applier, which is
+  what makes replay from any checkpoint reconverge (LWW + fence =>
+  idempotent).
+
+Lake layout (local FS here; an object store / shared FS on a cluster —
+the protocol only needs atomic rename on the small CURRENT file):
+
+    lake_root/
+      _manifests/CURRENT, manifest-<version>.json
+      _schema/registry.json
+      _lineage/log.jsonl          # append-only per-commit lineage+metrics
+      data/part=<p>/e<..>-<hash>.parquet
+      deadletter/<ingest_id>/...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+from ..schema import SchemaRegistry
+
+
+@dataclass
+class PartitionState:
+    part_id: int
+    file: str | None = None  # relative to lake_root; None = empty partition
+    rows: int = 0
+    applied_through_epoch: int = -1
+    content_hash: str = ""
+    schema_version: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "part_id": self.part_id,
+            "file": self.file,
+            "rows": self.rows,
+            "applied_through_epoch": self.applied_through_epoch,
+            "content_hash": self.content_hash,
+            "schema_version": self.schema_version,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionState":
+        return PartitionState(
+            part_id=int(d["part_id"]),
+            file=d.get("file"),
+            rows=int(d.get("rows", 0)),
+            applied_through_epoch=int(d.get("applied_through_epoch", -1)),
+            content_hash=d.get("content_hash", ""),
+            schema_version=int(d.get("schema_version", 0)),
+        )
+
+
+@dataclass
+class Manifest:
+    version: int = 0
+    num_partitions: int = 32
+    partitions: dict = field(default_factory=dict)  # part_id -> PartitionState
+    metrics: dict = field(default_factory=dict)
+
+    def part(self, part_id: int) -> PartitionState:
+        return self.partitions.get(part_id, PartitionState(part_id=part_id))
+
+    def live_files(self) -> list[str]:
+        return [p.file for p in self.partitions.values() if p.file]
+
+    def applied_through(self, part_id: int) -> int:
+        return self.part(part_id).applied_through_epoch
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "num_partitions": self.num_partitions,
+                "partitions": {str(k): v.to_json() for k, v in sorted(self.partitions.items())},
+                "metrics": self.metrics,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        m = Manifest(version=int(d["version"]), num_partitions=int(d.get("num_partitions", 32)))
+        m.partitions = {
+            int(k): PartitionState.from_json(v) for k, v in d.get("partitions", {}).items()
+        }
+        m.metrics = d.get("metrics", {})
+        return m
+
+
+def _atomic_write(path: str, data: str) -> None:
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-")
+    with os.fdopen(fd, "w") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+class LakeStore:
+    """Filesystem-level manifest/registry/lineage operations for one lake."""
+
+    def __init__(self, lake_root: str):
+        self.root = lake_root
+        self.manifest_dir = os.path.join(lake_root, "_manifests")
+        self.current_path = os.path.join(self.manifest_dir, "CURRENT")
+        self.registry_path = os.path.join(lake_root, "_schema", "registry.json")
+        self.lineage_path = os.path.join(lake_root, "_lineage", "log.jsonl")
+
+    # -- manifest --------------------------------------------------------
+    def current_version(self) -> int:
+        try:
+            with open(self.current_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def load_manifest(self) -> Manifest:
+        v = self.current_version()
+        if v == 0:
+            return Manifest(version=0)
+        with open(os.path.join(self.manifest_dir, f"manifest-{v:06d}.json")) as f:
+            return Manifest.from_json(f.read())
+
+    def publish(self, manifest: Manifest, expect_version: int | None = None) -> None:
+        """Write manifest-<v>.json then flip CURRENT atomically.
+
+        ``expect_version`` is an optimistic-concurrency fence: publishing
+        fails if another committer advanced CURRENT since we read it
+        (single-writer per lake is the normal mode; this guards mistakes).
+        """
+        if expect_version is not None and self.current_version() != expect_version:
+            raise RuntimeError(
+                f"manifest conflict: CURRENT={self.current_version()} != expected {expect_version}"
+            )
+        path = os.path.join(self.manifest_dir, f"manifest-{manifest.version:06d}.json")
+        _atomic_write(path, manifest.to_json())
+        _atomic_write(self.current_path, str(manifest.version))
+
+    # -- schema registry -------------------------------------------------
+    def load_registry(self) -> SchemaRegistry:
+        try:
+            with open(self.registry_path) as f:
+                return SchemaRegistry.from_json(f.read())
+        except FileNotFoundError:
+            return SchemaRegistry()
+
+    def save_registry(self, reg: SchemaRegistry) -> None:
+        _atomic_write(self.registry_path, reg.to_json())
+
+    # -- lineage ---------------------------------------------------------
+    def append_lineage(self, record: dict) -> None:
+        os.makedirs(os.path.dirname(self.lineage_path), exist_ok=True)
+        record = dict(record, ts=time.time())
+        with open(self.lineage_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def read_lineage(self) -> list[dict]:
+        try:
+            with open(self.lineage_path) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            return []
+
+    # -- paths -----------------------------------------------------------
+    def abspath(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    def data_file_rel(self, part_id: int, applied_through: int, content_hash: str) -> str:
+        return os.path.join(
+            "data", f"part={part_id:05d}", f"e{applied_through:010d}-{content_hash[:16]}.parquet"
+        )

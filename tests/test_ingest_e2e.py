@@ -1,0 +1,142 @@
+"""End-to-end: Ray Data ingest pipeline vs the single-process oracle.
+
+The golden comparison is the reference's methodology (SURVEY.md §5):
+full-table equality including the per-row sha256(content) invariant.
+"""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from etl_cms_ray.config import EngineConfig
+from etl_cms_ray.fixtures import make_events, make_repos, make_schema_changes
+from etl_cms_ray.oracle import replay, tables_equal_by_sha
+from etl_cms_ray.pipelines.ingest import ingest, read_lake, read_lake_table
+from etl_cms_ray.schema import SchemaRegistry
+from etl_cms_ray.state.manifest import LakeStore
+
+
+def _cfg(tmp_path, name, **kw):
+    return EngineConfig(lake_root=str(tmp_path / name), num_partitions=8,
+                        normalize_concurrency=2, applier_concurrency=2, **kw)
+
+
+@pytest.mark.parametrize("scenario", ["linear", "dupkeys", "hotkey", "tombstone", "outoforder"])
+def test_ingest_matches_oracle(ray_session, tmp_path, scenario):
+    repos = make_repos(4, 8, zipf_hot=(scenario == "hotkey"))
+    ev = make_events(repos, n_epochs=3, events_per_epoch=80, scenario=scenario)
+    cfg = _cfg(tmp_path, f"lake_{scenario}")
+    res = ingest(ray.data.from_arrow(ev), cfg)
+    assert res.events_in == ev.num_rows
+    lake = read_lake_table(cfg.lake_root)
+    expected = replay(ev)
+    assert tables_equal_by_sha(lake, expected), f"{scenario}: lake != oracle"
+    assert res.lake_rows == expected.num_rows
+
+
+def test_exactly_once_replayed_input(ray_session, tmp_path):
+    """At-least-once delivery: re-ingesting already-applied epochs is a no-op
+    (epoch fence), including the delete-resurrection hazard."""
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=3, events_per_epoch=60, scenario="tombstone")
+    cfg = _cfg(tmp_path, "lake_replay")
+    ingest(ray.data.from_arrow(ev), cfg)
+    state1 = read_lake_table(cfg.lake_root)
+    res2 = ingest(ray.data.from_arrow(ev), cfg)  # full replay
+    assert res2.events_applied == 0
+    state2 = read_lake_table(cfg.lake_root)
+    assert tables_equal_by_sha(state1, state2)
+    assert tables_equal_by_sha(state2, replay(ev))
+
+
+def test_incremental_equals_batch(ray_session, tmp_path):
+    """Epoch-at-a-time ingest (checkpoint/restart between epochs) converges
+    to the same state as one-shot ingest — replay-from-checkpoint."""
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=3, events_per_epoch=50, scenario="tombstone")
+    import pyarrow.compute as pc
+
+    cfg_inc = _cfg(tmp_path, "lake_inc")
+    for ep in range(4):
+        chunk = ev.filter(pc.equal(ev["epoch"], ep))
+        if chunk.num_rows:
+            ingest(ray.data.from_arrow(chunk), cfg_inc)
+    cfg_one = _cfg(tmp_path, "lake_one")
+    ingest(ray.data.from_arrow(ev), cfg_one)
+    a = read_lake_table(cfg_inc.lake_root)
+    b = read_lake_table(cfg_one.lake_root)
+    assert tables_equal_by_sha(a, b)
+    assert tables_equal_by_sha(a, replay(ev))
+    # lineage log recorded one commit per epoch
+    store = LakeStore(cfg_inc.lake_root)
+    lineage = store.read_lineage()
+    assert len(lineage) == 4
+    assert [r["manifest_version"] for r in lineage] == [1, 2, 3, 4]
+
+
+def test_schema_evolution_end_to_end(ray_session, tmp_path):
+    """Column add + type widen mid-stream; engine state matches oracle with
+    the same registry; old partition files are promoted on read."""
+    repos = make_repos(3, 5)
+    ev = make_events(repos, n_epochs=4, events_per_epoch=40)
+    changes = make_schema_changes()  # stars@2 add, size widen@3
+    import pyarrow.compute as pc
+
+    cfg = _cfg(tmp_path, "lake_evolve")
+    # epochs 0-1 under v0 schema, then 2-4 with evolution registered
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    assert read_lake_table(cfg.lake_root).schema.field("size").type == pa.int32()
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg, schema_changes=changes)
+    lake = read_lake_table(cfg.lake_root)
+    assert lake.schema.field("stars").type == pa.int64()
+    assert lake.schema.field("size").type == pa.int64()
+    expected = replay(ev, registry=SchemaRegistry(changes=changes))
+    assert tables_equal_by_sha(lake, expected)
+
+
+def test_dead_letter_routing(ray_session, tmp_path):
+    """Malformed events (bad op / null key / missing content) land in the
+    dead-letter sink, not the lake (unmapped-code-log analog)."""
+    good = make_events(make_repos(2, 3), n_epochs=1, events_per_epoch=10)
+    bad = pa.table(
+        {
+            "repo": ["r", None, "r"],
+            "path": ["p1", "p2", "p3"],
+            "op": ["frobnicate", "update", "update"],
+            "commit": ["c", "c", "c"],
+            "epoch": pa.array([1, 1, 1], type=pa.int64()),
+            "seq": pa.array([900, 901, 902], type=pa.int64()),
+            "lang": ["py", "py", "py"],
+            "content": ["x", "y", None],
+        },
+        schema=good.schema,
+    )
+    cfg = _cfg(tmp_path, "lake_dead")
+    res = ingest(ray.data.from_arrow(pa.concat_tables([good, bad])), cfg)
+    assert res.dead_rows == 3
+    lake = read_lake_table(cfg.lake_root)
+    assert tables_equal_by_sha(lake, replay(good))
+    # dead letters persisted under the lake root
+    dl_root = os.path.join(cfg.lake_root, "deadletter")
+    import glob
+
+    files = glob.glob(os.path.join(dl_root, "**", "*.parquet"), recursive=True)
+    assert files
+    dead = pa.concat_tables([__import__("pyarrow.parquet", fromlist=["pq"]).read_table(f) for f in files])
+    assert dead.num_rows == 3
+
+
+def test_read_lake_dataset(ray_session, tmp_path):
+    repos = make_repos(2, 4)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=20)
+    cfg = _cfg(tmp_path, "lake_ds")
+    ingest(ray.data.from_arrow(ev), cfg)
+    ds = read_lake(cfg.lake_root)
+    assert ds.count() == replay(ev).num_rows
+    # no hive-inferred 'part' column from the data/part=NNNNN layout
+    assert set(ds.schema().names) == set(read_lake_table(cfg.lake_root).column_names)
+    pruned = read_lake(cfg.lake_root, columns=["repo", "path", "size"])
+    assert set(pruned.schema().names) == {"repo", "path", "size"}
