@@ -3,14 +3,9 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No function here (or in etl_cms_ray) calls ray.init/ray.shutdown.
 """
 
 from __future__ import annotations
@@ -20,25 +15,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: repos-shaped change
+    stream derived from `documents`, ingested through the real LWW lake
+    (normalize -> combiner -> groupby shuffle -> MergeApplier actor pool ->
+    epoch-fenced manifest commit), final lake state returned."""
+    from etl_cms_ray.pipelines.queries import repos_lake_ingest
+
+    return repos_lake_ingest("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2
+    (plus the training-data operators: dedup, ANN, text analysis,
+    multimodal plumbing)."""
+    from etl_cms_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable SQL equivalents (column names and rounding match the
+    Ray pipelines exactly).  Keys absent here (minhash/simhash/LSH/lang-id/
+    fingerprints/multimodal) are non-SQL-expressible; the driver records
+    rows-only checks for them."""
+    from etl_cms_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,91 @@
+"""MinHash / SimHash / shingle kernels for near-duplicate detection.
+
+Deterministic (fixed-seed permutations), numpy-vectorized per document:
+shingle hashing is a C-core crc32 loop, signature computation is a single
+broadcasted (K x S) min-reduce.  Designed for actor-pool map_batches
+stages — the permutation matrices are built once per actor.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAXH = np.uint64(1 << 62)
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-gram crc32 hashes of a document (uint64)."""
+    if len(text) < k:
+        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
+    b = text.encode()
+    # byte-level k-grams approximate char k-grams and avoid re-encoding
+    hs = {zlib.crc32(b[i : i + k]) for i in range(len(b) - k + 1)}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+class MinHasher:
+    """K-permutation MinHash + banded LSH keys.
+
+    sig_i = min over shingles s of (a_i * s + b_i) mod p — the standard
+    universal-hash construction; band key = crc32 of the band's rows.
+    """
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, seed: int = 7):
+        assert num_perm % bands == 0
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows = num_perm // bands
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        # (K, S): (a[:,None] * s[None,:] + b[:,None]) mod p, min over S
+        x = (
+            self.a[:, None] * shingles[None, :].astype(np.uint64) + self.b[:, None]
+        ) % np.uint64(_MERSENNE)
+        return x.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray) -> list[int]:
+        out = []
+        for band in range(self.bands):
+            chunk = sig[band * self.rows : (band + 1) * self.rows]
+            out.append(zlib.crc32(chunk.tobytes()) & 0xFFFFFFFF)
+        return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def simhash64(shingles: np.ndarray) -> int:
+    """64-bit SimHash: sign of per-bit vote over shingle hashes.
+
+    Shingle hashes are widened to 64 bits by a second crc pass so all 64
+    positions carry signal.
+    """
+    if shingles.size == 0:
+        return 0
+    lo = shingles.astype(np.uint64)
+    hi = np.array(
+        [zlib.crc32(int(s).to_bytes(8, "little")) for s in shingles], dtype=np.uint64
+    )
+    h64 = (hi << np.uint64(32)) | (lo & np.uint64(0xFFFFFFFF))
+    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    votes = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -89,7 +89,7 @@ def ingest(
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
-        concurrency=cfg.normalize_concurrency,
+        concurrency=(1, cfg.normalize_concurrency),
     )
     ds = ds.map_batches(_combiner, batch_format="pyarrow", zero_copy_batch=True)
     results = ds.groupby("part_id").map_groups(
@@ -101,7 +101,7 @@ def ingest(
             "target_schema_version": target_version,
         },
         batch_format="pyarrow",
-        concurrency=cfg.applier_concurrency,
+        concurrency=(1, cfg.applier_concurrency),
     )
     rows = results.take_all()  # one small row per touched partition
 

@@ -1,0 +1,1119 @@
+"""Operator-level query catalog: Ray Data pipelines + matching DuckDB SQL.
+
+Each entry in QUERIES is a Ray-Data-first implementation of one operator
+family from SURVEY.md §2 over the driver's testdata tables; ORACLE_SQL
+holds the equivalent ANSI/DuckDB SQL with IDENTICAL output column names
+and rounding so the driver's order-insensitive value-hash comparison
+passes bit-for-bit.  Entries without SQL (near-dup, LSH, fingerprints,
+multimodal) get rows-only checks.
+
+Float discipline: every aggregate of doubles is rounded (2 or 4 digits)
+on BOTH sides; rank/limit queries use fully deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..config import EngineConfig
+from ..functions.hashing import sha256_hex_column
+from ..functions.text import (
+    char_count_column,
+    fingerprint_column,
+    lang_id_table,
+    punct_count_column,
+    token_count_column,
+)
+from ..stages.ann import brute_force_topk, lsh_topk
+from ..stages.compact import make_era_merger, make_sessionizer
+from ..stages.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
+from ..stages.dimjoin import BroadcastJoiner, put_dim
+from ..stages.multimodal import DecodeStub, FrameSampler, synth_media_table
+from .ingest import ingest, read_lake
+
+
+
+def _qround(x, digits: int = 2):
+    """Tie-unambiguous decimal quantization: floor(x*10^d + 0.5)/10^d.
+
+    round() differs between engines exactly at representable ties (pandas
+    half-even vs DuckDB half-away); floor of identical IEEE doubles never
+    does.  Every cross-engine float in this module uses _qround, and every
+    oracle SQL uses the literal floor((x)*scale + 0.5)/scale mirror.
+    """
+    scale = float(10 ** digits)
+    return np.floor(x * scale + 0.5) / scale
+
+
+def _sql_q(expr: str, digits: int = 2) -> str:
+    scale = 10 ** digits
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+def _events(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# ===========================================================================
+# CDC semantics over the `events` stream (key = user_id, LWW on (ts, event_id))
+
+
+def cdc_lww_latest(sf_dir: str) -> "rd.Dataset":
+    """LWW final state per key (D5 LatestYearData analog): per-batch partial
+    reduce, then per-key final pick after the hash shuffle."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def last_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.groupby("user_id", sort=False).tail(1)
+
+    ds = ds.map_batches(last_per_user, batch_format="pandas")  # combiner
+    ds = ds.groupby("user_id").map_groups(last_per_user, batch_format="pandas")
+    return ds.map_batches(
+        lambda df: df.rename(
+            columns={"event_type": "last_type", "value": "last_value", "ts": "last_ts"}
+        )[["user_id", "last_type", "last_value", "last_ts"]],
+        batch_format="pandas",
+    )
+
+
+_SQL_LWW = """
+SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def cdc_lww_tombstone(sf_dir: str) -> "rd.Dataset":
+    """Same, but a winning 'error' event acts as a delete tombstone."""
+    ds = cdc_lww_latest(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["last_type"], pa.scalar("error"))),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_LWW_TOMBSTONE = """
+WITH last AS (
+  SELECT user_id, event_type, value, ts
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+FROM last WHERE event_type <> 'error'
+"""
+
+
+def cdc_first_occurrence(sf_dir: str) -> "rd.Dataset":
+    """Emit-once per (user_id, event_type) — visit-dedup/emit-once analog
+    (T4/T5): first (ts, event_id) wins."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def first_per(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        return df.groupby(["user_id", "event_type"], sort=False).head(1)
+
+    ds = ds.map_batches(first_per, batch_format="pandas")
+    ds = ds.groupby(["user_id", "event_type"]).map_groups(first_per, batch_format="pandas")
+    return ds.map_batches(
+        lambda df: df.rename(columns={"ts": "first_ts", "event_id": "first_event_id"})[
+            ["user_id", "event_type", "first_ts", "first_event_id"]
+        ],
+        batch_format="pandas",
+    )
+
+
+_SQL_FIRST = """
+SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) = 1
+"""
+
+
+def cdc_partition_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-key grouped stats (observation_period min/max + counters analog,
+    A1/A4): per-batch partials before the shuffle."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_v=_qround(df["value"], 2))
+        g = df.groupby("user_id", sort=False).agg(
+            _n=("ts", "size"), _min=("ts", "min"), _max=("ts", "max"), _sum=("_v", "sum")
+        )
+        return g.reset_index()
+
+    ds = ds.map_batches(partial, batch_format="pandas")
+    agg = ds.groupby("user_id").aggregate(
+        Sum("_n", alias_name="n_events"),
+        Min("_min", alias_name="min_ts"),
+        Max("_max", alias_name="max_ts"),
+        Sum("_sum", alias_name="sum_value"),
+    )
+    return agg.map_batches(
+        lambda df: df.assign(
+            n_events=df["n_events"].astype("int64"), sum_value=_qround(df["sum_value"], 2)
+        ),
+        batch_format="pandas",
+    )
+
+
+_SQL_PARTITION_STATS = """
+SELECT user_id, count(*) AS n_events, min(ts) AS min_ts, max(ts) AS max_ts,
+       floor((sum(floor((value) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+def cdc_sessionize(sf_dir: str) -> "rd.Dataset":
+    """30-minute-gap sessionization per user (streaming-window analog):
+    groupby(key).map_groups over ts-sorted groups."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+    sessions = ds.groupby("user_id").map_groups(
+        make_sessionizer("ts", gap_seconds=30 * 60, keys=["user_id"]),
+        batch_format="pandas",
+    )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).agg(
+            n_sessions=("n_events", "size"), n_events=("n_events", "sum")
+        )
+        return g.reset_index().astype({"n_sessions": "int64", "n_events": "int64"})
+
+    return sessions.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+_SQL_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+def cdc_era_merge(sf_dir: str) -> "rd.Dataset":
+    """Interval merge with 1-hour gap per (user_id, event_type) — the era
+    derivation A3 (condition_era 30-day-gap merge) re-expressed as a
+    per-group vectorized sweep instead of window-function SQL."""
+    ds = _events(sf_dir, ["user_id", "event_type", "ts"])
+    eras = ds.groupby(["user_id", "event_type"]).map_groups(
+        make_era_merger("ts", "ts", gap=3600.0, keys=["user_id", "event_type"]),
+        batch_format="pandas",
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"era_start": "era_start", "era_end": "era_end"})
+        df["n_events"] = df["n_events"].astype("int64")
+        return df[["user_id", "event_type", "era_start", "era_end", "n_events"]]
+
+    return eras.map_batches(project, batch_format="pandas")
+
+
+_SQL_ERA_MERGE = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts,
+         event_id
+  FROM events
+), m AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_era
+  FROM o
+), g AS (
+  SELECT *, sum(new_era) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS era_id
+  FROM m
+)
+SELECT user_id, event_type, min(ts) AS era_start, max(ts) AS era_end, count(*) AS n_events
+FROM g GROUP BY user_id, event_type, era_id
+"""
+
+
+#: event_type dimension (vocabulary analog); 'error' intentionally missing
+#: -> dead-letter (unmapped-code-log analog).
+_EVENT_DIM = pa.table(
+    {
+        "event_type": ["click", "view", "purchase", "signup"],
+        "type_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "family": ["engagement", "engagement", "commerce", "account"],
+    }
+)
+
+
+def cdc_dim_route(sf_dir: str) -> "rd.Dataset":
+    """Broadcast dim join (T1/J2) + family rollup."""
+    dim_ref = put_dim(_EVENT_DIM)
+    ds = _events(sf_dir, ["event_type"])
+    joined = ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs=dict(dim_ref=dim_ref, key="event_type"),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    matched = joined.map_batches(
+        lambda t: t.filter(t["matched"]).select(["family"]), batch_format="pyarrow"
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("family", sort=False).size().rename("_n").reset_index()
+
+    partials = matched.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby("family").aggregate(Sum("_n", alias_name="n"))
+    return agg.map_batches(lambda df: df.astype({"n": "int64"}), batch_format="pandas")
+
+
+_SQL_DIM_ROUTE = """
+WITH dim(event_type, type_id, family) AS (
+  VALUES ('click', 1, 'engagement'), ('view', 2, 'engagement'),
+         ('purchase', 3, 'commerce'), ('signup', 4, 'account')
+)
+SELECT d.family, count(*) AS n
+FROM events e JOIN dim d USING (event_type)
+GROUP BY d.family
+"""
+
+
+def cdc_dead_letter(sf_dir: str) -> "rd.Dataset":
+    """Anti-join complement (J3): events whose type misses the dim."""
+    dim_ref = put_dim(_EVENT_DIM)
+    ds = _events(sf_dir, ["event_type"])
+    joined = ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs=dict(dim_ref=dim_ref, key="event_type"),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    dead = joined.map_batches(
+        lambda t: t.filter(pc.invert(t["matched"])).select(["event_type"]),
+        batch_format="pyarrow",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", sort=False).size().rename("_n").reset_index()
+
+    agg = dead.map_batches(partial, batch_format="pandas").groupby("event_type").aggregate(
+        Sum("_n", alias_name="n")
+    )
+    return agg.map_batches(lambda df: df.astype({"n": "int64"}), batch_format="pandas")
+
+
+_SQL_DEAD_LETTER = """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# Flagship: repos-shaped CDC ingest through the real lake (oracle-checked)
+
+
+def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
+    """Derive a deterministic change stream from `documents` (epoch 0 full
+    insert backfill; epoch 1: update doc_id%3==0 with content||' v2',
+    delete doc_id%7==0), run the REAL ingest pipeline into a fresh lake,
+    return the final lake state.  The per-row sha256(content) invariant is
+    exposed as hex for the DuckDB oracle."""
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        path = pc.binary_join_element_wise("doc_", pc.cast(ids, pa.string()), "")
+        n = batch.num_rows
+
+        def mk(op, commit, epoch, seq, content, mask=None):
+            t = pa.table(
+                {
+                    "repo": batch["source"],
+                    "path": path,
+                    "op": pa.array([op] * n),
+                    "commit": pa.array([commit] * n),
+                    "epoch": pa.array([epoch] * n, type=pa.int64()),
+                    "seq": seq,
+                    "lang": batch["lang"],
+                    "content": content,
+                }
+            )
+            return t.filter(mask) if mask is not None else t
+
+        seq0 = pc.cast(ids, pa.int64())
+        base = mk("insert", "c0", 0, seq0, batch["text"])
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        upd_mask = pa.array(ids_np % 3 == 0)
+        del_mask = pa.array(ids_np % 7 == 0)
+        upd_content = pc.binary_join_element_wise(batch["text"], " v2", "")
+        updates = mk("update", "c1", 1, seq0, upd_content, upd_mask)
+        del_seq = pc.add(seq0, pa.scalar(1_000_000, type=pa.int64()))
+        nulls = pa.nulls(n, type=pa.string())
+        deletes = mk("delete", "c1", 1, del_seq, nulls, del_mask)
+        return pa.concat_tables([base, updates, deletes])
+
+    events = docs.map_batches(to_events, batch_format="pyarrow")
+    lake_root = tempfile.mkdtemp(prefix="repos_lake_")
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16,
+                       normalize_concurrency=2, applier_concurrency=2)
+    ingest(events, cfg)
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_REPOS_LAKE = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS content,
+       sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS content_sha_hex,
+       CAST(octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) AS BIGINT) AS size
+FROM documents
+WHERE doc_id % 7 <> 0
+"""
+
+
+# ===========================================================================
+# TPC-H-style relational operators
+
+
+def q1_pricing_summary(sf_dir: str) -> "rd.Dataset":
+    """Grouped aggregate with per-batch partials (the canonical wide step)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # per-row quantization to a fixed decimal grid: sums of grid values
+        # stay on the grid (fp error << grid step), so the final round() is
+        # engine-independent — the cross-engine float-equality discipline
+        df = df[df["l_shipdate"] <= cutoff]
+        disc_price = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
+        charge = _qround(disc_price * (1 + df["l_tax"]), 2)
+        df = df.assign(
+            _disc_price=disc_price,
+            _charge=charge,
+            _qty=_qround(df["l_quantity"], 2),
+            _base=_qround(df["l_extendedprice"], 2),
+            _disc=_qround(df["l_discount"], 6),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            _sum_qty=("_qty", "sum"),
+            _sum_base=("_base", "sum"),
+            _sum_disc=("_disc_price", "sum"),
+            _sum_charge=("_charge", "sum"),
+            _sum_discount=("_disc", "sum"),
+            _n=("_qty", "size"),
+        )
+        return g.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("_sum_qty", alias_name="_sq"),
+        Sum("_sum_base", alias_name="_sb"),
+        Sum("_sum_disc", alias_name="_sd"),
+        Sum("_sum_charge", alias_name="_sc"),
+        Sum("_sum_discount", alias_name="_sdisc"),
+        Sum("_n", alias_name="count_order"),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"].astype("float64")
+        sq, sb = _qround(df["_sq"], 2), _qround(df["_sb"], 2)
+        sdisc = _qround(df["_sdisc"], 6)
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": sq,
+                "sum_base_price": sb,
+                "sum_disc_price": _qround(df["_sd"], 2),
+                "sum_charge": _qround(df["_sc"], 2),
+                "avg_qty": _qround(sq / n, 4),
+                "avg_price": _qround(sb / n, 4),
+                "avg_disc": _qround(sdisc / n, 4),
+                "count_order": df["count_order"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+_SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(floor((l_quantity) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_qty,
+       floor((sum(floor((l_extendedprice) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_base_price,
+       floor((sum(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_disc_price,
+       floor((sum(floor(((floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100) * (1 + l_tax)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS sum_charge,
+       floor(((floor((sum(floor((l_quantity) * 100 + 0.5) / 100)) * 100 + 0.5) / 100) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+       floor(((floor((sum(floor((l_extendedprice) * 100 + 0.5) / 100)) * 100 + 0.5) / 100) / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+       floor(((floor((sum(floor((l_discount) * 1000000 + 0.5) / 1000000)) * 1000000 + 0.5) / 1000000) / count(*)) * 10000 + 0.5) / 10000 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(sf_dir: str) -> "rd.Dataset":
+    """Broadcast-semi-join + grouped agg + deterministic top-k: the
+    customer/orders sides are broadcast maps probed inside map_batches —
+    no shuffle join (SURVEY.md J2 pattern)."""
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    building = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-01-01"))
+    omask = pc.and_(
+        pc.less(orders["o_orderdate"], cutoff),
+        pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building), type=pa.int64())),
+    )
+    orders_f = orders.filter(omask)
+    odict = {
+        k: (d, p)
+        for k, d, p in zip(
+            orders_f["o_orderkey"].to_pylist(),
+            orders_f["o_orderdate"].to_pylist(),
+            orders_f["o_orderpriority"].to_pylist(),
+        )
+    }
+    orders_ref = ray.put(odict)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    class Probe:
+        def __init__(self):
+            self.orders = ray.get(orders_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_shipdate"] > pd.Timestamp("1998-01-01")]
+            keep = df["l_orderkey"].map(self.orders.__contains__)
+            df = df[keep]
+            rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
+            g = (
+                df.assign(_rev=rev)
+                .groupby("l_orderkey", sort=False)["_rev"]
+                .sum()
+                .reset_index()
+            )
+            meta = g["l_orderkey"].map(self.orders)
+            g["o_orderdate"] = meta.map(lambda t: t[0])
+            g["o_orderpriority"] = meta.map(lambda t: t[1])
+            return g
+
+    partials = ds.map_batches(Probe, batch_format="pandas", concurrency=2)
+    agg = partials.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+        Sum("_rev", alias_name="_revsum")
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=_qround(df["_revsum"], 2)).drop(columns=["_revsum"])
+        return df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+    out = agg.map_batches(finalize, batch_format="pandas")
+    out = out.sort(["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False])
+    return out.limit(10)
+
+
+_SQL_Q3 = """
+SELECT l_orderkey,
+       floor((sum(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
+    """Five-way join collapsed into broadcast probes on the fact table +
+    one tiny final groupby (J2/J4 pattern: pre-join the closure into flat
+    broadcast maps)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nat = nation.filter(pc.equal(nation["n_regionkey"], asia_rk))
+    asia_nations = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp_nat = dict(zip(supplier["s_suppkey"].to_pylist(), supplier["s_nationkey"].to_pylist()))
+    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_nat = dict(zip(customer["c_custkey"].to_pylist(), customer["c_nationkey"].to_pylist()))
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    om = pc.and_(
+        pc.greater_equal(orders["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+        pc.less(orders["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+    )
+    orders_f = orders.filter(om)
+    order_cust = dict(
+        zip(orders_f["o_orderkey"].to_pylist(), orders_f["o_custkey"].to_pylist())
+    )
+    maps_ref = ray.put(
+        dict(asia=asia_nations, supp=supp_nat, cust=cust_nat, order=order_cust)
+    )
+
+    class Probe:
+        def __init__(self):
+            m = ray.get(maps_ref)
+            self.asia, self.supp, self.cust, self.order = (
+                m["asia"], m["supp"], m["cust"], m["order"],
+            )
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            s_nat = df["l_suppkey"].map(self.supp)
+            custkey = df["l_orderkey"].map(self.order)
+            c_nat = custkey.map(lambda c: self.cust.get(c) if pd.notna(c) else None)
+            keep = s_nat.notna() & c_nat.notna() & (s_nat == c_nat)
+            keep &= s_nat.map(lambda x: x in self.asia if pd.notna(x) else False)
+            df = df[keep]
+            if df.empty:
+                return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                     "_rev": pd.Series(dtype="float64")})
+            names = s_nat[keep].map(self.asia)
+            rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
+            g = pd.DataFrame({"n_name": names, "_rev": rev}).groupby("n_name", sort=False)[
+                "_rev"
+            ].sum().reset_index()
+            return g
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    partials = ds.map_batches(Probe, batch_format="pandas", concurrency=2)
+    agg = partials.groupby("n_name").aggregate(Sum("_rev", alias_name="_revsum"))
+    return agg.map_batches(
+        lambda df: df.assign(revenue=_qround(df["_revsum"], 2)).drop(columns=["_revsum"]),
+        batch_format="pandas",
+    )
+
+
+_SQL_Q5 = """
+SELECT n_name, floor((sum(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def top_customers_by_spend(sf_dir: str) -> "rd.Dataset":
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_tp=_qround(df["o_totalprice"], 2))
+        g = df.groupby("o_custkey", sort=False).agg(
+            _sum=("_tp", "sum"), _n=("_tp", "size")
+        )
+        return g.reset_index()
+
+    agg = orders.map_batches(partial, batch_format="pandas").groupby("o_custkey").aggregate(
+        Sum("_sum", alias_name="_spend"), Sum("_n", alias_name="n_orders")
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    names_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+
+    class Finalize:
+        def __init__(self):
+            self.names = ray.get(names_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "c_custkey": df["o_custkey"],
+                    "c_name": df["o_custkey"].map(self.names),
+                    "total_spend": _qround(df["_spend"], 2),
+                    "n_orders": df["n_orders"].astype("int64"),
+                }
+            )
+
+    out = agg.map_batches(Finalize, batch_format="pandas", concurrency=2)
+    return out.sort(["total_spend", "c_custkey"], descending=[True, False]).limit(10)
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name, floor((sum(floor((o_totalprice) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS total_spend, count(*) AS n_orders
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 10
+"""
+
+
+def order_priority_counts(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
+    agg = ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
+    return agg.map_batches(lambda df: df.astype({"n": "int64"}), batch_format="pandas")
+
+
+_SQL_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+"""
+
+
+def orders_by_month(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        month = df["o_orderdate"].values.astype("datetime64[M]").astype("datetime64[us]")
+        g = (
+            pd.DataFrame({"month": month, "_p": _qround(df["o_totalprice"], 2).to_numpy()})
+            .groupby("month", sort=False)
+            .agg(_n=("_p", "size"), _sum=("_p", "sum"))
+        )
+        return g.reset_index()
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("month").aggregate(
+        Sum("_n", alias_name="n"), Sum("_sum", alias_name="_total")
+    )
+    return agg.map_batches(
+        lambda df: df.assign(n=df["n"].astype("int64"), total=_qround(df["_total"], 2)).drop(
+            columns=["_total"]
+        ),
+        batch_format="pandas",
+    )
+
+
+_SQL_ORDERS_BY_MONTH = """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       count(*) AS n, floor((sum(floor((o_totalprice) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS total
+FROM orders GROUP BY 1
+"""
+
+
+def part_type_stats(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"])
+    agg = ds.groupby("p_type").aggregate(
+        Count(alias_name="n"),
+        Sum("p_retailprice", alias_name="_sum"),
+        Max("p_retailprice", alias_name="_max"),
+    )
+    return agg.map_batches(
+        lambda df: df.assign(
+            n=df["n"].astype("int64"),
+            avg_price=_qround(_qround(df["_sum"], 2) / df["n"], 4),
+            max_price=_qround(df["_max"], 2),
+        ).drop(columns=["_sum", "_max"]),
+        batch_format="pandas",
+    )
+
+
+_SQL_PART_STATS = """
+SELECT p_type, count(*) AS n,
+       floor(((floor((sum(p_retailprice)) * 100 + 0.5) / 100) / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+       floor((max(p_retailprice)) * 100 + 0.5) / 100 AS max_price
+FROM part GROUP BY p_type
+"""
+
+
+def supplier_balance_by_nation(sf_dir: str) -> "rd.Dataset":
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    dim_ref = put_dim(nation)
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+    joined = ds.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs=dict(dim_ref=dim_ref, key="s_nationkey", dim_key="n_nationkey",
+                                   value_cols=["n_name"]),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    joined = joined.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("s_acctbal"), "s_acctbal",
+            pa.array(_qround(t["s_acctbal"].to_numpy(zero_copy_only=False), 2)),
+        ),
+        batch_format="pyarrow",
+    )
+    agg = joined.groupby("n_name").aggregate(
+        Sum("s_acctbal", alias_name="_bal"), Count(alias_name="n")
+    )
+    return agg.map_batches(
+        lambda df: df.assign(total_bal=_qround(df["_bal"], 2), n=df["n"].astype("int64")).drop(
+            columns=["_bal"]
+        ),
+        batch_format="pandas",
+    )
+
+
+_SQL_SUPPLIER_BAL = """
+SELECT n_name, floor((sum(floor((s_acctbal) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS total_bal, count(*) AS n
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def lineitem_distinct_suppliers(sf_dir: str) -> pa.Table:
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    n = len(ds.unique("l_suppkey"))
+    return pa.table({"n_suppliers": pa.array([n], type=pa.int64())})
+
+
+_SQL_DISTINCT_SUPP = """
+SELECT count(DISTINCT l_suppkey) AS n_suppliers FROM lineitem
+"""
+
+
+# ===========================================================================
+# Documents / text analysis
+
+
+def doc_token_stats(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        n_tok = token_count_column(text)
+        n_chars = char_count_column(text)
+        n_punct = punct_count_column(text)
+        raw = pc.add(
+            pc.multiply(
+                pc.divide(n_tok.cast(pa.float64()), n_chars.cast(pa.float64())), 100.0
+            ),
+            n_punct.cast(pa.float64()),
+        )
+        score = pa.array(_qround(raw.to_numpy(zero_copy_only=False), 4))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tok,
+                "n_chars": n_chars,
+                "n_punct": n_punct,
+                "quality_score": score,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+_SQL_DOC_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, '.', '')) AS BIGINT) AS n_punct,
+       floor((CAST(array_length(string_split(text, ' ')) AS DOUBLE) / length(text) * 100 + (length(text) - length(replace(text, '.', '')))) * 10000 + 0.5) / 10000 AS quality_score
+FROM documents
+"""
+
+
+def lang_doc_stats(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        chars = char_count_column(t["text"])
+        df = pd.DataFrame({"lang": t["lang"].to_pandas(), "_c": chars.to_pandas()})
+        g = df.groupby("lang", sort=False).agg(_n=("_c", "size"), _sum=("_c", "sum"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").aggregate(
+        Sum("_n", alias_name="n_docs"), Sum("_sum", alias_name="_chars")
+    )
+    return agg.map_batches(
+        lambda df: df.assign(
+            n_docs=df["n_docs"].astype("int64"),
+            avg_chars=_qround(df["_chars"] / df["n_docs"], 4),
+        ).drop(columns=["_chars"]),
+        batch_format="pandas",
+    )
+
+
+_SQL_LANG_DOC_STATS = """
+SELECT lang, count(*) AS n_docs,
+       floor((sum(CAST(length(text) AS DOUBLE)) / count(*)) * 10000 + 0.5) / 10000 AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _docs_with_dups(sf_dir: str) -> "rd.Dataset":
+    """documents ∪ re-keyed copies of doc_id<50 (deterministic exact dups)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 50))
+        return pa.table(
+            {"doc_id": pc.add(t["doc_id"], 100_000), "text": t["text"]}
+        )
+
+    dups = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        shift, batch_format="pyarrow"
+    )
+    return docs.union(dups)
+
+
+def dedup_exact_docs(sf_dir: str) -> "rd.Dataset":
+    """Exact dedup first-wins (D2/D3): hash-partition on content sha."""
+    agg = exact_dedup_groups(_docs_with_dups(sf_dir))
+    return agg.map_batches(
+        lambda df: df[["keep_id", "n_dups"]].astype({"keep_id": "int64", "n_dups": "int64"}),
+        batch_format="pandas",
+    )
+
+
+_SQL_DEDUP_EXACT = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+)
+SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+FROM all_docs GROUP BY text
+"""
+
+
+def ann_cosine_topk(sf_dir: str) -> "rd.Dataset":
+    """Exact brute-force cosine top-5 for query vectors vec_id<3."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = pc.less(emb["vec_id"], 3)
+    q = emb.filter(qmask)
+    q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
+    q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, q_ids, q_vecs, k=5, concurrency=2, round_digits=4)
+    return out.map_batches(
+        lambda df: df[["query_id", "neighbor_id", "score", "rank"]].astype(
+            {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)) * 10000 + 0.5) / 10000 AS score
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) <= 5
+"""
+
+
+def embedding_norms(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        from ..stages.ann import _to_matrix
+
+        m = _to_matrix(t["embedding"])
+        l2 = _qround(np.sqrt((m * m).sum(axis=1)), 4)
+        return pa.table({"vec_id": t["vec_id"], "l2_norm": pa.array(l2, type=pa.float64())})
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
+_SQL_EMBEDDING_NORMS = """
+SELECT vec_id,
+       floor((sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)))) * 10000 + 0.5) / 10000 AS l2_norm
+FROM embeddings
+"""
+
+
+# ===========================================================================
+# Rows-only operators (non-SQL-expressible; driver records weaker check)
+
+
+def _docs_with_near_dups(sf_dir: str) -> "rd.Dataset":
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["doc_id"], 30))
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 200_000),
+                "text": pc.binary_join_element_wise(t["text"], " near dup tail", ""),
+            }
+        )
+
+    near = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        shift, batch_format="pyarrow"
+    )
+    return docs.union(near)
+
+
+def dedup_minhash_pairs(sf_dir: str) -> "rd.Dataset":
+    return minhash_lsh_pairs(_docs_with_near_dups(sf_dir), threshold=0.8, concurrency=2)
+
+
+def dedup_simhash_pairs(sf_dir: str) -> "rd.Dataset":
+    return simhash_pairs(_docs_with_near_dups(sf_dir), max_hamming=3, concurrency=2)
+
+
+def lang_id_pred(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    return ds.map_batches(
+        lambda t: lang_id_table(t).select(["doc_id", "lang", "lang_pred"]),
+        batch_format="pyarrow",
+    )
+
+
+def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": fingerprint_column(t["text"])}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def ann_lsh_topk(sf_dir: str) -> "rd.Dataset":
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = emb.filter(pc.less(emb["vec_id"], 3))
+    q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
+    q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, q_ids, q_vecs, k=5, bits=6, concurrency=2)
+
+
+def multimodal_features(sf_dir: str) -> "rd.Dataset":
+    """Media decode plumbing: synth payloads -> actor-pool decode stub ->
+    per-kind feature stats (+ video frame sampling)."""
+    media = rd.from_arrow(synth_media_table(n=96))
+    feats = media.map_batches(
+        DecodeStub, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        m = np.asarray(t["features"].combine_chunks().flatten().to_numpy(zero_copy_only=False))
+        m = m.reshape(t.num_rows, -1)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "feat_mean": pa.array(np.round(m.mean(axis=1), 6), type=pa.float64()),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+def multimodal_frames(sf_dir: str) -> "rd.Dataset":
+    media = rd.from_arrow(synth_media_table(n=96))
+    frames = media.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+    agg = frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
+    return agg.map_batches(lambda df: df.astype({"n_frames": "int64"}), batch_format="pandas")
+
+
+# ===========================================================================
+# Catalog
+
+QUERIES = {
+    # CDC core semantics
+    "cdc_lww_latest": cdc_lww_latest,
+    "cdc_lww_tombstone": cdc_lww_tombstone,
+    "cdc_first_occurrence": cdc_first_occurrence,
+    "cdc_partition_stats": cdc_partition_stats,
+    "cdc_sessionize": cdc_sessionize,
+    "cdc_era_merge": cdc_era_merge,
+    "cdc_dim_route": cdc_dim_route,
+    "cdc_dead_letter": cdc_dead_letter,
+    "repos_lake_ingest": repos_lake_ingest,
+    # relational operators
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_local_supplier": q5_local_supplier,
+    "top_customers_by_spend": top_customers_by_spend,
+    "order_priority_counts": order_priority_counts,
+    "orders_by_month": orders_by_month,
+    "part_type_stats": part_type_stats,
+    "supplier_balance_by_nation": supplier_balance_by_nation,
+    "lineitem_distinct_suppliers": lineitem_distinct_suppliers,
+    # text / documents
+    "doc_token_stats": doc_token_stats,
+    "lang_doc_stats": lang_doc_stats,
+    "dedup_exact_docs": dedup_exact_docs,
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_norms": embedding_norms,
+    # rows-only (non-SQL-expressible)
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "lang_id_pred": lang_id_pred,
+    "doc_fingerprints": doc_fingerprints,
+    "ann_lsh_topk": ann_lsh_topk,
+    "multimodal_features": multimodal_features,
+    "multimodal_frames": multimodal_frames,
+}
+
+ORACLE_SQL = {
+    "cdc_lww_latest": _SQL_LWW,
+    "cdc_lww_tombstone": _SQL_LWW_TOMBSTONE,
+    "cdc_first_occurrence": _SQL_FIRST,
+    "cdc_partition_stats": _SQL_PARTITION_STATS,
+    "cdc_sessionize": _SQL_SESSIONIZE,
+    "cdc_era_merge": _SQL_ERA_MERGE,
+    "cdc_dim_route": _SQL_DIM_ROUTE,
+    "cdc_dead_letter": _SQL_DEAD_LETTER,
+    "repos_lake_ingest": _SQL_REPOS_LAKE,
+    "q1_pricing_summary": _SQL_Q1,
+    "q3_top_orders": _SQL_Q3,
+    "q5_local_supplier": _SQL_Q5,
+    "top_customers_by_spend": _SQL_TOP_CUSTOMERS,
+    "order_priority_counts": _SQL_PRIORITY,
+    "orders_by_month": _SQL_ORDERS_BY_MONTH,
+    "part_type_stats": _SQL_PART_STATS,
+    "supplier_balance_by_nation": _SQL_SUPPLIER_BAL,
+    "lineitem_distinct_suppliers": _SQL_DISTINCT_SUPP,
+    "doc_token_stats": _SQL_DOC_TOKEN_STATS,
+    "lang_doc_stats": _SQL_LANG_DOC_STATS,
+    "dedup_exact_docs": _SQL_DEDUP_EXACT,
+    "ann_cosine_topk": _SQL_ANN_TOPK,
+    "embedding_norms": _SQL_EMBEDDING_NORMS,
+}

