@@ -1,0 +1,278 @@
+"""Benchmark harness.
+
+Headline: the flagship CDC ingest — a 600k-event (at sf0.1) change stream
+derived deterministically from `lineitem`, pushed through the full
+pipeline (normalize/sha256 -> LWW combiner -> groupby shuffle ->
+MergeApplier actor pool -> epoch-fenced manifest commit) into a fresh
+lake, plus a second incremental epoch and a replay no-op.  Also times
+representative operator pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+
+`python bench.py --scaling` runs the same job in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 and reports both throughputs + scaling
+efficiency (the sandbox evidence protocol for the north rule's N vs 4N
+cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: scaling mode: replicate the event stream and measure ONE large ingest
+SCALE_MULT = int(os.environ.get("GRAFT_SCALE_MULT", "1"))
+
+
+def _derive_events(sf_dir: str, mult: int = 1):
+    """Deterministic repos-shaped change stream from lineitem: one event
+    per lineitem row; key = (repo, path); epochs 0..7.  ``mult`` replicates
+    the stream with disjoint key spaces (repo suffix) — used by the
+    scaling protocol to make the job compute-bound so fixed setup cost
+    (actor pools, stage init) doesn't mask parallel speedup."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_returnflag"],
+    )
+
+    def to_events(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"]
+        line = pc.cast(t["l_linenumber"], pa.int64())
+        okey_np = okey.to_numpy(zero_copy_only=False)
+        repo = pc.binary_join_element_wise(
+            "repo-", pc.cast(pa.array(okey_np % 512), pa.string()), ""
+        )
+        path = pc.binary_join_element_wise(
+            "src/f_",
+            pc.cast(okey, pa.string()),
+            "_",
+            pc.cast(line, pa.string()),
+            ".py",
+            "",
+        )
+        epoch = pa.array(okey_np % 8, type=pa.int64())
+        seq = pc.add(pc.multiply(okey, pa.scalar(16, type=pa.int64())), line)
+        base = pc.binary_join_element_wise(
+            "def item():\n    qty = ",
+            pc.cast(t["l_quantity"], pa.string()),
+            "\n    price = ",
+            pc.cast(t["l_extendedprice"], pa.string()),
+            "\n    flag = '",
+            t["l_returnflag"],
+            "'\n    return qty * price\n",
+            "",
+        )
+        content = pc.binary_join_element_wise(base, base, base, "# pad\n")
+        out = pa.table(
+            {
+                "repo": repo,
+                "path": path,
+                "op": pa.array(["insert"] * t.num_rows),
+                "commit": pc.cast(seq, pa.string()),
+                "epoch": epoch,
+                "seq": seq,
+                "lang": pa.array(["py"] * t.num_rows),
+                "content": content,
+            }
+        )
+        if mult == 1:
+            return out
+        reps = []
+        for i in range(mult):
+            reps.append(
+                out.set_column(
+                    0, "repo",
+                    pc.binary_join_element_wise(out["repo"], f"-r{i}", ""),
+                )
+            )
+        return pa.concat_tables(reps)
+
+    return ds.map_batches(to_events, batch_format="pyarrow")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.pipelines.ingest import ingest, read_lake
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    results: dict[str, float] = {}
+    pool = max(2, NUM_CPUS // 2)
+
+    # --- headline: CDC ingest ------------------------------------------
+    lake_root = tempfile.mkdtemp(prefix="bench_lake_")
+    cfg = EngineConfig(
+        lake_root=lake_root,
+        # identical partitioning at every parallelism level — the scaling
+        # comparison must run the same job, and 64 partitions keeps block
+        # sizes healthy at sf0.1-x24
+        num_partitions=64,
+        normalize_concurrency=pool,
+        applier_concurrency=pool,
+        batch_size=32768,
+    )
+    events = _derive_events(SF_DIR, mult=SCALE_MULT)
+    ev_mat = events.materialize()  # isolate derivation cost from ingest cost
+    n_events = ev_mat.count()
+
+    if SCALE_MULT > 1:
+        # scaling protocol: one large compute-bound ingest, min of 3 reps
+        # (this host shows multi-second noise bursts; min isolates the
+        # machine capacity from neighbor interference)
+        t_total = float("inf")
+        for _rep in range(3):
+            rep_root = tempfile.mkdtemp(prefix="bench_lake_scale_")
+            rep_cfg = EngineConfig(
+                lake_root=rep_root,
+                num_partitions=cfg.num_partitions,
+                batch_size=cfg.batch_size,
+            )
+            t0 = time.perf_counter()
+            ingest(ev_mat, rep_cfg, count_input=False)
+            t_total = min(t_total, time.perf_counter() - t0)
+            last_root = rep_root
+        lake_rows = read_lake(last_root, columns=["repo"]).count()
+        shutil.rmtree(lake_root, ignore_errors=True)
+        import glob as _glob
+        for d in _glob.glob(tempfile.gettempdir() + "/bench_lake_scale_*"):
+            shutil.rmtree(d, ignore_errors=True)
+        out = {
+            "metric": "cdc_ingest_wall_sec_scaled",
+            "value": round(t_total, 3),
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_events": n_events,
+            "lake_rows": lake_rows,
+            "events_per_sec": round(n_events / t_total, 1),
+        }
+        ray.shutdown()
+        return out
+
+    t0 = time.perf_counter()
+    first = ingest(ev_mat.filter(expr="epoch < 6"), cfg, count_input=False)
+    t_initial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ingest(ev_mat.filter(expr="epoch >= 6"), cfg, count_input=False)
+    t_incr = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    replay = ingest(ev_mat, cfg, count_input=False)  # full replay: fence makes it a no-op
+    t_replay = time.perf_counter() - t0
+    assert replay.events_applied == 0, "exactly-once violated in bench"
+
+    lake_rows = read_lake(lake_root, columns=["repo"]).count()
+    results["cdc_ingest_initial"] = round(t_initial, 3)
+    results["cdc_ingest_incremental"] = round(t_incr, 3)
+    results["cdc_ingest_replay_noop"] = round(t_replay, 3)
+    headline = t_initial + t_incr
+    shutil.rmtree(lake_root, ignore_errors=True)
+
+    # --- representative operator pipelines -----------------------------
+    from etl_cms_ray.pipelines import queries as Q
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn(SF_DIR)
+        if hasattr(out, "to_pandas"):
+            out.to_pandas()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    timed("q1_pricing_summary", Q.q1_pricing_summary)
+    timed("q3_top_orders", Q.q3_top_orders)
+    timed("cdc_lww_latest", Q.cdc_lww_latest)
+    timed("cdc_partition_stats", Q.cdc_partition_stats)
+    timed("cdc_sessionize", Q.cdc_sessionize)
+    timed("dedup_exact_docs", Q.dedup_exact_docs)
+    timed("dedup_minhash_pairs", Q.dedup_minhash_pairs)
+    timed("ann_cosine_topk", Q.ann_cosine_topk)
+    timed("doc_token_stats", Q.doc_token_stats)
+
+    out = {
+        "metric": "cdc_ingest_wall_sec_sf_headline",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_events": n_events,
+        "lake_rows": lake_rows,
+        "events_per_sec": round(n_events / headline, 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "12"))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["events_per_sec"]
+    tp_hi = r_hi["events_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "events_per_sec_lo": tp_lo,
+                "events_per_sec_hi": tp_hi,
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

@@ -26,6 +26,17 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.fromiter(hs, dtype=np.uint64, count=len(hs))
 
 
+def word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Distinct word k-gram crc32 hashes — ~20x fewer shingles than char
+    5-grams on prose, the standard choice for document near-dup at scale."""
+    toks = text.split()
+    if len(toks) < k:
+        return np.array([zlib.crc32(text.encode())], dtype=np.uint64)
+    crc = zlib.crc32
+    hs = {crc(" ".join(toks[i : i + k]).encode()) for i in range(len(toks) - k + 1)}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
 class MinHasher:
     """K-permutation MinHash + banded LSH keys.
 
@@ -48,6 +59,24 @@ class MinHasher:
             self.a[:, None] * shingles[None, :].astype(np.uint64) + self.b[:, None]
         ) % np.uint64(_MERSENNE)
         return x.min(axis=1)
+
+    def signatures_batch(self, shingle_arrays: list) -> np.ndarray:
+        """(ndocs, K) signatures for a whole batch in a handful of numpy
+        ops: concatenate all shingles, one broadcasted hash per perm-chunk,
+        segmented min via np.minimum.reduceat — no per-document loop."""
+        if not shingle_arrays:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        lengths = np.array([len(a) for a in shingle_arrays])
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        S = np.concatenate(shingle_arrays).astype(np.uint64)
+        out = np.empty((len(shingle_arrays), self.num_perm), dtype=np.uint64)
+        chunk = 32  # bound the (chunk x total_shingles) temporary
+        for c0 in range(0, self.num_perm, chunk):
+            a = self.a[c0 : c0 + chunk, None]
+            b = self.b[c0 : c0 + chunk, None]
+            x = (a * S[None, :] + b) % np.uint64(_MERSENNE)
+            out[:, c0 : c0 + chunk] = np.minimum.reduceat(x, offsets, axis=1).T
+        return out
 
     def band_keys(self, sig: np.ndarray) -> list[int]:
         out = []

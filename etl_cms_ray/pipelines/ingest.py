@@ -25,9 +25,9 @@ import ray.data
 
 from ..config import EngineConfig
 from ..schema import SchemaChange, SchemaRegistry
-from ..stages.applier import MergeApplier
+from ..stages.applier import apply_group
 from ..stages.lww import lww_reduce
-from ..stages.normalize import Normalizer
+from ..stages.normalize import fence_vector, normalize_batch
 from ..state.manifest import LakeStore, Manifest, PartitionState
 
 
@@ -44,6 +44,9 @@ class IngestResult:
 
 def _combiner(batch: pa.Table) -> pa.Table:
     """Partial LWW per batch, valid rows only; dead-letter rows pass through."""
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
     valid = batch.filter(batch["valid"])
     dead = batch.filter(pc.invert(batch["valid"]))
     reduced = lww_reduce(valid)
@@ -56,6 +59,7 @@ def ingest(
     events: "ray.data.Dataset",
     cfg: EngineConfig,
     schema_changes: list[SchemaChange] | None = None,
+    count_input: bool = True,
 ) -> IngestResult:
     """Apply one batch of change events to the lake, exactly once.
 
@@ -80,28 +84,42 @@ def ingest(
     }
 
     # raw input size: metadata-cheap for parquet sources and materialized
-    # tables (the pipeline's own counters see post-combiner rows only)
-    events_in = events.count()
+    # tables, but a full extra pass for derived datasets — callers on the
+    # hot path disable it (the pipeline's own counters see post-combiner
+    # rows only)
+    events_in = events.count() if count_input else -1
 
+    # task-based stages throughout the hot path: Ray task workers are
+    # pre-started and REUSED across pipelines, while actor pools fork +
+    # import on every ingest (~2-3 s fixed cost that destroys scaling on
+    # incremental commits).  Stage state here is tiny, so it ships in
+    # fn_kwargs.
     ds = events.map_batches(
-        Normalizer,
-        fn_constructor_kwargs={"cfg": cfg},
+        normalize_batch,
+        fn_kwargs={
+            "cfg": cfg,
+            "fence_vec": fence_vector(
+                cfg.num_partitions, {pid: f for pid, (f, _) in fences.items()}
+            ),
+        },
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
-        concurrency=(1, cfg.normalize_concurrency),
     )
     ds = ds.map_batches(_combiner, batch_format="pyarrow", zero_copy_batch=True)
     results = ds.groupby("part_id").map_groups(
-        MergeApplier,
-        fn_constructor_kwargs={
+        apply_group,
+        fn_kwargs={
             "lake_root": cfg.lake_root,
             "fences": fences,
             "registry_json": registry.to_json(),
             "target_schema_version": target_version,
+            "prior_meta": {
+                pid: (ps.rows, ps.content_hash, ps.schema_version)
+                for pid, ps in manifest.partitions.items()
+            },
         },
         batch_format="pyarrow",
-        concurrency=(1, cfg.applier_concurrency),
     )
     rows = results.take_all()  # one small row per touched partition
 

@@ -59,6 +59,23 @@ def _sql_q(expr: str, digits: int = 2) -> str:
     scale = 10 ** digits
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
+
+def _final_agg(partials: "rd.Dataset", agg_fn) -> "rd.Dataset":
+    """Final reduce over pre-aggregated partials as ONE coalesced task.
+
+    After the per-batch partial aggregation, the surviving rows number
+    ~(#keys x #blocks).  For bounded-cardinality keys that is tiny, and
+    Ray's sort-based Aggregate operator costs ~300ms/block regardless of
+    size — a single pandas groupby over the coalesced partials is orders
+    of magnitude faster and still scale-correct (the data was already
+    reduced in parallel).  Unbounded-key aggregations (e.g. exact dedup)
+    keep the hash-shuffle groupby instead.
+    """
+    return partials.repartition(1).map_batches(
+        agg_fn, batch_format="pandas", batch_size=None
+    )
+
+
 def _events(sf_dir: str, columns=None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
@@ -77,12 +94,11 @@ def cdc_lww_latest(sf_dir: str) -> "rd.Dataset":
         return df.groupby("user_id", sort=False).tail(1)
 
     ds = ds.map_batches(last_per_user, batch_format="pandas")  # combiner
-    ds = ds.groupby("user_id").map_groups(last_per_user, batch_format="pandas")
-    return ds.map_batches(
-        lambda df: df.rename(
+    return _final_agg(
+        ds,
+        lambda df: last_per_user(df).rename(
             columns={"event_type": "last_type", "value": "last_value", "ts": "last_ts"}
         )[["user_id", "last_type", "last_value", "last_ts"]],
-        batch_format="pandas",
     )
 
 
@@ -123,12 +139,11 @@ def cdc_first_occurrence(sf_dir: str) -> "rd.Dataset":
         return df.groupby(["user_id", "event_type"], sort=False).head(1)
 
     ds = ds.map_batches(first_per, batch_format="pandas")
-    ds = ds.groupby(["user_id", "event_type"]).map_groups(first_per, batch_format="pandas")
-    return ds.map_batches(
-        lambda df: df.rename(columns={"ts": "first_ts", "event_id": "first_event_id"})[
-            ["user_id", "event_type", "first_ts", "first_event_id"]
-        ],
-        batch_format="pandas",
+    return _final_agg(
+        ds,
+        lambda df: first_per(df).rename(
+            columns={"ts": "first_ts", "event_id": "first_event_id"}
+        )[["user_id", "event_type", "first_ts", "first_event_id"]],
     )
 
 
@@ -151,19 +166,16 @@ def cdc_partition_stats(sf_dir: str) -> "rd.Dataset":
         )
         return g.reset_index()
 
-    ds = ds.map_batches(partial, batch_format="pandas")
-    agg = ds.groupby("user_id").aggregate(
-        Sum("_n", alias_name="n_events"),
-        Min("_min", alias_name="min_ts"),
-        Max("_max", alias_name="max_ts"),
-        Sum("_sum", alias_name="sum_value"),
-    )
-    return agg.map_batches(
-        lambda df: df.assign(
-            n_events=df["n_events"].astype("int64"), sum_value=_qround(df["sum_value"], 2)
-        ),
-        batch_format="pandas",
-    )
+    def final(df):
+        g = df.groupby("user_id", sort=False).agg(
+            n_events=("_n", "sum"), min_ts=("_min", "min"),
+            max_ts=("_max", "max"), _s=("_sum", "sum"),
+        ).reset_index()
+        return g.assign(
+            n_events=g["n_events"].astype("int64"), sum_value=_qround(g["_s"], 2)
+        ).drop(columns=["_s"])
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), final)
 
 
 _SQL_PARTITION_STATS = """
@@ -271,8 +283,11 @@ def cdc_dim_route(sf_dir: str) -> "rd.Dataset":
         return df.groupby("family", sort=False).size().rename("_n").reset_index()
 
     partials = matched.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby("family").aggregate(Sum("_n", alias_name="n"))
-    return agg.map_batches(lambda df: df.astype({"n": "int64"}), batch_format="pandas")
+    return _final_agg(
+        partials,
+        lambda df: df.groupby("family", sort=False)["_n"].sum().rename("n")
+        .reset_index().astype({"n": "int64"}),
+    )
 
 
 _SQL_DIM_ROUTE = """
@@ -304,10 +319,11 @@ def cdc_dead_letter(sf_dir: str) -> "rd.Dataset":
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("event_type", sort=False).size().rename("_n").reset_index()
 
-    agg = dead.map_batches(partial, batch_format="pandas").groupby("event_type").aggregate(
-        Sum("_n", alias_name="n")
+    return _final_agg(
+        dead.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby("event_type", sort=False)["_n"].sum().rename("n")
+        .reset_index().astype({"n": "int64"}),
     )
-    return agg.map_batches(lambda df: df.astype({"n": "int64"}), batch_format="pandas")
 
 
 _SQL_DEAD_LETTER = """
@@ -436,16 +452,13 @@ def q1_pricing_summary(sf_dir: str) -> "rd.Dataset":
         return g.reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("_sum_qty", alias_name="_sq"),
-        Sum("_sum_base", alias_name="_sb"),
-        Sum("_sum_disc", alias_name="_sd"),
-        Sum("_sum_charge", alias_name="_sc"),
-        Sum("_sum_discount", alias_name="_sdisc"),
-        Sum("_n", alias_name="count_order"),
-    )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            _sq=("_sum_qty", "sum"), _sb=("_sum_base", "sum"),
+            _sd=("_sum_disc", "sum"), _sc=("_sum_charge", "sum"),
+            _sdisc=("_sum_discount", "sum"), count_order=("_n", "sum"),
+        ).reset_index()
         n = df["count_order"].astype("float64")
         sq, sb = _qround(df["_sq"], 2), _qround(df["_sb"], 2)
         sdisc = _qround(df["_sdisc"], 6)
@@ -464,7 +477,7 @@ def q1_pricing_summary(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return _final_agg(partials, finalize)
 
 
 _SQL_Q1 = """
@@ -503,15 +516,9 @@ def q3_top_orders(sf_dir: str) -> "rd.Dataset":
         pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building), type=pa.int64())),
     )
     orders_f = orders.filter(omask)
-    odict = {
-        k: (d, p)
-        for k, d, p in zip(
-            orders_f["o_orderkey"].to_pylist(),
-            orders_f["o_orderdate"].to_pylist(),
-            orders_f["o_orderpriority"].to_pylist(),
-        )
-    }
-    orders_ref = ray.put(odict)
+    orders_ref = ray.put(
+        orders_f.select(["o_orderkey", "o_orderdate", "o_orderpriority"]).to_pandas()
+    )
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -519,37 +526,40 @@ def q3_top_orders(sf_dir: str) -> "rd.Dataset":
     )
 
     class Probe:
+        """Broadcast inner-join probe: one vectorized pandas merge per batch
+        against the filtered orders side fetched once per actor."""
+
         def __init__(self):
             self.orders = ray.get(orders_ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             df = df[df["l_shipdate"] > pd.Timestamp("1998-01-01")]
-            keep = df["l_orderkey"].map(self.orders.__contains__)
-            df = df[keep]
+            df = df.merge(self.orders, left_on="l_orderkey", right_on="o_orderkey")
             rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
             g = (
                 df.assign(_rev=rev)
-                .groupby("l_orderkey", sort=False)["_rev"]
+                .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False)[
+                    "_rev"
+                ]
                 .sum()
                 .reset_index()
             )
-            meta = g["l_orderkey"].map(self.orders)
-            g["o_orderdate"] = meta.map(lambda t: t[0])
-            g["o_orderpriority"] = meta.map(lambda t: t[1])
             return g
 
-    partials = ds.map_batches(Probe, batch_format="pandas", concurrency=2)
-    agg = partials.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
-        Sum("_rev", alias_name="_revsum")
-    )
+    partials = ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 2))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(revenue=_qround(df["_revsum"], 2)).drop(columns=["_revsum"])
-        return df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+        g = df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False)[
+            "_rev"
+        ].sum().reset_index()
+        g = g.assign(revenue=_qround(g["_rev"], 2)).drop(columns=["_rev"])
+        g = g.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(10)
+        return g[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
 
-    out = agg.map_batches(finalize, batch_format="pandas")
-    out = out.sort(["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False])
-    return out.limit(10)
+    return _final_agg(partials, finalize)
 
 
 _SQL_Q3 = """
@@ -593,11 +603,16 @@ def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
     order_cust = dict(
         zip(orders_f["o_orderkey"].to_pylist(), orders_f["o_custkey"].to_pylist())
     )
-    maps_ref = ray.put(
-        dict(asia=asia_nations, supp=supp_nat, cust=cust_nat, order=order_cust)
-    )
+    supp_pd = pd.DataFrame({"s_suppkey": list(supp_nat), "s_nat": list(supp_nat.values())})
+    cust_pd = pd.DataFrame({"c_custkey": list(cust_nat), "c_nat": list(cust_nat.values())})
+    order_pd = pd.DataFrame({"o_orderkey": list(order_cust), "o_cust": list(order_cust.values())})
+    asia_pd = pd.DataFrame({"nat": list(asia_nations), "n_name": list(asia_nations.values())})
+    maps_ref = ray.put(dict(asia=asia_pd, supp=supp_pd, cust=cust_pd, order=order_pd))
 
     class Probe:
+        """Broadcast join chain: vectorized pandas merges per batch (the
+        pre-joined-closure pattern — SURVEY.md J4)."""
+
         def __init__(self):
             m = ray.get(maps_ref)
             self.asia, self.supp, self.cust, self.order = (
@@ -605,32 +620,29 @@ def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
             )
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            s_nat = df["l_suppkey"].map(self.supp)
-            custkey = df["l_orderkey"].map(self.order)
-            c_nat = custkey.map(lambda c: self.cust.get(c) if pd.notna(c) else None)
-            keep = s_nat.notna() & c_nat.notna() & (s_nat == c_nat)
-            keep &= s_nat.map(lambda x: x in self.asia if pd.notna(x) else False)
-            df = df[keep]
+            df = df.merge(self.supp, left_on="l_suppkey", right_on="s_suppkey")
+            df = df.merge(self.order, left_on="l_orderkey", right_on="o_orderkey")
+            df = df.merge(self.cust, left_on="o_cust", right_on="c_custkey")
+            df = df[df["s_nat"] == df["c_nat"]]
+            df = df.merge(self.asia, left_on="s_nat", right_on="nat")
             if df.empty:
                 return pd.DataFrame({"n_name": pd.Series(dtype="object"),
                                      "_rev": pd.Series(dtype="float64")})
-            names = s_nat[keep].map(self.asia)
             rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
-            g = pd.DataFrame({"n_name": names, "_rev": rev}).groupby("n_name", sort=False)[
-                "_rev"
-            ].sum().reset_index()
+            g = df.assign(_rev=rev).groupby("n_name", sort=False)["_rev"].sum().reset_index()
             return g
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
-    partials = ds.map_batches(Probe, batch_format="pandas", concurrency=2)
-    agg = partials.groupby("n_name").aggregate(Sum("_rev", alias_name="_revsum"))
-    return agg.map_batches(
-        lambda df: df.assign(revenue=_qround(df["_revsum"], 2)).drop(columns=["_revsum"]),
-        batch_format="pandas",
-    )
+    partials = ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 2))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", sort=False)["_rev"].sum().reset_index()
+        return g.assign(revenue=_qround(g["_rev"], 2)).drop(columns=["_rev"])
+
+    return _final_agg(partials, finalize)
 
 
 _SQL_Q5 = """
@@ -658,28 +670,28 @@ def top_customers_by_spend(sf_dir: str) -> "rd.Dataset":
         )
         return g.reset_index()
 
-    agg = orders.map_batches(partial, batch_format="pandas").groupby("o_custkey").aggregate(
-        Sum("_sum", alias_name="_spend"), Sum("_n", alias_name="n_orders")
-    )
+    partials = orders.map_batches(partial, batch_format="pandas")
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    names_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+    names = cust.to_pandas()
 
-    class Finalize:
-        def __init__(self):
-            self.names = ray.get(names_ref)
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False).agg(
+            _spend=("_sum", "sum"), n_orders=("_n", "sum")
+        ).reset_index()
+        g = g.merge(names, left_on="o_custkey", right_on="c_custkey")
+        out = pd.DataFrame(
+            {
+                "c_custkey": g["c_custkey"],
+                "c_name": g["c_name"],
+                "total_spend": _qround(g["_spend"], 2),
+                "n_orders": g["n_orders"].astype("int64"),
+            }
+        )
+        return out.sort_values(
+            ["total_spend", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "c_custkey": df["o_custkey"],
-                    "c_name": df["o_custkey"].map(self.names),
-                    "total_spend": _qround(df["_spend"], 2),
-                    "n_orders": df["n_orders"].astype("int64"),
-                }
-            )
-
-    out = agg.map_batches(Finalize, batch_format="pandas", concurrency=2)
-    return out.sort(["total_spend", "c_custkey"], descending=[True, False]).limit(10)
+    return _final_agg(partials, finalize)
 
 
 _SQL_TOP_CUSTOMERS = """
@@ -693,8 +705,15 @@ LIMIT 10
 
 def order_priority_counts(sf_dir: str) -> "rd.Dataset":
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
-    agg = ds.groupby("o_orderpriority").aggregate(Count(alias_name="n"))
-    return agg.map_batches(lambda df: df.astype({"n": "int64"}), batch_format="pandas")
+    partials = ds.map_batches(
+        lambda df: df.groupby("o_orderpriority", sort=False).size().rename("_n").reset_index(),
+        batch_format="pandas",
+    )
+    return _final_agg(
+        partials,
+        lambda df: df.groupby("o_orderpriority", sort=False)["_n"].sum().rename("n")
+        .reset_index().astype({"n": "int64"}),
+    )
 
 
 _SQL_PRIORITY = """
@@ -714,15 +733,13 @@ def orders_by_month(sf_dir: str) -> "rd.Dataset":
         )
         return g.reset_index()
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("month").aggregate(
-        Sum("_n", alias_name="n"), Sum("_sum", alias_name="_total")
-    )
-    return agg.map_batches(
-        lambda df: df.assign(n=df["n"].astype("int64"), total=_qround(df["_total"], 2)).drop(
-            columns=["_total"]
-        ),
-        batch_format="pandas",
-    )
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("month", sort=False).agg(n=("_n", "sum"), _t=("_sum", "sum")).reset_index()
+        return g.assign(n=g["n"].astype("int64"), total=_qround(g["_t"], 2)).drop(columns=["_t"])
+
+    return _final_agg(partials, finalize)
 
 
 _SQL_ORDERS_BY_MONTH = """
@@ -734,19 +751,25 @@ FROM orders GROUP BY 1
 
 def part_type_stats(sf_dir: str) -> "rd.Dataset":
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"])
-    agg = ds.groupby("p_type").aggregate(
-        Count(alias_name="n"),
-        Sum("p_retailprice", alias_name="_sum"),
-        Max("p_retailprice", alias_name="_max"),
-    )
-    return agg.map_batches(
-        lambda df: df.assign(
-            n=df["n"].astype("int64"),
-            avg_price=_qround(_qround(df["_sum"], 2) / df["n"], 4),
-            max_price=_qround(df["_max"], 2),
-        ).drop(columns=["_sum", "_max"]),
+    partials = ds.map_batches(
+        lambda df: df.groupby("p_type", sort=False).agg(
+            _n=("p_retailprice", "size"), _sum=("p_retailprice", "sum"),
+            _max=("p_retailprice", "max"),
+        ).reset_index(),
         batch_format="pandas",
     )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_type", sort=False).agg(
+            n=("_n", "sum"), _sum=("_sum", "sum"), _max=("_max", "max")
+        ).reset_index()
+        return g.assign(
+            n=g["n"].astype("int64"),
+            avg_price=_qround(_qround(g["_sum"], 2) / g["n"], 4),
+            max_price=_qround(g["_max"], 2),
+        ).drop(columns=["_sum", "_max"])
+
+    return _final_agg(partials, finalize)
 
 
 _SQL_PART_STATS = """
@@ -775,15 +798,18 @@ def supplier_balance_by_nation(sf_dir: str) -> "rd.Dataset":
         ),
         batch_format="pyarrow",
     )
-    agg = joined.groupby("n_name").aggregate(
-        Sum("s_acctbal", alias_name="_bal"), Count(alias_name="n")
-    )
-    return agg.map_batches(
-        lambda df: df.assign(total_bal=_qround(df["_bal"], 2), n=df["n"].astype("int64")).drop(
-            columns=["_bal"]
-        ),
+    partials = joined.map_batches(
+        lambda df: df.groupby("n_name", sort=False).agg(
+            _b=("s_acctbal", "sum"), _n=("s_acctbal", "size")
+        ).reset_index(),
         batch_format="pandas",
     )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", sort=False).agg(_b=("_b", "sum"), n=("_n", "sum")).reset_index()
+        return g.assign(total_bal=_qround(g["_b"], 2), n=g["n"].astype("int64")).drop(columns=["_b"])
+
+    return _final_agg(partials, finalize)
 
 
 _SQL_SUPPLIER_BAL = """
@@ -855,16 +881,15 @@ def lang_doc_stats(sf_dir: str) -> "rd.Dataset":
         g = df.groupby("lang", sort=False).agg(_n=("_c", "size"), _sum=("_c", "sum"))
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").aggregate(
-        Sum("_n", alias_name="n_docs"), Sum("_sum", alias_name="_chars")
-    )
-    return agg.map_batches(
-        lambda df: df.assign(
-            n_docs=df["n_docs"].astype("int64"),
-            avg_chars=_qround(df["_chars"] / df["n_docs"], 4),
-        ).drop(columns=["_chars"]),
-        batch_format="pandas",
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False).agg(n_docs=("_n", "sum"), _c=("_sum", "sum")).reset_index()
+        return g.assign(
+            n_docs=g["n_docs"].astype("int64"), avg_chars=_qround(g["_c"] / g["n_docs"], 4)
+        ).drop(columns=["_c"])
+
+    return _final_agg(partials, finalize)
 
 
 _SQL_LANG_DOC_STATS = """

@@ -74,12 +74,20 @@ def _write_deterministic(table: pa.Table, directory: str, stem: str) -> tuple[st
 
 class MergeApplier:
     def __init__(self, lake_root: str, fences: dict, registry_json: str,
-                 target_schema_version: int):
+                 target_schema_version: int, prior_meta: dict | None = None):
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         self.lake_root = lake_root
         self.fences = fences  # part_id -> (applied_through_epoch, prior_file|None)
         self.registry = SchemaRegistry.from_json(registry_json)
         self.target_version = target_schema_version
         self.lake_schema = self.registry.schema_for(target_schema_version)
+        # prior manifest metadata for the replay-no-op fast path
+        prior_meta = prior_meta or {}
+        self._prior_rows = {p: m[0] for p, m in prior_meta.items()}
+        self._prior_hash = {p: m[1] for p, m in prior_meta.items()}
+        self._prior_schema_version = {p: m[2] for p, m in prior_meta.items()}
 
     def _prior_table(self, part_id: int) -> pa.Table | None:
         _, prior_file = self.fences.get(part_id, (-1, None))
@@ -110,6 +118,31 @@ class MergeApplier:
         new_fence = fence
         if applied:
             new_fence = max(fence, pc.max(fresh["epoch"]).as_py())
+
+        if applied == 0:
+            # replay no-op: nothing fresh for this partition — keep the
+            # prior file untouched instead of re-merging and rewriting
+            # identical bytes (makes full-stream replay ~free)
+            prior_state = self.fences.get(part_id, (-1, None))
+            prior_rows = self._prior_rows.get(part_id, 0)
+            return pa.table(
+                {
+                    "part_id": pa.array([part_id], type=pa.int32()),
+                    "file": [prior_state[1]],
+                    "rows": pa.array([prior_rows], type=pa.int64()),
+                    "applied_through_epoch": pa.array([fence], type=pa.int64()),
+                    "content_hash": [self._prior_hash.get(part_id, "")],
+                    "schema_version": pa.array(
+                        [self._prior_schema_version.get(part_id, self.target_version)],
+                        type=pa.int64(),
+                    ),
+                    "dead_file": [dead_file],
+                    "dead_rows": pa.array([dead_rows], type=pa.int64()),
+                    "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
+                    "events_applied": pa.array([0], type=pa.int64()),
+                },
+                schema=RESULT_SCHEMA,
+            )
         incoming = lww_reduce(fresh)
 
         prior = self._prior_table(part_id)
@@ -154,3 +187,14 @@ class MergeApplier:
             },
             schema=RESULT_SCHEMA,
         )
+
+
+def apply_group(group: pa.Table, *, lake_root: str, fences: dict, registry_json: str,
+                target_schema_version: int, prior_meta: dict | None = None) -> pa.Table:
+    """Task-form merge apply (ingest hot path): per-group construction of
+    the applier state costs sub-ms (a small JSON parse + dict copies),
+    while an actor pool pays multi-second spin-up per pipeline.  Use the
+    MergeApplier class via map_groups(..., concurrency=N) only when the
+    per-actor state is genuinely heavy."""
+    ap = MergeApplier(lake_root, fences, registry_json, target_schema_version, prior_meta)
+    return ap(group)

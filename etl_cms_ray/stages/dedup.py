@@ -25,7 +25,8 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.hashing import sha256_hex_column
-from ..functions.minhash import MinHasher, char_shingles, hamming64, jaccard, simhash64
+from ..functions.minhash import (MinHasher, char_shingles, hamming64, jaccard,
+                                 simhash64, word_shingles)
 
 
 # ---------------------------------------------------------------------------
@@ -64,49 +65,95 @@ def exact_dedup_groups(
 class MinHashBander:
     """doc -> exploded (band_id, band_key, doc_id) rows."""
 
-    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 5,
+    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
         self.mh = MinHasher(num_perm=num_perm, bands=bands)
         self.k = shingle_k
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        band_ids: list[int] = []
-        band_keys: list[int] = []
-        out_ids: list[int] = []
-        for i, text in zip(ids, texts):
-            sig = self.mh.signature(char_shingles(text, self.k))
-            for b, keyv in enumerate(self.mh.band_keys(sig)):
-                band_ids.append(b)
-                band_keys.append(keyv)
-                out_ids.append(i)
+        sigs = self.mh.signatures_batch([word_shingles(t, self.k) for t in texts])
+        bands, rows_per = self.mh.bands, self.mh.rows
+        n = len(ids)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        out_ids = np.repeat(np.asarray(ids, dtype=np.int64), bands)
+        crc = zlib.crc32
+        band_keys = np.fromiter(
+            (
+                crc(sigs[d, b * rows_per : (b + 1) * rows_per].tobytes())
+                for d in range(n)
+                for b in range(bands)
+            ),
+            dtype=np.int64,
+            count=n * bands,
+        )
         return pa.table(
             {
-                "band_id": pa.array(band_ids, type=pa.int32()),
-                "band_key": pa.array(band_keys, type=pa.int64()),
-                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "band_id": pa.array(band_ids),
+                "band_key": pa.array(band_keys),
+                "doc_id": pa.array(out_ids),
             }
         )
 
 
-def _bucket_pairs(g: pd.DataFrame, max_bucket: int = 64) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (capped against degenerate
-    buckets — the skew guard; cap size is logged upstream, not silent)."""
-    ids = sorted(g["doc_id"].unique())[:max_bucket]
-    pairs = list(itertools.combinations(ids, 2))
-    if not pairs:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    a, b = zip(*pairs)
-    return pd.DataFrame({"a": a, "b": b})
+_PAIR_PARTS = 64
+
+
+def _add_bucket_part(t: pa.Table) -> pa.Table:
+    """Deterministic partition id per LSH bucket, so pair generation runs as
+    ~_PAIR_PARTS vectorized self-merges instead of one Python call per
+    bucket (thousands of tiny groups otherwise dominate wall time)."""
+    bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bkey = t["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ph = (bkey + 1000003 * bid) % _PAIR_PARTS
+    return t.append_column("ph", pa.array(ph))
+
+
+def _partition_pairs(g: pd.DataFrame, max_bucket: int = 64,
+                     extra_cols: tuple = ()) -> pd.DataFrame:
+    """All (a<b) candidate pairs across every bucket in one hash partition:
+    a single pandas self-merge on (band_id, band_key). Oversized buckets
+    (degenerate content) are capped — the skew guard."""
+    g = g.drop_duplicates(["band_id", "band_key", "doc_id"])
+    sizes = g.groupby(["band_id", "band_key"])["doc_id"].transform("size")
+    g = g[sizes <= max_bucket]
+    m = g.merge(g, on=["band_id", "band_key"])
+    m = m[m["doc_id_x"] < m["doc_id_y"]]
+    cols = {"a": m["doc_id_x"], "b": m["doc_id_y"]}
+    for c in extra_cols:
+        cols[f"{c}_a"] = m[f"{c}_x"]
+        cols[f"{c}_b"] = m[f"{c}_y"]
+    out = pd.DataFrame(cols).drop_duplicates(["a", "b"])
+    if out.empty:
+        return pd.DataFrame({k: pd.Series(dtype="int64") for k in cols})
+    return out
+
+
+def _add_pair_part(t: pa.Table) -> pa.Table:
+    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pp = (a * 31 + b) % _PAIR_PARTS
+    return t.append_column("pp", pa.array(pp))
+
+
+def _dedup_pairs(pairs: "ray.data.Dataset", keep_cols: list) -> "ray.data.Dataset":
+    """Global (a, b) dedup: hash-partition pairs, vectorized drop_duplicates
+    per partition (bands produce the same pair many times)."""
+    pairs = pairs.map_batches(_add_pair_part, batch_format="pyarrow")
+    return pairs.groupby("pp").map_groups(
+        lambda g: g.drop_duplicates(["a", "b"])[keep_cols], batch_format="pandas"
+    )
 
 
 class JaccardVerifier:
     """Verify candidate pairs by exact shingle Jaccard; texts come from a
     broadcast id->text dict (one object-store copy per node)."""
 
-    def __init__(self, texts_ref, shingle_k: int = 5, threshold: float = 0.8):
+    def __init__(self, texts_ref, shingle_k: int = 3, threshold: float = 0.8):
         self.texts = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
         self.k = shingle_k
         self.threshold = threshold
@@ -115,7 +162,7 @@ class JaccardVerifier:
     def _sh(self, i: int) -> np.ndarray:
         s = self._cache.get(i)
         if s is None:
-            s = np.sort(char_shingles(self.texts[i], self.k))
+            s = np.sort(word_shingles(self.texts[i], self.k))
             self._cache[i] = s
         return s
 
@@ -136,7 +183,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_perm: int = 128,
     bands: int = 32,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
     concurrency: int = 4,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (a < b, jaccard >= threshold).
@@ -157,12 +204,9 @@ def minhash_lsh_pairs(
         batch_size=1024,
         concurrency=(1, concurrency),
     )
-    pairs = bands_ds.groupby(["band_id", "band_key"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
-    )
-    pairs = pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
+    pairs = bands_ds.groupby("ph").map_groups(_partition_pairs, batch_format="pandas")
+    pairs = _dedup_pairs(pairs, ["a", "b"])
     return pairs.map_batches(
         JaccardVerifier,
         fn_constructor_kwargs=dict(texts_ref=texts_ref, shingle_k=shingle_k,
@@ -232,24 +276,18 @@ def simhash_pairs(
 
     bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        hs = rows["simhash"].to_numpy().astype(np.uint64)
-        out_a, out_b, out_d = [], [], []
-        for i in range(min(len(ids), 64)):
-            for j in range(i + 1, min(len(ids), 64)):
-                d = hamming64(int(hs[i]), int(hs[j]))
-                if d <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_d.append(d)
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"), "b": pd.Series(out_b, dtype="int64"),
-             "hamming": pd.Series(out_d, dtype="int64")}
-        )
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = _partition_pairs(g, extra_cols=("simhash",))
+        if m.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in ("a", "b", "hamming")})
+        x = m["simhash_a"].to_numpy().astype(np.int64).view(np.uint64)
+        y = m["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
+        xor = (x ^ y).copy()
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        m = m.assign(hamming=ham.astype("int64"))
+        m = m[m["hamming"] <= max_hamming]
+        return m[["a", "b", "hamming"]]
 
-    pairs = bands_ds.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
+    pairs = bands_ds.groupby("ph").map_groups(part_pairs, batch_format="pandas")
+    return _dedup_pairs(pairs, ["a", "b", "hamming"])

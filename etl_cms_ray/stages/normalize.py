@@ -25,36 +25,86 @@ from ..functions.hashing import part_id_for, sha256_column
 from ..schema import OPS
 
 
+def fence_vector(num_partitions: int, fences: dict | None):
+    """Dense applied-through-epoch vector for the pre-shuffle fence filter."""
+    import numpy as np
+
+    vec = np.full(num_partitions, -1, dtype=np.int64)
+    for pid, fence in (fences or {}).items():
+        vec[pid] = fence
+    return vec
+
+
+def normalize_batch(batch: pa.Table, *, cfg: EngineConfig, fence_vec) -> pa.Table:
+    """Task-form normalize (ingest hot path).
+
+    Deliberately a FUNCTION, not a callable class: its per-task state (a
+    fence vector + op list) costs microseconds to rebuild, while an actor
+    pool pays a multi-second spin-up (process fork + imports) on every
+    pipeline — measured as the dominant fixed cost of small ingests.
+    Stages with expensive state (broadcast dims, minhash permutations,
+    query matrices) stay actor pools.
+    """
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
+    return _normalize(batch, cfg, pa.array(list(OPS)), fence_vec)
+
+
 class Normalizer:
-    def __init__(self, cfg: EngineConfig):
+    """Actor-pool form of the normalize stage (used when the per-actor
+    state is worth amortizing — e.g. very large fence maps)."""
+
+    def __init__(self, cfg: EngineConfig, fences: dict | None = None):
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         self.cfg = cfg
         self.valid_ops = pa.array(list(OPS))
+        self.fence_vec = fence_vector(cfg.num_partitions, fences)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        content = batch["content"]
-        sha = sha256_column(content)
-        size = pc.binary_length(
-            content.cast(pa.large_binary())
-        ).cast(pa.int32())
-        size = pc.fill_null(size, 0)
-        part = part_id_for(batch["repo"], batch["path"], self.cfg.num_partitions)
+        return _normalize(batch, self.cfg, self.valid_ops, self.fence_vec)
 
-        op_ok = pc.is_in(batch["op"], value_set=self.valid_ops)
-        key_ok = pc.and_(pc.is_valid(batch["repo"]), pc.is_valid(batch["path"]))
-        # delete must have null content; insert/update must have content
-        is_del = pc.equal(batch["op"], pa.scalar("delete"))
-        content_ok = pc.if_else(is_del, pa.scalar(True), pc.is_valid(content))
-        size_ok = pc.less_equal(size, pa.scalar(self.cfg.max_content_bytes, type=pa.int32()))
-        valid = pc.and_(pc.and_(op_ok, key_ok), pc.and_(content_ok, size_ok))
-        valid = pc.fill_null(valid, False)
 
-        out = batch.append_column("content_sha", sha)
-        out = out.append_column("size", size)
-        out = out.append_column("part_id", part)
-        out = out.append_column("valid", valid)
-        assert out.num_rows == n
-        return out
+def _normalize(batch: pa.Table, cfg: EngineConfig, valid_ops, fence_vec) -> pa.Table:
+    n = batch.num_rows
+    content = batch["content"]
+    sha = sha256_column(content)
+    size = pc.binary_length(
+        content.cast(pa.large_binary())
+    ).cast(pa.int32())
+    size = pc.fill_null(size, 0)
+    part = part_id_for(batch["repo"], batch["path"], cfg.num_partitions)
+
+    op_ok = pc.is_in(batch["op"], value_set=valid_ops)
+    key_ok = pc.and_(
+        pc.and_(pc.is_valid(batch["repo"]), pc.is_valid(batch["path"])),
+        pc.and_(pc.is_valid(batch["epoch"]), pc.is_valid(batch["seq"])),
+    )
+    # delete must have null content; insert/update must have content
+    is_del = pc.equal(batch["op"], pa.scalar("delete"))
+    content_ok = pc.if_else(is_del, pa.scalar(True), pc.is_valid(content))
+    size_ok = pc.less_equal(size, pa.scalar(cfg.max_content_bytes, type=pa.int32()))
+    valid = pc.and_(pc.and_(op_ok, key_ok), pc.and_(content_ok, size_ok))
+    valid = pc.fill_null(valid, False)
+
+    out = batch.append_column("content_sha", sha)
+    out = out.append_column("size", size)
+    out = out.append_column("part_id", part)
+    out = out.append_column("valid", valid)
+    assert out.num_rows == n
+
+    import numpy as np
+
+    fences_per_row = fence_vec[part.to_numpy(zero_copy_only=False)]
+    fresh = pc.greater(out["epoch"], pa.array(fences_per_row))
+    # keep fresh valid rows AND all invalid rows (dead-letter audit)
+    keep = pc.or_kleene(
+        pc.and_(valid, pc.fill_null(fresh, False)), pc.invert(valid)
+    )
+    return out.filter(pc.fill_null(keep, True))
+
 
 
 def split_dead_letter(t: pa.Table) -> tuple[pa.Table, pa.Table]:
