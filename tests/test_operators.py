@@ -1,0 +1,273 @@
+"""Unit tests for the secondary operators: dedup, ANN, text, scalars,
+dim join, interval merge, multimodal plumbing, sources, maintenance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# scalars (pure, no Ray)
+
+
+def test_scalar_library():
+    from etl_cms_ray.functions.scalars import (
+        add_months_clamped,
+        concat_key_col,
+        date_to_iso_col,
+        dict_decode_col,
+        parse_float_col,
+        reformat_date_col,
+        zero_pad_col,
+    )
+
+    d = reformat_date_col(pa.array(["20080131", "", "bogus", None]))
+    assert d[0].as_py().isoformat() == "2008-01-31"
+    assert d[1].as_py() is None and d[2].as_py() is None and d[3].as_py() is None
+    assert date_to_iso_col(pa.chunked_array([d]))[0].as_py() == "2008-01-31"
+
+    out = add_months_clamped(np.array(["2008-01-31", "2008-02-29"], dtype="datetime64[D]"), 1)
+    assert str(out[0]) == "2008-02-29"  # end-of-month clamp, leap year
+    assert str(out[1]) == "2008-03-29"
+
+    assert zero_pad_col(pa.array(["7", "123"]), 3).to_pylist() == ["007", "123"]
+    assert concat_key_col(pa.array(["AL"]), pa.array(["007"]), sep="").to_pylist() == ["AL007"]
+
+    dec = dict_decode_col(pa.array(["1", "2", "9"]), {"1": 8507, "2": 8532}, default=0)
+    assert dec.to_pylist() == [8507, 8532, 0]
+
+    f = parse_float_col(pa.array(["1.5", "", "junk", None]))
+    assert f.to_pylist() == [1.5, 0.0, 0.0, 0.0]
+
+
+def test_minhash_identities():
+    from etl_cms_ray.functions.minhash import (
+        MinHasher,
+        hamming64,
+        jaccard,
+        simhash64,
+        word_shingles,
+    )
+
+    a = word_shingles("the quick brown fox jumps over the lazy dog today", 3)
+    b = word_shingles("the quick brown fox jumps over the lazy dog today", 3)
+    assert jaccard(np.sort(a), np.sort(b)) == 1.0
+    mh = MinHasher(num_perm=64, bands=16)
+    assert np.array_equal(mh.signature(a), mh.signature(b))
+    # batch API == per-doc API
+    batch = mh.signatures_batch([a, b])
+    assert np.array_equal(batch[0], mh.signature(a))
+    s1, s2 = simhash64(a), simhash64(b)
+    assert hamming64(s1, s2) == 0
+
+
+def test_interval_merge_gap_semantics():
+    from etl_cms_ray.stages.compact import merge_intervals_pd
+
+    g = pd.DataFrame(
+        {"k": ["x"] * 4, "s": [0.0, 5.0, 100.0, 104.0], "e": [2.0, 8.0, 101.0, 110.0]}
+    )
+    out = merge_intervals_pd(g, "s", "e", gap=10.0, keys=["k"])
+    assert len(out) == 2  # [0..8] and [100..110]
+    assert out["n_events"].tolist() == [2, 2]
+    out2 = merge_intervals_pd(g, "s", "e", gap=200.0, keys=["k"])
+    assert len(out2) == 1 and out2["n_events"].iloc[0] == 4
+
+
+# ---------------------------------------------------------------------------
+# Ray-backed operators
+
+
+def test_dimjoin_one_to_many(ray_session):
+    from etl_cms_ray.stages.dimjoin import BroadcastJoiner, put_dim, split_matched
+
+    dim = pa.table(
+        {"code": ["a", "a", "b"], "target": pa.array([1, 2, 3], type=pa.int64())}
+    )
+    facts = rd.from_arrow(pa.table({"code": ["a", "b", "z"], "v": [10, 20, 30]}))
+    joined = facts.map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs=dict(dim_ref=put_dim(dim), key="code", one_to_many=True),
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    t = pa.Table.from_pandas(joined.to_pandas(), preserve_index=False)
+    # 'a' fans out to 2 rows (J2 multi-mapping), 'z' is a miss
+    assert t.num_rows == 4
+    matched, dead = split_matched(t)
+    assert matched.num_rows == 3
+    assert dead.num_rows == 1 and dead["code"][0].as_py() == "z"
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    from etl_cms_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = [base + f"variant {i} " + "filler words here and there " * i for i in range(8)]
+    texts.append(base + "tiny tail change")  # near-dup of texts[0]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, concurrency=1).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 8)).any(), pairs
+
+
+def test_simhash_pairs_near_identical(ray_session):
+    from etl_cms_ray.stages.dedup import simhash_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    texts = [base, base + "iota", "completely different text about other things " * 10]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()), "text": texts})
+    )
+    pairs = simhash_pairs(docs, max_hamming=6, concurrency=1).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 1)).any()
+    assert not ((pairs["a"] == 0) & (pairs["b"] == 2)).any()
+
+
+def test_ann_brute_force_matches_numpy(ray_session):
+    from etl_cms_ray.stages.ann import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = brute_force_topk(ds, np.array([0]), vecs[0:1].astype(np.float64), k=3,
+                           concurrency=1, round_digits=None).to_pandas()
+    m = vecs.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn[0]
+    sims[0] = -np.inf
+    expect = set(np.argsort(-sims)[:3])
+    assert set(out["neighbor_id"]) == expect
+
+
+def test_ann_lsh_subset_of_exact(ray_session):
+    from etl_cms_ray.stages.ann import lsh_topk
+
+    rng = np.random.RandomState(4)
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(80), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = lsh_topk(ds, np.array([0]), vecs[0:1].astype(np.float64), k=5, bits=4,
+                   concurrency=1).to_pandas()
+    assert len(out) <= 5  # approximate: may return fewer, never more
+    assert (out["neighbor_id"] != 0).all()
+
+
+def test_lang_id_obvious_cases():
+    from etl_cms_ray.functions.text import lang_id_table
+
+    t = pa.table(
+        {
+            "text": [
+                "the cat and the dog of the house is big",
+                "le chat et le chien dans les maisons des villes",
+                "el gato y el perro que viven en las casas",
+                "zzzz qqqq xxxx",
+            ]
+        }
+    )
+    out = lang_id_table(t)
+    assert out["lang_pred"].to_pylist() == ["en", "fr", "es", "unknown"]
+
+
+def test_multimodal_plumbing(ray_session):
+    from etl_cms_ray.stages.multimodal import DecodeStub, FrameSampler, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(n=30))
+    feats = media.map_batches(DecodeStub, batch_format="pyarrow", batch_size=8,
+                              concurrency=1).to_pandas()
+    assert len(feats) == 30
+    assert len(feats["features"].iloc[0]) == 8
+    # deterministic: same payload -> same features
+    feats2 = rd.from_arrow(synth_media_table(n=30)).map_batches(
+        DecodeStub, batch_format="pyarrow", batch_size=8, concurrency=1
+    ).to_pandas()
+    assert np.allclose(np.stack(feats["features"]), np.stack(feats2["features"]))
+    frames = media.map_batches(FrameSampler, batch_format="pyarrow", batch_size=8,
+                               concurrency=1).to_pandas()
+    assert (frames["frame_ts_ms"] >= 0).all()
+    # strict decode raises on unsupported kind
+    stub = DecodeStub(strict=True)
+    bad = synth_media_table(n=3).set_column(1, "kind", pa.array(["hologram"] * 3))
+    with pytest.raises(NotImplementedError):
+        stub(bad)
+
+
+def test_sources_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from etl_cms_ray.fixtures import make_repos, snapshot_to_events
+    from etl_cms_ray.sources.events import (
+        read_events_parquet,
+        snapshot_to_event_stream,
+        union_event_sources,
+    )
+
+    repos = make_repos(2, 4)
+    ev = snapshot_to_events(repos)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(ev, path)
+    ds = read_events_parquet(path)
+    assert ds.count() == ev.num_rows
+    assert ds.schema().names[: len(ev.schema.names)] == list(ev.schema.names)
+
+    u = union_event_sources([ds, ds], source_tags=["a", "b"])
+    df = u.to_pandas()
+    assert len(df) == 2 * ev.num_rows
+    assert set(df["source_tag"]) == {"a", "b"}
+
+    snap = rd.from_arrow(repos)
+    stream = snapshot_to_event_stream(snap)
+    assert stream.count() == repos.num_rows
+    # deterministic seq regardless of blocking
+    a = stream.to_pandas().sort_values(["repo", "path"])["seq"].tolist()
+    b = snapshot_to_event_stream(rd.from_arrow(repos).repartition(4)).to_pandas().sort_values(
+        ["repo", "path"]
+    )["seq"].tolist()
+    assert a == b
+
+
+def test_repartition_and_audit(ray_session, tmp_path):
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.fixtures import make_events, make_repos
+    from etl_cms_ray.oracle import replay, tables_equal_by_sha
+    from etl_cms_ray.pipelines.ingest import ingest, read_lake_table
+    from etl_cms_ray.pipelines.maintenance import audit_lake, repartition_lake
+
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=40)
+    cfg = EngineConfig(lake_root=str(tmp_path / "lake"), num_partitions=8)
+    ingest(rd.from_arrow(ev), cfg)
+    before = read_lake_table(cfg.lake_root)
+
+    audit = audit_lake(cfg.lake_root)
+    assert audit["healthy"], audit
+
+    m = repartition_lake(cfg.lake_root, 16)
+    assert m.num_partitions == 16
+    after = read_lake_table(cfg.lake_root)
+    assert tables_equal_by_sha(before, after)
+    assert audit_lake(cfg.lake_root)["healthy"]
+
+    # ingest continues against the re-bucketed lake; replay stays fenced
+    cfg16 = EngineConfig(lake_root=cfg.lake_root, num_partitions=16)
+    res = ingest(rd.from_arrow(ev), cfg16)
+    assert res.events_applied == 0
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
