@@ -1,0 +1,103 @@
+"""Command-line entry points — the unit submitted via ``ray job submit``.
+
+    python -m etl_cms_ray.cli ingest  --events <parquet...> --lake <dir> [--salt N]
+    python -m etl_cms_ray.cli replay  --events <parquet...> --lake <dir>
+    python -m etl_cms_ray.cli audit   --lake <dir>
+    python -m etl_cms_ray.cli repartition --lake <dir> --partitions N
+    python -m etl_cms_ray.cli show    --lake <dir>
+
+Owns its Ray session (guarded init, shutdown on exit); library code never
+does.  On a cluster the same command runs unchanged under
+``ray job submit --working-dir . -- python -m etl_cms_ray.cli ...`` —
+``ray.init(address=...)`` picks up the cluster address from the job env.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if num_cpus is not None:
+            kwargs.update(address="local", num_cpus=num_cpus)
+        ray.init(**kwargs)
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_cms_ray")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="local session size (omit under ray job submit)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="apply a change-event stream to the lake")
+    pi.add_argument("--events", nargs="+", required=True)
+    pi.add_argument("--lake", required=True)
+    pi.add_argument("--partitions", type=int, default=64)
+    pi.add_argument("--salt", type=int, default=1)
+    pi.add_argument("--batch-size", type=int, default=16384)
+
+    pr = sub.add_parser("replay", help="re-apply a stream (fenced no-op when already applied)")
+    pr.add_argument("--events", nargs="+", required=True)
+    pr.add_argument("--lake", required=True)
+    pr.add_argument("--partitions", type=int, default=64)
+
+    pa_ = sub.add_parser("audit", help="integrity audit of the live lake")
+    pa_.add_argument("--lake", required=True)
+
+    pp = sub.add_parser("repartition", help="re-bucket the lake")
+    pp.add_argument("--lake", required=True)
+    pp.add_argument("--partitions", type=int, required=True)
+
+    ps = sub.add_parser("show", help="print manifest + lineage")
+    ps.add_argument("--lake", required=True)
+
+    args = p.parse_args(argv)
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd in ("ingest", "replay"):
+            from .config import EngineConfig
+            from .pipelines.ingest import ingest
+            from .sources.events import read_events_parquet
+
+            cfg = EngineConfig(
+                lake_root=args.lake,
+                num_partitions=args.partitions,
+                salt_factor=getattr(args, "salt", 1),
+                batch_size=getattr(args, "batch_size", 16384),
+            )
+            res = ingest(read_events_parquet(args.events), cfg)
+            print(json.dumps(res.__dict__))
+        elif args.cmd == "audit":
+            from .pipelines.maintenance import audit_lake
+
+            report = audit_lake(args.lake)
+            print(json.dumps(report))
+            return 0 if report["healthy"] else 2
+        elif args.cmd == "repartition":
+            from .pipelines.maintenance import repartition_lake
+
+            m = repartition_lake(args.lake, args.partitions)
+            print(json.dumps({"manifest_version": m.version, **m.metrics}))
+        elif args.cmd == "show":
+            from .state.manifest import LakeStore
+
+            store = LakeStore(args.lake)
+            m = store.load_manifest()
+            print(json.dumps({"version": m.version, "num_partitions": m.num_partitions,
+                              "metrics": m.metrics,
+                              "lineage": store.read_lineage()}, indent=1))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,9 +25,16 @@ class EngineConfig:
     #: rather than any one pool reserving every CPU.
     normalize_concurrency: int = 4
     applier_concurrency: int = 4
-    #: keys whose single-epoch event count exceeds this are salted into
-    #: sub-partitions during the pre-reduce (SURVEY.md §7.4 hot-key skew).
-    hot_key_threshold: int = 100_000
+    #: explicit skew treatment: when > 1, an extra salted reduce runs
+    #: BEFORE the main partition shuffle — events are grouped by
+    #: (part_id, seq % salt_factor) and LWW-reduced per salted group, so
+    #: a pathologically hot partition's volume is cut by up to
+    #: salt_factor before any single reducer sees it.  Safe because LWW
+    #: is associative/commutative under the (epoch, seq) total order
+    #: (SURVEY.md §7.4 #4).  Costs a second shuffle; enable for streams
+    #: with extreme per-key duplication, leave at 1 otherwise (the
+    #: per-batch combiner already collapses in-batch duplicates).
+    salt_factor: int = 1
     #: drop content payloads larger than this to the dead-letter sink
     #: (guard analog: reference aborts at recs_in > 10000, FileControl.py:211).
     max_content_bytes: int = 8 * 1024 * 1024

@@ -30,7 +30,10 @@ def reformat_date_col(col, in_fmt: str = "%Y%m%d") -> pa.Array:
 
 def date_to_iso_col(col) -> pa.Array:
     """date/timestamp -> 'YYYY-MM-DD' strings (the reference's output form)."""
-    return pc.strftime(col.cast(pa.timestamp("s")), format="%Y-%m-%d")
+    t = col
+    if not pa.types.is_timestamp(t.type):
+        t = t.cast(pa.timestamp("us"))
+    return pc.strftime(t, format="%Y-%m-%d")
 
 
 def add_months_clamped(dates: np.ndarray, months: int) -> np.ndarray:

@@ -55,6 +55,36 @@ def _combiner(batch: pa.Table) -> pa.Table:
     return pa.concat_tables([reduced, dead])
 
 
+def _salted_prereduce(ds: "ray.data.Dataset", salt_factor: int) -> "ray.data.Dataset":
+    """Explicit hot-key salting: reduce per (part_id, salt) before the
+    main partition shuffle.  salt = seq % factor spreads each key's
+    versions over ``factor`` sub-groups; per-sub-group LWW keeps at most
+    one row per (key, salt), so the final reducer for a hot partition
+    receives <= factor rows per key instead of every version.  Dead-letter
+    rows (valid == false) bypass the reduce untouched."""
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        salt = (seq % salt_factor).astype(np.int32)
+        return t.append_column("salt", pa.array(salt))
+
+    def reduce_group(g: pa.Table) -> pa.Table:
+        valid = g.filter(g["valid"])
+        dead = g.filter(pc.invert(g["valid"]))
+        out = lww_reduce(valid)
+        if dead.num_rows:
+            out = pa.concat_tables([out, dead])
+        return out
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    reduced = salted.groupby(["part_id", "salt"]).map_groups(
+        reduce_group, batch_format="pyarrow"
+    )
+    return reduced.drop_columns(["salt"])
+
+
 def ingest(
     events: "ray.data.Dataset",
     cfg: EngineConfig,
@@ -107,6 +137,8 @@ def ingest(
         zero_copy_batch=True,
     )
     ds = ds.map_batches(_combiner, batch_format="pyarrow", zero_copy_batch=True)
+    if cfg.salt_factor > 1:
+        ds = _salted_prereduce(ds, cfg.salt_factor)
     results = ds.groupby("part_id").map_groups(
         apply_group,
         fn_kwargs={

@@ -277,6 +277,38 @@ FROM events
 """
 
 
+def events_scalar_decode(sf_dir: str) -> "rd.Dataset":
+    """Scalar-library showcase with an exact SQL mirror (SURVEY §2.8
+    analogs: date->iso output form M4, zero-pad M6, composite key)."""
+    from ..functions.scalars import concat_key_col, date_to_iso_col, zero_pad_col
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def decode(t: pa.Table) -> pa.Table:
+        iso_day = date_to_iso_col(t["ts"])
+        user_code = zero_pad_col(pc.cast(t["user_id"], pa.string()), 4)
+        route_key = concat_key_col(t["event_type"], user_code, sep="-")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "iso_day": iso_day,
+                "user_code": user_code,
+                "route_key": route_key,
+            }
+        )
+
+    return ds.map_batches(decode, batch_format="pyarrow")
+
+
+_SQL_SCALAR_DECODE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS iso_day,
+       lpad(CAST(user_id AS VARCHAR), 4, '0') AS user_code,
+       event_type || '-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS route_key
+FROM events
+"""
+
+
 #: event_type dimension (vocabulary analog); 'error' intentionally missing
 #: -> dead-letter (unmapped-code-log analog).
 _EVENT_DIM = pa.table(
@@ -1114,6 +1146,7 @@ QUERIES = {
     "cdc_dim_route": cdc_dim_route,
     "cdc_dead_letter": cdc_dead_letter,
     "cdc_prev_event_gap": cdc_prev_event_gap,
+    "events_scalar_decode": events_scalar_decode,
     "repos_lake_ingest": repos_lake_ingest,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
@@ -1151,6 +1184,7 @@ ORACLE_SQL = {
     "cdc_dim_route": _SQL_DIM_ROUTE,
     "cdc_dead_letter": _SQL_DEAD_LETTER,
     "cdc_prev_event_gap": _SQL_PREV_GAP,
+    "events_scalar_decode": _SQL_SCALAR_DECODE,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,

@@ -140,3 +140,55 @@ def test_read_lake_dataset(ray_session, tmp_path):
     assert set(ds.schema().names) == set(read_lake_table(cfg.lake_root).column_names)
     pruned = read_lake(cfg.lake_root, columns=["repo", "path", "size"])
     assert set(pruned.schema().names) == {"repo", "path", "size"}
+
+
+def test_salted_ingest_matches_oracle(ray_session, tmp_path):
+    """Explicit hot-key salting (salt_factor > 1) must not change the
+    result — LWW associativity under the salted two-level reduce."""
+    repos = make_repos(4, 8, zipf_hot=True)
+    ev = make_events(repos, n_epochs=3, events_per_epoch=200, scenario="hotkey")
+    cfg = _cfg(tmp_path, "lake_salted", salt_factor=4)
+    ingest(ray.data.from_arrow(ev), cfg)
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
+
+
+def test_retried_apply_is_idempotent(ray_session, tmp_path):
+    """Simulated task retry: applying the same group twice writes the
+    same content-addressed file and identical manifest rows (the
+    exactly-once-under-retries guarantee, SURVEY §7.4 #1)."""
+    import glob
+
+    from etl_cms_ray.schema import SchemaRegistry
+    from etl_cms_ray.stages.applier import apply_group
+    from etl_cms_ray.stages.normalize import fence_vector, normalize_batch
+
+    repos = make_repos(2, 4)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=30)
+    cfg = _cfg(tmp_path, "lake_retry")
+    norm = normalize_batch(ev, cfg=cfg, fence_vec=fence_vector(cfg.num_partitions, {}))
+    pid = norm["part_id"][0].as_py()
+    import pyarrow.compute as pc
+
+    group = norm.filter(pc.equal(norm["part_id"], pid))
+    kwargs = dict(lake_root=cfg.lake_root, fences={}, registry_json=SchemaRegistry().to_json(),
+                  target_schema_version=0, prior_meta={})
+    r1 = apply_group(group, **kwargs)
+    r2 = apply_group(group, **kwargs)  # the retry
+    assert r1["file"][0].as_py() == r2["file"][0].as_py()
+    assert r1["content_hash"][0].as_py() == r2["content_hash"][0].as_py()
+    files = glob.glob(os.path.join(cfg.lake_root, "data", "**", "*.parquet"), recursive=True)
+    assert len(files) == 1  # retry overwrote the same name, no orphan
+
+
+def test_manifest_publish_conflict(ray_session, tmp_path):
+    """Optimistic-concurrency fence on manifest publish."""
+    import pytest
+
+    from etl_cms_ray.state.manifest import LakeStore, Manifest
+
+    store = LakeStore(str(tmp_path / "lake_conflict"))
+    store.publish(Manifest(version=1), expect_version=0)
+    with pytest.raises(RuntimeError, match="manifest conflict"):
+        store.publish(Manifest(version=2), expect_version=0)
+    store.publish(Manifest(version=2), expect_version=1)
+    assert store.current_version() == 2
