@@ -63,14 +63,25 @@ def replay(
             "content_sha": hashlib.sha256(content.encode()).digest(),
             "size": len(content.encode()),
         }
-        for col, default in registry.defaults_for(registry.version_at(max_epoch)).items():
-            row[col] = default
+        for col in registry.defaults_for(registry.latest_version):
+            # events may carry actual values for evolved columns
+            if col in cols:
+                row[col] = cols[col][i]
         state[key] = row
 
     version = registry.version_at(max_epoch) if max_epoch >= 0 else 0
     schema = registry.schema_for(version)
+    defaults = registry.defaults_for(version)
     rows = [state[k] for k in sorted(state)]
-    out = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    out = {
+        f.name: [
+            r[f.name]
+            if r.get(f.name) is not None
+            else defaults.get(f.name)  # whole-column backfill at evolution
+            for r in rows
+        ]
+        for f in schema
+    }
     return pa.table(out, schema=schema)
 
 

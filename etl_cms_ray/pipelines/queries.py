@@ -1101,6 +1101,30 @@ def ann_lsh_topk(sf_dir: str) -> "rd.Dataset":
     return lsh_topk(ds, q_ids, q_vecs, k=5, bits=6, concurrency=2)
 
 
+
+def dedup_cosine_pairs(sf_dir: str) -> "rd.Dataset":
+    """Embedding near-dup pairs: embeddings ∪ slightly-perturbed copies of
+    vec_id<20 (re-keyed +300000), LSH-bucketed exact-cosine verify."""
+    from ..stages.ann import cosine_pairs
+
+    def perturb(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["vec_id"], 20))
+        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        m = m * 1.001 + 0.0005  # tiny deterministic drift, cosine ~0.9999
+        return pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], 300_000),
+                "embedding": pa.array([row.astype(np.float32) for row in m],
+                                      type=pa.list_(pa.float32())),
+            }
+        )
+
+    base = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    near = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        perturb, batch_format="pyarrow"
+    )
+    return cosine_pairs(base.union(near), threshold=0.99)
+
 def multimodal_features(sf_dir: str) -> "rd.Dataset":
     """Media decode plumbing: synth payloads -> actor-pool decode stub ->
     per-kind feature stats (+ video frame sampling)."""
@@ -1170,6 +1194,7 @@ QUERIES = {
     "lang_id_pred": lang_id_pred,
     "doc_fingerprints": doc_fingerprints,
     "ann_lsh_topk": ann_lsh_topk,
+    "dedup_cosine_pairs": dedup_cosine_pairs,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
 }

@@ -185,18 +185,25 @@ class SchemaRegistry:
         """Promote-on-read: add missing columns (backfill default) + widen
         casts.  Output has exactly the target schema's columns, in order;
         columns outside the target schema are dropped."""
+        import pyarrow.compute as pc
+
         target = self.schema_for(to_version)
         defaults = self.defaults_for(to_version)
         cols, names = [], []
         for f0 in target:
             names.append(f0.name)
+            dv = defaults.get(f0.name)
             if f0.name in t.column_names:
                 col = t.column(f0.name)
                 if col.type != f0.type:
                     col = col.cast(f0.type)
+                # an evolved column that is present but null means "not
+                # supplied" -> registered backfill default (matches the
+                # reference's backfilled DDL defaults)
+                if dv is not None and col.null_count > 0:
+                    col = pc.fill_null(col, pa.scalar(dv, type=f0.type))
                 cols.append(col)
             else:
-                dv = defaults.get(f0.name)
                 cols.append(pa.array([dv] * t.num_rows, type=f0.type))
         return pa.table(cols, names=names)
 

@@ -177,3 +177,83 @@ def lsh_topk(
         return g
 
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def cosine_pairs(
+    vectors: "ray.data.Dataset",
+    threshold: float = 0.9,
+    bits: int = 8,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Embedding near-duplicate pairs (a < b, cosine >= threshold).
+
+    Scale path: random-hyperplane buckets co-locate candidates (vectors
+    with cosine >= ~0.9 agree on most hyperplane signs, so they share at
+    least one of the 4 probe bands of the bit signature), then an exact
+    within-bucket matmul verifies.  Brute-force across buckets is never
+    materialized.
+    """
+    rng = np.random.RandomState(seed)
+    planes_ref = None  # planes built lazily per task from the seed (deterministic)
+
+    def add_buckets(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"band": pa.array([], type=pa.int32()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "vec": pa.array([], type=pa.list_(pa.float64()))})
+        M = _normalize(_to_matrix(batch[emb_col]))
+        planes = np.random.RandomState(seed).standard_normal((bits, M.shape[1]))
+        sig = hyperplane_buckets(M, planes)  # full bit signature
+        # 4 probe bands of bits/4 bits each: near-identical vectors agree
+        # on at least one band with high probability
+        bandsz = max(1, bits // 4)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_band, out_bucket, out_id, out_vec = [], [], [], []
+        for band in range(4):
+            key = (sig >> (band * bandsz)) & ((1 << bandsz) - 1)
+            out_band.append(np.full(len(ids), band, dtype=np.int32))
+            out_bucket.append(key.astype(np.int64))
+            out_id.append(ids)
+            out_vec.append(M)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band)),
+                "bucket": pa.array(np.concatenate(out_bucket)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "vec": pa.array(list(np.concatenate(out_vec, axis=0)),
+                                type=pa.list_(pa.float64())),
+            }
+        )
+
+    exploded = vectors.map_batches(add_buckets, batch_format="pyarrow")
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2 or len(g) > 512:  # cap degenerate buckets (skew guard)
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        M = np.stack(g["vec"].to_numpy())
+        ids = g[id_col].to_numpy()
+        S = M @ M.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = S[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "a": ids[iu[0][mask]],
+                "b": ids[iu[1][mask]],
+                "cosine": np.round(S[iu][mask], 6),
+            }
+        )
+
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        bucket_verify, batch_format="pandas"
+    )
+    # dedup pairs found by multiple bands
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b", "cosine"]]
+
+    return pairs.groupby(["a", "b"]).map_groups(dedup, batch_format="pandas")

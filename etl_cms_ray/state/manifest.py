@@ -134,12 +134,29 @@ class LakeStore:
         except FileNotFoundError:
             return 0
 
-    def load_manifest(self) -> Manifest:
-        v = self.current_version()
+    def load_manifest(self, version: int | None = None) -> Manifest:
+        """Current manifest, or a historical one (time travel: every
+        manifest version is retained and data files are immutable +
+        content-addressed, so any past snapshot remains readable)."""
+        v = self.current_version() if version is None else version
         if v == 0:
             return Manifest(version=0)
         with open(os.path.join(self.manifest_dir, f"manifest-{v:06d}.json")) as f:
             return Manifest.from_json(f.read())
+
+    def rollback(self, to_version: int) -> None:
+        """Atomically point CURRENT at an older manifest — the
+        restore-from-checkpoint operation.  Later manifests stay on disk
+        (roll-forward possible until the next commit reuses their version
+        numbers); subsequent ingests fence against the restored manifest
+        and re-applying the missing epochs reconverges (LWW idempotence)."""
+        if to_version > self.current_version():
+            raise ValueError(f"cannot roll back forward to {to_version}")
+        path = os.path.join(self.manifest_dir, f"manifest-{to_version:06d}.json")
+        if to_version != 0 and not os.path.exists(path):
+            raise FileNotFoundError(path)
+        _atomic_write(self.current_path, str(to_version))
+        self.append_lineage({"op": "rollback", "manifest_version": to_version})
 
     def publish(self, manifest: Manifest, expect_version: int | None = None) -> None:
         """Write manifest-<v>.json then flip CURRENT atomically.

@@ -192,3 +192,51 @@ def test_manifest_publish_conflict(ray_session, tmp_path):
         store.publish(Manifest(version=2), expect_version=0)
     store.publish(Manifest(version=2), expect_version=1)
     assert store.current_version() == 2
+
+
+def test_evolution_with_carried_values(ray_session, tmp_path):
+    """Events may carry actual values for evolved columns; null means
+    'use the registered backfill default' in both engine and oracle."""
+    from etl_cms_ray.fixtures import make_schema_changes
+
+    repos = make_repos(2, 4)
+    ev = make_events(repos, n_epochs=3, events_per_epoch=30)
+    # attach a stars column: value = seq for epoch>=2 events, null before
+    seqs = ev["seq"].to_pylist()
+    epochs = ev["epoch"].to_pylist()
+    stars = [s if e >= 2 else None for s, e in zip(seqs, epochs)]
+    ev2 = ev.append_column("stars", pa.array(stars, type=pa.int64()))
+    changes = make_schema_changes()
+    cfg = _cfg(tmp_path, "lake_evo_vals")
+    ingest(ray.data.from_arrow(ev2), cfg, schema_changes=changes)
+    lake = read_lake_table(cfg.lake_root)
+    expected = replay(ev2, registry=SchemaRegistry(changes=changes))
+    assert tables_equal_by_sha(lake, expected)
+    vals = set(lake["stars"].to_pylist())
+    assert vals - {0}, "some rows should carry real stars values"
+
+
+def test_rollback_and_reconverge(ray_session, tmp_path):
+    """Restore-from-checkpoint: roll CURRENT back to an earlier manifest,
+    re-apply the missing epochs, reach the same final state."""
+    import pyarrow.compute as pc
+
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=3, events_per_epoch=50, scenario="tombstone")
+    cfg = _cfg(tmp_path, "lake_rb")
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg)
+    final = read_lake_table(cfg.lake_root)
+
+    store = LakeStore(cfg.lake_root)
+    assert store.current_version() == 2
+    store.rollback(1)
+    # historical state == state after the first commit only
+    partial = read_lake_table(cfg.lake_root)
+    assert tables_equal_by_sha(
+        partial, replay(ev.filter(pc.less_equal(ev["epoch"], 1)))
+    )
+    # re-apply the whole stream: epochs <=1 are fenced, 2+ re-applied
+    ingest(ray.data.from_arrow(ev), cfg)
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), final)
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))

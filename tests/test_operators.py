@@ -271,3 +271,26 @@ def test_repartition_and_audit(ray_session, tmp_path):
     res = ingest(rd.from_arrow(ev), cfg16)
     assert res.events_applied == 0
     assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
+
+
+def test_cosine_pairs_finds_planted(ray_session):
+    from etl_cms_ray.stages.ann import cosine_pairs
+
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((40, 16)).astype(np.float64)
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    # plant a near-duplicate of vector 0 at id 100
+    twin = vecs[0] * 1.0001 + 1e-4
+    ids = list(range(40)) + [100]
+    mat = np.vstack([vecs, twin[None, :]])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array([r.astype(np.float32) for r in mat],
+                                      type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    pairs = cosine_pairs(ds, threshold=0.999).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 100)).any(), pairs
