@@ -1109,6 +1109,11 @@ def dedup_cosine_pairs(sf_dir: str) -> "rd.Dataset":
 
     def perturb(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["vec_id"], 20))
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "embedding": pa.array([], type=pa.list_(pa.float32()))}
+            )
         m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
         m = m * 1.001 + 0.0005  # tiny deterministic drift, cosine ~0.9999
         return pa.table(
