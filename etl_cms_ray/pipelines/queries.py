@@ -35,7 +35,7 @@ from ..functions.text import (
     token_count_column,
 )
 from ..stages.ann import brute_force_topk, lsh_topk
-from ..stages.compact import make_era_merger, make_sessionizer
+from ..stages.compact import make_era_merger, make_sessionizer, sessionize_partition
 from ..stages.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
 from ..stages.dimjoin import BroadcastJoiner, put_dim
 from ..stages.multimodal import DecodeStub, FrameSampler, synth_media_table
@@ -189,18 +189,22 @@ def cdc_sessionize(sf_dir: str) -> "rd.Dataset":
     """30-minute-gap sessionization per user (streaming-window analog):
     groupby(key).map_groups over ts-sorted groups."""
     ds = _events(sf_dir, ["user_id", "ts"])
-    sessions = ds.groupby("user_id").map_groups(
-        make_sessionizer("ts", gap_seconds=30 * 60, keys=["user_id"]),
-        batch_format="pandas",
-    )
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("user_id", sort=False).agg(
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        s = sessionize_partition(df, ["user_id"], "ts", gap_seconds=30 * 60)
+        g = s.groupby("user_id", sort=False).agg(
             n_sessions=("n_events", "size"), n_events=("n_events", "sum")
         )
         return g.reset_index().astype({"n_sessions": "int64", "n_events": "int64"})
 
-    return sessions.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    # key-hash partitions instead of per-user groups: one vectorized
+    # sweep per partition, not one Python call per user
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
 
 
 _SQL_SESSIONIZE = """
@@ -221,17 +225,19 @@ def cdc_era_merge(sf_dir: str) -> "rd.Dataset":
     derivation A3 (condition_era 30-day-gap merge) re-expressed as a
     per-group vectorized sweep instead of window-function SQL."""
     ds = _events(sf_dir, ["user_id", "event_type", "ts"])
-    eras = ds.groupby(["user_id", "event_type"]).map_groups(
-        make_era_merger("ts", "ts", gap=3600.0, keys=["user_id", "event_type"]),
-        batch_format="pandas",
-    )
 
-    def project(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns={"era_start": "era_start", "era_end": "era_end"})
-        df["n_events"] = df["n_events"].astype("int64")
-        return df[["user_id", "event_type", "era_start", "era_end", "n_events"]]
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
 
-    return eras.map_batches(project, batch_format="pandas")
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        s = sessionize_partition(df, ["user_id", "event_type"], "ts", gap_seconds=3600.0)
+        s = s.rename(columns={"session_start": "era_start", "session_end": "era_end"})
+        s["n_events"] = s["n_events"].astype("int64")
+        return s[["user_id", "event_type", "era_start", "era_end", "n_events"]]
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
 
 
 _SQL_ERA_MERGE = """

@@ -79,3 +79,33 @@ def make_sessionizer(ts_col: str, gap_seconds: float, keys: list[str]):
         )
 
     return _fn
+
+
+def sessionize_partition(
+    df: pd.DataFrame, keys: list, ts_col: str, gap_seconds: float
+) -> pd.DataFrame:
+    """Vectorized sessionization of a WHOLE hash partition holding many
+    keys: one sort + one cumsum, no per-key Python calls (the scalable
+    form of make_sessionizer for bounded-size partitions)."""
+    df = df.sort_values([*keys, ts_col], kind="mergesort")
+    ts = df[ts_col].to_numpy()
+    if np.issubdtype(ts.dtype, np.datetime64):
+        ts = ts.astype("datetime64[us]").astype(np.int64) / 1e6
+    new_key = np.ones(len(df), dtype=bool)
+    for k in keys:
+        vals = df[k].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        same[0] = False
+        same[1:] = vals[1:] == vals[:-1]
+        new_key &= ~same
+    gap = np.empty(len(df), dtype=bool)
+    gap[0] = True
+    gap[1:] = (ts[1:] - ts[:-1]) > gap_seconds
+    new_session = new_key | gap
+    sid = np.cumsum(new_session)
+    out = df.assign(_sid=sid).groupby([*keys, "_sid"], sort=False).agg(
+        session_start=(ts_col, "min"),
+        session_end=(ts_col, "max"),
+        n_events=(ts_col, "size"),
+    )
+    return out.reset_index().drop(columns=["_sid"])

@@ -50,12 +50,33 @@ def exact_dedup_groups(
         )
         return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
+    def add_sha_part(t: pa.Table) -> pa.Table:
+        import zlib
+
+        crc = zlib.crc32
+        part = np.fromiter(
+            (crc(s.encode()) % _PAIR_PARTS for s in t["content_sha"].to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return t.append_column("sha_part", pa.array(part))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("content_sha", sort=False).agg(
+            keep_id=("_min_id", "min"), n_dups=("_n", "sum")
+        )
+        return out.reset_index()
+
+    # unbounded key space -> a real hash shuffle is required, but on the
+    # coarse sha_part key: ~_PAIR_PARTS groups, each reduced by ONE
+    # vectorized pandas groupby (Ray's Aggregate operator costs ~300ms
+    # per block regardless of size; per-sha map_groups would be one
+    # Python call per distinct document)
     ds = ds.select_columns([id_col, text_col]).map_batches(
         partial, batch_format="pyarrow", batch_size=4096
     )
-    return ds.groupby("content_sha").aggregate(
-        Min("_min_id", alias_name="keep_id"), Sum("_n", alias_name="n_dups")
-    )
+    ds = ds.map_batches(add_sha_part, batch_format="pyarrow")
+    return ds.groupby("sha_part").map_groups(final, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
