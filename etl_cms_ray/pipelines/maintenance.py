@@ -18,9 +18,6 @@ import os
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data
-
-from ..config import EngineConfig
 from ..functions.hashing import part_id_for, sha256_column
 from ..state.manifest import LakeStore, Manifest, PartitionState
 from ..stages.applier import _write_deterministic
@@ -132,8 +129,6 @@ def audit_lake(lake_root: str) -> dict:
                 ),
             }
         )
-
-    import pandas as pd
 
     agg = ds.map_batches(check, batch_format="pyarrow").to_pandas().sum()
     return {

@@ -23,7 +23,6 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..config import EngineConfig
 from ..functions.hashing import sha256_hex_column
@@ -35,7 +34,7 @@ from ..functions.text import (
     token_count_column,
 )
 from ..stages.ann import brute_force_topk, lsh_topk
-from ..stages.compact import make_era_merger, make_sessionizer, sessionize_partition
+from ..stages.compact import sessionize_partition
 from ..stages.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
 from ..stages.dimjoin import BroadcastJoiner, put_dim
 from ..stages.multimodal import DecodeStub, FrameSampler, synth_media_table
@@ -1163,8 +1162,15 @@ def multimodal_frames(sf_dir: str) -> "rd.Dataset":
     frames = media.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=16, concurrency=2
     )
-    agg = frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
-    return agg.map_batches(lambda df: df.astype({"n_frames": "int64"}), batch_format="pandas")
+    partials = frames.map_batches(
+        lambda df: df.groupby("media_id", sort=False).size().rename("_n").reset_index(),
+        batch_format="pandas",
+    )
+    return _final_agg(
+        partials,
+        lambda df: df.groupby("media_id", sort=False)["_n"].sum().rename("n_frames")
+        .reset_index().astype({"n_frames": "int64"}),
+    )
 
 
 # ===========================================================================

@@ -14,19 +14,16 @@ permutation matrices / broadcast texts load once per actor.
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.hashing import sha256_hex_column
-from ..functions.minhash import (MinHasher, char_shingles, hamming64, jaccard,
-                                 simhash64, word_shingles)
+from ..functions.minhash import (MinHasher, char_shingles, jaccard, simhash64,
+                                 word_shingles)
 
 
 # ---------------------------------------------------------------------------
