@@ -314,6 +314,39 @@ FROM events
 """
 
 
+def user_month_spans(sf_dir: str) -> "rd.Dataset":
+    """Per-user activity expanded to one row per covered month — the
+    payer-plan coverage->date-range expansion analog (A2,
+    ``CMS_SynPuf_ETL_CDM_v5.py:720-797``): grouped min/max then a
+    vectorized range expansion (row fan-out) in the final stage."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).agg(_a=("ts", "min"), _b=("ts", "max"))
+        return g.reset_index()
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).agg(a=("_a", "min"), b=("_b", "max")).reset_index()
+        a = g["a"].to_numpy().astype("datetime64[M]")
+        b = g["b"].to_numpy().astype("datetime64[M]")
+        n_months = (b - a).astype(np.int64) + 1
+        uid = np.repeat(g["user_id"].to_numpy(), n_months)
+        offsets = np.concatenate([np.arange(k) for k in n_months])
+        months = np.repeat(a, n_months) + offsets.astype("timedelta64[M]")
+        return pd.DataFrame({"user_id": uid, "month": months.astype("datetime64[us]")})
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), expand)
+
+
+_SQL_MONTH_SPANS = """
+WITH spans AS (SELECT user_id, min(ts) AS a, max(ts) AS b FROM events GROUP BY user_id)
+SELECT user_id, CAST(u.m AS TIMESTAMP) AS month
+FROM spans,
+     LATERAL unnest(generate_series(date_trunc('month', a), date_trunc('month', b),
+                                    INTERVAL 1 MONTH)) AS u(m)
+"""
+
+
 #: event_type dimension (vocabulary analog); 'error' intentionally missing
 #: -> dead-letter (unmapped-code-log analog).
 _EVENT_DIM = pa.table(
@@ -1188,6 +1221,7 @@ QUERIES = {
     "cdc_dead_letter": cdc_dead_letter,
     "cdc_prev_event_gap": cdc_prev_event_gap,
     "events_scalar_decode": events_scalar_decode,
+    "user_month_spans": user_month_spans,
     "repos_lake_ingest": repos_lake_ingest,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
@@ -1227,6 +1261,7 @@ ORACLE_SQL = {
     "cdc_dead_letter": _SQL_DEAD_LETTER,
     "cdc_prev_event_gap": _SQL_PREV_GAP,
     "events_scalar_decode": _SQL_SCALAR_DECODE,
+    "user_month_spans": _SQL_MONTH_SPANS,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,

@@ -294,3 +294,45 @@ def test_cosine_pairs_finds_planted(ray_session):
     )
     pairs = cosine_pairs(ds, threshold=0.999).to_pandas()
     assert ((pairs["a"] == 0) & (pairs["b"] == 100)).any(), pairs
+
+
+def test_lake_langmap_enrichment(ray_session, tmp_path):
+    """Enrich the lake with the F4 langmap dimension (vocabulary-join
+    analog): matched rows gain lang_id/family, 'unknown' rows dead-letter
+    — engine dead letters equal the oracle's replay_dead_letter keys."""
+    import ray.data
+
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.fixtures import langmap_table, make_events, make_repos
+    from etl_cms_ray.oracle import replay, replay_dead_letter
+    from etl_cms_ray.pipelines.ingest import ingest, read_lake
+    from etl_cms_ray.stages.dimjoin import BroadcastJoiner, put_dim, split_matched
+
+    repos = make_repos(3, 8)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=40)
+    cfg = EngineConfig(lake_root=str(tmp_path / "lake"), num_partitions=8)
+    ingest(ray.data.from_arrow(ev), cfg)
+
+    joined = read_lake(cfg.lake_root).map_batches(
+        BroadcastJoiner,
+        fn_constructor_kwargs=dict(dim_ref=put_dim(langmap_table()), key="lang"),
+        batch_format="pyarrow",
+        concurrency=1,
+    )
+    t = pa.Table.from_pandas(joined.to_pandas(), preserve_index=False)
+    matched, dead = split_matched(t)
+    assert set(dead["lang"].to_pylist()) <= {"unknown"}
+    assert matched["lang_id"].null_count == 0
+    # dead-letter keys == lake keys whose lang is unmapped (oracle view)
+    lake_expected = replay(ev)
+    exp_dead = {
+        (r, p)
+        for r, p, lang in zip(
+            lake_expected["repo"].to_pylist(),
+            lake_expected["path"].to_pylist(),
+            lake_expected["lang"].to_pylist(),
+        )
+        if lang == "unknown"
+    }
+    got_dead = set(zip(dead["repo"].to_pylist(), dead["path"].to_pylist()))
+    assert got_dead == exp_dead
