@@ -336,3 +336,27 @@ def test_lake_langmap_enrichment(ray_session, tmp_path):
     }
     got_dead = set(zip(dead["repo"].to_pylist(), dead["path"].to_pylist()))
     assert got_dead == exp_dead
+
+
+def test_lake_repo_stats(ray_session, tmp_path):
+    import ray.data
+
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.fixtures import make_events, make_repos
+    from etl_cms_ray.oracle import replay
+    from etl_cms_ray.pipelines.ingest import ingest
+    from etl_cms_ray.pipelines.stats import lake_repo_stats
+
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=40)
+    cfg = EngineConfig(lake_root=str(tmp_path / "lake"), num_partitions=8)
+    ingest(ray.data.from_arrow(ev), cfg)
+    stats = lake_repo_stats(cfg.lake_root)
+
+    exp = replay(ev).to_pandas().groupby("repo").agg(
+        n_files=("size", "size"), total_bytes=("size", "sum"),
+        min_epoch=("epoch", "min"), max_epoch=("epoch", "max"),
+    ).reset_index()
+    got = stats.sort_values("repo").reset_index(drop=True)
+    exp = exp.sort_values("repo").reset_index(drop=True).astype(got.dtypes.to_dict())
+    assert got.equals(exp), (got, exp)
