@@ -347,6 +347,24 @@ FROM spans,
 """
 
 
+def top_events_by_value(sf_dir: str) -> "rd.Dataset":
+    """Global sort + limit through Ray Data's distributed sort operator
+    (O1/O3 parity: the engine-produced total ordering the reference gets
+    from its external pre-sort).  Raw column values, deterministic
+    tie-break on event_id."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    out = ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+    return out
+
+
+_SQL_TOP_EVENTS = """
+SELECT event_id, user_id, event_type, value
+FROM events
+ORDER BY value DESC, event_id
+LIMIT 20
+"""
+
+
 #: event_type dimension (vocabulary analog); 'error' intentionally missing
 #: -> dead-letter (unmapped-code-log analog).
 _EVENT_DIM = pa.table(
@@ -1222,6 +1240,7 @@ QUERIES = {
     "cdc_prev_event_gap": cdc_prev_event_gap,
     "events_scalar_decode": events_scalar_decode,
     "user_month_spans": user_month_spans,
+    "top_events_by_value": top_events_by_value,
     "repos_lake_ingest": repos_lake_ingest,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
@@ -1262,6 +1281,7 @@ ORACLE_SQL = {
     "cdc_prev_event_gap": _SQL_PREV_GAP,
     "events_scalar_decode": _SQL_SCALAR_DECODE,
     "user_month_spans": _SQL_MONTH_SPANS,
+    "top_events_by_value": _SQL_TOP_EVENTS,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
