@@ -66,10 +66,15 @@ def main(argv: list[str] | None = None) -> int:
             from .config import EngineConfig
             from .pipelines.ingest import ingest
             from .sources.events import read_events_parquet
+            from .state.manifest import LakeStore
+
+            # an existing lake's bucket count is authoritative
+            manifest = LakeStore(args.lake).load_manifest()
+            partitions = manifest.num_partitions if manifest.partitions else args.partitions
 
             cfg = EngineConfig(
                 lake_root=args.lake,
-                num_partitions=args.partitions,
+                num_partitions=partitions,
                 salt_factor=getattr(args, "salt", 1),
                 batch_size=getattr(args, "batch_size", 16384),
             )

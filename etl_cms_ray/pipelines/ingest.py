@@ -99,6 +99,15 @@ def ingest(
     """
     store = LakeStore(cfg.lake_root)
     manifest = store.load_manifest()
+    if manifest.partitions and manifest.num_partitions != cfg.num_partitions:
+        # the partition count is lake metadata: keys hash to partitions and
+        # fences are per-partition, so a silent mismatch mis-fences every
+        # key.  Changing the bucket count is repartition_lake's job.
+        raise ValueError(
+            f"lake {cfg.lake_root} has num_partitions="
+            f"{manifest.num_partitions}, config says {cfg.num_partitions}; "
+            "use repartition_lake to change the bucketing"
+        )
     registry = store.load_registry()
     if schema_changes:
         known = {(c.epoch, c.change, c.column) for c in registry.changes}

@@ -131,13 +131,45 @@ def audit_lake(lake_root: str) -> dict:
         )
 
     agg = ds.map_batches(check, batch_format="pyarrow").to_pandas().sum()
+
+    # key->partition placement: every row of part=<p>'s file must hash to p
+    # (one Ray task per partition; file origin is lost after read_lake, so
+    # this pass reads per-partition files directly)
+    import ray.data as rd
+
+    parts = [
+        {"part_id": ps.part_id, "file": store.abspath(ps.file)}
+        for ps in manifest.partitions.values()
+        if ps.file
+    ]
+    misplaced = 0
+    if parts:
+        def check_placement(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            bad = []
+            for pid, path in zip(batch["part_id"].to_pylist(), batch["file"].to_pylist()):
+                t = pq.read_table(path, columns=["repo", "path"])
+                got = part_id_for(t["repo"], t["path"], num_parts)
+                bad.append(int(pc.sum(pc.cast(pc.not_equal(got, pid), pa.int64())).as_py() or 0))
+            return pa.table({"bad": pa.array(bad, type=pa.int64())})
+
+        misplaced = int(
+            rd.from_items(parts)
+            .map_batches(check_placement, batch_format="pyarrow", batch_size=4)
+            .to_pandas()["bad"]
+            .sum()
+        )
+
     return {
         "rows_scanned": int(agg["n"]),
         "rows_expected": expected_rows,
         "bad_sha": int(agg["bad_sha"]),
         "bad_size": int(agg["bad_size"]),
+        "misplaced_keys": misplaced,
         "num_partitions": num_parts,
         "healthy": int(agg["bad_sha"]) == 0
         and int(agg["bad_size"]) == 0
+        and misplaced == 0
         and int(agg["n"]) == expected_rows,
     }

@@ -240,3 +240,15 @@ def test_rollback_and_reconverge(ray_session, tmp_path):
     ingest(ray.data.from_arrow(ev), cfg)
     assert tables_equal_by_sha(read_lake_table(cfg.lake_root), final)
     assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
+
+
+def test_partition_count_mismatch_rejected(ray_session, tmp_path):
+    """Changing num_partitions on an existing lake must fail loudly —
+    fences are per-partition, a silent mismatch mis-fences every key."""
+    repos = make_repos(2, 4)
+    ev = make_events(repos, n_epochs=1, events_per_epoch=10)
+    cfg = _cfg(tmp_path, "lake_np")
+    ingest(ray.data.from_arrow(ev), cfg)
+    bad = EngineConfig(lake_root=cfg.lake_root, num_partitions=16)
+    with pytest.raises(ValueError, match="repartition_lake"):
+        ingest(ray.data.from_arrow(ev), bad)
