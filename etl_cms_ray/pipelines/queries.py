@@ -365,6 +365,79 @@ LIMIT 20
 """
 
 
+def cdc_rolling_value_mean(sf_dir: str) -> "rd.Dataset":
+    """Windowed aggregate: rolling mean of `value` over each user's last 3
+    events (ts, event_id order) — the windowed-aggregate custom operator:
+    key-hash partitions + one vectorized pandas rolling per partition."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        roll = (
+            df.groupby("user_id", sort=False)["value"]
+            .rolling(window=3, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        df = df.assign(rolling_mean=_qround(roll, 4))
+        return df[["event_id", "user_id", "ts", "rolling_mean"]]
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
+
+
+_SQL_ROLLING = """
+SELECT event_id, user_id, ts,
+       floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5)
+           / 10000 AS rolling_mean
+FROM events
+"""
+
+
+def order_status_revenue_native_join(sf_dir: str) -> "rd.Dataset":
+    """Both-sides-large hash join through Ray Data's native Dataset.join
+    (hash-partitioned on the key) — the non-broadcast join path, kept
+    alongside the broadcast-probe pattern used when one side is small."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    joined = lineitem.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
+        g = df.assign(_rev=rev).groupby("o_orderstatus", sort=False).agg(
+            _n=("_rev", "size"), _sum=("_rev", "sum")
+        )
+        return g.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderstatus", sort=False).agg(
+            n_lines=("_n", "sum"), _s=("_sum", "sum")
+        ).reset_index()
+        return g.assign(
+            n_lines=g["n_lines"].astype("int64"), revenue=_qround(g["_s"], 2)
+        ).drop(columns=["_s"])
+
+    return _final_agg(joined.map_batches(partial, batch_format="pandas"), final)
+
+
+_SQL_NATIVE_JOIN = """
+SELECT o_orderstatus, count(*) AS n_lines,
+       floor((sum(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 #: event_type dimension (vocabulary analog); 'error' intentionally missing
 #: -> dead-letter (unmapped-code-log analog).
 _EVENT_DIM = pa.table(
@@ -1241,6 +1314,8 @@ QUERIES = {
     "events_scalar_decode": events_scalar_decode,
     "user_month_spans": user_month_spans,
     "top_events_by_value": top_events_by_value,
+    "cdc_rolling_value_mean": cdc_rolling_value_mean,
+    "order_status_revenue_native_join": order_status_revenue_native_join,
     "repos_lake_ingest": repos_lake_ingest,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
@@ -1282,6 +1357,8 @@ ORACLE_SQL = {
     "events_scalar_decode": _SQL_SCALAR_DECODE,
     "user_month_spans": _SQL_MONTH_SPANS,
     "top_events_by_value": _SQL_TOP_EVENTS,
+    "cdc_rolling_value_mean": _SQL_ROLLING,
+    "order_status_revenue_native_join": _SQL_NATIVE_JOIN,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,

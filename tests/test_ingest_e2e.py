@@ -252,3 +252,31 @@ def test_partition_count_mismatch_rejected(ray_session, tmp_path):
     bad = EngineConfig(lake_root=cfg.lake_root, num_partitions=16)
     with pytest.raises(ValueError, match="repartition_lake"):
         ingest(ray.data.from_arrow(ev), bad)
+
+
+def test_wide_content_rows(ray_session, tmp_path):
+    """Very wide records (content >> typical row): engine ingests 100KB+
+    payloads correctly (block sizing tolerates wide rows) and the
+    oversized-content guard dead-letters payloads above the limit."""
+    big = "x" * 120_000
+    huge = "y" * 300_000
+    ev = pa.table(
+        {
+            "repo": ["r", "r", "r"],
+            "path": ["small", "big", "huge"],
+            "op": ["insert"] * 3,
+            "commit": ["c"] * 3,
+            "epoch": pa.array([0, 0, 0], type=pa.int64()),
+            "seq": pa.array([0, 1, 2], type=pa.int64()),
+            "lang": ["txt"] * 3,
+            "content": ["tiny", big, huge],
+        }
+    )
+    cfg = EngineConfig(lake_root=str(tmp_path / "lake_wide"), num_partitions=4,
+                       max_content_bytes=200_000)
+    res = ingest(ray.data.from_arrow(ev), cfg)
+    assert res.dead_rows == 1  # the 300KB payload
+    lake = read_lake_table(cfg.lake_root)
+    assert lake.num_rows == 2
+    got = dict(zip(lake["path"].to_pylist(), lake["size"].to_pylist()))
+    assert got == {"small": 4, "big": 120_000}
