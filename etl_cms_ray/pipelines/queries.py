@@ -1259,6 +1259,25 @@ def dedup_cosine_pairs(sf_dir: str) -> "rd.Dataset":
     )
     return cosine_pairs(base.union(near), threshold=0.99)
 
+
+def approx_distinct_sketch(sf_dir: str) -> pa.Table:
+    """HLL sketch demo (rows-only: approximate by design): estimated vs
+    exact distinct counts for two columns."""
+    from ..functions.sketch import approx_distinct
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    ev = _events(sf_dir, ["user_id"])
+    est_orders = approx_distinct(li, "l_orderkey")
+    est_users = approx_distinct(ev, "user_id")
+    return pa.table(
+        {
+            "metric": ["distinct_orderkeys_est", "distinct_users_est"],
+            "estimate": pa.array(
+                [float(est_orders), float(est_users)], type=pa.float64()
+            ),
+        }
+    )
+
 def multimodal_features(sf_dir: str) -> "rd.Dataset":
     """Media decode plumbing: synth payloads -> actor-pool decode stub ->
     per-kind feature stats (+ video frame sampling)."""
@@ -1340,6 +1359,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "ann_lsh_topk": ann_lsh_topk,
     "dedup_cosine_pairs": dedup_cosine_pairs,
+    "approx_distinct_sketch": approx_distinct_sketch,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
 }

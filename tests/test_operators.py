@@ -360,3 +360,26 @@ def test_lake_repo_stats(ray_session, tmp_path):
     got = stats.sort_values("repo").reset_index(drop=True)
     exp = exp.sort_values("repo").reset_index(drop=True).astype(got.dtypes.to_dict())
     assert got.equals(exp), (got, exp)
+
+
+def test_hyperloglog_accuracy_and_merge(ray_session):
+    from etl_cms_ray.functions.sketch import HyperLogLog, approx_distinct
+
+    # merge property: sketch(A) ∪ sketch(B) == sketch(A ∪ B)
+    a, b, ab = HyperLogLog(10), HyperLogLog(10), HyperLogLog(10)
+    xs = [f"x{i}" for i in range(3000)]
+    ys = [f"y{i}" for i in range(2000)]
+    a.add_many(xs); b.add_many(ys); ab.add_many(xs + ys)
+    assert np.array_equal(a.merge(b).registers, ab.registers)
+    est = a.merge(b).cardinality()
+    assert abs(est - 5000) / 5000 < 0.1
+
+    # distributed: approx distinct of l_orderkey at sf0.001 vs exact
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet", columns=["l_orderkey"])
+    exact = len(ds.unique("l_orderkey"))
+    est = approx_distinct(ds, "l_orderkey", p=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # serialization round-trip
+    rt = HyperLogLog.from_bytes(ab.to_bytes())
+    assert rt.cardinality() == ab.cardinality()
