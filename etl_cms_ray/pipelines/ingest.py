@@ -228,20 +228,54 @@ def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dat
     # partitioning=None together with columns= raises UnboundLocalError in
     # its column splitter — with an explicit column list the hive column is
     # already excluded, so only disable inference for full-schema reads.)
+    versions = [ps.schema_version for ps in manifest.partitions.values() if ps.file]
+    needs_promote = any(v != latest for v in versions)
     if columns is None:
         ds = ray.data.read_parquet(files, partitioning=None)
-    else:
-        ds = ray.data.read_parquet(files, columns=columns)
-    needs_promote = any(
-        ps.schema_version != latest for ps in manifest.partitions.values() if ps.file
+        if needs_promote:
+            ds = ds.map_batches(
+                lambda t, reg=registry.to_json(), v=latest: SchemaRegistry.from_json(
+                    reg
+                ).evolve_table(t, v),
+                batch_format="pyarrow",
+            )
+        return ds
+
+    # pruned read over a mixed-schema lake: push down only the columns
+    # every live file has (the oldest live schema version), then promote
+    # the requested evolved columns per batch (cast/default-fill)
+    oldest = registry.schema_for(min(versions, default=latest))
+    target = registry.schema_for(latest)
+    requested = [c for c in columns if c in target.names]
+    pushdown = [c for c in requested if c in oldest.names]
+    ds = ray.data.read_parquet(files, columns=pushdown or requested)
+    missing_or_widened = needs_promote and (
+        set(requested) - set(pushdown)
+        or any(oldest.field(c).type != target.field(c).type for c in pushdown)
     )
-    if needs_promote and columns is None:
-        ds = ds.map_batches(
-            lambda t, reg=registry.to_json(), v=latest: SchemaRegistry.from_json(
-                reg
-            ).evolve_table(t, v),
-            batch_format="pyarrow",
-        )
+    if missing_or_widened:
+        defaults = registry.defaults_for(latest)
+
+        def promote(t: pa.Table, req=tuple(requested), reg=registry.to_json(), v=latest):
+            r = SchemaRegistry.from_json(reg)
+            tgt = r.schema_for(v)
+            dv = r.defaults_for(v)
+            cols, names = [], []
+            for name in req:
+                f0 = tgt.field(name)
+                names.append(name)
+                if name in t.column_names:
+                    col = t.column(name)
+                    if col.type != f0.type:
+                        col = col.cast(f0.type)
+                    if dv.get(name) is not None and col.null_count > 0:
+                        col = pc.fill_null(col, pa.scalar(dv[name], type=f0.type))
+                    cols.append(col)
+                else:
+                    cols.append(pa.array([dv.get(name)] * t.num_rows, type=f0.type))
+            return pa.table(cols, names=names)
+
+        ds = ds.map_batches(promote, batch_format="pyarrow")
     return ds
 
 

@@ -280,3 +280,24 @@ def test_wide_content_rows(ray_session, tmp_path):
     assert lake.num_rows == 2
     got = dict(zip(lake["path"].to_pylist(), lake["size"].to_pylist()))
     assert got == {"small": 4, "big": 120_000}
+
+
+def test_pruned_read_over_mixed_schema_lake(ray_session, tmp_path):
+    """Column-pruned read_lake must work when only SOME partitions were
+    rewritten after a schema evolution: evolved columns are default-filled
+    / widened per batch for old files (promote-on-read with pushdown)."""
+    import pyarrow.compute as pc
+
+    repos = make_repos(3, 5)
+    ev = make_events(repos, n_epochs=4, events_per_epoch=40)
+    cfg = _cfg(tmp_path, "lake_mixed")
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    sub = ev.filter(pc.greater(ev["epoch"], 1)).slice(0, 10)  # touch few partitions
+    ingest(ray.data.from_arrow(sub), cfg, schema_changes=make_schema_changes())
+
+    pruned = read_lake(cfg.lake_root, columns=["repo", "path", "stars", "size"]).to_pandas()
+    full = read_lake_table(cfg.lake_root).to_pandas()
+    assert set(pruned.columns) == {"repo", "path", "stars", "size"}
+    a = pruned.sort_values(["repo", "path"]).reset_index(drop=True)
+    b = full[["repo", "path", "stars", "size"]].sort_values(["repo", "path"]).reset_index(drop=True)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
