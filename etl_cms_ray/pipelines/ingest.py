@@ -254,7 +254,6 @@ def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dat
         or any(oldest.field(c).type != target.field(c).type for c in pushdown)
     )
     if missing_or_widened:
-        defaults = registry.defaults_for(latest)
 
         def promote(t: pa.Table, req=tuple(requested), reg=registry.to_json(), v=latest):
             r = SchemaRegistry.from_json(reg)

@@ -301,3 +301,35 @@ def test_pruned_read_over_mixed_schema_lake(ray_session, tmp_path):
     a = pruned.sort_values(["repo", "path"]).reset_index(drop=True)
     b = full[["repo", "path", "stars", "size"]].sort_values(["repo", "path"]).reset_index(drop=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_crash_before_publish_recovers(ray_session, tmp_path, monkeypatch):
+    """Crash between partition-file writes and manifest publish: the lake
+    still reads as the previous version (manifest-as-commit), and a
+    re-run converges — retried appliers overwrite their own
+    content-addressed files, no orphan state becomes visible."""
+    repos = make_repos(3, 5)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=40)
+    cfg = _cfg(tmp_path, "lake_crash")
+
+    import etl_cms_ray.state.manifest as mstate
+
+    real_publish = mstate.LakeStore.publish
+
+    def exploding_publish(self, manifest, expect_version=None):
+        raise RuntimeError("simulated crash before commit")
+
+    monkeypatch.setattr(mstate.LakeStore, "publish", exploding_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ingest(ray.data.from_arrow(ev), cfg)
+    monkeypatch.setattr(mstate.LakeStore, "publish", real_publish)
+
+    # nothing visible: manifest never advanced
+    store = LakeStore(cfg.lake_root)
+    assert store.current_version() == 0
+    assert read_lake_table(cfg.lake_root).num_rows == 0
+
+    # the retry commits and matches the oracle
+    res = ingest(ray.data.from_arrow(ev), cfg)
+    assert res.manifest_version == 1
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
