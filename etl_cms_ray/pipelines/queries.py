@@ -438,6 +438,101 @@ GROUP BY o_orderstatus
 """
 
 
+def customer_order_counts(sf_dir: str) -> "rd.Dataset":
+    """LEFT-join semantics: every customer, zero-filled order counts
+    (broadcast aggregate probe — customers with no orders survive)."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", sort=False).size().rename("_n").reset_index()
+
+    partials = orders.map_batches(partial, batch_format="pandas")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust_pd = cust.to_pandas()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby("o_custkey", sort=False)["_n"].sum().reset_index()
+        out = cust_pd.merge(counts, left_on="c_custkey", right_on="o_custkey", how="left")
+        return pd.DataFrame(
+            {
+                "c_custkey": out["c_custkey"],
+                "c_name": out["c_name"],
+                "n_orders": out["_n"].fillna(0).astype("int64"),
+            }
+        )
+
+    return _final_agg(partials, final)
+
+
+_SQL_CUST_ORDER_COUNTS = """
+SELECT c_custkey, c_name, CAST(COALESCE(count(o_custkey), 0) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def events_value_histogram(sf_dir: str) -> "rd.Dataset":
+    """Fixed-width histogram of `value` (bin = floor(value/50)*50):
+    per-batch binning partials, coalesced final."""
+    ds = _events(sf_dir, ["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bins = np.floor(df["value"].to_numpy() / 50.0) * 50.0
+        return pd.DataFrame({"bin_lo": bins}).groupby("bin_lo", sort=False).size().rename(
+            "_n"
+        ).reset_index()
+
+    return _final_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby("bin_lo", sort=False)["_n"].sum().rename("n")
+        .reset_index().astype({"n": "int64"}),
+    )
+
+
+_SQL_VALUE_HISTOGRAM = """
+SELECT floor(value / 50.0) * 50.0 AS bin_lo, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def lineitem_quantity_quantiles(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles computed DISTRIBUTED from a value-count
+    sketch: per-batch counts per distinct quantity -> tiny merged count
+    vector -> cumulative walk (never ships raw rows to the driver)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_quantity", sort=False).size().rename("_n").reset_index()
+
+    counts = (
+        _final_agg(
+            ds.map_batches(partial, batch_format="pandas"),
+            lambda df: df.groupby("l_quantity", sort=False)["_n"].sum().reset_index(),
+        )
+        .to_pandas()
+        .sort_values("l_quantity")
+    )
+    total = counts["_n"].sum()
+    cum = counts["_n"].cumsum()
+    qs = [0.25, 0.5, 0.75, 0.9]
+    vals = []
+    for q in qs:
+        # quantile_disc: smallest value with cumulative fraction >= q
+        target = q * total
+        vals.append(float(counts["l_quantity"][(cum >= target).idxmax()]))
+    return pa.table(
+        {"q": pa.array(qs, type=pa.float64()), "quantity": pa.array(vals, type=pa.float64())}
+    )
+
+
+_SQL_QUANTILES = """
+SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS quantity FROM lineitem
+UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem
+UNION ALL SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem
+UNION ALL SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem
+"""
+
+
 #: event_type dimension (vocabulary analog); 'error' intentionally missing
 #: -> dead-letter (unmapped-code-log analog).
 _EVENT_DIM = pa.table(
@@ -1335,6 +1430,9 @@ QUERIES = {
     "top_events_by_value": top_events_by_value,
     "cdc_rolling_value_mean": cdc_rolling_value_mean,
     "order_status_revenue_native_join": order_status_revenue_native_join,
+    "customer_order_counts": customer_order_counts,
+    "events_value_histogram": events_value_histogram,
+    "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
     "repos_lake_ingest": repos_lake_ingest,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
@@ -1379,6 +1477,9 @@ ORACLE_SQL = {
     "top_events_by_value": _SQL_TOP_EVENTS,
     "cdc_rolling_value_mean": _SQL_ROLLING,
     "order_status_revenue_native_join": _SQL_NATIVE_JOIN,
+    "customer_order_counts": _SQL_CUST_ORDER_COUNTS,
+    "events_value_histogram": _SQL_VALUE_HISTOGRAM,
+    "lineitem_quantity_quantiles": _SQL_QUANTILES,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
