@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--partitions", type=int, default=64)
     pi.add_argument("--salt", type=int, default=1)
     pi.add_argument("--batch-size", type=int, default=16384)
+    pi.add_argument("--mode", choices=["cow", "mor"], default="cow")
 
     pr = sub.add_parser("replay", help="re-apply a stream (fenced no-op when already applied)")
     pr.add_argument("--events", nargs="+", required=True)
@@ -55,6 +56,9 @@ def main(argv: list[str] | None = None) -> int:
     pp = sub.add_parser("repartition", help="re-bucket the lake")
     pp.add_argument("--lake", required=True)
     pp.add_argument("--partitions", type=int, required=True)
+
+    pcpt = sub.add_parser("compact", help="fold merge-on-read deltas into bases")
+    pcpt.add_argument("--lake", required=True)
 
     ps = sub.add_parser("show", help="print manifest + lineage")
     ps.add_argument("--lake", required=True)
@@ -77,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=partitions,
                 salt_factor=getattr(args, "salt", 1),
                 batch_size=getattr(args, "batch_size", 16384),
+                commit_mode=getattr(args, "mode", "cow"),
             )
             res = ingest(read_events_parquet(args.events), cfg)
             print(json.dumps(res.__dict__))
@@ -86,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
             report = audit_lake(args.lake)
             print(json.dumps(report))
             return 0 if report["healthy"] else 2
+        elif args.cmd == "compact":
+            from .pipelines.maintenance import compact_lake
+
+            m = compact_lake(args.lake)
+            print(json.dumps({"manifest_version": m.version, **m.metrics}))
         elif args.cmd == "repartition":
             from .pipelines.maintenance import repartition_lake
 

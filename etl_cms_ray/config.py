@@ -38,3 +38,9 @@ class EngineConfig:
     #: drop content payloads larger than this to the dead-letter sink
     #: (guard analog: reference aborts at recs_in > 10000, FileControl.py:211).
     max_content_bytes: int = 8 * 1024 * 1024
+    #: commit mode: "cow" rewrites each touched partition per commit
+    #: (read-optimal); "mor" appends per-commit LWW delta files and merges
+    #: on read, auto-compacting at max_deltas (write-optimal for small
+    #: incremental commits against large partitions).
+    commit_mode: str = "cow"
+    max_deltas: int = 8

@@ -16,6 +16,7 @@ append sinks + control-file resume (SURVEY.md §3).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import pyarrow as pa
@@ -156,9 +157,11 @@ def ingest(
             "registry_json": registry.to_json(),
             "target_schema_version": target_version,
             "prior_meta": {
-                pid: (ps.rows, ps.content_hash, ps.schema_version)
+                pid: (ps.rows, ps.content_hash, ps.schema_version, list(ps.deltas))
                 for pid, ps in manifest.partitions.items()
             },
+            "commit_mode": cfg.commit_mode,
+            "max_deltas": cfg.max_deltas,
         },
         batch_format="pyarrow",
     )
@@ -179,11 +182,13 @@ def ingest(
             applied_through_epoch=int(r["applied_through_epoch"]),
             content_hash=r["content_hash"],
             schema_version=int(r["schema_version"]),
+            deltas=list(r["delta_files"] or []),
         )
         shuffled += int(r["events_shuffled"])
         applied += int(r["events_applied"])
         dead += int(r["dead_rows"])
-    lake_rows = sum(p.rows for p in new_manifest.partitions.values())
+    known = [p.rows for p in new_manifest.partitions.values() if p.rows >= 0]
+    lake_rows = sum(known) if len(known) == len(new_manifest.partitions) else -1
     new_manifest.metrics = {
         "events_in": events_in,
         "events_shuffled": shuffled,
@@ -211,6 +216,35 @@ def ingest(
     )
 
 
+def load_partition_live(
+    lake_root: str, file: str | None, deltas: list, registry: SchemaRegistry,
+    version: int,
+) -> pa.Table:
+    """LIVE rows of one partition: LWW(base ∪ deltas), tombstones dropped,
+    promoted to the target schema version, key-sorted."""
+    import pyarrow.parquet as pq
+
+    from ..stages.lww import drop_tombstones, lww_reduce
+
+    schema = registry.schema_for(version)
+    tables = []
+    if file:
+        base = registry.evolve_table(pq.read_table(os.path.join(lake_root, file)), version)
+        tables.append(base.append_column("op", pa.array(["insert"] * base.num_rows)))
+    for rel in deltas:
+        d = pq.read_table(os.path.join(lake_root, rel))
+        op = d["op"]
+        tables.append(registry.evolve_table(d, version).append_column("op", op))
+    if not tables:
+        return pa.table({f.name: pa.array([], type=f.type) for f in schema})
+    merged = lww_reduce(pa.concat_tables(tables, promote_options="default"))
+    live = drop_tombstones(merged).drop_columns(["op"])
+    live = live.select(schema.names).cast(schema)
+    return live.take(
+        pc.sort_indices(live, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+    )
+
+
 def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Live lake state as a Dataset (manifested files only), promoted to the
     latest schema version on read."""
@@ -228,6 +262,28 @@ def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dat
     # partitioning=None together with columns= raises UnboundLocalError in
     # its column splitter — with an explicit column list the hive column is
     # already excluded, so only disable inference for full-schema reads.)
+    if manifest.has_deltas():
+        # merge-on-read: one task per partition performs the LWW merge of
+        # base + deltas, then optional column pruning
+        parts = [
+            {"part_id": ps.part_id, "file": ps.file, "deltas": list(ps.deltas)}
+            for ps in manifest.partitions.values()
+            if ps.file or ps.deltas
+        ]
+        reg_json = registry.to_json()
+
+        def merge_part(batch: pa.Table, cols=tuple(columns) if columns else None):
+            reg = SchemaRegistry.from_json(reg_json)
+            out = []
+            for f0, ds_ in zip(batch["file"].to_pylist(), batch["deltas"].to_pylist()):
+                t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+                out.append(t.select(list(cols)) if cols else t)
+            return pa.concat_tables(out)
+
+        return ray.data.from_items(parts).map_batches(
+            merge_part, batch_format="pyarrow", batch_size=1
+        )
+
     versions = [ps.schema_version for ps in manifest.partitions.values() if ps.file]
     needs_promote = any(v != latest for v in versions)
     if columns is None:
@@ -288,11 +344,11 @@ def read_lake_table(lake_root: str) -> pa.Table:
     if not files:
         sch = registry.schema_for(latest)
         return pa.table({f.name: pa.array([], type=f.type) for f in sch})
-    import pyarrow.parquet as pq
-
-    tables = [registry.evolve_table(pq.read_table(f), latest) for f in files]
-    import pyarrow.compute as pc
-
+    tables = [
+        load_partition_live(lake_root, ps.file, list(ps.deltas), registry, latest)
+        for ps in manifest.partitions.values()
+        if ps.file or ps.deltas
+    ]
     t = pa.concat_tables(tables)
     return t.take(
         pc.sort_indices(t, sort_keys=[("repo", "ascending"), ("path", "ascending")])

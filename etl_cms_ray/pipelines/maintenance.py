@@ -95,6 +95,87 @@ def repartition_lake(lake_root: str, new_num_partitions: int) -> Manifest:
     return new_manifest
 
 
+def compact_lake(lake_root: str) -> Manifest:
+    """Fold every merge-on-read delta chain back into its base file (one
+    task per partition), publishing a fresh manifest.  No-op partitions
+    (no deltas) keep their files untouched."""
+    import pyarrow.parquet  # noqa: F401  (ensure worker import)
+
+    import ray.data as rd
+
+    from ..schema import SchemaRegistry
+    from ..stages.applier import _write_deterministic as _wd
+    from .ingest import load_partition_live
+
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    todo = [
+        {"part_id": ps.part_id, "file": ps.file, "deltas": list(ps.deltas),
+         "fence": ps.applied_through_epoch}
+        for ps in manifest.partitions.values()
+        if ps.deltas
+    ]
+    new_manifest = Manifest(
+        version=manifest.version + 1,
+        num_partitions=manifest.num_partitions,
+        partitions=dict(manifest.partitions),
+    )
+    if todo:
+        reg_json = registry.to_json()
+
+        def fold(batch: pa.Table) -> pa.Table:
+            reg = SchemaRegistry.from_json(reg_json)
+            out = {"part_id": [], "file": [], "rows": [], "content_hash": [], "fence": []}
+            for pid, f0, ds_, fence in zip(
+                batch["part_id"].to_pylist(), batch["file"].to_pylist(),
+                batch["deltas"].to_pylist(), batch["fence"].to_pylist(),
+            ):
+                live = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+                fname, sha16 = _wd(
+                    live, os.path.join(lake_root, "data", f"part={pid:05d}"),
+                    f"e{fence:010d}",
+                )
+                out["part_id"].append(pid)
+                out["file"].append(os.path.relpath(fname, lake_root))
+                out["rows"].append(live.num_rows)
+                out["content_hash"].append(sha16)
+                out["fence"].append(fence)
+            return pa.table(
+                {
+                    "part_id": pa.array(out["part_id"], type=pa.int32()),
+                    "file": out["file"],
+                    "rows": pa.array(out["rows"], type=pa.int64()),
+                    "content_hash": out["content_hash"],
+                    "fence": pa.array(out["fence"], type=pa.int64()),
+                }
+            )
+
+        rows = rd.from_items(todo).map_batches(
+            fold, batch_format="pyarrow", batch_size=1
+        ).take_all()
+        for r in rows:
+            pid = int(r["part_id"])
+            new_manifest.partitions[pid] = PartitionState(
+                part_id=pid,
+                file=r["file"],
+                rows=int(r["rows"]),
+                applied_through_epoch=int(r["fence"]),
+                content_hash=r["content_hash"],
+                schema_version=latest,
+                deltas=[],
+            )
+    new_manifest.metrics = {
+        "op": "compact",
+        "partitions_compacted": len(todo),
+        "lake_rows": sum(p.rows for p in new_manifest.partitions.values()),
+    }
+    store.publish(new_manifest, expect_version=manifest.version)
+    store.append_lineage({"manifest_version": new_manifest.version, **new_manifest.metrics})
+    return new_manifest
+
+
 def audit_lake(lake_root: str) -> dict:
     """Distributed integrity audit of the live lake.
 
@@ -106,7 +187,10 @@ def audit_lake(lake_root: str) -> dict:
     store = LakeStore(lake_root)
     manifest = store.load_manifest()
     num_parts = manifest.num_partitions
-    expected_rows = sum(p.rows for p in manifest.partitions.values())
+    rows_known = all(p.rows >= 0 for p in manifest.partitions.values())
+    expected_rows = (
+        sum(p.rows for p in manifest.partitions.values()) if rows_known else -1
+    )
 
     ds = read_lake(lake_root)
 
@@ -138,9 +222,9 @@ def audit_lake(lake_root: str) -> dict:
     import ray.data as rd
 
     parts = [
-        {"part_id": ps.part_id, "file": store.abspath(ps.file)}
+        {"part_id": ps.part_id, "file": store.abspath(f)}
         for ps in manifest.partitions.values()
-        if ps.file
+        for f in ps.all_files()
     ]
     misplaced = 0
     if parts:
@@ -171,5 +255,5 @@ def audit_lake(lake_root: str) -> dict:
         "healthy": int(agg["bad_sha"]) == 0
         and int(agg["bad_size"]) == 0
         and misplaced == 0
-        and int(agg["n"]) == expected_rows,
+        and (expected_rows < 0 or int(agg["n"]) == expected_rows),
     }

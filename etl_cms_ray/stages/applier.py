@@ -45,6 +45,7 @@ RESULT_SCHEMA = pa.schema(
         ("dead_rows", pa.int64()),
         ("events_shuffled", pa.int64()),
         ("events_applied", pa.int64()),
+        ("delta_files", pa.list_(pa.string())),
     ]
 )
 
@@ -74,7 +75,8 @@ def _write_deterministic(table: pa.Table, directory: str, stem: str) -> tuple[st
 
 class MergeApplier:
     def __init__(self, lake_root: str, fences: dict, registry_json: str,
-                 target_schema_version: int, prior_meta: dict | None = None):
+                 target_schema_version: int, prior_meta: dict | None = None,
+                 commit_mode: str = "cow", max_deltas: int = 8):
         from ..functions.threads import single_threaded_kernels
 
         single_threaded_kernels()
@@ -83,18 +85,41 @@ class MergeApplier:
         self.registry = SchemaRegistry.from_json(registry_json)
         self.target_version = target_schema_version
         self.lake_schema = self.registry.schema_for(target_schema_version)
-        # prior manifest metadata for the replay-no-op fast path
+        self.commit_mode = commit_mode  # cow: rewrite partition; mor: append delta
+        self.max_deltas = max_deltas  # mor partitions auto-compact at this depth
+        # prior manifest metadata for the replay-no-op fast path + deltas
         prior_meta = prior_meta or {}
         self._prior_rows = {p: m[0] for p, m in prior_meta.items()}
         self._prior_hash = {p: m[1] for p, m in prior_meta.items()}
         self._prior_schema_version = {p: m[2] for p, m in prior_meta.items()}
+        self._prior_deltas = {
+            p: list(m[3]) if len(m) > 3 else [] for p, m in prior_meta.items()
+        }
+
+    def _with_op(self, t: pa.Table, default_op: str = "insert") -> pa.Table:
+        if "op" in t.column_names:
+            return t
+        return t.append_column("op", pa.array([default_op] * t.num_rows))
 
     def _prior_table(self, part_id: int) -> pa.Table | None:
+        """Prior LIVE state of the partition: LWW(base ∪ deltas), tombstones
+        dropped (fencing makes persisted tombstones unnecessary once
+        merged — see module docstring)."""
         _, prior_file = self.fences.get(part_id, (-1, None))
-        if not prior_file:
+        deltas = self._prior_deltas.get(part_id, [])
+        tables = []
+        if prior_file:
+            base = pq.read_table(os.path.join(self.lake_root, prior_file))
+            tables.append(self._with_op(self.registry.evolve_table(base, self.target_version)))
+        for rel in deltas:
+            d = pq.read_table(os.path.join(self.lake_root, rel))
+            op = d["op"]
+            d = self.registry.evolve_table(d, self.target_version).append_column("op", op)
+            tables.append(d)
+        if not tables:
             return None
-        prior = pq.read_table(os.path.join(self.lake_root, prior_file))
-        return self.registry.evolve_table(prior, self.target_version)
+        merged = lww_reduce(pa.concat_tables(tables, promote_options="default"))
+        return drop_tombstones(merged).drop_columns(["op"])
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part_id = group["part_id"][0].as_py()
@@ -140,11 +165,47 @@ class MergeApplier:
                     "dead_rows": pa.array([dead_rows], type=pa.int64()),
                     "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
                     "events_applied": pa.array([0], type=pa.int64()),
+                    "delta_files": [self._prior_deltas.get(part_id, [])],
                 },
                 schema=RESULT_SCHEMA,
             )
         incoming = lww_reduce(fresh)
 
+        # ---- merge-on-read: append a delta instead of rewriting the base
+        base_file = self.fences.get(part_id, (-1, None))[1]
+        prior_deltas = self._prior_deltas.get(part_id, [])
+        if (
+            self.commit_mode == "mor"
+            and base_file
+            and len(prior_deltas) + 1 < self.max_deltas
+        ):
+            delta = self.registry.evolve_table(incoming, self.target_version)
+            delta = delta.append_column("op", incoming["op"])
+            delta = delta.take(
+                pc.sort_indices(delta, sort_keys=[("repo", "ascending"), ("path", "ascending")])
+            )
+            fname, dsha = _write_deterministic(
+                delta,
+                os.path.join(self.lake_root, "data", f"part={part_id:05d}"),
+                f"delta-e{new_fence:010d}",
+            )
+            return pa.table(
+                {
+                    "part_id": pa.array([part_id], type=pa.int32()),
+                    "file": [base_file],
+                    "rows": pa.array([-1], type=pa.int64()),  # unknown until compaction
+                    "applied_through_epoch": pa.array([new_fence], type=pa.int64()),
+                    "content_hash": [dsha],
+                    "schema_version": pa.array([self.target_version], type=pa.int64()),
+                    "dead_file": [dead_file],
+                    "dead_rows": pa.array([dead_rows], type=pa.int64()),
+                    "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
+                    "events_applied": pa.array([applied], type=pa.int64()),
+                    "delta_files": [prior_deltas + [os.path.relpath(fname, self.lake_root)]],
+                },
+                schema=RESULT_SCHEMA,
+            )
+        # cow (or mor compaction at max_deltas): full merge + base rewrite
         prior = self._prior_table(part_id)
         if prior is not None:
             # prior rows re-enter the reduce as op='insert' at their stored
@@ -184,17 +245,20 @@ class MergeApplier:
                 "dead_rows": pa.array([dead_rows], type=pa.int64()),
                 "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
                 "events_applied": pa.array([applied], type=pa.int64()),
+                "delta_files": [[]],  # base rewrite folds all deltas
             },
             schema=RESULT_SCHEMA,
         )
 
 
 def apply_group(group: pa.Table, *, lake_root: str, fences: dict, registry_json: str,
-                target_schema_version: int, prior_meta: dict | None = None) -> pa.Table:
+                target_schema_version: int, prior_meta: dict | None = None,
+                commit_mode: str = "cow", max_deltas: int = 8) -> pa.Table:
     """Task-form merge apply (ingest hot path): per-group construction of
     the applier state costs sub-ms (a small JSON parse + dict copies),
     while an actor pool pays multi-second spin-up per pipeline.  Use the
     MergeApplier class via map_groups(..., concurrency=N) only when the
     per-actor state is genuinely heavy."""
-    ap = MergeApplier(lake_root, fences, registry_json, target_schema_version, prior_meta)
+    ap = MergeApplier(lake_root, fences, registry_json, target_schema_version,
+                      prior_meta, commit_mode=commit_mode, max_deltas=max_deltas)
     return ap(group)

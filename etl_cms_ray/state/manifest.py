@@ -41,11 +41,16 @@ from ..schema import SchemaRegistry
 @dataclass
 class PartitionState:
     part_id: int
-    file: str | None = None  # relative to lake_root; None = empty partition
-    rows: int = 0
+    file: str | None = None  # base file, relative to lake_root; None = empty
+    rows: int = 0  # -1 = unknown (merge-on-read partition with live deltas)
     applied_through_epoch: int = -1
     content_hash: str = ""
     schema_version: int = 0
+    #: merge-on-read delta files (epoch order); live state = LWW(base ∪ deltas)
+    deltas: list = field(default_factory=list)
+
+    def all_files(self) -> list:
+        return ([self.file] if self.file else []) + list(self.deltas)
 
     def to_json(self) -> dict:
         return {
@@ -55,6 +60,7 @@ class PartitionState:
             "applied_through_epoch": self.applied_through_epoch,
             "content_hash": self.content_hash,
             "schema_version": self.schema_version,
+            "deltas": list(self.deltas),
         }
 
     @staticmethod
@@ -66,6 +72,7 @@ class PartitionState:
             applied_through_epoch=int(d.get("applied_through_epoch", -1)),
             content_hash=d.get("content_hash", ""),
             schema_version=int(d.get("schema_version", 0)),
+            deltas=list(d.get("deltas", [])),
         )
 
 
@@ -80,7 +87,13 @@ class Manifest:
         return self.partitions.get(part_id, PartitionState(part_id=part_id))
 
     def live_files(self) -> list[str]:
-        return [p.file for p in self.partitions.values() if p.file]
+        out = []
+        for p in self.partitions.values():
+            out.extend(p.all_files())
+        return out
+
+    def has_deltas(self) -> bool:
+        return any(p.deltas for p in self.partitions.values())
 
     def applied_through(self, part_id: int) -> int:
         return self.part(part_id).applied_through_epoch
