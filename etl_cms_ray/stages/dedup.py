@@ -203,15 +203,25 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     concurrency: int = 4,
+    broadcast_texts: bool = True,
+    join_partitions: int = 16,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (a < b, jaccard >= threshold).
 
-    Scale path: the only shuffles are the band groupby and the pair dedup;
-    the verify stage broadcasts texts — at 100 TB replace the broadcast
-    with a co-partitioned join of texts onto pairs (documented tradeoff).
+    Verify-stage text access has two modes:
+    - broadcast_texts=True (default, small corpora): id->text dict via
+      ray.put, probed per pair.
+    - broadcast_texts=False (the 100 TB path): texts are JOINED onto the
+      candidate pairs with Ray's hash-partitioned Dataset.join — no
+      driver materialization, no whole-corpus broadcast; candidate-pair
+      volume (post-LSH) is what moves, not the corpus.  Size
+      join_partitions to the cluster: the Join operator reserves one
+      aggregator actor per partition, and two chained joins at
+      join_partitions >> CPUs deadlock a small session.
     """
-    _texts_pd = docs.select_columns([id_col, text_col]).to_pandas()
-    texts_ref = ray.put(dict(zip(_texts_pd[id_col], _texts_pd[text_col])))
+    if broadcast_texts:
+        _texts_pd = docs.select_columns([id_col, text_col]).to_pandas()
+        texts_ref = ray.put(dict(zip(_texts_pd[id_col], _texts_pd[text_col])))
     bands_ds = docs.map_batches(
         MinHashBander,
         fn_constructor_kwargs=dict(
@@ -225,14 +235,59 @@ def minhash_lsh_pairs(
     bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
     pairs = bands_ds.groupby("ph").map_groups(_partition_pairs, batch_format="pandas")
     pairs = _dedup_pairs(pairs, ["a", "b"])
-    return pairs.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs=dict(texts_ref=texts_ref, shingle_k=shingle_k,
-                                   threshold=threshold),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, concurrency),
+    if broadcast_texts:
+        return pairs.map_batches(
+            JaccardVerifier,
+            fn_constructor_kwargs=dict(texts_ref=texts_ref, shingle_k=shingle_k,
+                                       threshold=threshold),
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, concurrency),
+        )
+
+    # scalable verify: join text_a and text_b onto the pairs, then exact
+    # per-row Jaccard — two hash-partitioned joins, zero broadcast
+    texts = docs.select_columns([id_col, text_col])
+    with_a = pairs.join(
+        texts, join_type="inner", num_partitions=join_partitions, on=("a",), right_on=(id_col,),
+        right_suffix="_a",
     )
+    a_col = text_col if text_col not in ("a", "b") else f"{text_col}_a"
+    with_a = with_a.map_batches(
+        lambda t: t.rename_columns(
+            [("text_a" if c == a_col else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    with_ab = with_a.join(
+        texts, join_type="inner", num_partitions=join_partitions, on=("b",), right_on=(id_col,),
+        right_suffix="_b",
+    )
+    with_ab = with_ab.map_batches(
+        lambda t: t.rename_columns(
+            [("text_b" if c == a_col else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sims = [
+            jaccard(np.sort(word_shingles(x, shingle_k)),
+                    np.sort(word_shingles(y, shingle_k)))
+            for x, y in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
+        ]
+        out = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "jaccard": pa.array(sims, type=pa.float64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
 # ---------------------------------------------------------------------------

@@ -383,3 +383,22 @@ def test_hyperloglog_accuracy_and_merge(ray_session):
     # serialization round-trip
     rt = HyperLogLog.from_bytes(ab.to_bytes())
     assert rt.cardinality() == ab.cardinality()
+
+
+def test_minhash_join_verify_equals_broadcast(ray_session):
+    """The scalable (join-based) verify path returns the same pairs as the
+    broadcast-texts path."""
+    from etl_cms_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = [base + f"variant {i} " + "filler words here and there " * i for i in range(8)]
+    texts.append(base + "tiny tail change")
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    )
+    a = minhash_lsh_pairs(docs, threshold=0.5, concurrency=1).to_pandas()
+    b = minhash_lsh_pairs(docs, threshold=0.5, concurrency=1,
+                          broadcast_texts=False, join_partitions=2).to_pandas()
+    ka = sorted(map(tuple, a[["a", "b"]].values.tolist()))
+    kb = sorted(map(tuple, b[["a", "b"]].values.tolist()))
+    assert ka == kb and ka, (ka, kb)
