@@ -20,9 +20,9 @@ class EngineConfig:
     num_partitions: int = 32
     #: map_batches batch size for the stateless normalize stage.
     batch_size: int = 8192
-    #: actor pool sizes: callable-class stages need an explicit pool size.
-    #: Sized so normalize + applier + read/write stages share the node
-    #: rather than any one pool reserving every CPU.
+    #: actor pool sizes for the OPTIONAL actor-mode stage classes
+    #: (Normalizer / MergeApplier).  The default ingest hot path is
+    #: task-based and ignores these (see pipelines/ingest.py rationale).
     normalize_concurrency: int = 4
     applier_concurrency: int = 4
     #: explicit skew treatment: when > 1, an extra salted reduce runs

@@ -402,3 +402,31 @@ def test_minhash_join_verify_equals_broadcast(ray_session):
     ka = sorted(map(tuple, a[["a", "b"]].values.tolist()))
     kb = sorted(map(tuple, b[["a", "b"]].values.tolist()))
     assert ka == kb and ka, (ka, kb)
+
+
+def test_lake_is_duckdb_readable(ray_session, tmp_path):
+    """Interop: the lake's live parquet files are directly queryable by
+    DuckDB (after compaction for merge-on-read lakes) and agree with the
+    engine's own read path."""
+    import duckdb
+    import ray.data
+
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.fixtures import make_events, make_repos
+    from etl_cms_ray.pipelines.ingest import ingest, read_lake_table
+    from etl_cms_ray.state.manifest import LakeStore
+
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=40)
+    cfg = EngineConfig(lake_root=str(tmp_path / "lake"), num_partitions=8)
+    ingest(ray.data.from_arrow(ev), cfg)
+
+    store = LakeStore(cfg.lake_root)
+    files = [store.abspath(f) for f in store.load_manifest().live_files()]
+    con = duckdb.connect()
+    n, keys = con.execute(
+        "SELECT count(*), count(DISTINCT repo || '/' || path) FROM read_parquet(?)",
+        [files],
+    ).fetchone()
+    engine = read_lake_table(cfg.lake_root)
+    assert n == engine.num_rows == keys
