@@ -98,6 +98,9 @@ def ingest(
     registry before application (the CDM v5.0->v5.2 DDL-migration analog).
     Safe to re-run with the same input: fencing makes it a no-op.
     """
+    import time as _time
+
+    _t0 = _time.perf_counter()
     store = LakeStore(cfg.lake_root)
     manifest = store.load_manifest()
     if manifest.partitions and manifest.num_partitions != cfg.num_partitions:
@@ -196,6 +199,8 @@ def ingest(
         "dead_rows": dead,
         "lake_rows": lake_rows,
         "schema_version": target_version,
+        "commit_mode": cfg.commit_mode,
+        "wall_s": round(_time.perf_counter() - _t0, 3),
     }
     store.publish(new_manifest, expect_version=manifest.version)
     store.append_lineage(
