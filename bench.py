@@ -148,11 +148,11 @@ def run_bench() -> dict:
     n_events = ev_mat.count()
 
     if SCALE_MULT > 1:
-        # scaling protocol: one large compute-bound ingest, min of 3 reps
-        # (this host shows multi-second noise bursts; min isolates the
-        # machine capacity from neighbor interference)
+        # scaling protocol: one large compute-bound ingest, min of 5 reps
+        # (this host shows multi-second noise bursts; the per-level min
+        # isolates machine capacity from neighbor interference)
         t_total = float("inf")
-        for _rep in range(3):
+        for _rep in range(5):
             rep_root = tempfile.mkdtemp(prefix="bench_lake_scale_")
             rep_cfg = EngineConfig(
                 lake_root=rep_root,

