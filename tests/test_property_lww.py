@@ -72,3 +72,37 @@ def test_any_stream_matches_oracle(events, tmp_path_factory):
     cfg = EngineConfig(lake_root=lake_root, num_partitions=4)
     ingest(ray.data.from_arrow(t), cfg)
     assert tables_equal_by_sha(read_lake_table(lake_root), replay(t))
+
+
+@pytest.mark.usefixtures("ray_session")
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(_event, min_size=2, max_size=30),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+def test_incremental_commits_match_oracle(events, mode, tmp_path_factory):
+    """Epoch-at-a-time commits with per-epoch re-delivery, both commit
+    modes, tiny max_deltas (forces mid-stream compaction under mor)."""
+    import pyarrow.compute as pc
+
+    seen = set()
+    cleaned = []
+    for e in events:
+        k = (e[0], e[2], e[3])
+        if k not in seen:
+            seen.add(k)
+            cleaned.append(e)
+    t = _to_table(cleaned)
+    lake_root = str(tmp_path_factory.mktemp("prop_inc") / "lake")
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=4, commit_mode=mode, max_deltas=2)
+    for ep in range(4):
+        chunk = t.filter(pc.equal(t["epoch"], ep))
+        if chunk.num_rows:
+            ingest(ray.data.from_arrow(chunk), cfg)
+            ingest(ray.data.from_arrow(chunk), cfg)  # at-least-once delivery
+    assert tables_equal_by_sha(read_lake_table(lake_root), replay(t))
