@@ -1,17 +1,23 @@
 """The flagship pipeline: change-event stream -> partitioned Parquet lake.
 
     events (Dataset)
-      -> Normalizer            map_batches, zero-copy Arrow, stateless
-      -> per-batch LWW combiner (pre-reduce: collapses hot-key duplicates
-         BEFORE the shuffle — the skew treatment; LWW is associative so the
-         batch-level partial reduce is safe, SURVEY.md §7.4 #4)
+      -> normalize_batch       map_batches tasks, zero-copy Arrow
+                                (sha256, size, part_id, validity,
+                                PRE-SHUFFLE epoch fence)
+      -> _combiner              per-batch LWW pre-reduce (collapses hot-key
+                                duplicates BEFORE the shuffle; LWW is
+                                associative — SURVEY.md §7.4 #4)
       -> groupby(part_id)       THE one hash shuffle
-      -> MergeApplier           actor pool; merges vs prior lake state,
-                                writes content-addressed partition files
+      -> apply_group            per-partition merge vs prior lake state
+                                (cow: base rewrite; mor: delta append),
+                                content-addressed deterministic writes
       -> manifest publish       atomic, epoch-fenced, exactly-once
 
-Reference analog of the whole flow: the per-beneficiary main loop +
-append sinks + control-file resume (SURVEY.md §3).
+All hot-path stages are task-based (see the inline rationale); the
+Normalizer/MergeApplier classes remain for actor-pool deployments with
+heavy per-actor state.  Reference analog of the whole flow: the
+per-beneficiary main loop + append sinks + control-file resume
+(SURVEY.md §3).
 """
 
 from __future__ import annotations

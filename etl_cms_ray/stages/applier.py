@@ -4,10 +4,12 @@ to the lake, one hash partition per call.
 Reference analog: the per-beneficiary driver loop + visit identity index +
 emit-once sets (``CMS_SynPuf_ETL_CDM_v5.py:2057-2087``, ``:541-590``) —
 the state that the reference holds in process-wide dicts lives here
-per-partition: the prior lake file, the epoch fence, and the schema
-registry.  Constructed once per actor (``map_groups(MergeApplier,
-concurrency=N)``); each ``__call__`` receives the complete event group of
-one ``part_id`` after the hash shuffle.
+per-partition: the prior lake files (base + merge-on-read deltas), the
+epoch fence, and the schema registry.  The ingest hot path runs the
+task-form ``apply_group`` (cheap per-group construction); the class form
+suits actor pools (``map_groups(MergeApplier, concurrency=N)``) when
+per-actor state is heavy.  Each call receives the complete event group
+of one ``part_id`` after the hash shuffle.
 
 Exactly-once: events with epoch <= the partition's fence are dropped
 (they were applied by a previous commit — replayed input is a no-op);

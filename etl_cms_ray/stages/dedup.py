@@ -8,8 +8,10 @@
   candidate pairs -> exact-Jaccard verify (broadcast text lookup).
 - simhash_pairs: 64-bit simhash, 16-bit band buckets, hamming verify.
 
-All stages are map_batches callable classes (actor pools) so the
-permutation matrices / broadcast texts load once per actor.
+Heavy-state stages (minhash permutation matrices, broadcast text maps)
+are map_batches callable classes (actor pools) so state loads once per
+actor; pair generation and reductions run as vectorized sweeps over
+coarse hash partitions.
 """
 
 from __future__ import annotations
