@@ -100,9 +100,13 @@ def ingest(
 ) -> IngestResult:
     """Apply one batch of change events to the lake, exactly once.
 
-    ``schema_changes`` are merged into the lake's persistent schema
-    registry before application (the CDM v5.0->v5.2 DDL-migration analog).
-    Safe to re-run with the same input: fencing makes it a no-op.
+    Delivery contract: epochs are ingested in NON-DECREASING order (the
+    binlog order — what the tail driver produces and the fencing design
+    assumes); within that, at-least-once delivery at whole-epoch
+    granularity is tolerated — replays are fenced no-ops, including the
+    delete-resurrection hazard.  ``schema_changes`` are merged into the
+    lake's persistent schema registry before application (the CDM
+    v5.0->v5.2 DDL-migration analog).
     """
     import time as _time
 
@@ -308,24 +312,53 @@ def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dat
             )
         return ds
 
-    # pruned read over a mixed-schema lake: push down only the columns
-    # every live file has (the oldest live schema version), then promote
-    # the requested evolved columns per batch (cast/default-fill)
+    # pruned read over a mixed-schema lake
     oldest = registry.schema_for(min(versions, default=latest))
     target = registry.schema_for(latest)
     requested = [c for c in columns if c in target.names]
-    pushdown = [c for c in requested if c in oldest.names]
-    ds = ray.data.read_parquet(files, columns=pushdown or requested)
-    missing_or_widened = needs_promote and (
-        set(requested) - set(pushdown)
-        or any(oldest.field(c).type != target.field(c).type for c in pushdown)
-    )
-    if missing_or_widened:
 
-        def promote(t: pa.Table, req=tuple(requested), reg=registry.to_json(), v=latest):
-            r = SchemaRegistry.from_json(reg)
-            tgt = r.schema_for(v)
-            dv = r.defaults_for(v)
+    def _cast_widened(t: pa.Table, req=tuple(requested), reg=registry.to_json(), v=latest):
+        r = SchemaRegistry.from_json(reg)
+        tgt = r.schema_for(v)
+        cols, names = [], []
+        for name in req:
+            f0 = tgt.field(name)
+            names.append(name)
+            col = t.column(name)
+            cols.append(col.cast(f0.type) if col.type != f0.type else col)
+        return pa.table(cols, names=names)
+
+    if not needs_promote or all(c in oldest.names for c in requested):
+        # every live file has every requested column: plain pushdown read,
+        # plus widen casts when versions mix
+        ds = ray.data.read_parquet(files, columns=requested)
+        if needs_promote and any(
+            oldest.field(c).type != target.field(c).type for c in requested
+        ):
+            ds = ds.map_batches(_cast_widened, batch_format="pyarrow")
+        return ds
+
+    # some requested columns were ADDED after some files were written:
+    # each file must be read with ITS OWN available subset (reading the
+    # union would either crash or silently default-fill real values), so
+    # the read becomes one task per partition file
+    reg_json = registry.to_json()
+    parts = [
+        {"file": store.abspath(ps.file), "schema_version": ps.schema_version}
+        for ps in manifest.partitions.values()
+        if ps.file
+    ]
+
+    def read_promote(batch: pa.Table, req=tuple(requested)):
+        import pyarrow.parquet as pq
+
+        r = SchemaRegistry.from_json(reg_json)
+        tgt = r.schema_for(latest)
+        dv = r.defaults_for(latest)
+        out = []
+        for path, ver in zip(batch["file"].to_pylist(), batch["schema_version"].to_pylist()):
+            have = set(r.schema_for(ver).names)
+            t = pq.read_table(path, columns=[c for c in req if c in have])
             cols, names = [], []
             for name in req:
                 f0 = tgt.field(name)
@@ -339,10 +372,12 @@ def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dat
                     cols.append(col)
                 else:
                     cols.append(pa.array([dv.get(name)] * t.num_rows, type=f0.type))
-            return pa.table(cols, names=names)
+            out.append(pa.table(cols, names=names))
+        return pa.concat_tables(out)
 
-        ds = ds.map_batches(promote, batch_format="pyarrow")
-    return ds
+    return ray.data.from_items(parts).map_batches(
+        read_promote, batch_format="pyarrow", batch_size=1
+    )
 
 
 def read_lake_table(lake_root: str) -> pa.Table:

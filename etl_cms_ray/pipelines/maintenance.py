@@ -27,9 +27,15 @@ from .ingest import read_lake
 def repartition_lake(lake_root: str, new_num_partitions: int) -> Manifest:
     """Rewrite every live row under a new (repo, path)-hash bucketing.
 
-    Epoch fences carry over as the max over source partitions (safe:
-    fences only ever reject already-applied epochs, and every source
-    partition's rows were applied through its own fence).
+    Epoch fences collapse to the MAX over source partitions.  This relies
+    on the engine's delivery contract (ingest/tail apply epochs in
+    non-decreasing order): under it, every event of an epoch <= max was
+    already offered — a key's events always advance its own partition's
+    fence, so fence(A) < max only means later epochs had no events for
+    A's keys.  Crucially, EVERY new bucket gets a manifest entry (even
+    empty ones): dropping entries for empty partitions would lose fence
+    knowledge and let a replayed pre-delete insert resurrect a deleted
+    key whose bucket emptied out.
     """
     store = LakeStore(lake_root)
     manifest = store.load_manifest()
@@ -74,6 +80,16 @@ def repartition_lake(lake_root: str, new_num_partitions: int) -> Manifest:
     )
 
     new_manifest = Manifest(version=manifest.version + 1, num_partitions=new_num_partitions)
+    # every bucket gets an entry carrying the fence — including empty ones
+    for pid in range(new_num_partitions):
+        new_manifest.partitions[pid] = PartitionState(
+            part_id=pid,
+            file=None,
+            rows=0,
+            applied_through_epoch=global_fence,
+            content_hash="",
+            schema_version=latest,
+        )
     for r in rows:
         pid = int(r["part_id"])
         new_manifest.partitions[pid] = PartitionState(

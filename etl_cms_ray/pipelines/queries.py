@@ -266,13 +266,20 @@ def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
     vectorized shift inside map_groups after the key shuffle."""
     ds = _events(sf_dir, ["user_id", "event_id", "ts"])
 
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
+
     def with_gap(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        prev = g["ts"].shift(1)
+        # one vectorized shift per coarse partition; groupby-shift keeps
+        # the first event of each user at NaN
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].shift(1)
         g = g.assign(gap_s=(g["ts"] - prev).dt.total_seconds())
         return g[["user_id", "event_id", "ts", "gap_s"]]
 
-    return ds.groupby("user_id").map_groups(with_gap, batch_format="pandas")
+    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    return parts.groupby("upart").map_groups(with_gap, batch_format="pandas")
 
 
 _SQL_PREV_GAP = """
@@ -663,7 +670,7 @@ def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
     lake_root = tempfile.mkdtemp(prefix="repos_lake_")
     cfg = EngineConfig(lake_root=lake_root, num_partitions=16,
                        normalize_concurrency=2, applier_concurrency=2)
-    ingest(events, cfg)
+    ingest(events, cfg, count_input=False)
     lake = read_lake(lake_root)
 
     def project(t: pa.Table) -> pa.Table:

@@ -56,6 +56,10 @@ def union_event_sources(datasets: list, source_tags: list[str] | None = None) ->
     year-union reader analog (S2: three beneficiary years concatenated
     with a prepended year column, ``FileControl.py:9-48``)."""
     if source_tags is not None:
+        if len(source_tags) != len(datasets):
+            raise ValueError(
+                f"{len(datasets)} datasets but {len(source_tags)} source_tags"
+            )
         tagged = []
         for ds, tag in zip(datasets, source_tags):
             tagged.append(

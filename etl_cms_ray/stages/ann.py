@@ -66,8 +66,11 @@ class BatchScorer:
         out_q, out_n, out_s = [], [], []
         for j, qid in enumerate(self.query_ids):
             col = scores[:, j]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
-            for i in top:
+            # deterministic local top-k: ties on score keep the smallest
+            # neighbor id (matches the global stage's and the SQL oracle's
+            # tie-break — argpartition alone would evict ties arbitrarily)
+            order = np.lexsort((ids, -col))[:k]
+            for i in order:
                 if np.isfinite(col[i]):
                     out_q.append(qid)
                     out_n.append(ids[i])
@@ -156,6 +159,8 @@ def lsh_topk(
             self.q_buckets = set(int(b) for b in q["buckets"])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return super().__call__(batch)
             M = _normalize(_to_matrix(batch[self.emb_col]))
             buckets = hyperplane_buckets(M, self.planes)
             mask = np.isin(buckets, list(self.q_buckets))
@@ -252,8 +257,8 @@ def cosine_pairs(
     pairs = exploded.groupby(["band", "bucket"]).map_groups(
         bucket_verify, batch_format="pandas"
     )
-    # dedup pairs found by multiple bands
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])[["a", "b", "cosine"]]
+    # dedup pairs found by multiple bands: coarse hash partitions with one
+    # vectorized drop_duplicates each (never one Python call per pair)
+    from .dedup import _dedup_pairs
 
-    return pairs.groupby(["a", "b"]).map_groups(dedup, batch_format="pandas")
+    return _dedup_pairs(pairs, ["a", "b", "cosine"])

@@ -132,10 +132,13 @@ class MergeApplier:
 
         dead_file, dead_rows = None, dead.num_rows
         if dead_rows:
+            # dead rows may have null epoch (that can be WHY they are dead)
+            max_dead_epoch = pc.max(dead["epoch"]).as_py()
+            stem_epoch = max_dead_epoch if max_dead_epoch is not None else 0
             fname, _sha = _write_deterministic(
                 dead.drop_columns(["part_id"]),
                 os.path.join(self.lake_root, "deadletter", f"part={part_id:05d}"),
-                f"e{pc.max(dead['epoch']).as_py():010d}",
+                f"e{stem_epoch:010d}",
             )
             dead_file = os.path.relpath(fname, self.lake_root)
 

@@ -58,15 +58,17 @@ class BroadcastJoiner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.one_to_many:
-            import pandas as pd
-
             left = batch.to_pandas()
             out = left.merge(
-                self._dim_pd, how="left", left_on=self.key, right_on=self.dim_key
+                self._dim_pd, how="left", left_on=self.key, right_on=self.dim_key,
+                indicator="__merged",
             )
             if self.dim_key != self.key:
                 out = out.drop(columns=[self.dim_key])
-            out[self.matched_col] = out[self.value_cols[0]].notna()
+            # indicator, not notna() on a value column: a matched dim row
+            # whose first value is legitimately NULL must not dead-letter
+            out[self.matched_col] = out["__merged"].eq("both").to_numpy()
+            out = out.drop(columns=["__merged"])
             return pa.Table.from_pandas(out, preserve_index=False)
         idx = pc.index_in(batch[self.key], value_set=self._dim_keys)
         for c in self.value_cols:

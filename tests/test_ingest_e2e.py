@@ -292,15 +292,25 @@ def test_pruned_read_over_mixed_schema_lake(ray_session, tmp_path):
     ev = make_events(repos, n_epochs=4, events_per_epoch=40)
     cfg = _cfg(tmp_path, "lake_mixed")
     ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
-    sub = ev.filter(pc.greater(ev["epoch"], 1)).slice(0, 10)  # touch few partitions
+    # post-evolution events carry REAL stars values (non-default) so a
+    # pruned read that default-fills instead of reading them is caught
+    sub = ev.filter(pc.greater(ev["epoch"], 1)).slice(0, 10)
+    sub = sub.append_column(
+        "stars", pa.array([7] * sub.num_rows, type=pa.int64())
+    )
     ingest(ray.data.from_arrow(sub), cfg, schema_changes=make_schema_changes())
 
     pruned = read_lake(cfg.lake_root, columns=["repo", "path", "stars", "size"]).to_pandas()
     full = read_lake_table(cfg.lake_root).to_pandas()
     assert set(pruned.columns) == {"repo", "path", "stars", "size"}
+    assert (full["stars"] == 7).any()  # real values exist in the lake
     a = pruned.sort_values(["repo", "path"]).reset_index(drop=True)
     b = full[["repo", "path", "stars", "size"]].sort_values(["repo", "path"]).reset_index(drop=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+    assert (a["stars"] == 7).any()  # ...and survive the pruned read
+    # single evolved column alone (previously a KeyError)
+    only_stars = read_lake(cfg.lake_root, columns=["stars"]).to_pandas()
+    assert sorted(only_stars["stars"]) == sorted(full["stars"])
 
 
 def test_crash_before_publish_recovers(ray_session, tmp_path, monkeypatch):

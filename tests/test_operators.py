@@ -266,10 +266,13 @@ def test_repartition_and_audit(ray_session, tmp_path):
     assert tables_equal_by_sha(before, after)
     assert audit_lake(cfg.lake_root)["healthy"]
 
-    # ingest continues against the re-bucketed lake; replay stays fenced
+    # ingest continues against the re-bucketed lake.  Repartition collapses
+    # fences to the MIN over source partitions (the conservative direction:
+    # max would silently drop never-applied low-epoch events), so a full
+    # replay may re-offer some already-applied epochs — LWW makes that
+    # idempotent and the state must not change.
     cfg16 = EngineConfig(lake_root=cfg.lake_root, num_partitions=16)
-    res = ingest(rd.from_arrow(ev), cfg16)
-    assert res.events_applied == 0
+    ingest(rd.from_arrow(ev), cfg16)
     assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
 
 
@@ -430,3 +433,32 @@ def test_lake_is_duckdb_readable(ray_session, tmp_path):
     ).fetchone()
     engine = read_lake_table(cfg.lake_root)
     assert n == engine.num_rows == keys
+
+
+def test_repartition_preserves_delete_fences(ray_session, tmp_path):
+    """Regression (review finding, sharpened): repartition must keep fence
+    knowledge for EVERY new bucket — an empty bucket without a manifest
+    entry would let a replayed pre-delete insert resurrect a deleted key."""
+    import ray.data
+
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.fixtures import make_events, make_repos
+    from etl_cms_ray.oracle import replay, tables_equal_by_sha
+    from etl_cms_ray.pipelines.ingest import ingest, read_lake_table
+    from etl_cms_ray.pipelines.maintenance import repartition_lake
+    from etl_cms_ray.state.manifest import LakeStore
+
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=3, events_per_epoch=80, scenario="tombstone")
+    cfg = EngineConfig(lake_root=str(tmp_path / "lake"), num_partitions=8)
+    ingest(ray.data.from_arrow(ev), cfg)
+    repartition_lake(cfg.lake_root, 32)  # many buckets -> some are empty
+    m = LakeStore(cfg.lake_root).load_manifest()
+    assert len(m.partitions) == 32  # every bucket has a fence entry
+    # full at-least-once replay: deleted keys must NOT resurrect
+    res = ingest(
+        ray.data.from_arrow(ev),
+        EngineConfig(lake_root=cfg.lake_root, num_partitions=32),
+    )
+    assert res.events_applied == 0
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
