@@ -50,6 +50,9 @@ def _derive_events(sf_dir: str, mult: int = 1):
     )
 
     def to_events(t: pa.Table) -> pa.Table:
+        from etl_cms_ray.functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         okey = t["l_orderkey"]
         line = pc.cast(t["l_linenumber"], pa.int64())
         okey_np = okey.to_numpy(zero_copy_only=False)
@@ -152,8 +155,10 @@ def run_bench() -> dict:
         # (this host shows multi-second noise bursts; the per-level min
         # isolates machine capacity from neighbor interference)
         t_total = float("inf")
+        own_roots = []
         for _rep in range(5):
             rep_root = tempfile.mkdtemp(prefix="bench_lake_scale_")
+            own_roots.append(rep_root)
             rep_cfg = EngineConfig(
                 lake_root=rep_root,
                 num_partitions=cfg.num_partitions,
@@ -162,11 +167,10 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             ingest(ev_mat, rep_cfg, count_input=False)
             t_total = min(t_total, time.perf_counter() - t0)
-            last_root = rep_root
-        lake_rows = read_lake(last_root, columns=["repo"]).count()
-        shutil.rmtree(lake_root, ignore_errors=True)
-        import glob as _glob
-        for d in _glob.glob(tempfile.gettempdir() + "/bench_lake_scale_*"):
+        lake_rows = read_lake(own_roots[-1], columns=["repo"]).count()
+        # remove only THIS process's scratch lakes (a glob would yank
+        # another concurrently running bench's files mid-measurement)
+        for d in [lake_root, *own_roots]:
             shutil.rmtree(d, ignore_errors=True)
         out = {
             "metric": "cdc_ingest_wall_sec_scaled",
@@ -245,9 +249,13 @@ def run_scaling() -> None:
                    GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "12"))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"scaling child at num_cpus={ncpu} failed "
+                               f"(exit {proc.returncode}); stderr above")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     r_lo, r_hi = run(lo), run(hi)

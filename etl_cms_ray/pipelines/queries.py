@@ -13,6 +13,7 @@ on BOTH sides; rank/limit queries use fully deterministic tie-breaks.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import numpy as np
@@ -73,6 +74,14 @@ def _final_agg(partials: "rd.Dataset", agg_fn) -> "rd.Dataset":
     return partials.repartition(1).map_batches(
         agg_fn, batch_format="pandas", batch_size=None
     )
+
+
+
+def _add_upart(t: pa.Table) -> pa.Table:
+    """Coarse key-hash partition column for per-partition vectorized
+    sweeps (CLAUDE.md rule 3): one group per hash bucket, never per key."""
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
 
 
 def _events(sf_dir: str, columns=None) -> "rd.Dataset":
@@ -189,10 +198,6 @@ def cdc_sessionize(sf_dir: str) -> "rd.Dataset":
     groupby(key).map_groups over ts-sorted groups."""
     ds = _events(sf_dir, ["user_id", "ts"])
 
-    def add_part(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
-
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         s = sessionize_partition(df, ["user_id"], "ts", gap_seconds=30 * 60)
         g = s.groupby("user_id", sort=False).agg(
@@ -202,7 +207,7 @@ def cdc_sessionize(sf_dir: str) -> "rd.Dataset":
 
     # key-hash partitions instead of per-user groups: one vectorized
     # sweep per partition, not one Python call per user
-    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
     return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
 
 
@@ -225,17 +230,13 @@ def cdc_era_merge(sf_dir: str) -> "rd.Dataset":
     per-group vectorized sweep instead of window-function SQL."""
     ds = _events(sf_dir, ["user_id", "event_type", "ts"])
 
-    def add_part(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
-
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         s = sessionize_partition(df, ["user_id", "event_type"], "ts", gap_seconds=3600.0)
         s = s.rename(columns={"session_start": "era_start", "session_end": "era_end"})
         s["n_events"] = s["n_events"].astype("int64")
         return s[["user_id", "event_type", "era_start", "era_end", "n_events"]]
 
-    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
     return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
 
 
@@ -266,10 +267,6 @@ def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
     vectorized shift inside map_groups after the key shuffle."""
     ds = _events(sf_dir, ["user_id", "event_id", "ts"])
 
-    def add_part(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
-
     def with_gap(g: pd.DataFrame) -> pd.DataFrame:
         # one vectorized shift per coarse partition; groupby-shift keeps
         # the first event of each user at NaN
@@ -278,7 +275,7 @@ def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
         g = g.assign(gap_s=(g["ts"] - prev).dt.total_seconds())
         return g[["user_id", "event_id", "ts", "gap_s"]]
 
-    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
     return parts.groupby("upart").map_groups(with_gap, batch_format="pandas")
 
 
@@ -297,6 +294,9 @@ def events_scalar_decode(sf_dir: str) -> "rd.Dataset":
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
 
     def decode(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         iso_day = date_to_iso_col(t["ts"])
         user_code = zero_pad_col(pc.cast(t["user_id"], pa.string()), 4)
         route_key = concat_key_col(t["event_type"], user_code, sep="-")
@@ -315,8 +315,8 @@ def events_scalar_decode(sf_dir: str) -> "rd.Dataset":
 _SQL_SCALAR_DECODE = """
 SELECT event_id,
        strftime(ts, '%Y-%m-%d') AS iso_day,
-       lpad(CAST(user_id AS VARCHAR), 4, '0') AS user_code,
-       event_type || '-' || lpad(CAST(user_id AS VARCHAR), 4, '0') AS route_key
+       lpad(CAST(user_id AS VARCHAR), CAST(greatest(length(CAST(user_id AS VARCHAR)), 4) AS INTEGER), '0') AS user_code,
+       event_type || '-' || lpad(CAST(user_id AS VARCHAR), CAST(greatest(length(CAST(user_id AS VARCHAR)), 4) AS INTEGER), '0') AS route_key
 FROM events
 """
 
@@ -378,28 +378,29 @@ def cdc_rolling_value_mean(sf_dir: str) -> "rd.Dataset":
     key-hash partitions + one vectorized pandas rolling per partition."""
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
 
-    def add_part(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        return t.append_column("upart", pa.array((uid % 64).astype(np.int64)))
-
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # grid discipline (CLAUDE.md rule 4): quantize terms, then an
+        # explicit shift-based sum/count — pandas' incremental rolling
+        # accumulator can drift from DuckDB's per-frame recompute
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        roll = (
-            df.groupby("user_id", sort=False)["value"]
-            .rolling(window=3, min_periods=1)
-            .mean()
-            .reset_index(level=0, drop=True)
-        )
-        df = df.assign(rolling_mean=_qround(roll, 4))
+        v = _qround(df["value"], 2)
+        g = df.assign(_v=v).groupby("user_id", sort=False)["_v"]
+        s1, s2 = g.shift(1), g.shift(2)
+        total = v + s1.fillna(0.0) + s2.fillna(0.0)
+        n = 1 + s1.notna().astype("int64") + s2.notna().astype("int64")
+        df = df.assign(rolling_mean=_qround(_qround(total, 2) / n, 4))
         return df[["event_id", "user_id", "ts", "rolling_mean"]]
 
-    parts = ds.map_batches(add_part, batch_format="pyarrow")
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
     return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
 
 
 _SQL_ROLLING = """
 SELECT event_id, user_id, ts,
-       floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       floor(((floor((sum(floor(value * 100 + 0.5) / 100)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100)
+              / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5)
            / 10000 AS rolling_mean
 FROM events
@@ -455,11 +456,11 @@ def customer_order_counts(sf_dir: str) -> "rd.Dataset":
 
     partials = orders.map_batches(partial, batch_format="pandas")
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    cust_pd = cust.to_pandas()
+    cust_ref = ray.put(cust.to_pandas())  # broadcast, not closure-pickled
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         counts = df.groupby("o_custkey", sort=False)["_n"].sum().reset_index()
-        out = cust_pd.merge(counts, left_on="c_custkey", right_on="o_custkey", how="left")
+        out = ray.get(cust_ref).merge(counts, left_on="c_custkey", right_on="o_custkey", how="left")
         return pd.DataFrame(
             {
                 "c_custkey": out["c_custkey"],
@@ -635,6 +636,9 @@ def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
     )
 
     def to_events(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         ids = batch["doc_id"]
         path = pc.binary_join_element_wise("doc_", pc.cast(ids, pa.string()), "")
         n = batch.num_rows
@@ -667,7 +671,14 @@ def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
         return pa.concat_tables([base, updates, deletes])
 
     events = docs.map_batches(to_events, batch_format="pyarrow")
-    lake_root = tempfile.mkdtemp(prefix="repos_lake_")
+    # deterministic scratch lake per sf_dir, recycled per call: repeated
+    # driver/bench invocations must not accumulate unbounded /tmp copies
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"repos_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
     cfg = EngineConfig(lake_root=lake_root, num_partitions=16,
                        normalize_concurrency=2, applier_concurrency=2)
     ingest(events, cfg, count_input=False)
@@ -958,9 +969,10 @@ def top_customers_by_spend(sf_dir: str) -> "rd.Dataset":
 
     partials = orders.map_batches(partial, batch_format="pandas")
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    names = cust.to_pandas()
+    names_ref = ray.put(cust.to_pandas())  # broadcast, not closure-pickled
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(names_ref)
         g = df.groupby("o_custkey", sort=False).agg(
             _spend=("_sum", "sum"), n_orders=("_n", "sum")
         ).reset_index()
@@ -1124,6 +1136,9 @@ def doc_token_stats(sf_dir: str) -> "rd.Dataset":
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         text = t["text"]
         n_tok = token_count_column(text)
         n_chars = char_count_column(text)

@@ -39,13 +39,15 @@ class BatchScorer:
     each batch's local top-k candidates per query."""
 
     def __init__(self, queries_ref, k: int, id_col: str = "vec_id",
-                 emb_col: str = "embedding", exclude_self: bool = True):
+                 emb_col: str = "embedding", exclude_self: bool = True,
+                 round_digits: int | None = None):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.query_ids = np.asarray(q["ids"])
         self.Q = _normalize(np.asarray(q["vecs"], dtype=np.float64))
         self.k = k
         self.id_col, self.emb_col = id_col, emb_col
         self.exclude_self = exclude_self
+        self.round_digits = round_digits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -66,10 +68,16 @@ class BatchScorer:
         out_q, out_n, out_s = [], [], []
         for j, qid in enumerate(self.query_ids):
             col = scores[:, j]
-            # deterministic local top-k: ties on score keep the smallest
-            # neighbor id (matches the global stage's and the SQL oracle's
-            # tie-break — argpartition alone would evict ties arbitrarily)
-            order = np.lexsort((ids, -col))[:k]
+            # deterministic local top-k on the SAME key the global stage
+            # ranks by: the (possibly rounded) score with smallest-id
+            # tie-break — selecting on raw scores could evict a rounded-tie
+            # candidate the oracle keeps
+            if self.round_digits is not None:
+                scale = float(10 ** self.round_digits)
+                key = np.floor(col * scale + 0.5) / scale
+            else:
+                key = col
+            order = np.lexsort((ids, -key))[:k]
             for i in order:
                 if np.isfinite(col[i]):
                     out_q.append(qid)
@@ -104,7 +112,7 @@ def brute_force_topk(
     partials = vectors.map_batches(
         BatchScorer,
         fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k, id_col=id_col,
-                                   emb_col=emb_col),
+                                   emb_col=emb_col, round_digits=round_digits),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, concurrency),
