@@ -541,6 +541,47 @@ UNION ALL SELECT 0.9, quantile_disc(l_quantity, 0.9) FROM lineitem
 """
 
 
+def doc_quality_filter(sf_dir: str) -> "rd.Dataset":
+    """Composite training-data quality filter: keep documents inside
+    token/char bounds with a punctuation ratio cap — the kind of rule
+    chain a pretraining pipeline applies before dedup.  Pure vectorized
+    Arrow predicate, SQL-mirrored."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        text = t["text"]
+        n_tok = token_count_column(text)
+        n_chars = char_count_column(text)
+        n_punct = punct_count_column(text)
+        ratio = pc.divide(n_punct.cast(pa.float64()), n_chars.cast(pa.float64()))
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_tok, pa.scalar(5, type=pa.int64())),
+                pc.less_equal(n_tok, pa.scalar(5000, type=pa.int64())),
+            ),
+            pc.and_(
+                pc.greater_equal(n_chars, pa.scalar(30, type=pa.int64())),
+                pc.less(ratio, pa.scalar(0.1)),
+            ),
+        )
+        out = t.filter(mask)
+        return pa.table({"doc_id": out["doc_id"], "lang": out["lang"]})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_SQL_QUALITY_FILTER = """
+SELECT doc_id, lang
+FROM documents
+WHERE array_length(string_split(text, ' ')) BETWEEN 5 AND 5000
+  AND length(text) >= 30
+  AND CAST(length(text) - length(replace(text, '.', '')) AS DOUBLE) / length(text) < 0.1
+"""
+
+
 #: event_type dimension (vocabulary analog); 'error' intentionally missing
 #: -> dead-letter (unmapped-code-log analog).
 _EVENT_DIM = pa.table(
@@ -1468,6 +1509,7 @@ QUERIES = {
     "lineitem_distinct_suppliers": lineitem_distinct_suppliers,
     # text / documents
     "doc_token_stats": doc_token_stats,
+    "doc_quality_filter": doc_quality_filter,
     "lang_doc_stats": lang_doc_stats,
     "dedup_exact_docs": dedup_exact_docs,
     "ann_cosine_topk": ann_cosine_topk,
@@ -1513,6 +1555,7 @@ ORACLE_SQL = {
     "supplier_balance_by_nation": _SQL_SUPPLIER_BAL,
     "lineitem_distinct_suppliers": _SQL_DISTINCT_SUPP,
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
+    "doc_quality_filter": _SQL_QUALITY_FILTER,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "ann_cosine_topk": _SQL_ANN_TOPK,
