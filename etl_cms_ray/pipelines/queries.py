@@ -63,18 +63,65 @@ def _sql_q(expr: str, digits: int = 2) -> str:
 def _final_agg(partials: "rd.Dataset", agg_fn) -> "rd.Dataset":
     """Final reduce over pre-aggregated partials as ONE coalesced task.
 
-    After the per-batch partial aggregation, the surviving rows number
-    ~(#keys x #blocks).  For bounded-cardinality keys that is tiny, and
-    Ray's sort-based Aggregate operator costs ~300ms/block regardless of
-    size — a single pandas groupby over the coalesced partials is orders
-    of magnitude faster and still scale-correct (the data was already
-    reduced in parallel).  Unbounded-key aggregations (e.g. exact dedup)
-    keep the hash-shuffle groupby instead.
+    BOUNDED-cardinality keys only (statuses, priorities, languages,
+    months, histogram bins, top-k candidate pools): the surviving rows
+    number ~(#keys x #blocks), which stays tiny at any data scale, and a
+    single pandas groupby over the coalesced partials beats Ray's
+    sort-based Aggregate operator (~300ms/block fixed cost).  Aggregations
+    keyed by an UNBOUNDED entity space (users, customers, orderkeys) must
+    use _coarse_final instead — one coalesced task over #keys rows is a
+    scale bottleneck.
     """
     return partials.repartition(1).map_batches(
         agg_fn, batch_format="pandas", batch_size=None
     )
 
+
+_COARSE_PARTS = 64
+
+
+def _coarse_final(
+    partials: "rd.Dataset", key: str, final_fn, parts: int = _COARSE_PARTS
+) -> "rd.Dataset":
+    """Scale-safe final reduce for UNBOUNDED integer key spaces.
+
+    Hash-partitions the per-batch partials into ``parts`` coarse buckets
+    (key % parts, so every partial row of one key lands in one bucket) and
+    runs ONE vectorized ``final_fn`` sweep per bucket via
+    groupby(bucket).map_groups — the cdc_sessionize pattern (CLAUDE.md
+    rule 3).  Work per final task is #keys/parts, independent of any
+    single task holding the whole key space; ``parts`` bounds the shuffle
+    fan-in and can rise with the cluster.
+    """
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("fpart", pa.array((k % parts).astype(np.int64)))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return final_fn(df.drop(columns=["fpart"]))
+
+    parted = partials.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("fpart").map_groups(per_part, batch_format="pandas")
+
+
+def _join_parts(cap: int = 16) -> int:
+    """num_partitions for native Dataset.join sized to the session: the
+    Join operator reserves one aggregator actor per partition, and chained
+    joins at num_partitions >> CPUs can starve a small local session."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus // 4))
+
+
+
+def _nometa(t: pa.Table) -> pa.Table:
+    """Strip schema metadata (parquet writes a `pandas` dict that makes
+    pyarrow schemas unhashable, defeating Ray's schema dedup inside
+    hash-shuffle joins and spamming 'Failed to hash the schemas')."""
+    return t.replace_schema_metadata(None)
 
 
 def _add_upart(t: pa.Table) -> pa.Table:
@@ -102,8 +149,9 @@ def cdc_lww_latest(sf_dir: str) -> "rd.Dataset":
         return df.groupby("user_id", sort=False).tail(1)
 
     ds = ds.map_batches(last_per_user, batch_format="pandas")  # combiner
-    return _final_agg(
+    return _coarse_final(
         ds,
+        "user_id",
         lambda df: last_per_user(df).rename(
             columns={"event_type": "last_type", "value": "last_value", "ts": "last_ts"}
         )[["user_id", "last_type", "last_value", "last_ts"]],
@@ -147,8 +195,9 @@ def cdc_first_occurrence(sf_dir: str) -> "rd.Dataset":
         return df.groupby(["user_id", "event_type"], sort=False).head(1)
 
     ds = ds.map_batches(first_per, batch_format="pandas")
-    return _final_agg(
+    return _coarse_final(
         ds,
+        "user_id",
         lambda df: first_per(df).rename(
             columns={"ts": "first_ts", "event_id": "first_event_id"}
         )[["user_id", "event_type", "first_ts", "first_event_id"]],
@@ -183,7 +232,9 @@ def cdc_partition_stats(sf_dir: str) -> "rd.Dataset":
             n_events=g["n_events"].astype("int64"), sum_value=_qround(g["_s"], 2)
         ).drop(columns=["_s"])
 
-    return _final_agg(ds.map_batches(partial, batch_format="pandas"), final)
+    return _coarse_final(
+        ds.map_batches(partial, batch_format="pandas"), "user_id", final
+    )
 
 
 _SQL_PARTITION_STATS = """
@@ -342,7 +393,9 @@ def user_month_spans(sf_dir: str) -> "rd.Dataset":
         months = np.repeat(a, n_months) + offsets.astype("timedelta64[M]")
         return pd.DataFrame({"user_id": uid, "month": months.astype("datetime64[us]")})
 
-    return _final_agg(ds.map_batches(partial, batch_format="pandas"), expand)
+    return _coarse_final(
+        ds.map_batches(partial, batch_format="pandas"), "user_id", expand
+    )
 
 
 _SQL_MONTH_SPANS = """
@@ -411,10 +464,12 @@ def order_status_revenue_native_join(sf_dir: str) -> "rd.Dataset":
     """Both-sides-large hash join through Ray Data's native Dataset.join
     (hash-partitioned on the key) — the non-broadcast join path, kept
     alongside the broadcast-probe pattern used when one side is small."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).map_batches(_nometa, batch_format="pyarrow")
     lineitem = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    )
+    ).map_batches(_nometa, batch_format="pyarrow")
     joined = lineitem.join(
         orders, join_type="inner", num_partitions=16,
         on=("l_orderkey",), right_on=("o_orderkey",),
@@ -447,29 +502,39 @@ GROUP BY o_orderstatus
 
 
 def customer_order_counts(sf_dir: str) -> "rd.Dataset":
-    """LEFT-join semantics: every customer, zero-filled order counts
-    (broadcast aggregate probe — customers with no orders survive)."""
+    """LEFT-join semantics: every customer, zero-filled order counts.
+
+    Both sides are unbounded, so neither is broadcast or driver-read:
+    per-batch count partials -> coarse-partition final per custkey ->
+    native hash-partitioned LEFT OUTER Dataset.join onto customer."""
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_custkey", sort=False).size().rename("_n").reset_index()
 
-    partials = orders.map_batches(partial, batch_format="pandas")
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    cust_ref = ray.put(cust.to_pandas())  # broadcast, not closure-pickled
+    counts = _coarse_final(
+        orders.map_batches(partial, batch_format="pandas"),
+        "o_custkey",
+        lambda df: df.groupby("o_custkey", sort=False)["_n"].sum().reset_index(),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_nometa, batch_format="pyarrow")
+    joined = cust.join(
+        counts, join_type="left_outer", num_partitions=_join_parts(),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df.groupby("o_custkey", sort=False)["_n"].sum().reset_index()
-        out = ray.get(cust_ref).merge(counts, left_on="c_custkey", right_on="o_custkey", how="left")
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "c_custkey": out["c_custkey"],
-                "c_name": out["c_name"],
-                "n_orders": out["_n"].fillna(0).astype("int64"),
+                "c_custkey": df["c_custkey"],
+                "c_name": df["c_name"],
+                "n_orders": df["_n"].fillna(0).astype("int64"),
             }
         )
 
-    return _final_agg(partials, final)
+    return joined.map_batches(finalize, batch_format="pandas")
 
 
 _SQL_CUST_ORDER_COUNTS = """
@@ -835,69 +900,78 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_orders(sf_dir: str) -> "rd.Dataset":
-    """Broadcast-semi-join + grouped agg + deterministic top-k: the
-    customer/orders sides are broadcast maps probed inside map_batches —
-    no shuffle join (SURVEY.md J2 pattern)."""
-    cust = pq.read_table(
+    """Fully distributed top-k join: BUILDING customers semi-restrict
+    orders via a native hash join, filtered lineitem joins the result via
+    a second native join (no fact table ever touches the driver), then
+    per-orderkey revenue finals in coarse hash partitions with a local
+    top-10 each, and a bounded global top-10 over <= parts x 10 rows."""
+    nparts = _join_parts()
+    cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: _nometa(t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"])),
+        batch_format="pyarrow",
     )
-    building = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
-    )
-    orders = pq.read_table(
+    orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: _nometa(t.filter(
+            pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1998-01-01")))
+        )),
+        batch_format="pyarrow",
     )
-    cutoff = pa.scalar(pd.Timestamp("1998-01-01"))
-    omask = pc.and_(
-        pc.less(orders["o_orderdate"], cutoff),
-        pc.is_in(orders["o_custkey"], value_set=pa.array(sorted(building), type=pa.int64())),
+    orders_b = orders.join(
+        cust, join_type="inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",),
     )
-    orders_f = orders.filter(omask)
-    orders_ref = ray.put(
-        orders_f.select(["o_orderkey", "o_orderdate", "o_orderpriority"]).to_pandas()
-    )
-
-    ds = rd.read_parquet(
+    li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: _nometa(t.filter(
+            pc.greater(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01")))
+        ).select(["l_orderkey", "l_extendedprice", "l_discount"])),
+        batch_format="pyarrow",
+    )
+    joined = li.join(
+        orders_b, join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    class Probe:
-        """Broadcast inner-join probe: one vectorized pandas merge per batch
-        against the filtered orders side fetched once per actor."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
+        return (
+            df.assign(_rev=rev)
+            .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False)["_rev"]
+            .sum()
+            .reset_index()
+        )
 
-        def __init__(self):
-            self.orders = ray.get(orders_ref)
+    partials = joined.map_batches(partial, batch_format="pandas")
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df[df["l_shipdate"] > pd.Timestamp("1998-01-01")]
-            df = df.merge(self.orders, left_on="l_orderkey", right_on="o_orderkey")
-            rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
-            g = (
-                df.assign(_rev=rev)
-                .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False)[
-                    "_rev"
-                ]
-                .sum()
-                .reset_index()
-            )
-            return g
-
-    partials = ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 2))
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # every partial row of one orderkey is in this partition, so the
+        # per-key revenue is final here; keep only this bucket's top 10
         g = df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"], sort=False)[
             "_rev"
         ].sum().reset_index()
         g = g.assign(revenue=_qround(g["_rev"], 2)).drop(columns=["_rev"])
-        g = g.sort_values(
+        return g.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(10)
+
+    candidates = _coarse_final(partials, "l_orderkey", local_topk)
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
             ["revenue", "o_orderdate", "l_orderkey"],
             ascending=[False, True, True], kind="mergesort",
         ).head(10)
         return g[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
 
-    return _final_agg(partials, finalize)
+    return _final_agg(candidates, global_topk)
 
 
 _SQL_Q3 = """
@@ -917,64 +991,77 @@ LIMIT 10
 
 
 def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
-    """Five-way join collapsed into broadcast probes on the fact table +
-    one tiny final groupby (J2/J4 pattern: pre-join the closure into flat
-    broadcast maps)."""
+    """Five-way join: the two fact-sized sides (orders⨝customer, then
+    lineitem⨝that) go through native hash-partitioned Dataset.join; only
+    the genuinely small sides are broadcast — region/nation (25 rows at
+    any scale) and the supplier->nationkey map (1/15 the customer count;
+    two int64 columns, ~16 MB per 1M suppliers via one ray.put).  The
+    final groupby key (n_name) is bounded, so the coalesced final is safe."""
+    nparts = _join_parts()
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
     asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
     nat = nation.filter(pc.equal(nation["n_regionkey"], asia_rk))
-    asia_nations = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    asia_keys = pa.array(nat["n_nationkey"].to_pylist(), type=pa.int64())
+    asia_pd = pd.DataFrame(
+        {"nat": nat["n_nationkey"].to_pylist(), "n_name": nat["n_name"].to_pylist()}
+    )
 
-    supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    supp_nat = dict(zip(supplier["s_suppkey"].to_pylist(), supplier["s_nationkey"].to_pylist()))
-    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    cust_nat = dict(zip(customer["c_custkey"].to_pylist(), customer["c_nationkey"].to_pylist()))
-    orders = pq.read_table(
+    # supplier: distributed pruned read of 2 int columns, restricted to
+    # ASIA nations, collected once into a broadcast map (medium dim)
+    supp_pd = (
+        rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=asia_keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={"s_nationkey": "s_nat"})
+    )
+    maps_ref = ray.put(dict(asia=asia_pd, supp=supp_pd))
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: _nometa(t.filter(pc.is_in(t["c_nationkey"], value_set=asia_keys))),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-    om = pc.and_(
-        pc.greater_equal(orders["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
-        pc.less(orders["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
-    )
-    orders_f = orders.filter(om)
-    order_cust = dict(
-        zip(orders_f["o_orderkey"].to_pylist(), orders_f["o_custkey"].to_pylist())
-    )
-    supp_pd = pd.DataFrame({"s_suppkey": list(supp_nat), "s_nat": list(supp_nat.values())})
-    cust_pd = pd.DataFrame({"c_custkey": list(cust_nat), "c_nat": list(cust_nat.values())})
-    order_pd = pd.DataFrame({"o_orderkey": list(order_cust), "o_cust": list(order_cust.values())})
-    asia_pd = pd.DataFrame({"nat": list(asia_nations), "n_name": list(asia_nations.values())})
-    maps_ref = ray.put(dict(asia=asia_pd, supp=supp_pd, cust=cust_pd, order=order_pd))
-
-    class Probe:
-        """Broadcast join chain: vectorized pandas merges per batch (the
-        pre-joined-closure pattern — SURVEY.md J4)."""
-
-        def __init__(self):
-            m = ray.get(maps_ref)
-            self.asia, self.supp, self.cust, self.order = (
-                m["asia"], m["supp"], m["cust"], m["order"],
+    ).map_batches(
+        lambda t: _nometa(t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
             )
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df.merge(self.supp, left_on="l_suppkey", right_on="s_suppkey")
-            df = df.merge(self.order, left_on="l_orderkey", right_on="o_orderkey")
-            df = df.merge(self.cust, left_on="o_cust", right_on="c_custkey")
-            df = df[df["s_nat"] == df["c_nat"]]
-            df = df.merge(self.asia, left_on="s_nat", right_on="nat")
-            if df.empty:
-                return pd.DataFrame({"n_name": pd.Series(dtype="object"),
-                                     "_rev": pd.Series(dtype="float64")})
-            rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
-            g = df.assign(_rev=rev).groupby("n_name", sort=False)["_rev"].sum().reset_index()
-            return g
-
-    ds = rd.read_parquet(
+        ).select(["o_orderkey", "o_custkey"])),
+        batch_format="pyarrow",
+    )
+    orders_c = orders.join(
+        cust, join_type="inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(_nometa, batch_format="pyarrow")
+    joined = li.join(
+        orders_c, join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
     )
-    partials = ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 2))
+
+    def partial(df: pd.DataFrame, maps_ref=maps_ref) -> pd.DataFrame:
+        m = ray.get(maps_ref)
+        df = df.merge(m["supp"], left_on="l_suppkey", right_on="s_suppkey")
+        df = df[df["s_nat"] == df["c_nationkey"]]
+        df = df.merge(m["asia"], left_on="s_nat", right_on="nat")
+        if df.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                                 "_rev": pd.Series(dtype="float64")})
+        rev = _qround(df["l_extendedprice"] * (1 - df["l_discount"]), 2)
+        return df.assign(_rev=rev).groupby("n_name", sort=False)["_rev"].sum().reset_index()
+
+    partials = joined.map_batches(partial, batch_format="pandas")
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("n_name", sort=False)["_rev"].sum().reset_index()
@@ -1009,28 +1096,42 @@ def top_customers_by_spend(sf_dir: str) -> "rd.Dataset":
         return g.reset_index()
 
     partials = orders.map_batches(partial, batch_format="pandas")
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    names_ref = ray.put(cust.to_pandas())  # broadcast, not closure-pickled
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(names_ref)
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-custkey spend is final within this coarse partition
         g = df.groupby("o_custkey", sort=False).agg(
             _spend=("_sum", "sum"), n_orders=("_n", "sum")
         ).reset_index()
-        g = g.merge(names, left_on="o_custkey", right_on="c_custkey")
-        out = pd.DataFrame(
-            {
-                "c_custkey": g["c_custkey"],
-                "c_name": g["c_name"],
-                "total_spend": _qround(g["_spend"], 2),
-                "n_orders": g["n_orders"].astype("int64"),
-            }
-        )
-        return out.sort_values(
-            ["total_spend", "c_custkey"], ascending=[False, True], kind="mergesort"
+        g = g.assign(total_spend=_qround(g["_spend"], 2),
+                     n_orders=g["n_orders"].astype("int64")).drop(columns=["_spend"])
+        return g.sort_values(
+            ["total_spend", "o_custkey"], ascending=[False, True], kind="mergesort"
         ).head(10)
 
-    return _final_agg(partials, finalize)
+    candidates = _coarse_final(partials, "o_custkey", local_topk)
+    top10 = _final_agg(
+        candidates,
+        lambda df: df.sort_values(
+            ["total_spend", "o_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(10),
+    )
+    # names only for the 10 winners: tiny-side native join against the
+    # distributed customer read (no driver materialization of customer)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_nometa, batch_format="pyarrow")
+    joined = top10.join(
+        cust, join_type="inner", num_partitions=2,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return _final_agg(
+        joined,
+        lambda df: df.assign(c_custkey=df["o_custkey"])[
+            ["c_custkey", "c_name", "total_spend", "n_orders"]
+        ].sort_values(
+            ["total_spend", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ),
+    )
 
 
 _SQL_TOP_CUSTOMERS = """
@@ -1091,10 +1192,12 @@ FROM orders GROUP BY 1
 def part_type_stats(sf_dir: str) -> "rd.Dataset":
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"])
     partials = ds.map_batches(
-        lambda df: df.groupby("p_type", sort=False).agg(
-            _n=("p_retailprice", "size"), _sum=("p_retailprice", "sum"),
-            _max=("p_retailprice", "max"),
-        ).reset_index(),
+        # grid discipline (CLAUDE.md rule 4): quantize each term before the
+        # partial sum so summation order can never tie-flip vs the oracle
+        lambda df: df.assign(_p=_qround(df["p_retailprice"], 2))
+        .groupby("p_type", sort=False)
+        .agg(_n=("_p", "size"), _sum=("_p", "sum"), _max=("_p", "max"))
+        .reset_index(),
         batch_format="pandas",
     )
 
@@ -1113,8 +1216,8 @@ def part_type_stats(sf_dir: str) -> "rd.Dataset":
 
 _SQL_PART_STATS = """
 SELECT p_type, count(*) AS n,
-       floor(((floor((sum(p_retailprice)) * 100 + 0.5) / 100) / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
-       floor((max(p_retailprice)) * 100 + 0.5) / 100 AS max_price
+       floor(((floor((sum(floor((p_retailprice) * 100 + 0.5) / 100)) * 100 + 0.5) / 100) / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+       floor((max(floor((p_retailprice) * 100 + 0.5) / 100)) * 100 + 0.5) / 100 AS max_price
 FROM part GROUP BY p_type
 """
 
@@ -1279,9 +1382,12 @@ FROM all_docs GROUP BY text
 
 def ann_cosine_topk(sf_dir: str) -> "rd.Dataset":
     """Exact brute-force cosine top-5 for query vectors vec_id<3."""
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qmask = pc.less(emb["vec_id"], 3)
-    q = emb.filter(qmask)
+    # few query vectors: pruned driver read (row-group filter pushdown),
+    # never the full embedding table
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 3)],
+    )
     q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
     q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -1380,8 +1486,10 @@ def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
 
 
 def ann_lsh_topk(sf_dir: str) -> "rd.Dataset":
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q = emb.filter(pc.less(emb["vec_id"], 3))
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 3)],
+    )
     q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
     q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])

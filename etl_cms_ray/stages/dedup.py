@@ -173,6 +173,8 @@ class JaccardVerifier:
     """Verify candidate pairs by exact shingle Jaccard; texts come from a
     broadcast id->text dict (one object-store copy per node)."""
 
+    _CACHE_CAP = 65536  # per-actor shingle cache bound (reset on overflow)
+
     def __init__(self, texts_ref, shingle_k: int = 3, threshold: float = 0.8):
         self.texts = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
         self.k = shingle_k
@@ -182,6 +184,8 @@ class JaccardVerifier:
     def _sh(self, i: int) -> np.ndarray:
         s = self._cache.get(i)
         if s is None:
+            if len(self._cache) >= self._CACHE_CAP:
+                self._cache.clear()
             s = np.sort(word_shingles(self.texts[i], self.k))
             self._cache[i] = s
         return s
@@ -205,22 +209,30 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     concurrency: int = 4,
-    broadcast_texts: bool = True,
-    join_partitions: int = 16,
+    broadcast_texts: bool = False,
+    join_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (a < b, jaccard >= threshold).
 
     Verify-stage text access has two modes:
-    - broadcast_texts=True (default, small corpora): id->text dict via
-      ray.put, probed per pair.
-    - broadcast_texts=False (the 100 TB path): texts are JOINED onto the
+    - broadcast_texts=True (explicit small-corpus fast path): id->text
+      dict via ray.put, probed per pair — materializes the corpus on the
+      driver, so never the default.
+    - broadcast_texts=False (default, the 100 TB path): texts are JOINED onto the
       candidate pairs with Ray's hash-partitioned Dataset.join — no
       driver materialization, no whole-corpus broadcast; candidate-pair
       volume (post-LSH) is what moves, not the corpus.  Size
       join_partitions to the cluster: the Join operator reserves one
       aggregator actor per partition, and two chained joins at
-      join_partitions >> CPUs deadlock a small session.
+      join_partitions >> CPUs deadlock a small session (the default
+      derives it from the session's CPU count).
     """
+    if join_partitions is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        join_partitions = max(2, min(16, cpus // 4))
     if broadcast_texts:
         _texts_pd = docs.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(_texts_pd[id_col], _texts_pd[text_col])))
@@ -248,8 +260,14 @@ def minhash_lsh_pairs(
         )
 
     # scalable verify: join text_a and text_b onto the pairs, then exact
-    # per-row Jaccard — two hash-partitioned joins, zero broadcast
-    texts = docs.select_columns([id_col, text_col])
+    # per-row Jaccard — two hash-partitioned joins, zero broadcast.
+    # Metadata is stripped so schemas stay hashable for Ray's join dedup.
+    texts = docs.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
     with_a = pairs.join(
         texts, join_type="inner", num_partitions=join_partitions, on=("a",), right_on=(id_col,),
         right_suffix="_a",
