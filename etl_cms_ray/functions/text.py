@@ -109,8 +109,57 @@ def fingerprint64(s: str) -> int:
 
 
 def fingerprint_column(text: pa.ChunkedArray | pa.Array) -> pa.Array:
-    chunks = text.chunks if isinstance(text, pa.ChunkedArray) else [text]
-    out: list[int] = []
-    for chunk in chunks:
-        out.extend(fingerprint64(v.as_py()) if v.is_valid else 0 for v in chunk)
-    return pa.array(np.array(out, dtype=np.uint64).view(np.int64), type=pa.int64())
+    """Vectorized FNV-1a 64 over a string column (identical output to
+    fingerprint64 per row; nulls -> 0).
+
+    The per-byte hash recurrence is sequential WITHIN a row but
+    independent ACROSS rows, so the loop runs over byte POSITIONS: at
+    step j every row longer than j bytes advances one FNV round via
+    numpy uint64 kernels on the column's raw utf-8 buffer (zero-copy,
+    no per-row Python).  Total work is O(total_bytes) with numpy
+    constant factors; a scalar tail finishes the few rows that outlive
+    the vectorized population (length skew guard)."""
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.int64())
+    lb = arr.cast(pa.large_binary())  # int64 offsets, handles >2 GB slabs
+    off_buf, data_buf = lb.buffers()[1], lb.buffers()[2]
+    offsets = np.frombuffer(off_buf, dtype=np.int64)[lb.offset : lb.offset + n + 1]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    starts, lengths = offsets[:-1], np.diff(offsets)
+    valid = np.asarray(
+        pa.compute.is_valid(lb).to_numpy(zero_copy_only=False), dtype=bool
+    )
+    # rows sorted by length desc: the rows still alive at byte position j
+    # are always a contiguous PREFIX, so each step is one gather + one
+    # fused xor-mul over hs[:k] — no per-step mask scan over all n rows
+    order = np.argsort(-lengths, kind="stable")
+    slen, sstart = lengths[order], starts[order]
+    hs = np.full(n, _FP_OFFSET, dtype=np.uint64)
+    maxlen = int(slen[0]) if n else 0
+    neg_slen = -slen
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            k = int(np.searchsorted(neg_slen, -j, side="left"))  # rows len>j
+            if k == 0:
+                break
+            if k < 32 and j > 64:
+                # few long stragglers: finish each sequentially instead of
+                # one numpy call per remaining byte of the longest row
+                for i in range(k):
+                    hv = int(hs[i])
+                    for b in data[sstart[i] + j : sstart[i] + slen[i]].tolist():
+                        hv = ((hv ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+                    hs[i] = np.uint64(hv)
+                break
+            byts = data[sstart[:k] + j].astype(np.uint64)
+            hs[:k] = (hs[:k] ^ byts) * _FP_BASE
+    h = np.empty(n, dtype=np.uint64)
+    h[order] = hs
+    h[~valid] = 0
+    return pa.array(h.view(np.int64), type=pa.int64())

@@ -199,8 +199,14 @@ def cosine_pairs(
     seed: int = 17,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_bucket: int = 512,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Embedding near-duplicate pairs (a < b, cosine >= threshold).
+
+    ``metrics``: optional MetricCounterActor (stages/metrics.py) —
+    buckets over ``max_bucket`` are skipped (skew guard) and counted
+    there rather than dropped silently.
 
     Scale path: random-hyperplane buckets co-locate candidates (vectors
     with cosine >= ~0.9 agree on most hyperplane signs, so they share at
@@ -245,7 +251,13 @@ def cosine_pairs(
 
     def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2 or len(g) > 512:  # cap degenerate buckets (skew guard)
+        if len(g) < 2 or len(g) > max_bucket:  # cap degenerate buckets
+            if len(g) > max_bucket and metrics is not None:
+                # synchronous: see dedup._partition_pairs cap path
+                ray.get([
+                    metrics.add.remote("ann_capped_buckets", 1),
+                    metrics.add.remote("ann_capped_bucket_rows", int(len(g))),
+                ])
             return pd.DataFrame({"a": pd.Series(dtype="int64"),
                                  "b": pd.Series(dtype="int64"),
                                  "cosine": pd.Series(dtype="float64")})

@@ -134,13 +134,27 @@ def _add_bucket_part(t: pa.Table) -> pa.Table:
 
 
 def _partition_pairs(g: pd.DataFrame, max_bucket: int = 64,
-                     extra_cols: tuple = ()) -> pd.DataFrame:
+                     extra_cols: tuple = (), metrics=None) -> pd.DataFrame:
     """All (a<b) candidate pairs across every bucket in one hash partition:
     a single pandas self-merge on (band_id, band_key). Oversized buckets
-    (degenerate content) are capped — the skew guard."""
+    (degenerate content) are capped — the skew guard — and every cap is
+    counted into ``metrics`` so dropped recall is observable."""
     g = g.drop_duplicates(["band_id", "band_key", "doc_id"])
     sizes = g.groupby(["band_id", "band_key"])["doc_id"].transform("size")
-    g = g[sizes <= max_bucket]
+    over = sizes > max_bucket
+    if metrics is not None and bool(over.any()):
+        dropped = g[over]
+        # synchronous on the (rare) cap path: the count must be registered
+        # before this task completes, so a driver reading the counter after
+        # consuming the pipeline never races the increments
+        ray.get([
+            metrics.add.remote(
+                "lsh_capped_buckets",
+                int(dropped.groupby(["band_id", "band_key"]).ngroups),
+            ),
+            metrics.add.remote("lsh_capped_bucket_rows", int(len(dropped))),
+        ])
+    g = g[~over]
     m = g.merge(g, on=["band_id", "band_key"])
     m = m[m["doc_id_x"] < m["doc_id_y"]]
     cols = {"a": m["doc_id_x"], "b": m["doc_id_y"]}
@@ -211,8 +225,12 @@ def minhash_lsh_pairs(
     concurrency: int = 4,
     broadcast_texts: bool = False,
     join_partitions: int | None = None,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (a < b, jaccard >= threshold).
+
+    ``metrics``: optional MetricCounterActor handle (stages/metrics.py);
+    capped LSH buckets are counted there instead of vanishing silently.
 
     Verify-stage text access has two modes:
     - broadcast_texts=True (explicit small-corpus fast path): id->text
@@ -247,7 +265,9 @@ def minhash_lsh_pairs(
         concurrency=(1, concurrency),
     )
     bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
-    pairs = bands_ds.groupby("ph").map_groups(_partition_pairs, batch_format="pandas")
+    pairs = bands_ds.groupby("ph").map_groups(
+        lambda g: _partition_pairs(g, metrics=metrics), batch_format="pandas"
+    )
     pairs = _dedup_pairs(pairs, ["a", "b"])
     if broadcast_texts:
         return pairs.map_batches(
@@ -336,6 +356,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle_k: int = 5,
     concurrency: int = 4,
+    metrics=None,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by simhash: 4 x 16-bit band buckets (any pair within
     hamming<=3 of 64 bits shares at least one exact 16-bit band), verified
@@ -370,7 +391,7 @@ def simhash_pairs(
     bands_ds = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = _partition_pairs(g, extra_cols=("simhash",))
+        m = _partition_pairs(g, extra_cols=("simhash",), metrics=metrics)
         if m.empty:
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in ("a", "b", "hamming")})
         x = m["simhash_a"].to_numpy().astype(np.int64).view(np.uint64)

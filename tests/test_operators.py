@@ -77,6 +77,32 @@ def test_interval_merge_gap_semantics():
     assert len(out2) == 1 and out2["n_events"].iloc[0] == 4
 
 
+def test_fingerprint_vectorized_matches_scalar():
+    """The sorted-prefix numpy FNV must be byte-identical to the scalar
+    reference across empties, unicode, nulls, slices and length skew."""
+    from etl_cms_ray.functions.text import fingerprint64, fingerprint_column
+
+    strs = ["", "a", "hello world", "héllo wörld 日本", "x" * 5000,
+            "word " * 400, "short"] + [f"doc {i} " * (i % 37) for i in range(200)]
+    arr = pa.array(strs + [None], type=pa.string())
+    expect = [
+        int(np.array([fingerprint64(s)], dtype=np.uint64).view(np.int64)[0])
+        if s is not None else 0
+        for s in strs + [None]
+    ]
+    assert fingerprint_column(arr).to_pylist() == expect
+    # chunked and sliced views hit the buffer-offset arithmetic
+    ch = pa.chunked_array([arr[:50], arr[50:]])
+    assert fingerprint_column(ch).to_pylist() == expect
+    assert fingerprint_column(arr.slice(3, 100)).to_pylist() == expect[3:103]
+    # skew: the straggler path (few long rows) must agree too
+    skew = pa.array(["tiny"] * 100 + ["z" * 20000])
+    out = fingerprint_column(skew)
+    assert out[100].as_py() == int(
+        np.array([fingerprint64("z" * 20000)], dtype=np.uint64).view(np.int64)[0]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ray-backed operators
 
@@ -386,6 +412,46 @@ def test_hyperloglog_accuracy_and_merge(ray_session):
     # serialization round-trip
     rt = HyperLogLog.from_bytes(ab.to_bytes())
     assert rt.cardinality() == ab.cardinality()
+
+
+def test_skew_guard_counters_fire_on_degenerate_corpus(ray_session):
+    """Capped LSH / ANN buckets must be counted, not silently dropped."""
+    import ray
+
+    from etl_cms_ray.stages.ann import cosine_pairs
+    from etl_cms_ray.stages.dedup import minhash_lsh_pairs
+    from etl_cms_ray.stages.metrics import make_counter, read_counter
+
+    # 120 identical documents -> every band bucket holds 120 > max_bucket=64
+    texts = ["all documents share exactly this degenerate content " * 5] * 120
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(120), type=pa.int64()), "text": texts})
+    )
+    c1 = make_counter()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, concurrency=1,
+                              broadcast_texts=True, metrics=c1).to_pandas()
+    m1 = read_counter(c1)
+    assert m1.get("lsh_capped_buckets", 0) > 0, m1
+    assert m1.get("lsh_capped_bucket_rows", 0) >= 120, m1
+    assert len(pairs) == 0  # everything was capped away — and we know it
+
+    # identical embeddings -> one hyperplane bucket of 40 > max_bucket=8
+    vec = np.ones(16, dtype=np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(40), type=pa.int64()),
+                "embedding": pa.array([vec] * 40, type=pa.list_(pa.float32())),
+            }
+        )
+    )
+    c2 = make_counter()
+    out = cosine_pairs(emb, threshold=0.99, max_bucket=8, metrics=c2).to_pandas()
+    m2 = read_counter(c2)
+    assert m2.get("ann_capped_buckets", 0) > 0, m2
+    assert len(out) == 0
+    for h in (c1, c2):
+        ray.kill(h)
 
 
 def test_minhash_join_verify_equals_broadcast(ray_session):
