@@ -35,9 +35,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable SQL equivalents (column names and rounding match the
-    Ray pipelines exactly).  Keys absent here (minhash/simhash/LSH/lang-id/
+    Ray pipelines exactly).  Keys absent here (minhash/simhash/LSH-topk/
     fingerprints/multimodal) are non-SQL-expressible; the driver records
-    rows-only checks for them."""
+    rows-only checks for them and tests/test_hard_checks.py pins their
+    planted-duplicate recall / exact precision / recall-floor instead."""
     from etl_cms_ray.pipelines.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

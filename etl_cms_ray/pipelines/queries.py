@@ -1475,6 +1475,39 @@ def lang_id_pred(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def _lang_id_oracle_sql() -> str:
+    """DuckDB mirror of lang_id_table generated FROM the marker dict, so
+    the heuristic and its oracle cannot drift: per-lang score = sum of
+    replace-based substring counts; argmax with first-in-dict-order wins
+    (numpy argmax semantics); all-zero -> 'unknown'."""
+    from ..functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = [
+            f"(length(lower(text)) - length(replace(lower(text), '{m}', ''))) // {len(m)}"
+            for m in _LANG_MARKERS[lang]
+        ]
+        score_exprs.append(f"({' + '.join(terms)}) AS s_{lang}")
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
+    cases = [f"WHEN {all_zero} THEN 'unknown'"]
+    for i, lang in enumerate(langs):
+        geq = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        cases.append(f"WHEN {geq} THEN '{lang}'" if geq else f"ELSE '{lang}'")
+    case_sql = "\n         ".join(cases)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {", ".join(score_exprs)}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE {case_sql}
+       END AS lang_pred
+FROM scored
+"""
+
+
 def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -1485,7 +1518,10 @@ def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
     )
 
 
-def ann_lsh_topk(sf_dir: str) -> "rd.Dataset":
+def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """LSH top-k with a per-query ``recall`` column vs the exact
+    brute-force answer (both final results are k x #queries rows, so the
+    comparison is a tiny driver-side merge — the scans stay distributed)."""
     q = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", 3)],
@@ -1493,7 +1529,23 @@ def ann_lsh_topk(sf_dir: str) -> "rd.Dataset":
     q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
     q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return lsh_topk(ds, q_ids, q_vecs, k=5, bits=6, concurrency=2)
+    approx = lsh_topk(
+        ds, q_ids, q_vecs, k=5, bits=8, probe_radius=3, concurrency=2
+    ).to_pandas()
+    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(
+        ds2, q_ids, q_vecs, k=5, concurrency=2, round_digits=None
+    ).to_pandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].agg(set)
+    hit = [
+        int(n in exact_sets.get(qid, set()))
+        for qid, n in zip(approx["query_id"], approx["neighbor_id"])
+    ]
+    approx = approx.assign(_hit=hit)
+    recall = (
+        approx.groupby("query_id")["_hit"].sum() / exact.groupby("query_id").size()
+    ).rename("recall")
+    return approx.merge(recall.reset_index(), on="query_id").drop(columns=["_hit"])
 
 
 
@@ -1523,26 +1575,80 @@ def dedup_cosine_pairs(sf_dir: str) -> "rd.Dataset":
     near = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
         perturb, batch_format="pyarrow"
     )
-    return cosine_pairs(base.union(near), threshold=0.99)
+    return cosine_pairs(base.union(near), threshold=0.99, round_digits=4)
+
+
+#: exact all-pairs oracle for the LSH-bucketed operator: at oracle scale
+#: DuckDB can afford the quadratic cosine sweep, so any LSH recall loss or
+#: skew-guard drop shows up as a hard row/hash mismatch.
+_SQL_COSINE_PAIRS = """
+WITH pert AS (
+  SELECT vec_id + 300000 AS vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CAST(CAST(x * CAST(1.001 AS DOUBLE) + CAST(0.0005 AS DOUBLE) AS REAL) AS DOUBLE)
+         ) AS emb
+  FROM embeddings WHERE vec_id < 20
+), allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id, emb FROM pert
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       floor((list_cosine_similarity(x.emb, y.emb)) * 10000 + 0.5) / 10000 AS cosine
+FROM allv x JOIN allv y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.emb, y.emb) >= 0.99
+"""
+
+
+def _exact_distinct_count(ds: "rd.Dataset", col: str) -> int:
+    """Distributed exact COUNT(DISTINCT): per-batch distinct partial ->
+    coarse value-hash partitions -> per-partition nunique -> 64-row sum."""
+    partials = ds.map_batches(
+        lambda df: df[[col]].drop_duplicates(), batch_format="pandas"
+    )
+    per_part = _coarse_final(
+        partials, col, lambda df: pd.DataFrame({"_n": [df[col].nunique()]})
+    )
+    out = _final_agg(per_part, lambda df: pd.DataFrame({"n": [df["_n"].sum()]}))
+    return int(out.to_pandas()["n"].iloc[0])
 
 
 def approx_distinct_sketch(sf_dir: str) -> pa.Table:
-    """HLL sketch demo (rows-only: approximate by design): estimated vs
-    exact distinct counts for two columns."""
+    """HLL sketch with an error-bound gate: the exact distinct count is
+    computed distributed alongside the estimate, and ``est_ok`` asserts
+    the sketch is within 5% — a drift in the HLL implementation flips the
+    flag and fails the value-hash against the oracle (which emits the
+    exact counts and TRUE literals)."""
     from ..functions.sketch import approx_distinct
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
     ev = _events(sf_dir, ["user_id"])
-    est_orders = approx_distinct(li, "l_orderkey")
-    est_users = approx_distinct(ev, "user_id")
+    rows = []
+    for metric, ds, col in (
+        ("distinct_orderkeys", li, "l_orderkey"),
+        ("distinct_users", ev, "user_id"),
+    ):
+        est = float(approx_distinct(ds, col))
+        exact = _exact_distinct_count(ds, col)
+        rows.append((metric, exact, abs(est - exact) / exact <= 0.05))
     return pa.table(
         {
-            "metric": ["distinct_orderkeys_est", "distinct_users_est"],
-            "estimate": pa.array(
-                [float(est_orders), float(est_users)], type=pa.float64()
-            ),
+            "metric": [r[0] for r in rows],
+            "exact_count": pa.array([r[1] for r in rows], type=pa.int64()),
+            "est_ok": pa.array([r[2] for r in rows], type=pa.bool_()),
         }
     )
+
+
+_SQL_APPROX_DISTINCT = """
+SELECT 'distinct_orderkeys' AS metric,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_count, TRUE AS est_ok
+FROM lineitem
+UNION ALL
+SELECT 'distinct_users', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+FROM events
+"""
 
 def multimodal_features(sf_dir: str) -> "rd.Dataset":
     """Media decode plumbing: synth payloads -> actor-pool decode stub ->
@@ -1668,4 +1774,8 @@ ORACLE_SQL = {
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "ann_cosine_topk": _SQL_ANN_TOPK,
     "embedding_norms": _SQL_EMBEDDING_NORMS,
+    # formerly rows-only, now hard-checked
+    "lang_id_pred": _lang_id_oracle_sql(),
+    "dedup_cosine_pairs": _SQL_COSINE_PAIRS,
+    "approx_distinct_sketch": _SQL_APPROX_DISTINCT,
 }

@@ -148,15 +148,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     concurrency: int = 4,
+    probe_radius: int = 1,
 ) -> "ray.data.Dataset":
-    """Approximate top-k: score only rows whose hyperplane bucket equals a
-    query's bucket (recall < 1; candidate set ~ n / 2^bits per query)."""
+    """Approximate top-k via multi-probe hyperplane LSH: score only rows
+    whose sign-bucket is within hamming ``probe_radius`` of a query's
+    bucket.  Candidate fraction ~ sum_{i<=r} C(bits,i) / 2^bits per query
+    (recall < 1); radius 0 is classic single-bucket LSH."""
     dim = np.asarray(query_vecs).shape[1]
     planes = np.random.RandomState(seed).standard_normal((bits, dim))
     q_buckets = hyperplane_buckets(_normalize(np.asarray(query_vecs, dtype=np.float64)), planes)
     queries_ref = ray.put(
         {"ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs),
-         "buckets": q_buckets, "planes": planes}
+         "buckets": q_buckets, "planes": planes, "probe_radius": probe_radius}
     )
 
     class BucketScorer(BatchScorer):
@@ -164,14 +167,21 @@ def lsh_topk(
             q = ray.get(queries_ref)
             super().__init__({"ids": q["ids"], "vecs": q["vecs"]}, k, id_col, emb_col)
             self.planes = q["planes"]
-            self.q_buckets = set(int(b) for b in q["buckets"])
+            self.q_buckets = np.asarray(q["buckets"], dtype=np.uint64)
+            self.radius = int(q["probe_radius"])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return super().__call__(batch)
             M = _normalize(_to_matrix(batch[self.emb_col]))
-            buckets = hyperplane_buckets(M, self.planes)
-            mask = np.isin(buckets, list(self.q_buckets))
+            buckets = hyperplane_buckets(M, self.planes).astype(np.uint64)
+            # multi-probe: row qualifies if its signature is within hamming
+            # radius of ANY query signature — one vectorized popcount over
+            # the (n, q) xor matrix
+            xor = buckets[:, None] ^ self.q_buckets[None, :]
+            b8 = xor.copy().view(np.uint8).reshape(xor.shape[0], xor.shape[1], 8)
+            ham = np.unpackbits(b8, axis=2).sum(axis=2)  # (n, q)
+            mask = (ham <= self.radius).any(axis=1)
             return super().__call__(batch.filter(pa.array(mask)))
 
     partials = vectors.map_batches(
@@ -201,6 +211,7 @@ def cosine_pairs(
     emb_col: str = "embedding",
     max_bucket: int = 512,
     metrics=None,
+    round_digits: int = 6,
 ) -> "ray.data.Dataset":
     """Embedding near-duplicate pairs (a < b, cosine >= threshold).
 
@@ -266,11 +277,14 @@ def cosine_pairs(
         S = M @ M.T
         iu = np.triu_indices(len(ids), k=1)
         mask = S[iu] >= threshold
+        # floor-quantization, not round(): cross-engine tie discipline
+        # (CLAUDE.md rule 4) so a DuckDB exact-cosine oracle matches
+        scale = float(10 ** round_digits)
         return pd.DataFrame(
             {
                 "a": ids[iu[0][mask]],
                 "b": ids[iu[1][mask]],
-                "cosine": np.round(S[iu][mask], 6),
+                "cosine": np.floor(S[iu][mask] * scale + 0.5) / scale,
             }
         )
 
