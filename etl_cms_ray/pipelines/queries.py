@@ -1437,6 +1437,91 @@ FROM embeddings
 """
 
 
+#: event-type hierarchy (concept_ancestor analog): two roots, three levels.
+#: 'error' is deliberately absent -> excluded by the rollup (inner join).
+_TYPE_EDGES = pa.table(
+    {
+        "child": ["click", "view", "purchase", "signup",
+                  "engagement", "commerce", "account"],
+        "parent": ["engagement", "engagement", "commerce", "account",
+                   "interaction", "interaction", "profile"],
+    }
+)
+
+
+def closure_rollup_events(sf_dir: str) -> "rd.Dataset":
+    """Ancestor-closure rollup (J4, ``create_CDMv5_drug_era_non_stockpile
+    .sql:37-43`` analog): flatten the type hierarchy into a node->root
+    broadcast map with closure_roots (pointer doubling), then count events
+    per ROOT — the fact stream only ever joins the pre-flattened closure."""
+    from ..stages.closure import closure_roots
+
+    roots = closure_roots(_TYPE_EDGES)  # tiny dim: driver-side flatten
+    roots_ref = ray.put(roots[["node", "root"]])
+    ds = _events(sf_dir, ["event_type"])
+
+    def partial(df: pd.DataFrame, roots_ref=roots_ref) -> pd.DataFrame:
+        m = ray.get(roots_ref)
+        df = df.merge(m, left_on="event_type", right_on="node")
+        return df.groupby("root", sort=False).size().rename("_n").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return _final_agg(
+        partials,
+        lambda df: df.groupby("root", sort=False)["_n"].sum().rename("n")
+        .reset_index().astype({"n": "int64"}),
+    )
+
+
+_SQL_CLOSURE_ROLLUP = """
+WITH RECURSIVE edges(child, parent) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('purchase', 'commerce'), ('signup', 'account'),
+         ('engagement', 'interaction'), ('commerce', 'interaction'),
+         ('account', 'profile')
+), up(node, anc) AS (
+  SELECT child, parent FROM edges
+  UNION ALL
+  SELECT up.node, e.parent FROM up JOIN edges e ON up.anc = e.child
+), closure AS (
+  SELECT node, anc AS root FROM up
+  WHERE anc NOT IN (SELECT child FROM edges)
+)
+SELECT c.root, count(*) AS n
+FROM events ev JOIN closure c ON ev.event_type = c.node
+GROUP BY c.root
+"""
+
+
+def doc_token_unpivot(sf_dir: str) -> "rd.Dataset":
+    """Wide->long list-column unpivot (M2/M3, ``SynPufFiles.py:135-153``):
+    split each document into its token list, then one zero-copy
+    flatten+parent-indices explode to (doc_id, pos, token) rows.  Row
+    fan-out only — no shuffle at any scale."""
+    from ..stages.unpivot import unpivot_list
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], " ")
+        wide = pa.table({"doc_id": t["doc_id"], "tok": toks})
+        out = unpivot_list(wide, "tok")
+        return out.rename_columns(["doc_id", "pos", "token"])
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+_SQL_TOKEN_UNPIVOT = """
+SELECT doc_id,
+       unnest(generate_series(1, array_length(string_split(text, ' ')))) AS pos,
+       unnest(string_split(text, ' ')) AS token
+FROM documents
+"""
+
+
 # ===========================================================================
 # Rows-only operators (non-SQL-expressible; driver records weaker check)
 
@@ -1701,6 +1786,7 @@ QUERIES = {
     "cdc_era_merge": cdc_era_merge,
     "cdc_dim_route": cdc_dim_route,
     "cdc_dead_letter": cdc_dead_letter,
+    "closure_rollup_events": closure_rollup_events,
     "cdc_prev_event_gap": cdc_prev_event_gap,
     "events_scalar_decode": events_scalar_decode,
     "user_month_spans": user_month_spans,
@@ -1723,6 +1809,7 @@ QUERIES = {
     "lineitem_distinct_suppliers": lineitem_distinct_suppliers,
     # text / documents
     "doc_token_stats": doc_token_stats,
+    "doc_token_unpivot": doc_token_unpivot,
     "doc_quality_filter": doc_quality_filter,
     "lang_doc_stats": lang_doc_stats,
     "dedup_exact_docs": dedup_exact_docs,
@@ -1749,6 +1836,7 @@ ORACLE_SQL = {
     "cdc_era_merge": _SQL_ERA_MERGE,
     "cdc_dim_route": _SQL_DIM_ROUTE,
     "cdc_dead_letter": _SQL_DEAD_LETTER,
+    "closure_rollup_events": _SQL_CLOSURE_ROLLUP,
     "cdc_prev_event_gap": _SQL_PREV_GAP,
     "events_scalar_decode": _SQL_SCALAR_DECODE,
     "user_month_spans": _SQL_MONTH_SPANS,
@@ -1769,6 +1857,7 @@ ORACLE_SQL = {
     "supplier_balance_by_nation": _SQL_SUPPLIER_BAL,
     "lineitem_distinct_suppliers": _SQL_DISTINCT_SUPP,
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
+    "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,

@@ -77,6 +77,71 @@ def test_interval_merge_gap_semantics():
     assert len(out2) == 1 and out2["n_events"].iloc[0] == 4
 
 
+def test_closure_roots_flattens_hierarchies():
+    """Pointer-doubling closure: deep chain resolves in O(log d) merges,
+    forests keep separate roots, cycles are rejected."""
+    from etl_cms_ray.stages.closure import closure_roots
+
+    # 1000-deep chain n0 <- n1 <- ... <- n999 (root n0)
+    chain = pa.table(
+        {
+            "child": [f"n{i}" for i in range(1, 1000)],
+            "parent": [f"n{i-1}" for i in range(1, 1000)],
+        }
+    )
+    out = closure_roots(chain).set_index("node")
+    assert (out["root"] == "n0").all()
+    assert out.loc["n999", "depth"] == 999 and out.loc["n0", "depth"] == 0
+    # forest with two roots
+    forest = pa.table(
+        {"child": ["a", "b", "c"], "parent": ["r1", "r1", "r2"]}
+    )
+    f = closure_roots(forest).set_index("node")
+    assert f.loc["a", "root"] == "r1" and f.loc["c", "root"] == "r2"
+    assert f.loc["r2", "root"] == "r2" and f.loc["r2", "depth"] == 0
+    # cycles must raise, never silently self-root
+    cyc = pa.table({"child": ["x", "y"], "parent": ["y", "x"]})
+    with pytest.raises(ValueError):
+        closure_roots(cyc)
+    # multiple parents rejected (closure here is a tree/forest flatten)
+    multi = pa.table({"child": ["x", "x"], "parent": ["p", "q"]})
+    with pytest.raises(ValueError):
+        closure_roots(multi)
+
+
+def test_unpivot_list_flatten_and_zip():
+    """M2/M3 kernel: single-list explode with 1-based pos, parallel-list
+    zip, null rows skipped, non-parallel lists rejected."""
+    from etl_cms_ray.stages.unpivot import unpivot_list
+
+    t = pa.table(
+        {
+            "k": pa.array([10, 20, 30, 40], type=pa.int64()),
+            "codes": pa.array([["a", "b"], [], None, ["c"]], type=pa.list_(pa.string())),
+            "amts": pa.array([[1.0, 2.0], [], None, [3.0]], type=pa.list_(pa.float64())),
+        }
+    )
+    out = unpivot_list(t, ["codes", "amts"])
+    assert out.column_names == ["k", "pos", "codes_item", "amts_item"]
+    assert out["k"].to_pylist() == [10, 10, 40]
+    assert out["pos"].to_pylist() == [1, 2, 1]
+    assert out["codes_item"].to_pylist() == ["a", "b", "c"]
+    assert out["amts_item"].to_pylist() == [1.0, 2.0, 3.0]
+    # empty table
+    empty = unpivot_list(t.slice(1, 1), "codes")
+    assert empty.num_rows == 0
+    # non-parallel lists must raise, not silently misalign
+    bad = pa.table(
+        {
+            "k": pa.array([1], type=pa.int64()),
+            "xs": pa.array([["a", "b"]], type=pa.list_(pa.string())),
+            "ys": pa.array([[1.0]], type=pa.list_(pa.float64())),
+        }
+    )
+    with pytest.raises(ValueError):
+        unpivot_list(bad, ["xs", "ys"])
+
+
 def test_fingerprint_vectorized_matches_scalar():
     """The sorted-prefix numpy FNV must be byte-identical to the scalar
     reference across empties, unicode, nulls, slices and length skew."""
