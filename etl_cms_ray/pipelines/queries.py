@@ -1437,6 +1437,69 @@ FROM embeddings
 """
 
 
+def cdc_multi_sink_route(sf_dir: str) -> "rd.Dataset":
+    """Multi-sink fan-out (the reference's 19-table dispatch shape,
+    ``CMS_SynPuf_ETL_CDM_v5.py:212-229``/``:1226-1291``): one pass over the
+    event stream routes each record to typed tables with per-table
+    projections, committed by ONE atomic manifest publish; the result is
+    the read-back of all four routed tables tagged by sink."""
+    from ..stages.fanout import Route, fanout_write, read_fanout_table
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+    routes = [
+        Route(
+            "engagement",
+            lambda t: pc.is_in(
+                t["event_type"], value_set=pa.array(["click", "view"])
+            ),
+            ["event_id", "user_id", "ts"],
+        ),
+        Route("commerce", lambda t: pc.equal(t["event_type"], "purchase"),
+              ["event_id", "user_id", "value"]),
+        Route("account", lambda t: pc.equal(t["event_type"], "signup"),
+              ["event_id", "user_id"]),
+        Route("deadletter", None, ["event_id", "event_type"]),
+    ]
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    out_root = os.path.join(tempfile.gettempdir(), f"fanout_{tag}")
+    _sh.rmtree(out_root, ignore_errors=True)
+    fanout_write(ds, routes, out_root)
+
+    parts = []
+    for r in routes:
+        t = read_fanout_table(out_root, r.name)
+        parts.append(
+            t.map_batches(
+                lambda b, name=r.name: pa.table(
+                    {
+                        "sink": pa.array([name] * b.num_rows),
+                        "event_id": b["event_id"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+_SQL_MULTI_SINK = """
+SELECT 'engagement' AS sink, event_id FROM events WHERE event_type IN ('click', 'view')
+UNION ALL
+SELECT 'commerce', event_id FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'account', event_id FROM events WHERE event_type = 'signup'
+UNION ALL
+SELECT 'deadletter', event_id FROM events
+WHERE event_type NOT IN ('click', 'view', 'purchase', 'signup')
+"""
+
+
 #: event-type hierarchy (concept_ancestor analog): two roots, three levels.
 #: 'error' is deliberately absent -> excluded by the rollup (inner join).
 _TYPE_EDGES = pa.table(
@@ -1787,6 +1850,7 @@ QUERIES = {
     "cdc_dim_route": cdc_dim_route,
     "cdc_dead_letter": cdc_dead_letter,
     "closure_rollup_events": closure_rollup_events,
+    "cdc_multi_sink_route": cdc_multi_sink_route,
     "cdc_prev_event_gap": cdc_prev_event_gap,
     "events_scalar_decode": events_scalar_decode,
     "user_month_spans": user_month_spans,
@@ -1837,6 +1901,7 @@ ORACLE_SQL = {
     "cdc_dim_route": _SQL_DIM_ROUTE,
     "cdc_dead_letter": _SQL_DEAD_LETTER,
     "closure_rollup_events": _SQL_CLOSURE_ROLLUP,
+    "cdc_multi_sink_route": _SQL_MULTI_SINK,
     "cdc_prev_event_gap": _SQL_PREV_GAP,
     "events_scalar_decode": _SQL_SCALAR_DECODE,
     "user_month_spans": _SQL_MONTH_SPANS,

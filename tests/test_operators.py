@@ -479,6 +479,45 @@ def test_hyperloglog_accuracy_and_merge(ray_session):
     assert rt.cardinality() == ab.cardinality()
 
 
+def test_fanout_multi_sink_routing(ray_session, tmp_path):
+    """One pass, N typed sinks: overlapping routes fan a record to several
+    tables, the catch-all gets only unclaimed rows, per-table schemas are
+    the declared projections, and the single manifest commits everything
+    (reads before the commit fail)."""
+    import pyarrow.compute as pc
+
+    from etl_cms_ray.stages.fanout import Route, fanout_write, read_fanout_table
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "kind": ["a", "b", "ab", "z"],
+            "v": pa.array([1.0, 2.0, 3.0, 4.0], type=pa.float64()),
+        }
+    )
+    routes = [
+        Route("alpha", lambda b: pc.match_substring(b["kind"], "a"), ["id", "v"]),
+        Route("beta", lambda b: pc.match_substring(b["kind"], "b"), ["id"]),
+        Route("rest", None, ["id", "kind"]),
+    ]
+    root = str(tmp_path / "fan")
+    with pytest.raises(FileNotFoundError):
+        read_fanout_table(root, "alpha")  # nothing committed yet
+    manifest = fanout_write(rd.from_arrow(t), routes, root)
+    assert manifest["alpha"]["rows"] == 2  # ids 1, 3 (overlap: 3 also in beta)
+    assert manifest["beta"]["rows"] == 2  # ids 2, 3
+    assert manifest["rest"]["rows"] == 1  # id 4 only — unclaimed
+    alpha = read_fanout_table(root, "alpha").to_pandas()
+    assert sorted(alpha.columns) == ["id", "v"] and set(alpha["id"]) == {1, 3}
+    beta = read_fanout_table(root, "beta").to_pandas()
+    assert list(beta.columns) == ["id"] and set(beta["id"]) == {2, 3}
+    rest = read_fanout_table(root, "rest").to_pandas()
+    assert set(rest["id"]) == {4}
+    # idempotent rerun: content-addressed names -> same files, same manifest
+    manifest2 = fanout_write(rd.from_arrow(t), routes, root)
+    assert manifest2 == manifest
+
+
 def test_skew_guard_counters_fire_on_degenerate_corpus(ray_session):
     """Capped LSH / ANN buckets must be counted, not silently dropped."""
     import ray
