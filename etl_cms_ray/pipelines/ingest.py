@@ -212,7 +212,11 @@ def ingest(
         "commit_mode": cfg.commit_mode,
         "wall_s": round(_time.perf_counter() - _t0, 3),
     }
-    store.publish(new_manifest, expect_version=manifest.version)
+    store.publish(
+        new_manifest,
+        expect_version=manifest.version,
+        changed_parts={int(r["part_id"]) for r in rows},
+    )
     store.append_lineage(
         {
             "manifest_version": new_manifest.version,

@@ -150,12 +150,40 @@ class LakeStore:
     def load_manifest(self, version: int | None = None) -> Manifest:
         """Current manifest, or a historical one (time travel: every
         manifest version is retained and data files are immutable +
-        content-addressed, so any past snapshot remains readable)."""
+        content-addressed, so any past snapshot remains readable).
+
+        Transparently reads both formats: legacy single-file manifests
+        (format 1, every partition inline) and sharded manifests
+        (format 2: a small index referencing content-addressed shard
+        files, each holding one partition range)."""
         v = self.current_version() if version is None else version
         if v == 0:
             return Manifest(version=0)
         with open(os.path.join(self.manifest_dir, f"manifest-{v:06d}.json")) as f:
-            return Manifest.from_json(f.read())
+            d = json.loads(f.read())
+        if d.get("format", 1) < 2:
+            return Manifest.from_json(json.dumps(d))
+        m = Manifest(
+            version=int(d["version"]), num_partitions=int(d.get("num_partitions", 32))
+        )
+        m.metrics = d.get("metrics", {})
+        for ref in d.get("shards", {}).values():
+            with open(os.path.join(self.manifest_dir, ref["file"])) as f:
+                shard = json.loads(f.read())
+            for k, ps in shard.items():
+                m.partitions[int(k)] = PartitionState.from_json(ps)
+        return m
+
+    def _load_index(self, version: int) -> dict | None:
+        """Raw index dict of a sharded manifest version (None if legacy/empty)."""
+        if version == 0:
+            return None
+        try:
+            with open(os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")) as f:
+                d = json.loads(f.read())
+        except FileNotFoundError:
+            return None
+        return d if d.get("format", 1) >= 2 else None
 
     def rollback(self, to_version: int) -> None:
         """Atomically point CURRENT at an older manifest — the
@@ -171,19 +199,80 @@ class LakeStore:
         _atomic_write(self.current_path, str(to_version))
         self.append_lineage({"op": "rollback", "manifest_version": to_version})
 
-    def publish(self, manifest: Manifest, expect_version: int | None = None) -> None:
-        """Write manifest-<v>.json then flip CURRENT atomically.
+    #: shard fan-out of the partition map: shard_size = ceil(P / SHARD_FAN);
+    #: at the 64Ki-partition target that is 64 shards of 1024 entries, and a
+    #: commit touching K partitions rewrites <= K shard files + one index
+    #: instead of one O(P) blob (single-writer O(P)-rewrite was the round-1
+    #: scale hazard).
+    SHARD_FAN = 64
+
+    def publish(
+        self,
+        manifest: Manifest,
+        expect_version: int | None = None,
+        changed_parts: "set[int] | None" = None,
+    ) -> None:
+        """Write the sharded manifest (index + changed shards), then flip
+        CURRENT atomically.
 
         ``expect_version`` is an optimistic-concurrency fence: publishing
         fails if another committer advanced CURRENT since we read it
         (single-writer per lake is the normal mode; this guards mistakes).
+        ``changed_parts``: part_ids modified since ``expect_version`` —
+        only their shards are serialized and written, every other shard
+        reuses the prior version's content-addressed file.  When omitted,
+        all shards are serialized and deduplicated by content hash
+        (correct, O(P) serialize, still O(changed) disk writes).
         """
         if expect_version is not None and self.current_version() != expect_version:
             raise RuntimeError(
                 f"manifest conflict: CURRENT={self.current_version()} != expected {expect_version}"
             )
+        prior_index = (
+            self._load_index(expect_version) if expect_version is not None else None
+        )
+        prior_shards: dict = (prior_index or {}).get("shards", {})
+        shard_size = max(1, -(-manifest.num_partitions // self.SHARD_FAN))
+        by_shard: dict[int, dict] = {}
+        for pid, ps in manifest.partitions.items():
+            by_shard.setdefault(pid // shard_size, {})[pid] = ps
+        dirty = (
+            None
+            if changed_parts is None
+            else {pid // shard_size for pid in changed_parts}
+        )
+        shards_out: dict[str, dict] = {}
+        for sid in sorted(by_shard):
+            prior = prior_shards.get(str(sid))
+            if (
+                dirty is not None
+                and sid not in dirty
+                and prior is not None
+                and prior.get("shard_size") == shard_size
+            ):
+                shards_out[str(sid)] = prior  # untouched: reuse prior file
+                continue
+            body = json.dumps(
+                {str(k): by_shard[sid][k].to_json() for k in sorted(by_shard[sid])},
+                indent=1,
+            )
+            sha12 = __import__("hashlib").sha256(body.encode()).hexdigest()[:12]
+            rel = os.path.join("shards", f"s{sid:05d}-{sha12}.json")
+            ref = {"file": rel, "sha": sha12, "shard_size": shard_size}
+            if not (prior is not None and prior.get("sha") == sha12):
+                abspath = os.path.join(self.manifest_dir, rel)
+                if not os.path.exists(abspath):  # content-addressed: reuse
+                    _atomic_write(abspath, body)
+            shards_out[str(sid)] = ref
+        index = {
+            "format": 2,
+            "version": manifest.version,
+            "num_partitions": manifest.num_partitions,
+            "metrics": manifest.metrics,
+            "shards": shards_out,
+        }
         path = os.path.join(self.manifest_dir, f"manifest-{manifest.version:06d}.json")
-        _atomic_write(path, manifest.to_json())
+        _atomic_write(path, json.dumps(index, indent=1))
         _atomic_write(self.current_path, str(manifest.version))
 
     # -- schema registry -------------------------------------------------

@@ -479,6 +479,59 @@ def test_hyperloglog_accuracy_and_merge(ray_session):
     assert rt.cardinality() == ab.cardinality()
 
 
+def test_sharded_manifest_commit_is_incremental(tmp_path):
+    """Format-2 manifests: a commit touching one partition rewrites only
+    that partition's shard + the index; untouched shards are reused by
+    path; legacy single-file manifests stay readable; round-trip exact."""
+    import json
+    import os
+
+    from etl_cms_ray.state.manifest import LakeStore, Manifest, PartitionState
+
+    root = str(tmp_path / "lake")
+    store = LakeStore(root)
+    P = 256  # shard_size = ceil(256/64) = 4
+    m1 = Manifest(version=1, num_partitions=P)
+    for p in range(P):
+        m1.partitions[p] = PartitionState(
+            part_id=p, file=f"data/part={p:05d}/e0-x.parquet", rows=p,
+            applied_through_epoch=0, content_hash=f"h{p}",
+        )
+    store.publish(m1, expect_version=0)
+    idx1 = json.load(open(os.path.join(store.manifest_dir, "manifest-000001.json")))
+    assert idx1["format"] == 2 and len(idx1["shards"]) == 64
+
+    # touch exactly one partition
+    m2 = Manifest(version=2, num_partitions=P, partitions=dict(m1.partitions))
+    m2.partitions[7] = PartitionState(
+        part_id=7, file="data/part=00007/e1-y.parquet", rows=99,
+        applied_through_epoch=1, content_hash="h7b",
+    )
+    store.publish(m2, expect_version=1, changed_parts={7})
+    idx2 = json.load(open(os.path.join(store.manifest_dir, "manifest-000002.json")))
+    changed = [
+        s for s in idx2["shards"]
+        if idx2["shards"][s]["file"] != idx1["shards"][s]["file"]
+    ]
+    assert changed == ["1"]  # only shard 7//4 == 1 got a new file
+
+    # round-trip: loaded state equals what was published (and time travel)
+    got = store.load_manifest()
+    assert got.version == 2 and len(got.partitions) == P
+    assert got.partitions[7].rows == 99 and got.partitions[8].rows == 8
+    old = store.load_manifest(1)
+    assert old.partitions[7].rows == 7
+
+    # legacy format-1 files still load
+    legacy = Manifest(version=3, num_partitions=4)
+    legacy.partitions[0] = PartitionState(part_id=0, file="f", rows=5)
+    with open(os.path.join(store.manifest_dir, "manifest-000003.json"), "w") as f:
+        f.write(legacy.to_json())
+    with open(store.current_path, "w") as f:
+        f.write("3")
+    assert store.load_manifest().partitions[0].rows == 5
+
+
 def test_fanout_multi_sink_routing(ray_session, tmp_path):
     """One pass, N typed sinks: overlapping routes fan a record to several
     tables, the catch-all gets only unclaimed rows, per-table schemas are
