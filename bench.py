@@ -225,6 +225,10 @@ def run_bench() -> dict:
     timed("dedup_minhash_pairs", Q.dedup_minhash_pairs)
     timed("ann_cosine_topk", Q.ann_cosine_topk)
     timed("doc_token_stats", Q.doc_token_stats)
+    timed("q5_local_supplier", Q.q5_local_supplier)
+    timed("doc_fingerprints", Q.doc_fingerprints)
+    timed("doc_token_unpivot", Q.doc_token_unpivot)
+    timed("cdc_multi_sink_route", Q.cdc_multi_sink_route)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

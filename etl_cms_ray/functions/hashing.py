@@ -5,9 +5,10 @@
   ``input_hint``).  hashlib's C core does the work; the Python loop is the
   thin driver and runs distributed inside ``map_batches``.
 - ``part_id_for``: stable hash partition of the (repo, path) key, via
-  crc32 — stable across processes, Python versions and runs (checkpoints
-  are per-partition, so stability is a correctness requirement, not a
-  nicety).
+  the vectorized numpy FNV-1a kernel (functions/text.py) — stable across
+  processes, Python versions and runs (checkpoints and fences are
+  per-partition, so the partitioner may NEVER change for an existing
+  lake; stability is a correctness requirement, not a nicety).
 - ``canonical_table_hash``: order-insensitive content hash of a table,
   used by manifests and the golden-comparison tests (the analog of the
   reference's expected-output CSV diffs, ``python_etl/README.md:133-146``).
@@ -59,19 +60,23 @@ def key_array(repo: pa.ChunkedArray | pa.Array, path: pa.ChunkedArray | pa.Array
 
 
 def part_id_for(repo, path, num_partitions: int) -> pa.Array:
-    """Stable partition id per row: crc32(repo \\0 path) % num_partitions."""
+    """Stable partition id per row: fnv1a64(repo \\0 path) % num_partitions.
+
+    Fully vectorized (no per-row Python on the ingest hot path): the
+    numpy byte-position FNV kernel hashes the whole key column, then one
+    modulo.  Must stay equal to ``part_id_one`` row-for-row.
+    """
+    from .text import fingerprint_column
+
     keys = key_array(repo, path)
-    crc = zlib.crc32
-    ids = np.fromiter(
-        (crc(k.as_py() or b"") % num_partitions for k in keys.cast(pa.large_binary())),
-        dtype=np.int32,
-        count=len(keys),
-    )
-    return pa.array(ids, type=pa.int32())
+    h = fingerprint_column(keys).to_numpy(zero_copy_only=False).view(np.uint64)
+    return pa.array((h % np.uint64(num_partitions)).astype(np.int32), type=pa.int32())
 
 
 def part_id_one(repo: str, path: str, num_partitions: int) -> int:
-    return zlib.crc32(f"{repo}\x00{path}".encode()) % num_partitions
+    from .text import fingerprint64
+
+    return fingerprint64(f"{repo}\x00{path}") % num_partitions
 
 
 def canonical_table_hash(t: pa.Table, sort_keys: list[str] | None = None) -> str:

@@ -82,6 +82,17 @@ def exact_dedup_groups(
 # MinHash + LSH near-dup
 
 
+def minhash_band_batch(batch: pa.Table, *, num_perm: int = 128, bands: int = 32,
+                       shingle_k: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """Task-form banding (CLAUDE.md rule 1): MinHasher state is two small
+    int vectors, so per-task construction costs ~us while an actor pool
+    pays multi-second spin-up per pipeline and caps parallelism at its
+    pool size."""
+    return MinHashBander(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                         id_col=id_col, text_col=text_col)(batch)
+
+
 class MinHashBander:
     """doc -> exploded (band_id, band_key, doc_id) rows."""
 
@@ -250,19 +261,21 @@ def minhash_lsh_pairs(
             cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:
             cpus = 8
-        join_partitions = max(2, min(16, cpus // 4))
+        # post-LSH candidate pairs are orders of magnitude smaller than the
+        # corpus: few partitions suffice, and every extra partition is one
+        # more aggregator actor of per-pipeline spin-up cost
+        join_partitions = max(2, min(8, cpus // 8))
     if broadcast_texts:
         _texts_pd = docs.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(_texts_pd[id_col], _texts_pd[text_col])))
     bands_ds = docs.map_batches(
-        MinHashBander,
-        fn_constructor_kwargs=dict(
+        minhash_band_batch,
+        fn_kwargs=dict(
             num_perm=num_perm, bands=bands, shingle_k=shingle_k,
             id_col=id_col, text_col=text_col,
         ),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, concurrency),
     )
     bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
     pairs = bands_ds.groupby("ph").map_groups(
@@ -334,6 +347,12 @@ def minhash_lsh_pairs(
 # SimHash near-dup
 
 
+def simhash_batch(batch: pa.Table, *, shingle_k: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Task-form simhash (stateless kernel — see minhash_band_batch)."""
+    return SimHasher(shingle_k=shingle_k, id_col=id_col, text_col=text_col)(batch)
+
+
 class SimHasher:
     def __init__(self, shingle_k: int = 5, id_col: str = "doc_id", text_col: str = "text"):
         self.k = shingle_k
@@ -362,11 +381,10 @@ def simhash_pairs(
     hamming<=3 of 64 bits shares at least one exact 16-bit band), verified
     by full hamming distance."""
     sigs = docs.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(shingle_k=shingle_k),
+        simhash_batch,
+        fn_kwargs=dict(shingle_k=shingle_k),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, concurrency),
     )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
