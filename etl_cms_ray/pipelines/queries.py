@@ -1619,6 +1619,40 @@ def dedup_simhash_pairs(sf_dir: str) -> "rd.Dataset":
     return simhash_pairs(_docs_with_near_dups(sf_dir), max_hamming=3, concurrency=2)
 
 
+def dedup_ngram_jaccard(sf_dir: str) -> "rd.Dataset":
+    """EXACT word-trigram Jaccard near-dup pairs via prefix filtering —
+    the complete (non-approximate) member of the dedup family, so it
+    carries a full all-pairs DuckDB oracle: any missed pair is a hard
+    row-count mismatch."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.8, n=3)
+
+
+_SQL_NGRAM_JACCARD = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' near dup tail' FROM documents
+  WHERE doc_id < 30
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                      i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])) AS gs
+  FROM toks
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       floor((CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+              / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)))) * 10000 + 0.5) / 10000 AS jaccard
+FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+WHERE len(x.gs) > 0 AND len(y.gs) > 0
+  AND CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+      / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))) >= 0.8
+"""
+
+
 def lang_id_pred(sf_dir: str) -> "rd.Dataset":
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     return ds.map_batches(
@@ -1881,6 +1915,7 @@ QUERIES = {
     "doc_quality_filter": doc_quality_filter,
     "lang_doc_stats": lang_doc_stats,
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
     # rows-only (non-SQL-expressible)
@@ -1930,6 +1965,7 @@ ORACLE_SQL = {
     "doc_quality_filter": _SQL_QUALITY_FILTER,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "ann_cosine_topk": _SQL_ANN_TOPK,
     "embedding_norms": _SQL_EMBEDDING_NORMS,
     # formerly rows-only, now hard-checked

@@ -292,36 +292,7 @@ def minhash_lsh_pairs(
             concurrency=(1, concurrency),
         )
 
-    # scalable verify: join text_a and text_b onto the pairs, then exact
-    # per-row Jaccard — two hash-partitioned joins, zero broadcast.
-    # Metadata is stripped so schemas stay hashable for Ray's join dedup.
-    texts = docs.select_columns([id_col, text_col]).map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
-    pairs = pairs.map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
-    with_a = pairs.join(
-        texts, join_type="inner", num_partitions=join_partitions, on=("a",), right_on=(id_col,),
-        right_suffix="_a",
-    )
-    a_col = text_col if text_col not in ("a", "b") else f"{text_col}_a"
-    with_a = with_a.map_batches(
-        lambda t: t.rename_columns(
-            [("text_a" if c == a_col else c) for c in t.column_names]
-        ),
-        batch_format="pyarrow",
-    )
-    with_ab = with_a.join(
-        texts, join_type="inner", num_partitions=join_partitions, on=("b",), right_on=(id_col,),
-        right_suffix="_b",
-    )
-    with_ab = with_ab.map_batches(
-        lambda t: t.rename_columns(
-            [("text_b" if c == a_col else c) for c in t.column_names]
-        ),
-        batch_format="pyarrow",
-    )
+    with_ab = _attach_pair_texts(pairs, docs, id_col, text_col, join_partitions)
 
     def verify(batch: pa.Table) -> pa.Table:
         sims = [
@@ -339,6 +310,224 @@ def minhash_lsh_pairs(
         import pyarrow.compute as pc
 
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
+
+
+def _attach_pair_texts(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    join_partitions: int,
+) -> "ray.data.Dataset":
+    """Scalable verify-side text access shared by the near-dup operators:
+    join text_a and text_b onto (a, b) candidate pairs with two
+    hash-partitioned Dataset.joins — no driver materialization, no
+    whole-corpus broadcast; candidate-pair volume is what moves.
+    Metadata is stripped so schemas stay hashable for Ray's join dedup."""
+    texts = docs.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+    with_a = pairs.join(
+        texts, join_type="inner", num_partitions=join_partitions, on=("a",),
+        right_on=(id_col,), right_suffix="_a",
+    )
+    a_col = text_col if text_col not in ("a", "b") else f"{text_col}_a"
+    with_a = with_a.map_batches(
+        lambda t: t.rename_columns(
+            [("text_a" if c == a_col else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    with_ab = with_a.join(
+        texts, join_type="inner", num_partitions=join_partitions, on=("b",),
+        right_on=(id_col,), right_suffix="_b",
+    )
+    return with_ab.map_batches(
+        lambda t: t.rename_columns(
+            [("text_b" if c == a_col else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _default_join_parts() -> int:
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(8, cpus // 8))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (prefix filtering)
+
+
+def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Sorted distinct fnv64 hashes of the word n-grams of ``text``.
+
+    Tokenization matches DuckDB string_split semantics exactly (split on
+    single space, empty tokens kept) so the SQL oracle reproduces the
+    same gram SETS; hashing grams to int64 is safe for Jaccard
+    completeness (any total order works for prefix filtering, and a
+    collision can only merge two grams on BOTH sides of a comparison
+    inside this engine — the verify stage recomputes on hashes too, so
+    J is computed over the same hashed universe for every pair).
+    """
+    from ..functions.text import fingerprint64
+
+    ws = text.split(" ")
+    if len(ws) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = {fingerprint64("\x1f".join(ws[i : i + n])) for i in range(len(ws) - n + 1)}
+    return np.sort(np.fromiter(grams, dtype=np.uint64, count=len(grams)))
+
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: str = "df",
+    join_partitions: int | None = None,
+    metrics=None,
+    max_bucket: int = 256,
+) -> "ray.data.Dataset":
+    """EXACT word-n-gram-set Jaccard pairs (a < b, J >= threshold) via
+    prefix filtering — complete, not approximate: for any global total
+    order over grams, two sets with J >= t must share a gram within
+    their first ``|x| - ceil(t*|x|) + 1`` grams (the classic all-pairs
+    similarity-join prefix theorem), so bucketing ONLY prefix grams
+    generates every qualifying pair.  Completeness holds unless a skew
+    cap fires — capped buckets are counted in ``metrics``, making any
+    incompleteness observable.
+
+    ``order="df"`` ranks grams rarest-first via a document-frequency
+    pass whose vocabulary is collected to a broadcast map — the
+    bucket-minimizing choice for dimension-sized vocabularies;
+    ``order="hash"`` skips the global pass entirely (fully streaming, no
+    broadcast — the choice when the gram vocabulary itself is too large
+    to broadcast, at the cost of bigger buckets on skewed corpora).
+    """
+    if join_partitions is None:
+        join_partitions = _default_join_parts()
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_g = [], []
+        for i, t in zip(ids, texts):
+            gs = _word_ngram_hashes(t, n)
+            out_id.append(np.full(len(gs), i, dtype=np.int64))
+            out_g.append(gs.view(np.int64))
+        return pa.table(
+            {
+                "doc_id": np.concatenate(out_id) if out_id else np.empty(0, np.int64),
+                "gh": np.concatenate(out_g) if out_g else np.empty(0, np.int64),
+            }
+        )
+
+    rank_ref = None
+    if order == "df":
+        # document frequency per gram hash: per-batch partials -> coarse
+        # hash partitions -> one merged vocab frame -> broadcast
+        gr = docs.map_batches(gram_rows, batch_format="pyarrow")
+        partials = gr.map_batches(
+            lambda df: df.groupby("gh", sort=False).size().rename("_n").reset_index(),
+            batch_format="pandas",
+        )
+
+        def add_part(t: pa.Table) -> pa.Table:
+            gh = t["gh"].to_numpy(zero_copy_only=False).view(np.uint64)
+            return t.append_column(
+                "gp", pa.array((gh % np.uint64(_PAIR_PARTS)).astype(np.int64))
+            )
+
+        dfs = (
+            partials.map_batches(add_part, batch_format="pyarrow")
+            .groupby("gp")
+            .map_groups(
+                lambda g: g.groupby("gh", sort=False)["_n"].sum().reset_index(),
+                batch_format="pandas",
+            )
+            .to_pandas()
+        )
+        rank_ref = ray.put(dict(zip(dfs["gh"].astype("int64"), dfs["_n"].astype("int64"))))
+
+    def prefix_emit(batch: pa.Table, rank_ref=rank_ref) -> pa.Table:
+        dfm = ray.get(rank_ref) if rank_ref is not None else None
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_id, out_g = [], []
+        for i, t in zip(ids, texts):
+            gs = _word_ngram_hashes(t, n)
+            L = len(gs)
+            if L == 0:
+                continue
+            k = L - int(np.ceil(threshold * L)) + 1
+            if dfm is not None:
+                signed = gs.view(np.int64)
+                key = np.fromiter(
+                    ((dfm.get(int(g), 0), int(g)) for g in signed),
+                    dtype=[("df", np.int64), ("g", np.int64)],
+                    count=L,
+                )
+                pref = signed[np.argsort(key, order=("df", "g"), kind="stable")[:k]]
+            else:
+                pref = gs.view(np.int64)[:k]  # gs already hash-sorted
+            out_id.append(np.full(len(pref), i, dtype=np.int64))
+            out_g.append(pref)
+        return pa.table(
+            {
+                "band_id": np.zeros(
+                    sum(len(x) for x in out_g), dtype=np.int32
+                ),
+                "band_key": np.concatenate(out_g) if out_g else np.empty(0, np.int64),
+                "doc_id": np.concatenate(out_id) if out_id else np.empty(0, np.int64),
+            }
+        )
+
+    emitted = docs.map_batches(prefix_emit, batch_format="pyarrow", batch_size=1024)
+    emitted = emitted.map_batches(_add_bucket_part, batch_format="pyarrow")
+    pairs = emitted.groupby("ph").map_groups(
+        lambda g: _partition_pairs(g, max_bucket=max_bucket, metrics=metrics),
+        batch_format="pandas",
+    )
+    pairs = _dedup_pairs(pairs, ["a", "b"])
+    with_ab = _attach_pair_texts(pairs, docs, id_col, text_col, join_partitions)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_j = []
+        for x, y in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist()):
+            ga, gb = _word_ngram_hashes(x, n), _word_ngram_hashes(y, n)
+            if len(ga) == 0 or len(gb) == 0:
+                out_j.append(0.0)
+                continue
+            inter = np.intersect1d(ga, gb, assume_unique=True).size
+            out_j.append(inter / (len(ga) + len(gb) - inter))
+        out = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "jaccard": pa.array(
+                    np.floor(np.array(out_j) * 10000 + 0.5) / 10000
+                    if out_j
+                    else np.empty(0, np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+        import pyarrow.compute as pc
+
+        mask = pc.greater_equal(
+            pa.array(out_j, type=pa.float64()), pa.scalar(threshold)
+        )
+        return out.filter(mask)
 
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 

@@ -611,6 +611,37 @@ def test_skew_guard_counters_fire_on_degenerate_corpus(ray_session):
         ray.kill(h)
 
 
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """Prefix filtering must be COMPLETE: both ordering modes return
+    exactly the brute-force all-pairs answer (no cap fires here)."""
+    import itertools
+
+    from etl_cms_ray.stages.dedup import _word_ngram_hashes, ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [base,
+             base + "tail one",
+             base.replace("delta", "DELTA"),
+             "totally different words entirely here now " * 6,
+             "alpha beta gamma " * 2]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": texts})
+    )
+    expect = set()
+    for (i, x), (j, y) in itertools.combinations(enumerate(texts), 2):
+        ga, gb = _word_ngram_hashes(x, 3), _word_ngram_hashes(y, 3)
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        if inter and inter / (len(ga) + len(gb) - inter) >= 0.5:
+            expect.add((i, j))
+    for order in ("df", "hash"):
+        got = ngram_jaccard_pairs(
+            docs, threshold=0.5, n=3, order=order, join_partitions=2
+        ).to_pandas()
+        assert set(map(tuple, got[["a", "b"]].values.tolist())) == expect, order
+        assert (got["jaccard"] >= 0.5).all()
+
+
 def test_minhash_join_verify_equals_broadcast(ray_session):
     """The scalable (join-based) verify path returns the same pairs as the
     broadcast-texts path."""
