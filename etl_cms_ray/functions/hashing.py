@@ -25,6 +25,12 @@ import pyarrow.compute as pc
 
 _EMPTY_SHA = hashlib.sha256(b"").digest()
 
+#: Engine ABI: the key->partition function identity.  Persisted in every
+#: manifest; ingest refuses a lake whose recorded partitioner differs
+#: (fences and prior state are per-partition — applying events through a
+#: different partitioner silently duplicates keys and breaks replay).
+PARTITIONER_ID = "fnv1a64"
+
 
 def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """sha256 digest (binary(32)) per row; null in -> null out."""

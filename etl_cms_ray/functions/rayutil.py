@@ -1,0 +1,32 @@
+"""Small shared Ray-pipeline utilities (single source of truth — these
+were previously duplicated across queries.py and dedup.py and the copies
+had already started to drift).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+
+def default_join_partitions(cap: int = 8) -> int:
+    """num_partitions for native Dataset.join sized to the session: the
+    Join operator reserves one aggregator actor per partition, so every
+    extra partition is per-pipeline actor spin-up cost, and chained joins
+    at num_partitions >> CPUs can starve a small local session (measured
+    at sf0.1/32cpus: jp=4 beats jp=8/16 by 10-30%).  A cluster deployment
+    sizes this to DATA volume instead — partitions ~ join-side bytes /
+    target block size — via the cap argument."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus // 8))
+
+
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Strip schema metadata (parquet writes a `pandas` dict that makes
+    pyarrow schemas unhashable, defeating Ray's schema dedup inside
+    hash-shuffle joins and spamming 'Failed to hash the schemas')."""
+    return t.replace_schema_metadata(None)

@@ -122,6 +122,17 @@ def ingest(
             f"{manifest.num_partitions}, config says {cfg.num_partitions}; "
             "use repartition_lake to change the bucketing"
         )
+    from ..functions.hashing import PARTITIONER_ID
+
+    if manifest.partitions and manifest.partitioner != PARTITIONER_ID:
+        # the partitioner is engine ABI: fences and prior state are
+        # per-partition, so applying events through a different hash
+        # silently duplicates keys and breaks exactly-once replay
+        raise ValueError(
+            f"lake {cfg.lake_root} was written with partitioner="
+            f"{manifest.partitioner!r}; this engine uses {PARTITIONER_ID!r} — "
+            "rebuild via repartition_lake before ingesting"
+        )
     registry = store.load_registry()
     if schema_changes:
         known = {(c.epoch, c.change, c.column) for c in registry.changes}

@@ -105,27 +105,27 @@ def _coarse_final(
     return parted.groupby("fpart").map_groups(per_part, batch_format="pandas")
 
 
-def _join_parts(cap: int = 16) -> int:
-    """num_partitions for native Dataset.join sized to the session: the
-    Join operator reserves one aggregator actor per partition, so each
-    extra partition is per-pipeline actor spin-up cost, and chained joins
-    at num_partitions >> CPUs can starve a small local session (measured:
-    jp=4 beats jp=8/16 by 10-30%% at sf0.1/32cpus).  A cluster deployment
-    sizes this to DATA volume instead — partitions ~ join-side bytes /
-    target block size — via the cap argument."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        cpus = 8
-    return max(2, min(cap, cpus // 8))
+def _join_parts(cap: int = 8) -> int:
+    """Session-sized num_partitions for native Dataset.join (see
+    functions/rayutil.default_join_partitions — the single source of
+    truth for the sizing rationale)."""
+    from ..functions.rayutil import default_join_partitions
+
+    return default_join_partitions(cap)
 
 
 
 def _nometa(t: pa.Table) -> pa.Table:
-    """Strip schema metadata (parquet writes a `pandas` dict that makes
-    pyarrow schemas unhashable, defeating Ray's schema dedup inside
-    hash-shuffle joins and spamming 'Failed to hash the schemas')."""
-    return t.replace_schema_metadata(None)
+    """Strip schema metadata for join inputs (see
+    functions/rayutil.strip_schema_metadata).  Also pins the worker's
+    Arrow thread pool (CLAUDE.md rule 2): every join-input stage wraps
+    its filter/is_in kernels in _nometa, so pinning here covers each of
+    those hot lambdas without a separate pass."""
+    from ..functions.rayutil import strip_schema_metadata
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
+    return strip_schema_metadata(t)
 
 
 def _add_upart(t: pa.Table) -> pa.Table:
@@ -475,7 +475,7 @@ def order_status_revenue_native_join(sf_dir: str) -> "rd.Dataset":
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(_nometa, batch_format="pyarrow")
     joined = lineitem.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_join_parts(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -1016,7 +1016,7 @@ def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
     supp_pd = (
         rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
         .map_batches(
-            lambda t: t.filter(pc.is_in(t["s_nationkey"], value_set=asia_keys)),
+            lambda t: _nometa(t.filter(pc.is_in(t["s_nationkey"], value_set=asia_keys))),
             batch_format="pyarrow",
         )
         .to_pandas()
@@ -1731,7 +1731,28 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     recall = (
         approx.groupby("query_id")["_hit"].sum() / exact.groupby("query_id").size()
     ).rename("recall")
-    return approx.merge(recall.reset_index(), on="query_id").drop(columns=["_hit"])
+    out = approx.merge(recall.reset_index(), on="query_id").drop(columns=["_hit"])
+    # a query whose probe matched NO rows must still appear — at recall 0
+    # with a null neighbor — or the metric silently inflates (the whole
+    # point of the column is making recall loss observable)
+    missing = sorted(set(q_ids.tolist()) - set(out["query_id"]))
+    if missing:
+        out = pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {
+                        "query_id": pd.array(missing, dtype="int64"),
+                        "neighbor_id": pd.array([-1] * len(missing), dtype="int64"),
+                        "score": np.nan,
+                        "rank": pd.array([0] * len(missing), dtype="int64"),
+                        "recall": 0.0,
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    return out
 
 
 

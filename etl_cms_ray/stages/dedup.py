@@ -24,6 +24,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import sha256_hex_column
+from ..functions.rayutil import default_join_partitions, strip_schema_metadata
 from ..functions.minhash import (MinHasher, char_shingles, jaccard, simhash64,
                                  word_shingles)
 
@@ -257,14 +258,9 @@ def minhash_lsh_pairs(
       derives it from the session's CPU count).
     """
     if join_partitions is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        except Exception:
-            cpus = 8
         # post-LSH candidate pairs are orders of magnitude smaller than the
-        # corpus: few partitions suffice, and every extra partition is one
-        # more aggregator actor of per-pipeline spin-up cost
-        join_partitions = max(2, min(8, cpus // 8))
+        # corpus: few partitions suffice (rayutil has the sizing rationale)
+        join_partitions = default_join_partitions()
     if broadcast_texts:
         _texts_pd = docs.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(_texts_pd[id_col], _texts_pd[text_col])))
@@ -327,11 +323,9 @@ def _attach_pair_texts(
     whole-corpus broadcast; candidate-pair volume is what moves.
     Metadata is stripped so schemas stay hashable for Ray's join dedup."""
     texts = docs.select_columns([id_col, text_col]).map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+        strip_schema_metadata, batch_format="pyarrow"
     )
-    pairs = pairs.map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    pairs = pairs.map_batches(strip_schema_metadata, batch_format="pyarrow")
     with_a = pairs.join(
         texts, join_type="inner", num_partitions=join_partitions, on=("a",),
         right_on=(id_col,), right_suffix="_a",
@@ -353,14 +347,6 @@ def _attach_pair_texts(
         ),
         batch_format="pyarrow",
     )
-
-
-def _default_join_parts() -> int:
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        cpus = 8
-    return max(2, min(8, cpus // 8))
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +401,7 @@ def ngram_jaccard_pairs(
     to broadcast, at the cost of bigger buckets on skewed corpora).
     """
     if join_partitions is None:
-        join_partitions = _default_join_parts()
+        join_partitions = default_join_partitions()
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()

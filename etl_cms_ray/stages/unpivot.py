@@ -52,12 +52,17 @@ def unpivot_list(
     for col in list_cols:
         arr = t[col].combine_chunks()
         if col != list_cols[0]:
-            lens_a = pc.list_value_length(first)
-            lens_b = pc.list_value_length(arr)
-            if not pc.all(pc.equal(lens_a, lens_b)).as_py():
+            # null-safe parallelism check: fill null lengths with -1 so a
+            # null row in one column and a non-null row in the other is a
+            # hard error, not a silent misalignment (pc.all ignores nulls,
+            # and flatten() skips null rows, so differing null PATTERNS
+            # would otherwise zip values onto the wrong parent rows)
+            lens_a = pc.fill_null(pc.list_value_length(first), -1)
+            lens_b = pc.fill_null(pc.list_value_length(arr), -1)
+            if t.num_rows and not pc.all(pc.equal(lens_a, lens_b)).as_py():
                 raise ValueError(
                     f"unpivot_list: column {col!r} is not parallel to "
-                    f"{list_cols[0]!r} (per-row lengths differ)"
+                    f"{list_cols[0]!r} (per-row lengths or null patterns differ)"
                 )
         out = out.append_column(f"{col}_item", arr.flatten())
     return out

@@ -35,6 +35,7 @@ import tempfile
 import time
 from dataclasses import dataclass, field
 
+from ..functions.hashing import PARTITIONER_ID
 from ..schema import SchemaRegistry
 
 
@@ -82,6 +83,9 @@ class Manifest:
     num_partitions: int = 32
     partitions: dict = field(default_factory=dict)  # part_id -> PartitionState
     metrics: dict = field(default_factory=dict)
+    #: key->partition function identity (engine ABI guard).  Manifests
+    #: written before the field existed used crc32 — absent means that.
+    partitioner: str = PARTITIONER_ID
 
     def part(self, part_id: int) -> PartitionState:
         return self.partitions.get(part_id, PartitionState(part_id=part_id))
@@ -103,6 +107,7 @@ class Manifest:
             {
                 "version": self.version,
                 "num_partitions": self.num_partitions,
+                "partitioner": self.partitioner,
                 "partitions": {str(k): v.to_json() for k, v in sorted(self.partitions.items())},
                 "metrics": self.metrics,
             },
@@ -112,7 +117,8 @@ class Manifest:
     @staticmethod
     def from_json(s: str) -> "Manifest":
         d = json.loads(s)
-        m = Manifest(version=int(d["version"]), num_partitions=int(d.get("num_partitions", 32)))
+        m = Manifest(version=int(d["version"]), num_partitions=int(d.get("num_partitions", 32)),
+                     partitioner=d.get("partitioner", "crc32"))
         m.partitions = {
             int(k): PartitionState.from_json(v) for k, v in d.get("partitions", {}).items()
         }
@@ -164,7 +170,8 @@ class LakeStore:
         if d.get("format", 1) < 2:
             return Manifest.from_json(json.dumps(d))
         m = Manifest(
-            version=int(d["version"]), num_partitions=int(d.get("num_partitions", 32))
+            version=int(d["version"]), num_partitions=int(d.get("num_partitions", 32)),
+            partitioner=d.get("partitioner", "crc32"),
         )
         m.metrics = d.get("metrics", {})
         for ref in d.get("shards", {}).values():
@@ -268,6 +275,7 @@ class LakeStore:
             "format": 2,
             "version": manifest.version,
             "num_partitions": manifest.num_partitions,
+            "partitioner": manifest.partitioner,
             "metrics": manifest.metrics,
             "shards": shards_out,
         }

@@ -140,6 +140,18 @@ def test_unpivot_list_flatten_and_zip():
     )
     with pytest.raises(ValueError):
         unpivot_list(bad, ["xs", "ys"])
+    # differing NULL patterns with coincidentally equal flatten lengths
+    # must also raise (pc.all ignores nulls; a silent pass here zips
+    # values onto the wrong parent rows)
+    nullbad = pa.table(
+        {
+            "k": pa.array([1, 2, 3], type=pa.int64()),
+            "xs": pa.array([["a"], None, ["c"]], type=pa.list_(pa.string())),
+            "ys": pa.array([["p"], ["q"], None], type=pa.list_(pa.string())),
+        }
+    )
+    with pytest.raises(ValueError):
+        unpivot_list(nullbad, ["xs", "ys"])
 
 
 def test_fingerprint_vectorized_matches_scalar():
@@ -530,6 +542,34 @@ def test_sharded_manifest_commit_is_incremental(tmp_path):
     with open(store.current_path, "w") as f:
         f.write("3")
     assert store.load_manifest().partitions[0].rows == 5
+
+
+def test_partitioner_abi_guard(ray_session, tmp_path):
+    """A lake whose manifest records a different key->partition function
+    must be refused by ingest (fences are per-partition; applying events
+    through another hash silently duplicates keys)."""
+    import json
+    import os
+
+    import ray.data
+
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.fixtures import make_events, make_repos
+    from etl_cms_ray.pipelines.ingest import ingest
+    from etl_cms_ray.state.manifest import LakeStore
+
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(lake_root=lake, num_partitions=4)
+    ev = make_events(make_repos(n_repos=2, files_per_repo=5), n_epochs=2)
+    ingest(ray.data.from_arrow(ev), cfg)
+    store = LakeStore(lake)
+    # simulate a pre-FNV lake: rewrite the index with the legacy tag
+    path = os.path.join(store.manifest_dir, f"manifest-{store.current_version():06d}.json")
+    d = json.load(open(path))
+    d["partitioner"] = "crc32"
+    json.dump(d, open(path, "w"))
+    with pytest.raises(ValueError, match="partitioner"):
+        ingest(ray.data.from_arrow(ev), cfg)
 
 
 def test_fanout_multi_sink_routing(ray_session, tmp_path):
