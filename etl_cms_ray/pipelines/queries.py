@@ -317,18 +317,27 @@ FROM g GROUP BY user_id, event_type, era_id
 
 def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
     """Per-event lag to the previous event of the same user — the
-    reference's lag() OVER (PARTITION BY person) analog (O4,
+    reference's lag() OVER (PARTITION BY person) analog (O4), PLUS the
+    intra-group back-reference to the previous record's ID (J6, the
+    ``preceding_visit_occurrence_id`` backfill,
     ``V5.0_TO_V5.2_SCRIPT/insert_visit_occurrence.sql:41``): per-group
     vectorized shift inside map_groups after the key shuffle."""
     ds = _events(sf_dir, ["user_id", "event_id", "ts"])
 
     def with_gap(g: pd.DataFrame) -> pd.DataFrame:
         # one vectorized shift per coarse partition; groupby-shift keeps
-        # the first event of each user at NaN
+        # the first event of each user at NaN/null
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        prev = g.groupby("user_id", sort=False)["ts"].shift(1)
-        g = g.assign(gap_s=(g["ts"] - prev).dt.total_seconds())
-        return g[["user_id", "event_id", "ts", "gap_s"]]
+        grp = g.groupby("user_id", sort=False)
+        prev = grp["ts"].shift(1)
+        g = g.assign(
+            gap_s=(g["ts"] - prev).dt.total_seconds(),
+            # float64 with NaN for the first event of each user: nullable
+            # BIGINT lands as float64+NaN on the DuckDB->pandas side too,
+            # so both engines hash identically
+            prev_event_id=grp["event_id"].shift(1).astype("float64"),
+        )
+        return g[["user_id", "event_id", "ts", "gap_s", "prev_event_id"]]
 
     parts = ds.map_batches(_add_upart, batch_format="pyarrow")
     return parts.groupby("upart").map_groups(with_gap, batch_format="pandas")
@@ -336,7 +345,8 @@ def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
 
 _SQL_PREV_GAP = """
 SELECT user_id, event_id, ts,
-       epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s
+       epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s,
+       CAST(lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS prev_event_id
 FROM events
 """
 
