@@ -1358,6 +1358,70 @@ FROM documents GROUP BY lang
 """
 
 
+def doc_content_sample(sf_dir: str) -> "rd.Dataset":
+    """Deterministic content-hash sampling (the stable way to downsample
+    a training corpus: the decision is keyed on sha256(text), so it is
+    reproducible across runs, engines and epochs and independent of row
+    order/partitioning — unlike random_shuffle/limit).  Keeps docs whose
+    first sha256 hex nibble is 0 or 1 (a 1/8 sample in expectation)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        sha = sha256_hex_column(t["text"])
+        nibble = pc.utf8_slice_codeunits(sha, 0, 1)
+        mask = pc.is_in(nibble, value_set=pa.array(["0", "1"]))
+        out = t.filter(mask)
+        return pa.table({"doc_id": out["doc_id"], "lang": out["lang"]})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_SQL_CONTENT_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(sha256(text), 1, 1) IN ('0', '1')
+"""
+
+
+def user_train_val_split(sf_dir: str) -> "rd.Dataset":
+    """Leakage-safe train/val split: the split decision hashes the ENTITY
+    key (user_id), so every event of one user lands on the same side —
+    the grouping discipline a training pipeline needs so evaluation users
+    are never seen in training.  Emits per-split event counts."""
+    ds = _events(sf_dir, ["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        sha = sha256_hex_column(pc.cast(t["user_id"], pa.string()))
+        nibble = pc.utf8_slice_codeunits(sha, 0, 1)
+        is_val = pc.is_in(nibble, value_set=pa.array(["0", "1"]))
+        df = pd.DataFrame({"split": np.where(is_val.to_numpy(zero_copy_only=False),
+                                             "val", "train")})
+        return pa.Table.from_pandas(
+            df.groupby("split", sort=False).size().rename("_n").reset_index(),
+            preserve_index=False,
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _final_agg(
+        partials,
+        lambda df: df.groupby("split", sort=False)["_n"].sum().rename("n_events")
+        .reset_index().astype({"n_events": "int64"}),
+    )
+
+
+_SQL_TRAIN_VAL_SPLIT = """
+SELECT CASE WHEN substr(sha256(CAST(user_id AS VARCHAR)), 1, 1) IN ('0', '1')
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def _docs_with_dups(sf_dir: str) -> "rd.Dataset":
     """documents ∪ re-keyed copies of doc_id<50 (deterministic exact dups)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1944,6 +2008,8 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_token_unpivot": doc_token_unpivot,
     "doc_quality_filter": doc_quality_filter,
+    "doc_content_sample": doc_content_sample,
+    "user_train_val_split": user_train_val_split,
     "lang_doc_stats": lang_doc_stats,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1994,6 +2060,8 @@ ORACLE_SQL = {
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,
+    "doc_content_sample": _SQL_CONTENT_SAMPLE,
+    "user_train_val_split": _SQL_TRAIN_VAL_SPLIT,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
