@@ -1,0 +1,99 @@
+"""Property tests for the round-2 kernels: the vectorized FNV fingerprint
+against its scalar reference, list unpivot as the inverse of list
+construction, and pointer-doubling closure against a naive walk.
+No Ray needed — these are pure batch kernels.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=300)),
+        min_size=0,
+        max_size=50,
+    )
+)
+def test_fingerprint_column_matches_scalar(strings):
+    from etl_cms_ray.functions.text import fingerprint64, fingerprint_column
+
+    arr = pa.array(strings, type=pa.string())
+    got = fingerprint_column(arr).to_pylist()
+    expect = [
+        int(np.array([fingerprint64(s)], dtype=np.uint64).view(np.int64)[0])
+        if s is not None
+        else 0
+        for s in strings
+    ]
+    assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(min_size=1, max_size=6), min_size=0, max_size=8),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_unpivot_list_roundtrip(rows):
+    """Exploding then regrouping by parent key reconstructs every list
+    (empty lists vanish — they contribute no elements)."""
+    from etl_cms_ray.stages.unpivot import unpivot_list
+
+    t = pa.table(
+        {
+            "k": pa.array(range(len(rows)), type=pa.int64()),
+            "xs": pa.array(rows, type=pa.list_(pa.string())),
+        }
+    )
+    out = unpivot_list(t, "xs")
+    # reconstruct
+    rebuilt: dict[int, list] = {}
+    for k, pos, v in zip(
+        out["k"].to_pylist(), out["pos"].to_pylist(), out["xs_item"].to_pylist()
+    ):
+        rebuilt.setdefault(k, []).append((pos, v))
+    for k, row in enumerate(rows):
+        got = [v for _, v in sorted(rebuilt.get(k, []))]
+        assert got == row
+        if row:
+            assert [p for p, _ in sorted(rebuilt[k])] == list(range(1, len(row) + 1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=60), st.randoms())
+def test_closure_roots_matches_naive_walk(nodes, rnd):
+    """Random forests: pointer doubling equals a naive per-node walk."""
+    from etl_cms_ray.stages.closure import closure_roots
+
+    nodes = sorted(set(nodes))
+    parent = {}
+    for i, n in enumerate(nodes):
+        if i > 0 and rnd.random() < 0.8:
+            parent[n] = rnd.choice(nodes[:i])  # earlier node -> acyclic
+    if not parent:
+        return  # no edges: closure over an empty edge table is trivial
+    edges = pa.table(
+        {
+            "child": pa.array([f"n{c}" for c in parent], type=pa.string()),
+            "parent": pa.array([f"n{p}" for p in parent.values()], type=pa.string()),
+        }
+    )
+    got = closure_roots(edges).set_index("node")
+
+    def walk(n):
+        d = 0
+        while n in parent:
+            n, d = parent[n], d + 1
+        return n, d
+
+    seen = set(parent) | set(parent.values())
+    for n in seen:
+        root, depth = walk(n)
+        assert got.loc[f"n{n}", "root"] == f"n{root}", n
+        assert got.loc[f"n{n}", "depth"] == depth, n
