@@ -170,6 +170,11 @@ def ingest(
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
+    # NOTE: do NOT force a large batch_size here to "help" the shuffle —
+    # the combiner does real per-batch work, and a 65536-row batch cuts
+    # the task count below the CPU count at bench scale (measured: 7x
+    # slower ingest).  Block coalescing pays only on trivial pre-shuffle
+    # stages (see stages/join.py).
     ds = ds.map_batches(_combiner, batch_format="pyarrow", zero_copy_batch=True)
     if cfg.salt_factor > 1:
         ds = _salted_prereduce(ds, cfg.salt_factor)

@@ -38,6 +38,7 @@ from ..stages.ann import brute_force_topk, lsh_topk
 from ..stages.compact import sessionize_partition
 from ..stages.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
 from ..stages.dimjoin import BroadcastJoiner, put_dim
+from ..stages.join import hash_join
 from ..stages.multimodal import DecodeStub, FrameSampler, synth_media_table
 from .ingest import ingest, read_lake
 
@@ -101,7 +102,11 @@ def _coarse_final(
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         return final_fn(df.drop(columns=["fpart"]))
 
-    parted = partials.map_batches(add_part, batch_format="pyarrow")
+    # batch_size coalesces the many tiny partial blocks before the sort
+    # shuffle — its overhead is O(M x R) block pairs, so few big blocks
+    # beat many small ones (same rationale as stages/join.py)
+    parted = partials.map_batches(add_part, batch_format="pyarrow",
+                                  batch_size=65536)
     return parted.groupby("fpart").map_groups(per_part, batch_format="pandas")
 
 
@@ -113,6 +118,14 @@ def _join_parts(cap: int = 8) -> int:
 
     return default_join_partitions(cap)
 
+
+
+def _pq_cols_schema(sf_dir: str, table: str, cols: list) -> pa.Schema:
+    """Static column schema from parquet footer metadata — the zero-cost
+    way to feed hash_join's left_schema/right_schema for map_batches
+    chains over reads (Dataset.schema() would execute a block)."""
+    s = pq.read_schema(f"{sf_dir}/{table}.parquet")
+    return pa.schema([(c, s.field(c).type) for c in cols])
 
 
 def _nometa(t: pa.Table) -> pa.Table:
@@ -262,7 +275,8 @@ def cdc_sessionize(sf_dir: str) -> "rd.Dataset":
 
     # key-hash partitions instead of per-user groups: one vectorized
     # sweep per partition, not one Python call per user
-    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
     return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
 
 
@@ -291,7 +305,8 @@ def cdc_era_merge(sf_dir: str) -> "rd.Dataset":
         s["n_events"] = s["n_events"].astype("int64")
         return s[["user_id", "event_type", "era_start", "era_end", "n_events"]]
 
-    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
     return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
 
 
@@ -339,7 +354,8 @@ def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
         )
         return g[["user_id", "event_id", "ts", "gap_s", "prev_event_id"]]
 
-    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
     return parts.groupby("upart").map_groups(with_gap, batch_format="pandas")
 
 
@@ -458,7 +474,8 @@ def cdc_rolling_value_mean(sf_dir: str) -> "rd.Dataset":
         df = df.assign(rolling_mean=_qround(_qround(total, 2) / n, 4))
         return df[["event_id", "user_id", "ts", "rolling_mean"]]
 
-    parts = ds.map_batches(_add_upart, batch_format="pyarrow")
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
     return parts.groupby("upart").map_groups(per_partition, batch_format="pandas")
 
 
@@ -520,7 +537,7 @@ def customer_order_counts(sf_dir: str) -> "rd.Dataset":
 
     Both sides are unbounded, so neither is broadcast or driver-read:
     per-batch count partials -> coarse-partition final per custkey ->
-    native hash-partitioned LEFT OUTER Dataset.join onto customer."""
+    task-based co-group LEFT join (stages/join.py) onto customer."""
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -533,10 +550,11 @@ def customer_order_counts(sf_dir: str) -> "rd.Dataset":
     )
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).map_batches(_nometa, batch_format="pyarrow")
-    joined = cust.join(
-        counts, join_type="left_outer", num_partitions=_join_parts(),
-        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    joined = hash_join(
+        cust, counts, on="c_custkey", right_on="o_custkey", how="left",
+        left_schema=_pq_cols_schema(sf_dir, "customer", ["c_custkey", "c_name"]),
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("_n", pa.int64())]),
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -915,11 +933,11 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_top_orders(sf_dir: str) -> "rd.Dataset":
     """Fully distributed top-k join: BUILDING customers semi-restrict
-    orders via a native hash join, filtered lineitem joins the result via
-    a second native join (no fact table ever touches the driver), then
-    per-orderkey revenue finals in coarse hash partitions with a local
-    top-10 each, and a bounded global top-10 over <= parts x 10 rows."""
-    nparts = _join_parts()
+    orders via a task-based co-group hash join, filtered lineitem joins
+    the result via a second one (no fact table ever touches the driver),
+    then per-orderkey revenue finals in coarse hash partitions with a
+    local top-10 each, and a bounded global top-10 over <= parts x 10
+    rows."""
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
@@ -935,9 +953,12 @@ def q3_top_orders(sf_dir: str) -> "rd.Dataset":
         )),
         batch_format="pyarrow",
     )
-    orders_b = orders.join(
-        cust, join_type="inner", num_partitions=nparts,
-        on=("o_custkey",), right_on=("c_custkey",),
+    orders_b = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="semi",
+        left_schema=_pq_cols_schema(
+            sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
+        right_schema=_pq_cols_schema(sf_dir, "customer", ["c_custkey"]),
     )
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -948,9 +969,10 @@ def q3_top_orders(sf_dir: str) -> "rd.Dataset":
         ).select(["l_orderkey", "l_extendedprice", "l_discount"])),
         batch_format="pyarrow",
     )
-    joined = li.join(
-        orders_b, join_type="inner", num_partitions=nparts,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = hash_join(
+        li, orders_b, on="l_orderkey", right_on="o_orderkey",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
     )
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1006,12 +1028,11 @@ LIMIT 10
 
 def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
     """Five-way join: the two fact-sized sides (orders⨝customer, then
-    lineitem⨝that) go through native hash-partitioned Dataset.join; only
+    lineitem⨝that) go through task-based co-group hash joins; only
     the genuinely small sides are broadcast — region/nation (25 rows at
     any scale) and the supplier->nationkey map (1/15 the customer count;
     two int64 columns, ~16 MB per 1M suppliers via one ray.put).  The
     final groupby key (n_name) is bounded, so the coalesced final is safe."""
-    nparts = _join_parts()
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
     asia_rk = region.filter(pc.equal(region["r_name"], "ASIA"))["r_regionkey"][0].as_py()
@@ -1051,17 +1072,21 @@ def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
         ).select(["o_orderkey", "o_custkey"])),
         batch_format="pyarrow",
     )
-    orders_c = orders.join(
-        cust, join_type="inner", num_partitions=nparts,
-        on=("o_custkey",), right_on=("c_custkey",),
+    orders_c = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey",
+        left_schema=_pq_cols_schema(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        right_schema=_pq_cols_schema(sf_dir, "customer",
+                                     ["c_custkey", "c_nationkey"]),
     )
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(_nometa, batch_format="pyarrow")
-    joined = li.join(
-        orders_c, join_type="inner", num_partitions=nparts,
-        on=("l_orderkey",), right_on=("o_orderkey",),
+    joined = hash_join(
+        li, orders_c, on="l_orderkey", right_on="o_orderkey",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
     )
 
     def partial(df: pd.DataFrame, maps_ref=maps_ref) -> pd.DataFrame:
@@ -1129,14 +1154,17 @@ def top_customers_by_spend(sf_dir: str) -> "rd.Dataset":
             ["total_spend", "o_custkey"], ascending=[False, True], kind="mergesort"
         ).head(10),
     )
-    # names only for the 10 winners: tiny-side native join against the
+    # names only for the 10 winners: tiny-side co-group join against the
     # distributed customer read (no driver materialization of customer)
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    ).map_batches(_nometa, batch_format="pyarrow")
-    joined = top10.join(
-        cust, join_type="inner", num_partitions=2,
-        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    joined = hash_join(
+        top10, cust, on="o_custkey", right_on="c_custkey", num_partitions=8,
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("n_orders", pa.int64()),
+                               ("total_spend", pa.float64())]),
+        right_schema=_pq_cols_schema(sf_dir, "customer", ["c_custkey", "c_name"]),
     )
     return _final_agg(
         joined,

@@ -24,7 +24,6 @@ import ray
 import ray.data
 
 from ..functions.hashing import sha256_hex_column
-from ..functions.rayutil import default_join_partitions, strip_schema_metadata
 from ..functions.minhash import (MinHasher, char_shingles, jaccard, simhash64,
                                  word_shingles)
 
@@ -75,7 +74,8 @@ def exact_dedup_groups(
     ds = ds.select_columns([id_col, text_col]).map_batches(
         partial, batch_format="pyarrow", batch_size=4096
     )
-    ds = ds.map_batches(add_sha_part, batch_format="pyarrow")
+    ds = ds.map_batches(add_sha_part, batch_format="pyarrow",
+                        batch_size=65536)
     return ds.groupby("sha_part").map_groups(final, batch_format="pandas")
 
 
@@ -133,6 +133,9 @@ class MinHashBander:
 
 
 _PAIR_PARTS = 64
+# text-attach co-group join: task-based, so partitions cost ~nothing and
+# bound per-task text volume (corpus_bytes / parts per merge task)
+_TEXT_JOIN_PARTS = 32
 
 
 def _add_bucket_part(t: pa.Table) -> pa.Table:
@@ -189,7 +192,8 @@ def _add_pair_part(t: pa.Table) -> pa.Table:
 def _dedup_pairs(pairs: "ray.data.Dataset", keep_cols: list) -> "ray.data.Dataset":
     """Global (a, b) dedup: hash-partition pairs, vectorized drop_duplicates
     per partition (bands produce the same pair many times)."""
-    pairs = pairs.map_batches(_add_pair_part, batch_format="pyarrow")
+    pairs = pairs.map_batches(_add_pair_part, batch_format="pyarrow",
+                              batch_size=65536)
     return pairs.groupby("pp").map_groups(
         lambda g: g.drop_duplicates(["a", "b"])[keep_cols], batch_format="pandas"
     )
@@ -248,19 +252,15 @@ def minhash_lsh_pairs(
     - broadcast_texts=True (explicit small-corpus fast path): id->text
       dict via ray.put, probed per pair — materializes the corpus on the
       driver, so never the default.
-    - broadcast_texts=False (default, the 100 TB path): texts are JOINED onto the
-      candidate pairs with Ray's hash-partitioned Dataset.join — no
-      driver materialization, no whole-corpus broadcast; candidate-pair
-      volume (post-LSH) is what moves, not the corpus.  Size
-      join_partitions to the cluster: the Join operator reserves one
-      aggregator actor per partition, and two chained joins at
-      join_partitions >> CPUs deadlock a small session (the default
-      derives it from the session's CPU count).
+    - broadcast_texts=False (default, the 100 TB path): texts are JOINED
+      onto the candidate pairs with the task-based co-group hash join
+      (stages/join.py) — no driver materialization, no whole-corpus
+      broadcast, no aggregator actors; candidate-pair volume (post-LSH)
+      plus one streaming pass of the text column is what moves.  Size
+      join_partitions so a partition's text slice fits a worker heap.
     """
     if join_partitions is None:
-        # post-LSH candidate pairs are orders of magnitude smaller than the
-        # corpus: few partitions suffice (rayutil has the sizing rationale)
-        join_partitions = default_join_partitions()
+        join_partitions = _TEXT_JOIN_PARTS
     if broadcast_texts:
         _texts_pd = docs.select_columns([id_col, text_col]).to_pandas()
         texts_ref = ray.put(dict(zip(_texts_pd[id_col], _texts_pd[text_col])))
@@ -273,7 +273,8 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         batch_size=1024,
     )
-    bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
+    bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow",
+                                    batch_size=65536)
     pairs = bands_ds.groupby("ph").map_groups(
         lambda g: _partition_pairs(g, metrics=metrics), batch_format="pandas"
     )
@@ -318,34 +319,34 @@ def _attach_pair_texts(
     join_partitions: int,
 ) -> "ray.data.Dataset":
     """Scalable verify-side text access shared by the near-dup operators:
-    join text_a and text_b onto (a, b) candidate pairs with two
-    hash-partitioned Dataset.joins — no driver materialization, no
-    whole-corpus broadcast; candidate-pair volume is what moves.
-    Metadata is stripped so schemas stay hashable for Ray's join dedup."""
-    texts = docs.select_columns([id_col, text_col]).map_batches(
-        strip_schema_metadata, batch_format="pyarrow"
+    join text_a and text_b onto (a, b) candidate pairs with two chained
+    task-based co-group hash joins (stages/join.py) — no driver
+    materialization, no whole-corpus broadcast, no per-pipeline
+    aggregator-actor spin-up; candidate-pair volume plus one streaming
+    pass of the text column is what moves.  Schemas are passed
+    statically so neither join samples (= re-executes) its inputs."""
+    from .join import _ray_schema_to_arrow, hash_join
+
+    docs_schema = _ray_schema_to_arrow(docs.schema())
+    text_t = docs_schema.field(text_col).type
+    texts = docs.select_columns([id_col, text_col])
+    ren_a = texts.map_batches(
+        lambda t: t.rename_columns([id_col, "text_a"]), batch_format="pyarrow"
     )
-    pairs = pairs.map_batches(strip_schema_metadata, batch_format="pyarrow")
-    with_a = pairs.join(
-        texts, join_type="inner", num_partitions=join_partitions, on=("a",),
-        right_on=(id_col,), right_suffix="_a",
+    ren_b = texts.map_batches(
+        lambda t: t.rename_columns([id_col, "text_b"]), batch_format="pyarrow"
     )
-    a_col = text_col if text_col not in ("a", "b") else f"{text_col}_a"
-    with_a = with_a.map_batches(
-        lambda t: t.rename_columns(
-            [("text_a" if c == a_col else c) for c in t.column_names]
-        ),
-        batch_format="pyarrow",
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    with_a = hash_join(
+        pairs, ren_a, on="a", right_on=id_col,
+        num_partitions=join_partitions,
+        left_schema=pair_schema,
+        right_schema=pa.schema([(id_col, pa.int64()), ("text_a", text_t)]),
     )
-    with_ab = with_a.join(
-        texts, join_type="inner", num_partitions=join_partitions, on=("b",),
-        right_on=(id_col,), right_suffix="_b",
-    )
-    return with_ab.map_batches(
-        lambda t: t.rename_columns(
-            [("text_b" if c == a_col else c) for c in t.column_names]
-        ),
-        batch_format="pyarrow",
+    return hash_join(
+        with_a, ren_b, on="b", right_on=id_col,
+        num_partitions=join_partitions,
+        right_schema=pa.schema([(id_col, pa.int64()), ("text_b", text_t)]),
     )
 
 
@@ -401,7 +402,7 @@ def ngram_jaccard_pairs(
     to broadcast, at the cost of bigger buckets on skewed corpora).
     """
     if join_partitions is None:
-        join_partitions = default_join_partitions()
+        join_partitions = _TEXT_JOIN_PARTS
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -435,7 +436,7 @@ def ngram_jaccard_pairs(
             )
 
         dfs = (
-            partials.map_batches(add_part, batch_format="pyarrow")
+            partials.map_batches(add_part, batch_format="pyarrow", batch_size=65536)
             .groupby("gp")
             .map_groups(
                 lambda g: g.groupby("gh", sort=False)["_n"].sum().reset_index(),
@@ -479,7 +480,8 @@ def ngram_jaccard_pairs(
         )
 
     emitted = docs.map_batches(prefix_emit, batch_format="pyarrow", batch_size=1024)
-    emitted = emitted.map_batches(_add_bucket_part, batch_format="pyarrow")
+    emitted = emitted.map_batches(_add_bucket_part, batch_format="pyarrow",
+                                  batch_size=65536)
     pairs = emitted.groupby("ph").map_groups(
         lambda g: _partition_pairs(g, max_bucket=max_bucket, metrics=metrics),
         batch_format="pandas",
@@ -595,6 +597,7 @@ def simhash_pairs(
         m = m[m["hamming"] <= max_hamming]
         return m[["a", "b", "hamming"]]
 
-    bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
+    bands_ds = bands_ds.map_batches(_add_bucket_part, batch_format="pyarrow",
+                                    batch_size=65536)
     pairs = bands_ds.groupby("ph").map_groups(part_pairs, batch_format="pandas")
     return _dedup_pairs(pairs, ["a", "b", "hamming"])
