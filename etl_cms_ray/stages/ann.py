@@ -219,21 +219,23 @@ def cosine_pairs(
     buckets over ``max_bucket`` are skipped (skew guard) and counted
     there rather than dropped silently.
 
-    Scale path: random-hyperplane buckets co-locate candidates (vectors
-    with cosine >= ~0.9 agree on most hyperplane signs, so they share at
-    least one of the 4 probe bands of the bit signature), then an exact
-    within-bucket matmul verifies.  Brute-force across buckets is never
-    materialized.
+    Scale path, the same shape as minhash_lsh_pairs: random-hyperplane
+    band buckets co-locate candidates (vectors with cosine >= ~0.9 agree
+    on most hyperplane signs, so they share at least one of the 4 probe
+    bands of the bit signature); the band explode ships (band, bucket,
+    id) rows ONLY — never the vectors, which in the earlier design moved
+    4x through the shuffle as list<float64> (8x the float32 source
+    bandwidth); candidate pairs are generated by one vectorized
+    self-merge per coarse hash partition; then the original embedding
+    column is attached per pair via two task-based co-group hash joins
+    (stages/join.py) and verified with an exact float64 rowwise dot.
     """
-    rng = np.random.RandomState(seed)
-    planes_ref = None  # planes built lazily per task from the seed (deterministic)
 
     def add_buckets(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"band": pa.array([], type=pa.int32()),
-                             "bucket": pa.array([], type=pa.int64()),
-                             id_col: pa.array([], type=pa.int64()),
-                             "vec": pa.array([], type=pa.list_(pa.float64()))})
+            return pa.table({"band_id": pa.array([], type=pa.int32()),
+                             "band_key": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
         M = _normalize(_to_matrix(batch[emb_col]))
         planes = np.random.RandomState(seed).standard_normal((bits, M.shape[1]))
         sig = hyperplane_buckets(M, planes)  # full bit signature
@@ -241,58 +243,54 @@ def cosine_pairs(
         # on at least one band with high probability
         bandsz = max(1, bits // 4)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        out_band, out_bucket, out_id, out_vec = [], [], [], []
+        out_band, out_bucket, out_id = [], [], []
         for band in range(4):
             key = (sig >> (band * bandsz)) & ((1 << bandsz) - 1)
             out_band.append(np.full(len(ids), band, dtype=np.int32))
             out_bucket.append(key.astype(np.int64))
             out_id.append(ids)
-            out_vec.append(M)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(out_band)),
-                "bucket": pa.array(np.concatenate(out_bucket)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "vec": pa.array(list(np.concatenate(out_vec, axis=0)),
-                                type=pa.list_(pa.float64())),
+                "band_id": pa.array(np.concatenate(out_band)),
+                "band_key": pa.array(np.concatenate(out_bucket)),
+                "doc_id": pa.array(np.concatenate(out_id)),
             }
         )
+
+    from .dedup import (_add_bucket_part, _attach_pair_vectors, _dedup_pairs,
+                        _partition_pairs)
 
     exploded = vectors.map_batches(add_buckets, batch_format="pyarrow")
+    exploded = exploded.map_batches(_add_bucket_part, batch_format="pyarrow",
+                                    batch_size=65536)
+    pairs = exploded.groupby("ph").map_groups(
+        lambda g: _partition_pairs(g, max_bucket=max_bucket, metrics=metrics,
+                                   metric_prefix="ann"),
+        batch_format="pandas",
+    )
+    pairs = _dedup_pairs(pairs, ["a", "b"])
+    with_ab = _attach_pair_vectors(pairs, vectors, id_col, emb_col)
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2 or len(g) > max_bucket:  # cap degenerate buckets
-            if len(g) > max_bucket and metrics is not None:
-                # synchronous: see dedup._partition_pairs cap path
-                ray.get([
-                    metrics.add.remote("ann_capped_buckets", 1),
-                    metrics.add.remote("ann_capped_bucket_rows", int(len(g))),
-                ])
-            return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                                 "b": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
-        M = np.stack(g["vec"].to_numpy())
-        ids = g[id_col].to_numpy()
-        S = M @ M.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = S[iu] >= threshold
-        # floor-quantization, not round(): cross-engine tie discipline
-        # (CLAUDE.md rule 4) so a DuckDB exact-cosine oracle matches
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        A = _normalize(_to_matrix(batch["vec_a"]))
+        B = _normalize(_to_matrix(batch["vec_b"]))
+        # matmul-grade accumulation: einsum over float64 rows (the oracle
+        # recomputes from the same source column, so only quantized values
+        # are compared — CLAUDE.md rule 4 floor-quantization below)
+        cos = np.einsum("ij,ij->i", A, B)
+        mask = cos >= threshold
         scale = float(10 ** round_digits)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "a": ids[iu[0][mask]],
-                "b": ids[iu[1][mask]],
-                "cosine": np.floor(S[iu][mask] * scale + 0.5) / scale,
+                "a": batch["a"].filter(pa.array(mask)),
+                "b": batch["b"].filter(pa.array(mask)),
+                "cosine": pa.array(np.floor(cos[mask] * scale + 0.5) / scale,
+                                   type=pa.float64()),
             }
         )
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        bucket_verify, batch_format="pandas"
-    )
-    # dedup pairs found by multiple bands: coarse hash partitions with one
-    # vectorized drop_duplicates each (never one Python call per pair)
-    from .dedup import _dedup_pairs
-
-    return _dedup_pairs(pairs, ["a", "b", "cosine"])
+    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)

@@ -149,7 +149,8 @@ def _add_bucket_part(t: pa.Table) -> pa.Table:
 
 
 def _partition_pairs(g: pd.DataFrame, max_bucket: int = 64,
-                     extra_cols: tuple = (), metrics=None) -> pd.DataFrame:
+                     extra_cols: tuple = (), metrics=None,
+                     metric_prefix: str = "lsh") -> pd.DataFrame:
     """All (a<b) candidate pairs across every bucket in one hash partition:
     a single pandas self-merge on (band_id, band_key). Oversized buckets
     (degenerate content) are capped — the skew guard — and every cap is
@@ -164,10 +165,12 @@ def _partition_pairs(g: pd.DataFrame, max_bucket: int = 64,
         # consuming the pipeline never races the increments
         ray.get([
             metrics.add.remote(
-                "lsh_capped_buckets",
+                f"{metric_prefix}_capped_buckets",
                 int(dropped.groupby(["band_id", "band_key"]).ngroups),
             ),
-            metrics.add.remote("lsh_capped_bucket_rows", int(len(dropped))),
+            metrics.add.remote(
+                f"{metric_prefix}_capped_bucket_rows", int(len(dropped))
+            ),
         ])
     g = g[~over]
     m = g.merge(g, on=["band_id", "band_key"])
@@ -347,6 +350,41 @@ def _attach_pair_texts(
         with_a, ren_b, on="b", right_on=id_col,
         num_partitions=join_partitions,
         right_schema=pa.schema([(id_col, pa.int64()), ("text_b", text_t)]),
+    )
+
+
+def _attach_pair_vectors(
+    pairs: "ray.data.Dataset",
+    vectors: "ray.data.Dataset",
+    id_col: str,
+    emb_col: str,
+    join_partitions: int = _TEXT_JOIN_PARTS,
+) -> "ray.data.Dataset":
+    """_attach_pair_texts for an embedding list column: vec_a / vec_b are
+    joined onto (a, b) candidate pairs from the ORIGINAL vector dataset
+    via two task-based co-group hash joins — the vectors stream through
+    the join shuffle exactly once, instead of riding every LSH band."""
+    from .join import _ray_schema_to_arrow, hash_join
+
+    vec_t = _ray_schema_to_arrow(vectors.schema()).field(emb_col).type
+    vecs = vectors.select_columns([id_col, emb_col])
+    ren_a = vecs.map_batches(
+        lambda t: t.rename_columns([id_col, "vec_a"]), batch_format="pyarrow"
+    )
+    ren_b = vecs.map_batches(
+        lambda t: t.rename_columns([id_col, "vec_b"]), batch_format="pyarrow"
+    )
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    with_a = hash_join(
+        pairs, ren_a, on="a", right_on=id_col,
+        num_partitions=join_partitions,
+        left_schema=pair_schema,
+        right_schema=pa.schema([(id_col, pa.int64()), ("vec_a", vec_t)]),
+    )
+    return hash_join(
+        with_a, ren_b, on="b", right_on=id_col,
+        num_partitions=join_partitions,
+        right_schema=pa.schema([(id_col, pa.int64()), ("vec_b", vec_t)]),
     )
 
 

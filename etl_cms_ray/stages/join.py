@@ -56,8 +56,6 @@ _HOW_TO_ACERO = {
     "inner": "inner",
     "left": "left outer",
     "left_outer": "left outer",
-    "full": "full outer",
-    "full_outer": "full outer",
     "semi": "left semi",
     "left_semi": "left semi",
     "anti": "left anti",
@@ -113,8 +111,9 @@ def hash_join(
     Output columns: every left column, then right's non-key columns
     (``suffix`` appended where a name collides with a left column) —
     matching ``pa.Table.join``.  Row order is not defined (hash join);
-    sort downstream if order matters.  ``how``: inner / left / full /
-    semi / anti (semi and anti return left columns only).
+    sort downstream if order matters.  ``how``: inner / left / semi /
+    anti (semi and anti return left columns only; full outer is not
+    implemented — the index-join merge would need key coalescing).
 
     Schemas: the union plan needs both input schemas up front, but
     ``Dataset.schema()`` on a COMPUTED input (anything behind a shuffle)
@@ -159,15 +158,26 @@ def hash_join(
         taken.add(name)
     out_r_cols = [ren[c] for c in r_vals]
 
+    def _col(t: pa.Table, name: str, want: pa.DataType):
+        # degenerate upstream blocks (a skew guard capped every candidate
+        # away, an all-empty map_groups) can arrive with null-typed or
+        # even MISSING columns; coerce to the declared schema so union
+        # and Acero always see the right types
+        if name not in t.column_names:
+            return pa.nulls(t.num_rows, type=want)
+        arr = t[name]
+        return arr if arr.type == want else arr.cast(want)
+
     def prep_left(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
         n = t.num_rows
-        cols = {c: t[c] for c in l_cols}
+        cols = {c: _col(t, c, l_types[c]) for c in l_cols}
         for i, _ in enumerate(rk_names):
             cols[rk_names[i]] = pa.nulls(n, type=r_types[r_on[i]])
         for c in r_vals:
             cols[ren[c]] = pa.nulls(n, type=r_types[c])
-        cols["__jp"] = _key_part(t, l_on, num_partitions)
+        cols["__jp"] = _key_part(pa.table({c: cols[c] for c in l_on}),
+                                 l_on, num_partitions)
         cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols)
 
@@ -176,10 +186,12 @@ def hash_join(
         n = t.num_rows
         cols = {c: pa.nulls(n, type=l_types[c]) for c in l_cols}
         for i, k in enumerate(r_on):
-            cols[rk_names[i]] = t[k]
+            cols[rk_names[i]] = _col(t, k, r_types[k])
         for c in r_vals:
-            cols[ren[c]] = t[c]
-        cols["__jp"] = _key_part(t, r_on, num_partitions)
+            cols[ren[c]] = _col(t, c, r_types[c])
+        cols["__jp"] = _key_part(
+            pa.table({rk_names[i]: cols[rk_names[i]] for i in range(len(r_on))}),
+            rk_names, num_partitions)
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         return pa.table(cols)
 
@@ -196,21 +208,59 @@ def hash_join(
 
     out_cols = l_cols if semi_like else l_cols + out_r_cols
 
+    out_types = {**{c: l_types[c] for c in l_cols},
+                 **{ren[c]: r_types[c] for c in r_vals},
+                 **{rk_names[i]: r_types[k] for i, k in enumerate(r_on)}}
+
+    def _empty_out() -> pa.Table:
+        return pa.table({c: pa.nulls(0, type=out_types[c]) for c in out_cols})
+
     def merge(g: pa.Table) -> pa.Table:
         single_threaded_kernels()
         import pyarrow.compute as pc
 
+        # empty zero-column blocks bypass map_batches UDFs entirely in Ray
+        # (the batcher never yields them), so the prep stages can't
+        # normalize every degenerate block — guard here too
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return _empty_out()
+
+        def _gcol(t: pa.Table, name: str, want: pa.DataType):
+            if name not in t.column_names:
+                return pa.nulls(t.num_rows, type=want)
+            arr = t[name]
+            return arr if arr.type == want else arr.cast(want)
+
         side = g["__side"]
-        lt = g.filter(pc.equal(side, 0)).select(l_cols)
-        rt = g.filter(pc.equal(side, 1)).select(rk_names + out_r_cols)
-        j = lt.join(
-            rt,
+        lt_raw = g.filter(pc.equal(side, 0))
+        rt_raw = g.filter(pc.equal(side, 1))
+        lt = pa.table({c: _gcol(lt_raw, c, out_types[c]) for c in l_cols})
+        rt = pa.table({c: _gcol(rt_raw, c, out_types[c])
+                       for c in rk_names + out_r_cols})
+        # index join: Acero sees only (keys, row-index) — payloads attach
+        # afterwards via zero-copy take, so ANY column type (lists,
+        # structs, binary) rides through, and the hash join itself moves
+        # two narrow columns instead of the full row
+        lt2 = pa.table(
+            {**{k: lt[k] for k in l_on},
+             "__li": pa.array(np.arange(lt.num_rows, dtype=np.int64))}
+        )
+        rt2 = pa.table(
+            {**{k: rt[k] for k in rk_names},
+             "__ri": pa.array(np.arange(rt.num_rows, dtype=np.int64))}
+        )
+        j = lt2.join(
+            rt2,
             keys=l_on,
             right_keys=rk_names,
             join_type=acero_how,
-            right_suffix="__collide",
         )
-        return j.select(out_cols)
+        out = lt.take(j["__li"])
+        if not semi_like:
+            rtaken = rt.select(out_r_cols).take(j["__ri"])
+            for c in out_r_cols:
+                out = out.append_column(c, rtaken[c])
+        return out.select(out_cols)
 
     out = u.groupby("__jp").map_groups(merge, batch_format="pyarrow")
     out._cogroup_schema = pa.schema(
