@@ -1725,13 +1725,15 @@ def dedup_ngram_jaccard(sf_dir: str) -> "rd.Dataset":
     """EXACT word-trigram Jaccard near-dup pairs via prefix filtering —
     the complete (non-approximate) member of the dedup family, so it
     carries a full all-pairs DuckDB oracle: any missed pair is a hard
-    row-count mismatch.  order='hash' is the fully streaming mode (no
-    vocabulary broadcast) — the 100 TB path; prefix completeness holds
-    for any total order, so the oracle still pins exactness."""
+    row-count mismatch.  order='df_join' is the unbounded-vocabulary
+    scale path: rarest-first prefixes (smallest buckets) with NO
+    vocabulary broadcast — per-gram document frequencies stay a Dataset
+    and join back onto the gram stream; prefix completeness holds for
+    any total order, so the oracle still pins exactness."""
     from ..stages.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs_with_near_dups(sf_dir), threshold=0.8, n=3, order="hash"
+        _docs_with_near_dups(sf_dir), threshold=0.8, n=3, order="df_join"
     )
 
 

@@ -393,7 +393,7 @@ def _attach_pair_vectors(
 
 
 def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
-    """Sorted distinct fnv64 hashes of the word n-grams of ``text``.
+    """Sorted distinct 64-bit hashes of the word n-grams of ``text``.
 
     Tokenization matches DuckDB string_split semantics exactly (split on
     single space, empty tokens kept) so the SQL oracle reproduces the
@@ -401,15 +401,24 @@ def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
     completeness (any total order works for prefix filtering, and a
     collision can only merge two grams on BOTH sides of a comparison
     inside this engine — the verify stage recomputes on hashes too, so
-    J is computed over the same hashed universe for every pair).
+    J is computed over the same hashed universe for every pair; the
+    oracle computes on the gram STRINGS, so the hash never crosses
+    engines).  Hash = C-core crc32 per token, combined across the n-gram
+    window by a vectorized uint64 polynomial roll — no per-byte Python.
     """
-    from ..functions.text import fingerprint64
+    import zlib
 
     ws = text.split(" ")
-    if len(ws) < n:
+    m = len(ws) - n + 1
+    if m <= 0:
         return np.empty(0, dtype=np.uint64)
-    grams = {fingerprint64("\x1f".join(ws[i : i + n])) for i in range(len(ws) - n + 1)}
-    return np.sort(np.fromiter(grams, dtype=np.uint64, count=len(grams)))
+    crc = zlib.crc32
+    th = np.fromiter((crc(w.encode()) for w in ws), dtype=np.uint64, count=len(ws))
+    h = th[:m].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, n):
+            h = h * np.uint64(1099511628211) ^ th[j : j + m]
+    return np.unique(h)
 
 
 def ngram_jaccard_pairs(
@@ -436,8 +445,14 @@ def ngram_jaccard_pairs(
     pass whose vocabulary is collected to a broadcast map — the
     bucket-minimizing choice for dimension-sized vocabularies;
     ``order="hash"`` skips the global pass entirely (fully streaming, no
-    broadcast — the choice when the gram vocabulary itself is too large
-    to broadcast, at the cost of bigger buckets on skewed corpora).
+    broadcast — at the cost of bigger buckets on skewed corpora);
+    ``order="df_join"`` gets the rarest-first buckets WITHOUT the
+    broadcast: per-gram document frequencies stay a Dataset and are
+    joined back onto the gram stream (task-based co-group join), then
+    each doc's prefix is selected by one vectorized sweep per coarse
+    doc-hash partition — the unbounded-vocabulary scale path.  All three
+    orders yield the same final pairs (completeness holds per-order and
+    the verify stage recomputes exact Jaccard).
     """
     if join_partitions is None:
         join_partitions = _TEXT_JOIN_PARTS
@@ -455,6 +470,66 @@ def ngram_jaccard_pairs(
                 "doc_id": np.concatenate(out_id) if out_id else np.empty(0, np.int64),
                 "gh": np.concatenate(out_g) if out_g else np.empty(0, np.int64),
             }
+        )
+
+    if order == "df_join":
+        from .join import hash_join
+
+        gr = docs.map_batches(gram_rows, batch_format="pyarrow")
+        partials = gr.map_batches(
+            lambda df: df.groupby("gh", sort=False).size().rename("_df").reset_index(),
+            batch_format="pandas",
+        )
+
+        def add_gp(t: pa.Table) -> pa.Table:
+            gh = t["gh"].to_numpy(zero_copy_only=False).view(np.uint64)
+            return t.append_column(
+                "gp", pa.array((gh % np.uint64(_PAIR_PARTS)).astype(np.int64))
+            )
+
+        counts = (
+            partials.map_batches(add_gp, batch_format="pyarrow", batch_size=65536)
+            .groupby("gp")
+            .map_groups(
+                lambda g: g.groupby("gh", sort=False)["_df"].sum().reset_index(),
+                batch_format="pandas",
+            )
+        )
+        with_df = hash_join(
+            gr, counts, on="gh",
+            num_partitions=join_partitions,
+            left_schema=pa.schema([("doc_id", pa.int64()), ("gh", pa.int64())]),
+            right_schema=pa.schema([("gh", pa.int64()), ("_df", pa.int64())]),
+        )
+
+        def add_dp(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("dp", pa.array(d % _PAIR_PARTS))
+
+        def select_prefix(g: pd.DataFrame) -> pd.DataFrame:
+            # rarest-first within each doc; one vectorized sweep for every
+            # doc in this coarse partition (all of a doc's grams are here)
+            g = g.sort_values(["doc_id", "_df", "gh"], kind="mergesort")
+            L = g.groupby("doc_id", sort=False)["gh"].transform("size")
+            k = (L - np.ceil(threshold * L).astype(np.int64) + 1).to_numpy()
+            rank = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+            out = g[rank < k]
+            return pd.DataFrame(
+                {
+                    "band_id": np.zeros(len(out), dtype=np.int32),
+                    "band_key": out["gh"].to_numpy(),
+                    "doc_id": out["doc_id"].to_numpy(),
+                }
+            )
+
+        emitted = (
+            with_df.map_batches(add_dp, batch_format="pyarrow", batch_size=65536)
+            .groupby("dp")
+            .map_groups(select_prefix, batch_format="pandas")
+        )
+        return _ngram_pairs_tail(
+            emitted, docs, threshold, n, id_col, text_col,
+            join_partitions, metrics, max_bucket,
         )
 
     rank_ref = None
@@ -518,6 +593,26 @@ def ngram_jaccard_pairs(
         )
 
     emitted = docs.map_batches(prefix_emit, batch_format="pyarrow", batch_size=1024)
+    return _ngram_pairs_tail(
+        emitted, docs, threshold, n, id_col, text_col,
+        join_partitions, metrics, max_bucket,
+    )
+
+
+def _ngram_pairs_tail(
+    emitted: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    threshold: float,
+    n: int,
+    id_col: str,
+    text_col: str,
+    join_partitions: int,
+    metrics,
+    max_bucket: int,
+) -> "ray.data.Dataset":
+    """Shared tail of every ngram-order mode: prefix rows -> coarse-
+    partition candidate pairs -> global pair dedup -> text attach ->
+    exact-Jaccard verify."""
     emitted = emitted.map_batches(_add_bucket_part, batch_format="pyarrow",
                                   batch_size=65536)
     pairs = emitted.groupby("ph").map_groups(

@@ -674,7 +674,7 @@ def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
         inter = np.intersect1d(ga, gb, assume_unique=True).size
         if inter and inter / (len(ga) + len(gb) - inter) >= 0.5:
             expect.add((i, j))
-    for order in ("df", "hash"):
+    for order in ("df", "hash", "df_join"):
         got = ngram_jaccard_pairs(
             docs, threshold=0.5, n=3, order=order, join_partitions=2
         ).to_pandas()
