@@ -1816,6 +1816,34 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """LSH top-k with a per-query ``recall`` column vs the exact
     brute-force answer (both final results are k x #queries rows, so the
     comparison is a tiny driver-side merge — the scans stay distributed)."""
+    return _approx_topk_with_recall(
+        sf_dir,
+        lambda ds, q_ids, q_vecs: lsh_topk(
+            ds, q_ids, q_vecs, k=5, bits=8, probe_radius=3, concurrency=2
+        ),
+    )
+
+
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF (inverted-file coarse quantizer) top-k with a per-query
+    ``recall`` column vs exact brute force — the many-queries scale path
+    (stages/ann.py ivf_topk): spherical-k-means cells trained on a
+    bounded deterministic sample, scan masked to the queries' nprobe
+    nearest cells, no shuffle."""
+    from ..stages.ann import ivf_topk
+
+    return _approx_topk_with_recall(
+        sf_dir,
+        lambda ds, q_ids, q_vecs: ivf_topk(
+            ds, q_ids, q_vecs, k=5, n_cells=16, nprobe=4, concurrency=2
+        ),
+    )
+
+
+def _approx_topk_with_recall(sf_dir: str, approx_fn) -> pd.DataFrame:
+    """Shared harness for approximate top-k catalog entries: run the
+    approximate operator and exact brute force over the same distributed
+    scan, then annotate per-query recall (tiny driver-side merge)."""
     q = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", 3)],
@@ -1823,9 +1851,7 @@ def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
     q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    approx = lsh_topk(
-        ds, q_ids, q_vecs, k=5, bits=8, probe_radius=3, concurrency=2
-    ).to_pandas()
+    approx = approx_fn(ds, q_ids, q_vecs).to_pandas()
     ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     exact = brute_force_topk(
         ds2, q_ids, q_vecs, k=5, concurrency=2, round_digits=None
@@ -2055,6 +2081,7 @@ QUERIES = {
     "lang_id_pred": lang_id_pred,
     "doc_fingerprints": doc_fingerprints,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "dedup_cosine_pairs": dedup_cosine_pairs,
     "approx_distinct_sketch": approx_distinct_sketch,
     "multimodal_features": multimodal_features,

@@ -202,6 +202,105 @@ def lsh_topk(
     return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
 
+def train_centroids(
+    vectors: "ray.data.Dataset",
+    n_cells: int = 32,
+    sample_size: int = 2048,
+    iters: int = 8,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids from a deterministic sample.
+
+    The sample is ``limit(sample_size)`` — the streaming executor stops
+    the scan after enough blocks, so training reads a bounded prefix no
+    matter the corpus size; Lloyd runs on the driver over a
+    (sample_size x dim) matrix (a few MB).  Deterministic: first-rows
+    init, no RNG, ties broken by lowest cell index.  Empty cells keep
+    their previous centroid.  Returns L2-normalized (n_cells, dim).
+    """
+    sample = vectors.select_columns([emb_col]).limit(sample_size).to_pandas()
+    M = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    n_cells = min(n_cells, len(M))
+    C = M[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)  # ties -> lowest index
+        for c in range(n_cells):
+            members = M[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(
+    vectors: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    n_cells: int = 32,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the classic many-queries scale path alongside lsh_topk: vectors are
+    assigned to their nearest spherical-k-means centroid per batch (one
+    matmul), and only rows whose cell is among some query's ``nprobe``
+    closest cells are scored.  Candidate fraction ~ nprobe / n_cells;
+    recall rises with nprobe (nprobe = n_cells is exact).
+
+    At cluster scale the centroid matrix ships once via ray.put (a few
+    hundred KB); no shuffle — the scan stays a single streaming pass,
+    exactly like brute_force_topk, just masked.
+    """
+    C = train_centroids(vectors, n_cells=n_cells, sample_size=sample_size,
+                        emb_col=emb_col)
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    order = np.argsort(-(Q @ C.T), axis=1, kind="stable")
+    probe = order[:, : min(nprobe, C.shape[0])]  # (q, nprobe)
+    probed_cells = np.unique(probe)
+    queries_ref = ray.put(
+        {"ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs),
+         "centroids": C, "probed": probed_cells}
+    )
+
+    class CellScorer(BatchScorer):
+        def __init__(self, queries_ref, k, id_col, emb_col):
+            q = ray.get(queries_ref)
+            super().__init__({"ids": q["ids"], "vecs": q["vecs"]}, k, id_col, emb_col)
+            self.C = q["centroids"]
+            self.probed = q["probed"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return super().__call__(batch)
+            M = _normalize(_to_matrix(batch[self.emb_col]))
+            cells = np.argmax(M @ self.C.T, axis=1)
+            mask = np.isin(cells, self.probed)
+            return super().__call__(batch.filter(pa.array(mask)))
+
+    partials = vectors.map_batches(
+        CellScorer,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k, id_col=id_col,
+                                   emb_col=emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort")
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(global_topk,
+                                                   batch_format="pandas")
+
+
 def cosine_pairs(
     vectors: "ray.data.Dataset",
     threshold: float = 0.9,
