@@ -63,6 +63,17 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("show", help="print manifest + lineage")
     ps.add_argument("--lake", required=True)
 
+    psn = sub.add_parser("snapshot", help="time-travel read at a manifest version")
+    psn.add_argument("--lake", required=True)
+    psn.add_argument("--version", type=int, default=None)
+    psn.add_argument("--out", required=True, help="parquet output path")
+
+    pd_ = sub.add_parser("diff", help="changelog between two manifest versions")
+    pd_.add_argument("--lake", required=True)
+    pd_.add_argument("--from-version", type=int, required=True, dest="from_v")
+    pd_.add_argument("--to-version", type=int, default=None, dest="to_v")
+    pd_.add_argument("--out", default=None, help="optional parquet output path")
+
     args = p.parse_args(argv)
     ray = _ray_session(args.num_cpus)
     try:
@@ -101,6 +112,25 @@ def main(argv: list[str] | None = None) -> int:
 
             m = repartition_lake(args.lake, args.partitions)
             print(json.dumps({"manifest_version": m.version, **m.metrics}))
+        elif args.cmd == "snapshot":
+            from .pipelines.history import read_snapshot
+
+            ds = read_snapshot(args.lake, version=args.version)
+            ds.write_parquet(args.out)  # streams; no driver materialization
+            import pyarrow.dataset as pds
+
+            rows = sum(f.count_rows() for f in pds.dataset(args.out).get_fragments())
+            print(json.dumps({"rows": int(rows), "out": args.out}))
+        elif args.cmd == "diff":
+            from .pipelines.history import snapshot_diff
+
+            ds = snapshot_diff(args.lake, args.from_v, args.to_v)
+            if args.out:
+                ds.write_parquet(args.out)
+            df = ds.to_pandas()
+            counts = (df["change"].value_counts().to_dict()
+                      if "change" in df.columns else {})
+            print(json.dumps({"rows": int(len(df)), "changes": counts}))
         elif args.cmd == "show":
             from .state.manifest import LakeStore
 

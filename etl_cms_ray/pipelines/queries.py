@@ -763,12 +763,11 @@ GROUP BY event_type
 # Flagship: repos-shaped CDC ingest through the real lake (oracle-checked)
 
 
-def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
-    """Derive a deterministic change stream from `documents` (epoch 0 full
-    insert backfill; epoch 1: update doc_id%3==0 with content||' v2',
-    delete doc_id%7==0), run the REAL ingest pipeline into a fresh lake,
-    return the final lake state.  The per-row sha256(content) invariant is
-    exposed as hex for the DuckDB oracle."""
+def _docs_change_events(sf_dir: str) -> "rd.Dataset":
+    """Deterministic change stream derived from `documents`: epoch 0 full
+    insert backfill; epoch 1 updates doc_id%3==0 with content||' v2' and
+    deletes doc_id%7==0.  Shared by repos_lake_ingest and
+    cdc_time_travel_diff so both oracles describe the same stream."""
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
@@ -808,7 +807,14 @@ def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
         deletes = mk("delete", "c1", 1, del_seq, nulls, del_mask)
         return pa.concat_tables([base, updates, deletes])
 
-    events = docs.map_batches(to_events, batch_format="pyarrow")
+    return docs.map_batches(to_events, batch_format="pyarrow")
+
+
+def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
+    """Run the REAL ingest pipeline over the _docs_change_events stream
+    into a fresh lake and return the final lake state.  The per-row
+    sha256(content) invariant is exposed as hex for the DuckDB oracle."""
+    events = _docs_change_events(sf_dir)
     # deterministic scratch lake per sf_dir, recycled per call: repeated
     # driver/bench invocations must not accumulate unbounded /tmp copies
     import hashlib as _hl
@@ -835,6 +841,66 @@ def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
         )
 
     return lake.map_batches(project, batch_format="pyarrow")
+
+
+def cdc_time_travel_diff(sf_dir: str) -> "rd.Dataset":
+    """Time travel + changelog as one oracle-checked pipeline: ingest the
+    _docs_change_events stream in TWO commits (epoch 0, then epoch 1)
+    into a fresh lake, then read the CHANGELOG between the two manifest
+    versions with pipelines/history.snapshot_diff — partitions whose
+    manifest content_hash is unchanged are skipped unread, so the diff
+    costs O(changed data).  The oracle reconstructs the same diff
+    relationally from `documents` (update rows for doc_id%3==0 not
+    deleted, delete rows for doc_id%7==0; epoch 1 creates no new keys)."""
+    from .history import snapshot_diff
+
+    events = _docs_change_events(sf_dir)
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"tt_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    r1 = ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    r2 = ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    diff = snapshot_diff(lake_root, r1.manifest_version, r2.manifest_version)
+
+    def to_hex(t: pa.Table) -> pa.Table:
+        def hx(col):
+            return pa.array(
+                [v.hex() if v is not None else None for v in col.to_pylist()],
+                type=pa.string(),
+            )
+
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "change": t["change"],
+                "content_sha_hex": hx(t["content_sha"]),
+                "old_content_sha_hex": hx(t["old_content_sha"]),
+            }
+        )
+
+    return diff.map_batches(to_hex, batch_format="pyarrow")
+
+
+_SQL_TIME_TRAVEL_DIFF = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       'delete' AS change,
+       CAST(NULL AS VARCHAR) AS content_sha_hex,
+       sha256(text) AS old_content_sha_hex
+FROM documents WHERE doc_id % 7 = 0
+UNION ALL
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       'update' AS change,
+       sha256(text || ' v2') AS content_sha_hex,
+       sha256(text) AS old_content_sha_hex
+FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
+"""
 
 
 _SQL_REPOS_LAKE = """
@@ -2054,6 +2120,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
     "repos_lake_ingest": repos_lake_ingest,
+    "cdc_time_travel_diff": cdc_time_travel_diff,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2109,6 +2176,7 @@ ORACLE_SQL = {
     "events_value_histogram": _SQL_VALUE_HISTOGRAM,
     "lineitem_quantity_quantiles": _SQL_QUANTILES,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
+    "cdc_time_travel_diff": _SQL_TIME_TRAVEL_DIFF,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,

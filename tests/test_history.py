@@ -1,0 +1,118 @@
+"""Time-travel and changelog reads (pipelines/history.py).
+
+Oracle style: the expected snapshot/diff is computed from full table
+dumps captured at each commit (the reference's expected-output CSV
+comparison shape); the engine must reproduce them from manifests alone.
+"""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from etl_cms_ray.config import EngineConfig
+from etl_cms_ray.fixtures import make_events, make_repos, make_schema_changes
+from etl_cms_ray.pipelines.history import read_snapshot, snapshot_diff
+from etl_cms_ray.pipelines.ingest import ingest, read_lake_table
+from etl_cms_ray.state.manifest import LakeStore
+
+
+@pytest.fixture()
+def lake(ray_session, tmp_path):
+    """Three commits over a tombstone-heavy stream + a schema change;
+    returns (lake_root, [(manifest_version, expected_table_df)...])."""
+    root = str(tmp_path / "lake")
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(lake_root=root, num_partitions=8)
+    ev = make_events(make_repos(n_repos=8, files_per_repo=8),
+                     n_epochs=4, events_per_epoch=120, scenario="tombstone")
+    store = LakeStore(root)
+    snaps = []
+    splits = [(0, 1), (2, 2), (3, 4)]
+    for i, (lo, hi) in enumerate(splits):
+        part = rd.from_arrow(
+            ev.filter(
+                pa.compute.and_(
+                    pa.compute.greater_equal(ev["epoch"], lo),
+                    pa.compute.less_equal(ev["epoch"], hi),
+                )
+            )
+        )
+        ingest(part, cfg,
+               schema_changes=make_schema_changes() if i == 1 else None)
+        snaps.append((store.current_version(), read_lake_table(root).to_pandas()))
+    return root, snaps
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return df[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_read_snapshot_reproduces_each_commit(lake):
+    root, snaps = lake
+    for version, expected in snaps:
+        got = read_snapshot(root, version=version).to_pandas()
+        pd.testing.assert_frame_equal(
+            _sorted(got), _sorted(expected), check_dtype=False
+        )
+    # default = current
+    got = read_snapshot(root).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(got), _sorted(snaps[-1][1]),
+                                  check_dtype=False)
+
+
+def test_snapshot_schema_is_as_of_version(lake):
+    root, snaps = lake
+    v1, first = snaps[0]
+    # 'stars' was added by the second commit's schema change: a historical
+    # read must NOT retroactively grow the column
+    assert "stars" not in read_snapshot(root, version=v1).schema().names
+    assert "stars" in read_snapshot(root).schema().names
+    # pruned historical read
+    got = read_snapshot(root, version=v1, columns=["repo", "path"]).to_pandas()
+    assert sorted(got.columns) == ["path", "repo"]
+    assert len(got) == len(first)
+
+
+def _expected_diff(old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+    m = new[["repo", "path", "content_sha"]].merge(
+        old[["repo", "path", "content_sha"]].rename(
+            columns={"content_sha": "old_content_sha"}),
+        on=["repo", "path"], how="outer", indicator=True,
+    )
+    change = np.where(m["_merge"] == "left_only", "insert",
+                      np.where(m["_merge"] == "right_only", "delete", "update"))
+    m = m.assign(change=change).drop(columns=["_merge"])
+    m = m[(m["change"] != "update") | (m["content_sha"] != m["old_content_sha"])]
+    return m[["repo", "path", "change", "content_sha", "old_content_sha"]]
+
+
+def test_snapshot_diff_matches_dump_diff(lake):
+    root, snaps = lake
+    (v1, s1), (v2, s2), (v3, s3) = snaps
+    for (va, sa), (vb, sb) in [((v1, s1), (v2, s2)), ((v2, s2), (v3, s3)),
+                               ((v1, s1), (v3, s3))]:
+        got = snapshot_diff(root, va, vb).to_pandas()
+        exp = _expected_diff(sa, sb)
+        pd.testing.assert_frame_equal(_sorted(got), _sorted(exp),
+                                      check_dtype=False)
+        assert set(got["change"]) <= {"insert", "update", "delete"}
+    # a tombstone scenario must actually produce deletes somewhere
+    full = snapshot_diff(root, v1, v3).to_pandas()
+    assert (full["change"] == "delete").any() or (
+        (full["change"] == "insert").any() and (full["change"] == "update").any()
+    )
+
+
+def test_snapshot_diff_self_is_empty_and_skips_reads(lake):
+    root, snaps = lake
+    v3 = snaps[-1][0]
+    got = snapshot_diff(root, v3, v3).to_pandas()
+    # (column names are gone here: Ray drops empty blocks, so an all-empty
+    # Dataset is schema-less at to_pandas — engine-wide quirk)
+    assert len(got) == 0
