@@ -63,6 +63,38 @@ def quality_score_table(t: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish pre-tokenization — GPT-2-style split pattern, simplified to
+# RE2-compatible syntax (no lookahead, no \p classes) so the DuckDB
+# oracle can run the IDENTICAL pattern via regexp_extract_all
+
+BPE_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+)
+_BPE_RE = None
+
+
+def bpe_token_count_column(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Token count under the BPE-ish pre-tokenizer (contractions, letter
+    runs, digit runs, punctuation runs, space runs — each with optional
+    leading space).  The regex is compiled once per process; the scan
+    itself is C-core (re module) per row — tokenization is inherently
+    per-row, so this is the vectorization floor."""
+    global _BPE_RE
+    if _BPE_RE is None:
+        import re
+
+        _BPE_RE = re.compile(BPE_SPLIT_PATTERN)
+    find = _BPE_RE.findall
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    counts = np.fromiter(
+        (0 if v is None else len(find(v)) for v in arr.to_pylist()),
+        dtype=np.int64,
+        count=len(arr),
+    )
+    return pa.array(counts)
+
+
+# ---------------------------------------------------------------------------
 # Language ID — tiny char-trigram profile heuristic (deterministic)
 
 _LANG_MARKERS = {

@@ -1415,6 +1415,40 @@ def doc_token_stats(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def doc_bpe_token_stats(sf_dir: str) -> "rd.Dataset":
+    """Compiled-regex BPE-ish pre-tokenizer counts next to the whitespace
+    count — the token-budget operator for a pretraining pipeline.  The
+    pattern is RE2-compatible so the DuckDB oracle runs the IDENTICAL
+    regex (functions/text.BPE_SPLIT_PATTERN)."""
+    from ..functions.text import bpe_token_count_column
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": token_count_column(t["text"]),
+                "n_bpe_tokens": bpe_token_count_column(t["text"]),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+_SQL_BPE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +'
+       )) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 _SQL_DOC_TOKEN_STATS = """
 SELECT doc_id,
        CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -2133,6 +2167,7 @@ QUERIES = {
     "lineitem_distinct_suppliers": lineitem_distinct_suppliers,
     # text / documents
     "doc_token_stats": doc_token_stats,
+    "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_token_unpivot": doc_token_unpivot,
     "doc_quality_filter": doc_quality_filter,
     "doc_content_sample": doc_content_sample,
@@ -2187,6 +2222,7 @@ ORACLE_SQL = {
     "supplier_balance_by_nation": _SQL_SUPPLIER_BAL,
     "lineitem_distinct_suppliers": _SQL_DISTINCT_SUPP,
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
+    "doc_bpe_token_stats": _SQL_BPE_TOKEN_STATS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,
     "doc_content_sample": _SQL_CONTENT_SAMPLE,
