@@ -151,12 +151,23 @@ def run_bench() -> dict:
     n_events = ev_mat.count()
 
     if SCALE_MULT > 1:
-        # scaling protocol: one large compute-bound ingest, min of 5 reps
-        # (this host shows multi-second noise bursts; the per-level min
-        # isolates machine capacity from neighbor interference)
-        t_total = float("inf")
+        # scaling protocol: one large compute-bound ingest, min of 5 TIMED
+        # reps after one UNTIMED warm-up rep.  Two host effects motivate
+        # this: multi-second noise bursts (the per-level min isolates
+        # machine capacity from neighbor interference), and a fresh-process
+        # warm-up ramp — identical back-to-back ingests measured 55s ->
+        # 18s -> 9.6s -> 5.1s -> 4.8s in one session, so without a warm-up
+        # the min of 5 can sit 2x above the machine's steady state and the
+        # efficiency ratio compares a warm level against a cold one.
+        warm_root = tempfile.mkdtemp(prefix="bench_lake_scale_")
+        ingest(ev_mat, EngineConfig(lake_root=warm_root,
+                                    num_partitions=cfg.num_partitions,
+                                    batch_size=cfg.batch_size),
+               count_input=False)
+        shutil.rmtree(warm_root, ignore_errors=True)
+        rep_times: list = []
         own_roots = []
-        for _rep in range(5):
+        while len(rep_times) < 6:
             rep_root = tempfile.mkdtemp(prefix="bench_lake_scale_")
             own_roots.append(rep_root)
             rep_cfg = EngineConfig(
@@ -166,7 +177,15 @@ def run_bench() -> dict:
             )
             t0 = time.perf_counter()
             ingest(ev_mat, rep_cfg, count_input=False)
-            t_total = min(t_total, time.perf_counter() - t0)
+            rep_times.append(time.perf_counter() - t0)
+            # adaptive stop: >=4 reps AND the ramp has flattened (latest rep
+            # within 15% of the running min); otherwise keep going (max 6) —
+            # the warm-up ramp sometimes needs more than the warm-up rep
+            if len(rep_times) >= 4 and rep_times[-1] <= min(rep_times) * 1.15:
+                break
+        t_total = min(rep_times)
+        print(f"# rep walls: {[round(t, 2) for t in rep_times]}",
+              file=sys.stderr)
         lake_rows = read_lake(own_roots[-1], columns=["repo"]).count()
         # remove only THIS process's scratch lakes (a glob would yank
         # another concurrently running bench's files mid-measurement)
@@ -262,7 +281,15 @@ def run_scaling() -> None:
                                f"(exit {proc.returncode}); stderr above")
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    # TWO interleaved passes per level (lo, hi, lo, hi), per-level min:
+    # the host's capacity moves ~2x between noise windows, so running all
+    # of one level then all of the other lets a bad window land on a
+    # single level and skew the ratio; interleaving samples both levels
+    # under comparable conditions (per-level min then discards the worst
+    # window entirely)
+    passes = [(run(lo), run(hi)) for _ in range(2)]
+    r_lo = min((p[0] for p in passes), key=lambda r: r["value"])
+    r_hi = min((p[1] for p in passes), key=lambda r: r["value"])
     tp_lo = r_lo["events_per_sec"]
     tp_hi = r_hi["events_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
@@ -277,6 +304,7 @@ def run_scaling() -> None:
                 "events_per_sec_lo": tp_lo,
                 "events_per_sec_hi": tp_hi,
                 "scaling_efficiency": round(eff, 3),
+                "per_pass_sec": [[p[0]["value"], p[1]["value"]] for p in passes],
                 "sf": r_lo["sf"],
             }
         )
