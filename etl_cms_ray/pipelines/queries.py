@@ -1415,6 +1415,99 @@ def doc_token_stats(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
+def events_asof_join(sf_dir: str) -> "rd.Dataset":
+    """Temporal as-of join (stages/asof.py): every purchase event picks
+    up the latest click of the SAME user at or before its timestamp —
+    the attribution shape.  The right side is pre-deduplicated to one
+    row per (user_id, ts) (max value) so both engines are deterministic;
+    oracle = DuckDB's native ASOF LEFT JOIN."""
+    from ..stages.asof import asof_join
+
+    ev_cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    purchases = _events(sf_dir, ev_cols).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def click_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "click"]
+        df = df.assign(click_value=_qround(df["value"], 2))
+        return df.groupby(["user_id", "ts"], sort=False)["click_value"].max().reset_index()
+
+    clicks = _coarse_final(
+        _events(sf_dir, ["user_id", "ts", "event_type", "value"]).map_batches(
+            click_partial, batch_format="pandas"
+        ),
+        "user_id",
+        lambda df: df.groupby(["user_id", "ts"], sort=False)["click_value"]
+        .max()
+        .reset_index(),
+    )
+    ev_schema = _pq_cols_schema(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        left_schema=ev_schema,
+        right_schema=pa.schema(
+            [("user_id", ev_schema.field("user_id").type),
+             ("ts", ev_schema.field("ts").type),
+             ("click_value", pa.float64())]
+        ),
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            [("click_ts" if c == "ts_r" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_ASOF_JOIN = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(floor(value * 100 + 0.5) / 100) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def events_value_bands(sf_dir: str) -> "rd.Dataset":
+    """Broadcast interval (range) join (stages/rangejoin.py): every event
+    matched to the [lo, hi) value band containing it — one vectorized
+    searchsorted per batch against a broadcast band table, no shuffle.
+    Unmatched rows (value outside every band) are dropped (inner) —
+    the 'extreme' band is deliberately open-ended short of +inf so the
+    inner-join semantics are exercised."""
+    from ..stages.rangejoin import interval_join
+
+    bands = pa.table(
+        {
+            "band": pa.array(["low", "mid", "high"], type=pa.string()),
+            "lo": pa.array([0.0, 25.0, 100.0], type=pa.float64()),
+            "hi": pa.array([25.0, 100.0, 300.0], type=pa.float64()),
+        }
+    )
+    ds = _events(sf_dir, ["event_id", "value"])
+    return interval_join(ds, bands, "value").map_batches(
+        lambda t: t.select(["event_id", "value", "band", "lo", "hi"]),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_VALUE_BANDS = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 25.0), ('mid', 25.0, 100.0), ('high', 100.0, 300.0)
+)
+SELECT event_id, value, band, lo, hi
+FROM events JOIN bands ON value >= lo AND value < hi
+"""
+
+
 def doc_bpe_token_stats(sf_dir: str) -> "rd.Dataset":
     """Compiled-regex BPE-ish pre-tokenizer counts next to the whitespace
     count — the token-budget operator for a pretraining pipeline.  The
@@ -2168,6 +2261,8 @@ QUERIES = {
     # text / documents
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
+    "events_asof_join": events_asof_join,
+    "events_value_bands": events_value_bands,
     "doc_token_unpivot": doc_token_unpivot,
     "doc_quality_filter": doc_quality_filter,
     "doc_content_sample": doc_content_sample,
@@ -2223,6 +2318,8 @@ ORACLE_SQL = {
     "lineitem_distinct_suppliers": _SQL_DISTINCT_SUPP,
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
     "doc_bpe_token_stats": _SQL_BPE_TOKEN_STATS,
+    "events_asof_join": _SQL_ASOF_JOIN,
+    "events_value_bands": _SQL_VALUE_BANDS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,
     "doc_content_sample": _SQL_CONTENT_SAMPLE,
