@@ -346,7 +346,10 @@ def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
         grp = g.groupby("user_id", sort=False)
         prev = grp["ts"].shift(1)
         g = g.assign(
-            gap_s=(g["ts"] - prev).dt.total_seconds(),
+            # microsecond-grid quantization (CLAUDE.md rule 4): pandas
+            # ns->seconds division and DuckDB epoch(interval) differ in
+            # the last ulp on fractional-second gaps
+            gap_s=_qround((g["ts"] - prev).dt.total_seconds(), 6),
             # float64 with NaN for the first event of each user: nullable
             # BIGINT lands as float64+NaN on the DuckDB->pandas side too,
             # so both engines hash identically
@@ -361,7 +364,7 @@ def cdc_prev_event_gap(sf_dir: str) -> "rd.Dataset":
 
 _SQL_PREV_GAP = """
 SELECT user_id, event_id, ts,
-       epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_s,
+       floor(epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 1000000 + 0.5) / 1000000 AS gap_s,
        CAST(lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS prev_event_id
 FROM events
 """
