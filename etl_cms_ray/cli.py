@@ -126,8 +126,14 @@ def main(argv: list[str] | None = None) -> int:
 
             ds = snapshot_diff(args.lake, args.from_v, args.to_v)
             if args.out:
+                # write once, read counts back — to_pandas() on the same
+                # lazy Dataset would re-execute every partition diff
                 ds.write_parquet(args.out)
-            df = ds.to_pandas()
+                import pyarrow.dataset as pds
+
+                df = pds.dataset(args.out).to_table(columns=["change"]).to_pandas()
+            else:
+                df = ds.to_pandas()
             counts = (df["change"].value_counts().to_dict()
                       if "change" in df.columns else {})
             print(json.dumps({"rows": int(len(df)), "changes": counts}))

@@ -111,6 +111,13 @@ def snapshot_diff(
         hn = pn.content_hash if pn else ""
         if ho == hn and not (po and po.deltas) and not (pn and pn.deltas):
             continue  # bit-identical partition state: no reads, no rows
+        if (po and pn and po.file == pn.file
+                and list(po.deltas) == list(pn.deltas)):
+            # MOR partition with identical base + delta file lists: files
+            # are content-addressed (CLAUDE.md rule 7), so identical names
+            # mean identical live state — skip without reading (keeps the
+            # diff O(changed data) on delta-heavy lakes too)
+            continue
         changed.append(
             {
                 "old_file": po.file if po else None,

@@ -1535,14 +1535,22 @@ def doc_bpe_token_stats(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-_SQL_BPE_TOKEN_STATS = """
+def _sql_bpe_token_stats() -> str:
+    """Oracle generated FROM the single pattern constant — a tokenizer
+    edit that isn't mirrored character-for-character cannot silently
+    diverge (same protection as _lang_id_oracle_sql)."""
+    from ..functions.text import BPE_SPLIT_PATTERN
+
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text,
-         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +'
-       )) AS BIGINT) AS n_bpe_tokens
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
 FROM documents
 """
+
+
+_SQL_BPE_TOKEN_STATS = _sql_bpe_token_stats()
 
 
 _SQL_DOC_TOKEN_STATS = """
@@ -1910,7 +1918,8 @@ def _docs_with_near_dups(sf_dir: str) -> "rd.Dataset":
 
 
 def dedup_minhash_pairs(sf_dir: str) -> "rd.Dataset":
-    return minhash_lsh_pairs(_docs_with_near_dups(sf_dir), threshold=0.8, concurrency=2)
+    return minhash_lsh_pairs(_docs_with_near_dups(sf_dir), threshold=0.8,
+                             concurrency=2, text_type=pa.string())
 
 
 def dedup_simhash_pairs(sf_dir: str) -> "rd.Dataset":
@@ -1929,7 +1938,8 @@ def dedup_ngram_jaccard(sf_dir: str) -> "rd.Dataset":
     from ..stages.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs_with_near_dups(sf_dir), threshold=0.8, n=3, order="df_join"
+        _docs_with_near_dups(sf_dir), threshold=0.8, n=3, order="df_join",
+        text_type=pa.string(),
     )
 
 
@@ -2112,7 +2122,8 @@ def dedup_cosine_pairs(sf_dir: str) -> "rd.Dataset":
     near = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
         perturb, batch_format="pyarrow"
     )
-    return cosine_pairs(base.union(near), threshold=0.99, round_digits=4)
+    return cosine_pairs(base.union(near), threshold=0.99, round_digits=4,
+                        vec_type=pa.list_(pa.float32()))
 
 
 #: exact all-pairs oracle for the LSH-bucketed operator: at oracle scale

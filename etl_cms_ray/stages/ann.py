@@ -92,6 +92,26 @@ class BatchScorer:
         )
 
 
+def _global_topk_fn(k: int, round_digits: int | None = None):
+    """Per-query final reducer shared by every top-k operator.  The
+    deterministic tie-break contract — (optionally floor-quantized)
+    score desc, neighbor_id asc — is load-bearing for oracle comparison,
+    so exactly ONE copy of it exists."""
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        if round_digits is not None:
+            scale = float(10 ** round_digits)
+            g["score"] = np.floor(g["score"] * scale + 0.5) / scale
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
+                          kind="mergesort")
+        g = g.head(k).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return global_topk
+
+
 def brute_force_topk(
     vectors: "ray.data.Dataset",
     query_ids: np.ndarray,
@@ -118,17 +138,9 @@ def brute_force_topk(
         concurrency=(1, concurrency),
     )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        if round_digits is not None:
-            scale = float(10 ** round_digits)
-            g["score"] = np.floor(g["score"] * scale + 0.5) / scale
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="mergesort")
-        g = g.head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k, round_digits), batch_format="pandas"
+    )
 
 
 def hyperplane_buckets(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -193,13 +205,9 @@ def lsh_topk(
         concurrency=(1, concurrency),
     )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True], kind="mergesort")
-        g = g.head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k), batch_format="pandas"
+    )
 
 
 def train_centroids(
@@ -290,15 +298,9 @@ def ivf_topk(
         concurrency=(1, concurrency),
     )
 
-    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True],
-                          kind="mergesort")
-        g = g.head(k).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(global_topk,
-                                                   batch_format="pandas")
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k), batch_format="pandas"
+    )
 
 
 def cosine_pairs(
@@ -311,6 +313,7 @@ def cosine_pairs(
     max_bucket: int = 512,
     metrics=None,
     round_digits: int = 6,
+    vec_type: pa.DataType | None = None,
 ) -> "ray.data.Dataset":
     """Embedding near-duplicate pairs (a < b, cosine >= threshold).
 
@@ -368,7 +371,8 @@ def cosine_pairs(
         batch_format="pandas",
     )
     pairs = _dedup_pairs(pairs, ["a", "b"])
-    with_ab = _attach_pair_vectors(pairs, vectors, id_col, emb_col)
+    with_ab = _attach_pair_vectors(pairs, vectors, id_col, emb_col,
+                                   vec_type=vec_type)
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

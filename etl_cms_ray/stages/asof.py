@@ -33,6 +33,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..functions.threads import single_threaded_kernels
 from .join import _key_part, _ray_schema_to_arrow
 
 
@@ -64,6 +65,13 @@ def asof_join(
         raise ValueError(f"both sides need the on column {on!r}")
     if by not in l_cols or by not in r_schema.names:
         raise ValueError(f"both sides need the by column {by!r}")
+    for c in (on, by):
+        lt_, rt_ = l_types[c], dict(zip(r_schema.names, r_schema.types))[c]
+        if lt_ != rt_:
+            # the by key rides in ONE union slot and merge_asof requires
+            # matching on-key dtypes — mismatches would corrupt the union
+            # schema / raise per-partition; fail loudly at plan time
+            raise TypeError(f"{c!r} type mismatch: left {lt_} vs right {rt_}")
     r_vals = [c for c in r_schema.names if c not in (by,)]
     taken = set(l_cols)
     ren = {}
@@ -84,6 +92,7 @@ def asof_join(
         return arr if arr.type == want else arr.cast(want)
 
     def prep_left(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
         n = t.num_rows
         cols = {c: _col(t, c, l_types[c]) for c in l_cols}
         for c in r_vals:
@@ -93,6 +102,7 @@ def asof_join(
         return pa.table(cols)
 
     def prep_right(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
         n = t.num_rows
         cols = {c: pa.nulls(n, type=l_types[c]) for c in l_cols}
         cols[by] = _col(t, by, r_types[by])  # by rides in the left slot
@@ -110,6 +120,7 @@ def asof_join(
         return pa.table({c: pa.nulls(0, type=out_types[c]) for c in out_cols})
 
     def merge(g: pa.Table) -> pa.Table:
+        single_threaded_kernels()
         if g.num_rows == 0 or "__side" not in g.column_names:
             return _empty_out()
         import pyarrow.compute as pc

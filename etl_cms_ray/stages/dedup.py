@@ -245,6 +245,7 @@ def minhash_lsh_pairs(
     broadcast_texts: bool = False,
     join_partitions: int | None = None,
     metrics=None,
+    text_type: pa.DataType | None = None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (a < b, jaccard >= threshold).
 
@@ -292,7 +293,8 @@ def minhash_lsh_pairs(
             concurrency=(1, concurrency),
         )
 
-    with_ab = _attach_pair_texts(pairs, docs, id_col, text_col, join_partitions)
+    with_ab = _attach_pair_texts(pairs, docs, id_col, text_col,
+                                 join_partitions, text_type=text_type)
 
     def verify(batch: pa.Table) -> pa.Table:
         sims = [
@@ -320,6 +322,7 @@ def _attach_pair_texts(
     id_col: str,
     text_col: str,
     join_partitions: int,
+    text_type: pa.DataType | None = None,
 ) -> "ray.data.Dataset":
     """Scalable verify-side text access shared by the near-dup operators:
     join text_a and text_b onto (a, b) candidate pairs with two chained
@@ -327,11 +330,15 @@ def _attach_pair_texts(
     materialization, no whole-corpus broadcast, no per-pipeline
     aggregator-actor spin-up; candidate-pair volume plus one streaming
     pass of the text column is what moves.  Schemas are passed
-    statically so neither join samples (= re-executes) its inputs."""
+    statically so neither join samples (= re-executes) its inputs; pass
+    ``text_type`` when ``docs`` is a computed pipeline — the fallback
+    ``docs.schema()`` executes that sub-plan once just to learn the
+    column type."""
     from .join import _ray_schema_to_arrow, hash_join
 
-    docs_schema = _ray_schema_to_arrow(docs.schema())
-    text_t = docs_schema.field(text_col).type
+    text_t = text_type
+    if text_t is None:
+        text_t = _ray_schema_to_arrow(docs.schema()).field(text_col).type
     texts = docs.select_columns([id_col, text_col])
     ren_a = texts.map_batches(
         lambda t: t.rename_columns([id_col, "text_a"]), batch_format="pyarrow"
@@ -359,14 +366,19 @@ def _attach_pair_vectors(
     id_col: str,
     emb_col: str,
     join_partitions: int = _TEXT_JOIN_PARTS,
+    vec_type: pa.DataType | None = None,
 ) -> "ray.data.Dataset":
     """_attach_pair_texts for an embedding list column: vec_a / vec_b are
     joined onto (a, b) candidate pairs from the ORIGINAL vector dataset
     via two task-based co-group hash joins — the vectors stream through
-    the join shuffle exactly once, instead of riding every LSH band."""
+    the join shuffle exactly once, instead of riding every LSH band.
+    Pass ``vec_type`` when ``vectors`` is computed (the schema()
+    fallback executes the sub-plan once just to learn the type)."""
     from .join import _ray_schema_to_arrow, hash_join
 
-    vec_t = _ray_schema_to_arrow(vectors.schema()).field(emb_col).type
+    vec_t = vec_type
+    if vec_t is None:
+        vec_t = _ray_schema_to_arrow(vectors.schema()).field(emb_col).type
     vecs = vectors.select_columns([id_col, emb_col])
     ren_a = vecs.map_batches(
         lambda t: t.rename_columns([id_col, "vec_a"]), batch_format="pyarrow"
@@ -401,19 +413,29 @@ def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
     completeness (any total order works for prefix filtering, and a
     collision can only merge two grams on BOTH sides of a comparison
     inside this engine — the verify stage recomputes on hashes too, so
-    J is computed over the same hashed universe for every pair; the
-    oracle computes on the gram STRINGS, so the hash never crosses
-    engines).  Hash = C-core crc32 per token, combined across the n-gram
-    window by a vectorized uint64 polynomial roll — no per-byte Python.
+    J is computed over the same hashed universe for every pair — BUT the
+    oracle computes on the gram STRINGS, so a collision DOES cross
+    engines through its effect on |A|, |B| and the intersection; the
+    token hash therefore must be 64-bit — a 32-bit crc expects a
+    colliding token pair at ~77k distinct tokens, and no crc-derived
+    64-bit widening helps, since crc(b, salt)/crc(b+suffix) are linear
+    functions of crc(b) and len(b)).  Hash = the engine's vectorized
+    FNV-1a 64 kernel over the token array (byte-position numpy sweeps,
+    no per-byte Python), combined across the n-gram window by a
+    vectorized uint64 polynomial roll.
     """
-    import zlib
+    from ..functions.text import fingerprint_column
 
     ws = text.split(" ")
     m = len(ws) - n + 1
     if m <= 0:
         return np.empty(0, dtype=np.uint64)
-    crc = zlib.crc32
-    th = np.fromiter((crc(w.encode()) for w in ws), dtype=np.uint64, count=len(ws))
+    th = (
+        fingerprint_column(pa.array(ws, type=pa.string()))
+        .to_numpy(zero_copy_only=False)
+        .view(np.uint64)
+        .copy()
+    )
     h = th[:m].copy()
     with np.errstate(over="ignore"):
         for j in range(1, n):
@@ -431,6 +453,7 @@ def ngram_jaccard_pairs(
     join_partitions: int | None = None,
     metrics=None,
     max_bucket: int = 256,
+    text_type: pa.DataType | None = None,
 ) -> "ray.data.Dataset":
     """EXACT word-n-gram-set Jaccard pairs (a < b, J >= threshold) via
     prefix filtering — complete, not approximate: for any global total
@@ -529,7 +552,7 @@ def ngram_jaccard_pairs(
         )
         return _ngram_pairs_tail(
             emitted, docs, threshold, n, id_col, text_col,
-            join_partitions, metrics, max_bucket,
+            join_partitions, metrics, max_bucket, text_type,
         )
 
     rank_ref = None
@@ -595,7 +618,7 @@ def ngram_jaccard_pairs(
     emitted = docs.map_batches(prefix_emit, batch_format="pyarrow", batch_size=1024)
     return _ngram_pairs_tail(
         emitted, docs, threshold, n, id_col, text_col,
-        join_partitions, metrics, max_bucket,
+        join_partitions, metrics, max_bucket, text_type,
     )
 
 
@@ -609,6 +632,7 @@ def _ngram_pairs_tail(
     join_partitions: int,
     metrics,
     max_bucket: int,
+    text_type: pa.DataType | None = None,
 ) -> "ray.data.Dataset":
     """Shared tail of every ngram-order mode: prefix rows -> coarse-
     partition candidate pairs -> global pair dedup -> text attach ->
@@ -620,7 +644,8 @@ def _ngram_pairs_tail(
         batch_format="pandas",
     )
     pairs = _dedup_pairs(pairs, ["a", "b"])
-    with_ab = _attach_pair_texts(pairs, docs, id_col, text_col, join_partitions)
+    with_ab = _attach_pair_texts(pairs, docs, id_col, text_col,
+                                 join_partitions, text_type=text_type)
 
     def verify(batch: pa.Table) -> pa.Table:
         out_j = []

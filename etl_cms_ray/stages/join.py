@@ -76,6 +76,8 @@ def _hash_one(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         raise TypeError("refusing to hash-join on a float key")
     import pyarrow.compute as pc
 
+    if pa.types.is_date32(t):
+        col = col.cast(pa.int32())  # date32 -> int64 directly is unsupported
     col = pc.fill_null(col.cast(pa.int64()), 0)  # null keys never match; any
     arr = col.to_numpy(zero_copy_only=False)     # consistent slot works
     x = arr.astype(np.uint64)

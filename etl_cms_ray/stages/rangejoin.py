@@ -40,8 +40,12 @@ def interval_join(
     ValueError otherwise).  ``how='inner'`` drops unmatched rows;
     ``'left'`` keeps them with null interval columns.
     """
-    los = np.asarray(intervals[lo_col].to_numpy(zero_copy_only=False), dtype=np.float64)
-    his = np.asarray(intervals[hi_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    # native-dtype comparisons: float64 coercion would crash on temporal
+    # bands and lose precision on int64 values > 2^53, so lo/hi keep the
+    # interval table's own dtype and searchsorted compares natively
+    # (int64 / float64 / datetime64 all supported)
+    los = np.asarray(intervals[lo_col].to_numpy(zero_copy_only=False))
+    his = np.asarray(intervals[hi_col].to_numpy(zero_copy_only=False))
     order = np.argsort(los, kind="stable")
     los, his = los[order], his[order]
     if np.any(his <= los):
@@ -53,11 +57,15 @@ def interval_join(
     ref = ray.put({"los": los, "his": his, "table": sorted_iv})
 
     def attach(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         iv = ray.get(ref)
-        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
-                       dtype=np.float64)
+        v = np.asarray(batch[value_col].to_numpy(zero_copy_only=False))
         idx = np.searchsorted(iv["los"], v, side="right") - 1
-        ok = (idx >= 0) & np.isfinite(v)
+        ok = idx >= 0
+        if v.dtype.kind == "f":
+            ok &= np.isfinite(v)  # NaN/inf never band-match
         safe = np.where(ok, idx, 0)
         ok &= v < iv["his"][safe]
         take_idx = pa.array(np.where(ok, safe, -1), type=pa.int64())
