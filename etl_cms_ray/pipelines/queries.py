@@ -906,6 +906,43 @@ FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
 """
 
 
+def cdc_incremental_stats(sf_dir: str) -> "rd.Dataset":
+    """Incremental view maintenance: a materialized per-repo aggregate
+    (n_files, total_size) computed at commit 1, then rolled FORWARD by
+    applying the manifest-diff changelog of commit 2 — never recomputed
+    from the lake.  count/sum are abelian, so stats(v1) + delta(v1→v2)
+    must equal the full recompute at v2; the oracle pins exactly that
+    against a relational reconstruction of the final state."""
+    from .history import incremental_repo_stats, repo_stats_snapshot
+
+    events = _docs_change_events(sf_dir)
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"ivm_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    r1 = ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    r2 = ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    v1_stats = repo_stats_snapshot(lake_root, version=r1.manifest_version)
+    return incremental_repo_stats(
+        lake_root, v1_stats, r1.manifest_version, r2.manifest_version
+    )
+
+
+_SQL_INCREMENTAL_STATS = """
+SELECT source AS repo,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(octet_length(encode(
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+       ))) AS BIGINT) AS total_size
+FROM documents
+WHERE doc_id % 7 <> 0
+GROUP BY source
+"""
+
+
 _SQL_REPOS_LAKE = """
 SELECT source AS repo,
        'doc_' || CAST(doc_id AS VARCHAR) AS path,
@@ -2262,6 +2299,7 @@ QUERIES = {
     "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
     "repos_lake_ingest": repos_lake_ingest,
     "cdc_time_travel_diff": cdc_time_travel_diff,
+    "cdc_incremental_stats": cdc_incremental_stats,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2321,6 +2359,7 @@ ORACLE_SQL = {
     "lineitem_quantity_quantiles": _SQL_QUANTILES,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "cdc_time_travel_diff": _SQL_TIME_TRAVEL_DIFF,
+    "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,

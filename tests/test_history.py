@@ -116,3 +116,24 @@ def test_snapshot_diff_self_is_empty_and_skips_reads(lake):
     # (column names are gone here: Ray drops empty blocks, so an all-empty
     # Dataset is schema-less at to_pandas — engine-wide quirk)
     assert len(got) == 0
+
+
+def test_incremental_stats_equal_full_recompute(lake):
+    """IVM invariant: stats(v_a) + delta(v_a -> v_b) == full recompute at
+    v_b, across every commit pair — including deletes (tombstone
+    scenario) and the schema change between commits 1 and 2."""
+    from etl_cms_ray.pipelines.history import (incremental_repo_stats,
+                                               repo_stats_snapshot)
+
+    root, snaps = lake
+    versions = [v for v, _ in snaps]
+    for va, vb in [(versions[0], versions[1]), (versions[1], versions[2]),
+                   (versions[0], versions[2])]:
+        base = repo_stats_snapshot(root, version=va)
+        inc = incremental_repo_stats(root, base, va, vb).to_pandas()
+        full = repo_stats_snapshot(root, version=vb).to_pandas()
+        cols = ["repo", "n_files", "total_size"]
+        pd.testing.assert_frame_equal(
+            inc[cols].sort_values("repo").reset_index(drop=True),
+            full[cols].sort_values("repo").reset_index(drop=True),
+        )
