@@ -248,6 +248,9 @@ def run_bench() -> dict:
     timed("doc_fingerprints", Q.doc_fingerprints)
     timed("doc_token_unpivot", Q.doc_token_unpivot)
     timed("cdc_multi_sink_route", Q.cdc_multi_sink_route)
+    timed("events_asof_join", Q.events_asof_join)
+    timed("cdc_time_travel_diff", Q.cdc_time_travel_diff)
+    timed("cdc_incremental_stats", Q.cdc_incremental_stats)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

@@ -1,0 +1,53 @@
+"""Public operator facade — one import surface for every reusable
+Ray-Data operator the engine ships, grouped the way a pipeline author
+reaches for them.  (The catalog in ``pipelines/queries.py`` shows each
+one wired end-to-end with a DuckDB oracle.)
+
+    from etl_cms_ray import ops
+    joined = ops.hash_join(left, right, on="k")
+"""
+
+from __future__ import annotations
+
+# joins
+from .stages.asof import asof_join
+from .stages.join import hash_join
+from .stages.rangejoin import interval_join
+from .stages.dimjoin import BroadcastJoiner, put_dim
+
+# dedup family
+from .stages.dedup import (exact_dedup_groups, minhash_lsh_pairs,
+                           ngram_jaccard_pairs, simhash_pairs)
+
+# similarity search
+from .stages.ann import (brute_force_topk, cosine_pairs, ivf_topk, lsh_topk,
+                         train_centroids)
+
+# structural
+from .stages.closure import closure_roots
+from .stages.fanout import Route, fanout_write, read_fanout_table
+from .stages.unpivot import unpivot_list
+
+# lake lifecycle
+from .pipelines.history import (incremental_repo_stats, read_snapshot,
+                                repo_stats_snapshot, snapshot_diff)
+from .pipelines.ingest import ingest, read_lake
+from .pipelines.maintenance import audit_lake, compact_lake, repartition_lake
+
+# sketches / metrics
+from .functions.sketch import HyperLogLog
+from .stages.metrics import make_counter, read_counter
+
+__all__ = [
+    "asof_join", "hash_join", "interval_join", "BroadcastJoiner", "put_dim",
+    "exact_dedup_groups", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "brute_force_topk", "cosine_pairs", "ivf_topk", "lsh_topk",
+    "train_centroids",
+    "closure_roots", "Route", "fanout_write", "read_fanout_table",
+    "unpivot_list",
+    "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
+    "snapshot_diff", "ingest", "read_lake",
+    "audit_lake", "compact_lake", "repartition_lake",
+    "HyperLogLog", "make_counter", "read_counter",
+]
