@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
     pcpt = sub.add_parser("compact", help="fold merge-on-read deltas into bases")
     pcpt.add_argument("--lake", required=True)
 
+    pex = sub.add_parser("expire", help="delete snapshots older than the "
+                                        "newest N and unreferenced data files")
+    pex.add_argument("--lake", required=True)
+    pex.add_argument("--keep-last", type=int, default=2, dest="keep_last")
+
     ps = sub.add_parser("show", help="print manifest + lineage")
     ps.add_argument("--lake", required=True)
 
@@ -112,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
 
             m = repartition_lake(args.lake, args.partitions)
             print(json.dumps({"manifest_version": m.version, **m.metrics}))
+        elif args.cmd == "expire":
+            from .pipelines.maintenance import expire_snapshots
+
+            print(json.dumps(expire_snapshots(args.lake, args.keep_last)))
         elif args.cmd == "snapshot":
             from .pipelines.history import read_snapshot
 

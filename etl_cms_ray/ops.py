@@ -32,7 +32,8 @@ from .stages.unpivot import unpivot_list
 from .pipelines.history import (incremental_repo_stats, read_snapshot,
                                 repo_stats_snapshot, snapshot_diff)
 from .pipelines.ingest import ingest, read_lake
-from .pipelines.maintenance import audit_lake, compact_lake, repartition_lake
+from .pipelines.maintenance import (audit_lake, compact_lake,
+                                    expire_snapshots, repartition_lake)
 
 # sketches / metrics
 from .functions.sketch import HyperLogLog
@@ -48,6 +49,6 @@ __all__ = [
     "unpivot_list",
     "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "ingest", "read_lake",
-    "audit_lake", "compact_lake", "repartition_lake",
+    "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "HyperLogLog", "make_counter", "read_counter",
 ]

@@ -273,3 +273,76 @@ def audit_lake(lake_root: str) -> dict:
         and misplaced == 0
         and (expected_rows < 0 or int(agg["n"]) == expected_rows),
     }
+
+
+def expire_snapshots(lake_root: str, keep_last: int = 2) -> dict:
+    """Retention / vacuum: delete manifest versions older than the newest
+    ``keep_last`` and every data file no kept manifest references — the
+    Delta/Iceberg VACUUM analog that bounds the lake's disk growth
+    (content-addressed files are immutable and shared across manifests,
+    so referenced-set subtraction is the only safe deletion rule).
+
+    Time travel / rollback to expired versions is gone afterwards (by
+    design); the operation is crash-safe in this order: expired MANIFESTS
+    are unlinked first (no pointer can dangle), then unreferenced data
+    files — a crash in between leaves re-collectable orphans, never a
+    broken snapshot.  Returns counts + bytes reclaimed and logs a
+    lineage entry.
+    """
+    import glob
+    import json as _json
+
+    store = LakeStore(lake_root)
+    cur = store.current_version()
+    if cur == 0:
+        return {"kept_versions": [], "manifests_deleted": 0,
+                "files_deleted": 0, "bytes_reclaimed": 0}
+    existing = sorted(
+        int(os.path.basename(p)[len("manifest-"):-len(".json")])
+        for p in glob.glob(os.path.join(store.manifest_dir, "manifest-*.json"))
+    )
+    horizon = cur - keep_last + 1
+    # versions NEWER than current (roll-forward manifests left by a
+    # rollback) are kept too — expiry only trims the past
+    keep = [v for v in existing if v >= horizon]
+    referenced: set[str] = set()
+    kept_shards: set[str] = set()
+    for v in keep:
+        m = store.load_manifest(version=v)
+        referenced.update(m.live_files())
+        idx = store._load_index(v)
+        if idx:
+            kept_shards.update(ref["file"] for ref in idx.get("shards", {}).values())
+
+    manifests_deleted = 0
+    for v in existing:
+        if v not in keep:
+            os.unlink(os.path.join(store.manifest_dir, f"manifest-{v:06d}.json"))
+            manifests_deleted += 1
+    # shard files: content-addressed and shared across versions — keep
+    # exactly those the kept indexes reference
+    for path in glob.glob(os.path.join(store.manifest_dir, "shards", "*.json")):
+        rel = os.path.join("shards", os.path.basename(path))
+        if rel not in kept_shards:
+            os.unlink(path)
+
+    files_deleted = 0
+    bytes_reclaimed = 0
+    data_root = os.path.join(lake_root, "data")
+    for dirpath, _dirs, files in os.walk(data_root):
+        for f in files:
+            abspath = os.path.join(dirpath, f)
+            rel = os.path.relpath(abspath, lake_root)
+            if rel not in referenced:
+                bytes_reclaimed += os.path.getsize(abspath)
+                os.unlink(abspath)
+                files_deleted += 1
+
+    report = {
+        "kept_versions": keep,
+        "manifests_deleted": manifests_deleted,
+        "files_deleted": files_deleted,
+        "bytes_reclaimed": bytes_reclaimed,
+    }
+    store.append_lineage({"op": "expire_snapshots", **report})
+    return report

@@ -137,3 +137,32 @@ def test_incremental_stats_equal_full_recompute(lake):
             inc[cols].sort_values("repo").reset_index(drop=True),
             full[cols].sort_values("repo").reset_index(drop=True),
         )
+
+
+def test_expire_snapshots_reclaims_and_preserves_kept(lake):
+    import os
+
+    import pytest as _pytest
+
+    from etl_cms_ray.pipelines.maintenance import audit_lake, expire_snapshots
+
+    root, snaps = lake
+    (v1, s1), (v2, s2), (v3, s3) = snaps
+    rep = expire_snapshots(root, keep_last=2)
+    assert rep["kept_versions"] == [v2, v3]
+    assert rep["manifests_deleted"] >= 1
+    assert rep["files_deleted"] > 0 and rep["bytes_reclaimed"] > 0
+    # expired snapshot unreadable; kept snapshots still byte-exact
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(root, version=v1).to_pandas()
+    for v, s in [(v2, s2), (v3, s3)]:
+        got = read_snapshot(root, version=v).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(got), _sorted(s),
+                                      check_dtype=False)
+    # live lake healthy; second expiry is a no-op
+    assert audit_lake(root)["healthy"] is True
+    rep2 = expire_snapshots(root, keep_last=2)
+    assert rep2["manifests_deleted"] == 0 and rep2["files_deleted"] == 0
+    # lineage recorded the operation
+    ops = [e.get("op") for e in LakeStore(root).read_lineage()]
+    assert "expire_snapshots" in ops
