@@ -107,6 +107,8 @@ def hash_join(
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
     shuffle_batch_rows: int = 65536,
+    hot_keys: Sequence | None = None,
+    salt: int = 8,
 ) -> "ray.data.Dataset":
     """Equi-join ``left`` with ``right`` on key column(s).
 
@@ -126,6 +128,15 @@ def hash_join(
     this function carry their schema forward automatically (chained
     joins never re-execute).
 
+    Skew: a single pathologically hot KEY concentrates its partition.
+    Pass its value(s) in ``hot_keys`` (single-column joins only) for
+    explicit salting: each hot LEFT row lands in one of ``salt``
+    consecutive partitions (spread by row position), while hot RIGHT
+    rows REPLICATE into all ``salt`` of them — every (left, right) pair
+    still meets exactly once, so results are identical to the unsalted
+    join (test-pinned), but the hot key's work spreads over ``salt``
+    merge tasks at the cost of salt-1 extra copies of its right rows.
+
     Caveat: if EVERY partition joins to zero rows, Ray drops the empty
     group outputs and the resulting Dataset has no schema — guard
     downstream code that requires column names on empty results.
@@ -138,6 +149,9 @@ def hash_join(
         raise ValueError("on/right_on arity mismatch")
     acero_how = _HOW_TO_ACERO[how]
     semi_like = acero_how in ("left semi", "left anti")
+    if hot_keys is not None and len(l_on) != 1:
+        raise ValueError("hot_keys salting supports single-column joins only")
+    salt = max(1, int(salt))
 
     l_schema = (left_schema or getattr(left, "_cogroup_schema", None)
                 or _ray_schema_to_arrow(left.schema()))
@@ -178,8 +192,19 @@ def hash_join(
             cols[rk_names[i]] = pa.nulls(n, type=r_types[r_on[i]])
         for c in r_vals:
             cols[ren[c]] = pa.nulls(n, type=r_types[c])
-        cols["__jp"] = _key_part(pa.table({c: cols[c] for c in l_on}),
-                                 l_on, num_partitions)
+        jp = _key_part(pa.table({c: cols[c] for c in l_on}),
+                       l_on, num_partitions)
+        if hot_keys is not None and salt > 1:
+            import pyarrow.compute as pc
+
+            hot = pc.fill_null(
+                pc.is_in(cols[l_on[0]], value_set=pa.array(list(hot_keys))),
+                False,
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            base = jp.to_numpy(zero_copy_only=False).copy()
+            spread = (base + np.arange(n, dtype=np.int64) % salt) % num_partitions
+            jp = pa.array(np.where(hot, spread, base))
+        cols["__jp"] = jp
         cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols)
 
@@ -191,9 +216,29 @@ def hash_join(
             cols[rk_names[i]] = _col(t, k, r_types[k])
         for c in r_vals:
             cols[ren[c]] = _col(t, c, r_types[c])
-        cols["__jp"] = _key_part(
+        jp = _key_part(
             pa.table({rk_names[i]: cols[rk_names[i]] for i in range(len(r_on))}),
             rk_names, num_partitions)
+        if hot_keys is not None and salt > 1:
+            import pyarrow.compute as pc
+
+            # column order must match prep_left exactly (union schema)
+            t2 = pa.table({**cols, "__jp": jp,
+                           "__side": pa.array(np.ones(n, dtype=np.int8))})
+            hot_mask = pc.fill_null(
+                pc.is_in(t2[rk_names[0]], value_set=pa.array(list(hot_keys))),
+                False,
+            )
+            hot_t = t2.filter(hot_mask)
+            cold_t = t2.filter(pc.invert(hot_mask))
+            copies = [cold_t]
+            hb = hot_t["__jp"].to_numpy(zero_copy_only=False)
+            jp_idx = hot_t.schema.get_field_index("__jp")
+            for s in range(salt):  # replicate hot build rows to every slot
+                shifted = pa.array((hb + s) % num_partitions)
+                copies.append(hot_t.set_column(jp_idx, "__jp", shifted))
+            return pa.concat_tables(copies)
+        cols["__jp"] = jp
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         return pa.table(cols)
 

@@ -159,3 +159,25 @@ def test_interval_join_semantics(ray_session):
     with pytest.raises(Exception):
         overl = pa.table({"name": ["a", "b"], "lo": [0.0, 5.0], "hi": [10.0, 20.0]})
         interval_join(_ds(rows), overl, "v")
+
+
+def test_hot_key_salting_preserves_results(ray_session):
+    """Salted join == unsalted join on a skewed corpus (hot left rows
+    spread over `salt` partitions, hot right rows replicated to all of
+    them — every pair still meets exactly once)."""
+    rng = np.random.default_rng(23)
+    n = 4000
+    k = np.where(rng.random(n) < 0.7, 7, rng.integers(0, 200, n))  # key 7 hot
+    left = pa.table({"k": k.astype(np.int64), "lv": np.arange(n, dtype=np.int64)})
+    rk = np.where(rng.random(300) < 0.3, 7, rng.integers(0, 200, 300))
+    right = pa.table({"k": rk.astype(np.int64),
+                      "rv": np.arange(300, dtype=np.int64) * 3})
+    plain = hash_join(_ds(left), _ds(right), on="k",
+                      num_partitions=16).to_pandas()
+    for how in ("inner", "left", "semi", "anti"):
+        a = hash_join(_ds(left), _ds(right), on="k", how=how,
+                      num_partitions=16).to_pandas()
+        b = hash_join(_ds(left), _ds(right), on="k", how=how,
+                      num_partitions=16, hot_keys=[7], salt=4).to_pandas()
+        pd.testing.assert_frame_equal(_sorted(a), _sorted(b), check_dtype=False)
+    assert len(plain) > n  # the hot key actually fanned out
