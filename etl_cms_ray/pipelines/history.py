@@ -66,8 +66,10 @@ def read_snapshot(
     reg_json = registry.to_json()
 
     def load_part(batch: pa.Table, cols=tuple(columns) if columns else None):
+        from ..functions.threads import single_threaded_kernels
         from .ingest import load_partition_live
 
+        single_threaded_kernels()
         reg = SchemaRegistry.from_json(reg_json)
         out = []
         for f0, ds_ in zip(batch["file"].to_pylist(), batch["deltas"].to_pylist()):
@@ -149,8 +151,10 @@ def snapshot_diff(
         )
 
     def diff_part(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
         from .ingest import load_partition_live
 
+        single_threaded_kernels()
         reg = SchemaRegistry.from_json(reg_json)
         frames = []
         for i in range(batch.num_rows):
@@ -205,6 +209,9 @@ def _stats_final(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
     from ..functions.text import fingerprint_column
 
     def add_part(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         h = (fingerprint_column(t[key]).to_numpy(zero_copy_only=False)
              .view(np.uint64))
         return t.append_column(
@@ -265,6 +272,9 @@ def incremental_repo_stats(
                          value_cols=(size_col,))
 
     def deltas(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         df = t.to_pandas()
         ins = (df["change"] != "delete").astype("int64")
         rem = (df["change"] != "insert").astype("int64")

@@ -290,8 +290,11 @@ def expire_snapshots(lake_root: str, keep_last: int = 2) -> dict:
     lineage entry.
     """
     import glob
-    import json as _json
 
+    if keep_last < 1:
+        # keep_last=0 would compute horizon=cur+1, keep NOTHING, and
+        # vacuum the live lake out from under CURRENT
+        raise ValueError("keep_last must be >= 1 (the current snapshot)")
     store = LakeStore(lake_root)
     cur = store.current_version()
     if cur == 0:

@@ -846,6 +846,24 @@ def repos_lake_ingest(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def _two_commit_lake(sf_dir: str, prefix: str):
+    """Fresh scratch lake ingested in TWO commits from the
+    _docs_change_events stream (epoch 0, then epoch 1).  Shared by the
+    time-travel / IVM catalog entries; returns (lake_root, r1, r2).
+    Deterministic dir per sf_dir, recycled per call (no /tmp buildup)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    events = _docs_change_events(sf_dir)
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    r1 = ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    r2 = ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    return lake_root, r1, r2
+
+
 def cdc_time_travel_diff(sf_dir: str) -> "rd.Dataset":
     """Time travel + changelog as one oracle-checked pipeline: ingest the
     _docs_change_events stream in TWO commits (epoch 0, then epoch 1)
@@ -857,16 +875,7 @@ def cdc_time_travel_diff(sf_dir: str) -> "rd.Dataset":
     deleted, delete rows for doc_id%7==0; epoch 1 creates no new keys)."""
     from .history import snapshot_diff
 
-    events = _docs_change_events(sf_dir)
-    import hashlib as _hl
-    import shutil as _sh
-
-    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
-    lake_root = os.path.join(tempfile.gettempdir(), f"tt_lake_{tag}")
-    _sh.rmtree(lake_root, ignore_errors=True)
-    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
-    r1 = ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
-    r2 = ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    lake_root, r1, r2 = _two_commit_lake(sf_dir, "tt_lake")
     diff = snapshot_diff(lake_root, r1.manifest_version, r2.manifest_version)
 
     def to_hex(t: pa.Table) -> pa.Table:
@@ -915,16 +924,7 @@ def cdc_incremental_stats(sf_dir: str) -> "rd.Dataset":
     against a relational reconstruction of the final state."""
     from .history import incremental_repo_stats, repo_stats_snapshot
 
-    events = _docs_change_events(sf_dir)
-    import hashlib as _hl
-    import shutil as _sh
-
-    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
-    lake_root = os.path.join(tempfile.gettempdir(), f"ivm_lake_{tag}")
-    _sh.rmtree(lake_root, ignore_errors=True)
-    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
-    r1 = ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
-    r2 = ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    lake_root, r1, r2 = _two_commit_lake(sf_dir, "ivm_lake")
     v1_stats = repo_stats_snapshot(lake_root, version=r1.manifest_version)
     return incremental_repo_stats(
         lake_root, v1_stats, r1.manifest_version, r2.manifest_version

@@ -151,7 +151,9 @@ def hash_join(
     semi_like = acero_how in ("left semi", "left anti")
     if hot_keys is not None and len(l_on) != 1:
         raise ValueError("hot_keys salting supports single-column joins only")
-    salt = max(1, int(salt))
+    # salt > P would wrap (base+s) % P onto the same slot, replicating a
+    # hot right row INTO a partition twice -> duplicated join rows
+    salt = min(max(1, int(salt)), num_partitions)
 
     l_schema = (left_schema or getattr(left, "_cogroup_schema", None)
                 or _ray_schema_to_arrow(left.schema()))

@@ -166,3 +166,11 @@ def test_expire_snapshots_reclaims_and_preserves_kept(lake):
     # lineage recorded the operation
     ops = [e.get("op") for e in LakeStore(root).read_lineage()]
     assert "expire_snapshots" in ops
+
+
+def test_expire_keep_last_zero_rejected(lake):
+    from etl_cms_ray.pipelines.maintenance import expire_snapshots
+
+    root, _snaps = lake
+    with pytest.raises(ValueError):
+        expire_snapshots(root, keep_last=0)
