@@ -43,7 +43,9 @@ def _derive_events(sf_dir: str, mult: int = 1):
     import pyarrow.compute as pc
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    from etl_cms_ray.functions.rayutil import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
                  "l_extendedprice", "l_returnflag"],
@@ -129,7 +131,7 @@ def run_bench() -> dict:
     from etl_cms_ray.pipelines.ingest import ingest, read_lake
 
     # warm the page cache (untimed) so we measure compute + shuffle
-    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()  # cache warm only
 
     results: dict[str, float] = {}
     pool = max(2, NUM_CPUS // 2)

@@ -30,3 +30,33 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     pyarrow schemas unhashable, defeating Ray's schema dedup inside
     hash-shuffle joins and spamming 'Failed to hash the schemas')."""
     return t.replace_schema_metadata(None)
+
+
+def read_parquet_clean(paths, *, columns=None, **kwargs):
+    """`ray.data.read_parquet` with a metadata-stripped explicit schema.
+
+    Parquet written through pandas carries a ``pandas`` dict in schema
+    metadata; this pyarrow's ``Schema.__hash__`` raises ``unhashable
+    type: 'dict'`` on any schema with metadata, which defeats Ray's
+    schema-dedup early exit in ``unify_schemas`` and logs 'Failed to
+    hash the schemas' from every read/shuffle task that touches such a
+    block.  Passing an explicit stripped schema makes every downstream
+    block schema hashable (and skips per-task schema unification).
+
+    Only for path sets that share one physical schema (the testdata
+    tables, a fan-out sink's files) — lake reads handle schema
+    evolution themselves in ``pipelines/ingest.read_lake``.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    try:
+        schema = pq.read_schema(first).remove_metadata()
+        if columns is not None:
+            # subset to the projection (file order), else the scanner
+            # compares pruned batches against the full schema and raises
+            schema = pa.schema([schema.field(c) for c in columns])
+    except Exception:
+        return rd.read_parquet(paths, columns=columns, **kwargs)
+    return rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)

@@ -27,6 +27,7 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..functions.hashing import sha256_hex_column
+from ..functions.rayutil import read_parquet_clean as _rpc
 from ..functions.text import (
     char_count_column,
     fingerprint_column,
@@ -149,7 +150,7 @@ def _add_upart(t: pa.Table) -> pa.Table:
 
 
 def _events(sf_dir: str, columns=None) -> "rd.Dataset":
-    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    return _rpc(f"{sf_dir}/events.parquet", columns=columns)
 
 
 # ===========================================================================
@@ -498,10 +499,10 @@ def order_status_revenue_native_join(sf_dir: str) -> "rd.Dataset":
     """Both-sides-large hash join through Ray Data's native Dataset.join
     (hash-partitioned on the key) — the non-broadcast join path, kept
     alongside the broadcast-probe pattern used when one side is small."""
-    orders = rd.read_parquet(
+    orders = _rpc(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
     ).map_batches(_nometa, batch_format="pyarrow")
-    lineitem = rd.read_parquet(
+    lineitem = _rpc(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(_nometa, batch_format="pyarrow")
     joined = lineitem.join(
@@ -541,7 +542,7 @@ def customer_order_counts(sf_dir: str) -> "rd.Dataset":
     Both sides are unbounded, so neither is broadcast or driver-read:
     per-batch count partials -> coarse-partition final per custkey ->
     task-based co-group LEFT join (stages/join.py) onto customer."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = _rpc(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_custkey", sort=False).size().rename("_n").reset_index()
@@ -551,7 +552,7 @@ def customer_order_counts(sf_dir: str) -> "rd.Dataset":
         "o_custkey",
         lambda df: df.groupby("o_custkey", sort=False)["_n"].sum().reset_index(),
     )
-    cust = rd.read_parquet(
+    cust = _rpc(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     joined = hash_join(
@@ -607,7 +608,7 @@ def lineitem_quantity_quantiles(sf_dir: str) -> pa.Table:
     """Exact discrete quantiles computed DISTRIBUTED from a value-count
     sketch: per-batch counts per distinct quantity -> tiny merged count
     vector -> cumulative walk (never ships raw rows to the driver)."""
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
+    ds = _rpc(f"{sf_dir}/lineitem.parquet", columns=["l_quantity"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("l_quantity", sort=False).size().rename("_n").reset_index()
@@ -646,7 +647,7 @@ def doc_quality_filter(sf_dir: str) -> "rd.Dataset":
     token/char bounds with a punctuation ratio cap — the kind of rule
     chain a pretraining pipeline applies before dedup.  Pure vectorized
     Arrow predicate, SQL-mirrored."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
 
     def keep(t: pa.Table) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
@@ -771,7 +772,7 @@ def _docs_change_events(sf_dir: str) -> "rd.Dataset":
     insert backfill; epoch 1 updates doc_id%3==0 with content||' v2' and
     deletes doc_id%7==0.  Shared by repos_lake_ingest and
     cdc_time_travel_diff so both oracles describe the same stream."""
-    docs = rd.read_parquet(
+    docs = _rpc(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
 
@@ -961,7 +962,7 @@ WHERE doc_id % 7 <> 0
 
 def q1_pricing_summary(sf_dir: str) -> "rd.Dataset":
     """Grouped aggregate with per-batch partials (the canonical wide step)."""
-    ds = rd.read_parquet(
+    ds = _rpc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
                  "l_discount", "l_tax", "l_shipdate"],
@@ -1044,13 +1045,13 @@ def q3_top_orders(sf_dir: str) -> "rd.Dataset":
     then per-orderkey revenue finals in coarse hash partitions with a
     local top-10 each, and a bounded global top-10 over <= parts x 10
     rows."""
-    cust = rd.read_parquet(
+    cust = _rpc(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda t: _nometa(t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"])),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
+    orders = _rpc(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
     ).map_batches(
@@ -1066,7 +1067,7 @@ def q3_top_orders(sf_dir: str) -> "rd.Dataset":
             ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
         right_schema=_pq_cols_schema(sf_dir, "customer", ["c_custkey"]),
     )
-    li = rd.read_parquet(
+    li = _rpc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(
@@ -1151,7 +1152,7 @@ def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
     # supplier: distributed pruned read of 2 int columns, restricted to
     # ASIA nations, collected once into a broadcast map (medium dim)
     supp_pd = (
-        rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+        _rpc(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
         .map_batches(
             lambda t: _nometa(t.filter(pc.is_in(t["s_nationkey"], value_set=asia_keys))),
             batch_format="pyarrow",
@@ -1161,13 +1162,13 @@ def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
     )
     maps_ref = ray.put(dict(asia=asia_pd, supp=supp_pd))
 
-    cust = rd.read_parquet(
+    cust = _rpc(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).map_batches(
         lambda t: _nometa(t.filter(pc.is_in(t["c_nationkey"], value_set=asia_keys))),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
+    orders = _rpc(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(
         lambda t: _nometa(t.filter(
@@ -1184,7 +1185,7 @@ def q5_local_supplier(sf_dir: str) -> "rd.Dataset":
         right_schema=_pq_cols_schema(sf_dir, "customer",
                                      ["c_custkey", "c_nationkey"]),
     )
-    li = rd.read_parquet(
+    li = _rpc(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(_nometa, batch_format="pyarrow")
@@ -1231,7 +1232,7 @@ GROUP BY n_name
 
 
 def top_customers_by_spend(sf_dir: str) -> "rd.Dataset":
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _rpc(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(_tp=_qround(df["o_totalprice"], 2))
@@ -1262,7 +1263,7 @@ def top_customers_by_spend(sf_dir: str) -> "rd.Dataset":
     )
     # names only for the 10 winners: tiny-side co-group join against the
     # distributed customer read (no driver materialization of customer)
-    cust = rd.read_parquet(
+    cust = _rpc(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     joined = hash_join(
@@ -1292,7 +1293,7 @@ LIMIT 10
 
 
 def order_priority_counts(sf_dir: str) -> "rd.Dataset":
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
+    ds = _rpc(f"{sf_dir}/orders.parquet", columns=["o_orderpriority"])
     partials = ds.map_batches(
         lambda df: df.groupby("o_orderpriority", sort=False).size().rename("_n").reset_index(),
         batch_format="pandas",
@@ -1310,7 +1311,7 @@ SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
 
 
 def orders_by_month(sf_dir: str) -> "rd.Dataset":
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    ds = _rpc(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         month = df["o_orderdate"].values.astype("datetime64[M]").astype("datetime64[us]")
@@ -1338,7 +1339,7 @@ FROM orders GROUP BY 1
 
 
 def part_type_stats(sf_dir: str) -> "rd.Dataset":
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"])
+    ds = _rpc(f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"])
     partials = ds.map_batches(
         # grid discipline (CLAUDE.md rule 4): quantize each term before the
         # partial sum so summation order can never tie-flip vs the oracle
@@ -1373,7 +1374,7 @@ FROM part GROUP BY p_type
 def supplier_balance_by_nation(sf_dir: str) -> "rd.Dataset":
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     dim_ref = put_dim(nation)
-    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+    ds = _rpc(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
     joined = ds.map_batches(
         BroadcastJoiner,
         fn_constructor_kwargs=dict(dim_ref=dim_ref, key="s_nationkey", dim_key="n_nationkey",
@@ -1410,7 +1411,7 @@ GROUP BY n_name
 
 
 def lineitem_distinct_suppliers(sf_dir: str) -> pa.Table:
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    ds = _rpc(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
     n = len(ds.unique("l_suppkey"))
     return pa.table({"n_suppliers": pa.array([n], type=pa.int64())})
 
@@ -1425,7 +1426,7 @@ SELECT count(DISTINCT l_suppkey) AS n_suppliers FROM lineitem
 
 
 def doc_token_stats(sf_dir: str) -> "rd.Dataset":
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
@@ -1555,7 +1556,7 @@ def doc_bpe_token_stats(sf_dir: str) -> "rd.Dataset":
     regex (functions/text.BPE_SPLIT_PATTERN)."""
     from ..functions.text import bpe_token_count_column
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
@@ -1601,7 +1602,7 @@ FROM documents
 
 
 def lang_doc_stats(sf_dir: str) -> "rd.Dataset":
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         chars = char_count_column(t["text"])
@@ -1633,7 +1634,7 @@ def doc_content_sample(sf_dir: str) -> "rd.Dataset":
     reproducible across runs, engines and epochs and independent of row
     order/partitioning — unlike random_shuffle/limit).  Keeps docs whose
     first sha256 hex nibble is 0 or 1 (a 1/8 sample in expectation)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
 
     def keep(t: pa.Table) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
@@ -1693,7 +1694,7 @@ FROM events GROUP BY 1
 
 def _docs_with_dups(sf_dir: str) -> "rd.Dataset":
     """documents ∪ re-keyed copies of doc_id<50 (deterministic exact dups)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def shift(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["doc_id"], 50))
@@ -1701,7 +1702,7 @@ def _docs_with_dups(sf_dir: str) -> "rd.Dataset":
             {"doc_id": pc.add(t["doc_id"], 100_000), "text": t["text"]}
         )
 
-    dups = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    dups = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         shift, batch_format="pyarrow"
     )
     return docs.union(dups)
@@ -1737,7 +1738,7 @@ def ann_cosine_topk(sf_dir: str) -> "rd.Dataset":
     )
     q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
     q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, q_ids, q_vecs, k=5, concurrency=2, round_digits=4)
     return out.map_batches(
         lambda df: df[["query_id", "neighbor_id", "score", "rank"]].astype(
@@ -1765,7 +1766,7 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_i
 
 
 def embedding_norms(sf_dir: str) -> "rd.Dataset":
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def norms(t: pa.Table) -> pa.Table:
         from ..stages.ann import _to_matrix
@@ -1910,7 +1911,7 @@ def doc_token_unpivot(sf_dir: str) -> "rd.Dataset":
     fan-out only — no shuffle at any scale."""
     from ..stages.unpivot import unpivot_list
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
@@ -1937,7 +1938,7 @@ FROM documents
 
 
 def _docs_with_near_dups(sf_dir: str) -> "rd.Dataset":
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def shift(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["doc_id"], 30))
@@ -1948,7 +1949,7 @@ def _docs_with_near_dups(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    near = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    near = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         shift, batch_format="pyarrow"
     )
     return docs.union(near)
@@ -2005,7 +2006,7 @@ WHERE len(x.gs) > 0 AND len(y.gs) > 0
 
 
 def lang_id_pred(sf_dir: str) -> "rd.Dataset":
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     return ds.map_batches(
         lambda t: lang_id_table(t).select(["doc_id", "lang", "lang_pred"]),
         batch_format="pyarrow",
@@ -2046,7 +2047,7 @@ FROM scored
 
 
 def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda t: pa.table(
             {"doc_id": t["doc_id"], "fingerprint": fingerprint_column(t["text"])}
@@ -2093,9 +2094,9 @@ def _approx_topk_with_recall(sf_dir: str, approx_fn) -> pd.DataFrame:
     )
     q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
     q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     approx = approx_fn(ds, q_ids, q_vecs).to_pandas()
-    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds2 = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     exact = brute_force_topk(
         ds2, q_ids, q_vecs, k=5, concurrency=2, round_digits=None
     ).to_pandas()
@@ -2155,8 +2156,8 @@ def dedup_cosine_pairs(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    base = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    near = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+    base = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    near = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
         perturb, batch_format="pyarrow"
     )
     return cosine_pairs(base.union(near), threshold=0.99, round_digits=4,
@@ -2207,7 +2208,7 @@ def approx_distinct_sketch(sf_dir: str) -> pa.Table:
     exact counts and TRUE literals)."""
     from ..functions.sketch import approx_distinct
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    li = _rpc(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
     ev = _events(sf_dir, ["user_id"])
     rows = []
     for metric, ds, col in (

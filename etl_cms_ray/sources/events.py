@@ -36,7 +36,9 @@ def _cast_events(t: pa.Table) -> pa.Table:
 
 def read_events_parquet(paths, columns=None) -> "rd.Dataset":
     """Parquet change-event source with column pruning at the read."""
-    ds = rd.read_parquet(paths, columns=columns)
+    from ..functions.rayutil import read_parquet_clean
+
+    ds = read_parquet_clean(paths, columns=columns)
     return ds.map_batches(_cast_events, batch_format="pyarrow", zero_copy_batch=True)
 
 
