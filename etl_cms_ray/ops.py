@@ -31,7 +31,7 @@ from .stages.unpivot import unpivot_list
 # lake lifecycle
 from .pipelines.history import (incremental_repo_stats, read_snapshot,
                                 repo_stats_snapshot, snapshot_diff)
-from .pipelines.ingest import ingest, read_lake
+from .pipelines.ingest import ingest, lookup_plan, point_lookup, read_lake
 from .pipelines.maintenance import (audit_lake, compact_lake,
                                     expire_snapshots, repartition_lake)
 
@@ -48,7 +48,7 @@ __all__ = [
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",
     "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
-    "snapshot_diff", "ingest", "read_lake",
+    "snapshot_diff", "ingest", "read_lake", "point_lookup", "lookup_plan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "HyperLogLog", "make_counter", "read_counter",
 ]

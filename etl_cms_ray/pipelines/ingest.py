@@ -400,6 +400,96 @@ def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dat
     )
 
 
+def lookup_plan(manifest: Manifest, keys: list) -> list[dict]:
+    """Partition pruning plan for a point lookup: each (repo, path) key
+    hashes to exactly ONE partition under the ingest shuffle's fnv1a64
+    partitioner, so a K-key lookup opens <= K of the lake's P partitions
+    — O(keys), not O(lake).  (The reference has no random access at all:
+    any lookup is a full forward pass, ``FileControl.py:181-236``.)
+
+    Returns one dict per HIT partition (empty partitions are dropped
+    here, so a miss on an empty partition costs zero reads)."""
+    from ..functions.hashing import part_id_one
+
+    by_part: dict[int, list] = {}
+    for repo, path in keys:
+        pid = part_id_one(repo, path, manifest.num_partitions)
+        by_part.setdefault(pid, []).append((repo, path))
+    plan = []
+    for pid in sorted(by_part):
+        ps = manifest.part(pid)
+        if not ps.file and not ps.deltas:
+            continue
+        plan.append(
+            {
+                "part_id": pid,
+                "file": ps.file,
+                "deltas": list(ps.deltas),
+                "repos": [k[0] for k in by_part[pid]],
+                "paths": [k[1] for k in by_part[pid]],
+            }
+        )
+    return plan
+
+
+def point_lookup(
+    lake_root: str, keys: list, columns: list[str] | None = None
+) -> pa.Table:
+    """Random access into the lake: live rows for the given (repo, path)
+    keys, reading ONLY the partitions those keys hash to (hash-partition
+    data skipping — see ``lookup_plan``).  Deleted / absent keys simply
+    return no row (LWW tombstones are dropped by the partition merge).
+
+    One Ray task per hit partition performs the same MOR-aware
+    ``load_partition_live`` merge as ``read_lake`` and filters to its
+    keys, so the result is bounded by ``len(keys)`` rows and is safe to
+    materialize as one Arrow table.  Sized for interactive key counts
+    (up to ~1e5); a bulk keyed read should use a join against
+    ``read_lake`` instead."""
+    import ray
+
+    from ..functions.hashing import key_array
+
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    schema = registry.schema_for(latest)
+    out_names = [c for c in (columns or schema.names)]
+    plan = lookup_plan(manifest, keys)
+    empty = pa.table(
+        {n: pa.array([], type=schema.field(n).type) for n in out_names}
+    )
+    if not plan:
+        return empty
+    reg_json = registry.to_json()
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        reg = SchemaRegistry.from_json(reg_json)
+        out = []
+        for f0, ds_, repos, paths in zip(
+            batch["file"].to_pylist(),
+            batch["deltas"].to_pylist(),
+            batch["repos"].to_pylist(),
+            batch["paths"].to_pylist(),
+        ):
+            t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+            wanted = [f"{r}\x00{p}" for r, p in zip(repos, paths)]
+            mask = pc.is_in(key_array(t["repo"], t["path"]), value_set=pa.array(wanted))
+            out.append(t.filter(mask).select(out_names))
+        return pa.concat_tables(out)
+
+    ds = ray.data.from_items(plan).map_batches(
+        fetch, batch_format="pyarrow", batch_size=1
+    )
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables).cast(empty.schema)
+    sort_keys = [(k, "ascending") for k in ("repo", "path") if k in out_names]
+    return t.take(pc.sort_indices(t, sort_keys=sort_keys)) if sort_keys else t
+
+
 def read_lake_table(lake_root: str) -> pa.Table:
     """Whole lake as one Arrow table — tests/small data only."""
     store = LakeStore(lake_root)

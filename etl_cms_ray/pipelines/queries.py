@@ -944,6 +944,53 @@ GROUP BY source
 """
 
 
+def cdc_point_lookup(sf_dir: str) -> pa.Table:
+    """Hash-pruned random access: ingest the _docs_change_events stream
+    into a fresh lake, then ``point_lookup`` a fixed key set — only the
+    partitions those keys hash to are opened (<= K of P; see
+    ``lookup_plan``), instead of the reference's full forward pass
+    (``FileControl.py:181-236``).  The key set deliberately includes
+    deleted docs (%7==0 — LWW tombstoned, must return no row) and a key
+    that never existed."""
+    from .ingest import point_lookup
+
+    lake_root, _r1, _r2 = _two_commit_lake(sf_dir, "pl_lake")
+    ids = [1, 2, 3, 6, 9, 12, 14, 35]
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source"],
+        filters=[("doc_id", "in", ids)],
+    )
+    keys = [
+        (s, f"doc_{d}")
+        for d, s in zip(src["doc_id"].to_pylist(), src["source"].to_pylist())
+    ]
+    keys.append(("no_such_source", "doc_999999999"))  # guaranteed miss
+    t = point_lookup(lake_root, keys)
+    return pa.table(
+        {
+            "repo": t["repo"],
+            "path": t["path"],
+            "lang": t["lang"],
+            "content": t["content"].cast(pa.string()),
+            "content_sha_hex": sha256_hex_column(t["content"]),
+            "size": t["size"].cast(pa.int64()),
+        }
+    )
+
+
+_SQL_POINT_LOOKUP = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS content,
+       sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS content_sha_hex,
+       CAST(octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) AS BIGINT) AS size
+FROM documents
+WHERE doc_id IN (1, 2, 3, 6, 9, 12, 14, 35) AND doc_id % 7 <> 0
+"""
+
+
 _SQL_REPOS_LAKE = """
 SELECT source AS repo,
        'doc_' || CAST(doc_id AS VARCHAR) AS path,
@@ -2301,6 +2348,7 @@ QUERIES = {
     "repos_lake_ingest": repos_lake_ingest,
     "cdc_time_travel_diff": cdc_time_travel_diff,
     "cdc_incremental_stats": cdc_incremental_stats,
+    "cdc_point_lookup": cdc_point_lookup,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2361,6 +2409,7 @@ ORACLE_SQL = {
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "cdc_time_travel_diff": _SQL_TIME_TRAVEL_DIFF,
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
+    "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,
