@@ -26,6 +26,7 @@ from .stages.ann import (brute_force_topk, cosine_pairs, ivf_topk, lsh_topk,
 # structural
 from .stages.closure import closure_roots
 from .stages.fanout import Route, fanout_write, read_fanout_table
+from .stages.redact import DEFAULT_RULES, RedactRule, redact_batch, redact_column
 from .stages.unpivot import unpivot_list
 
 # lake lifecycle
@@ -47,6 +48,7 @@ __all__ = [
     "train_centroids",
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",
+    "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",
     "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "ingest", "read_lake", "point_lookup", "lookup_plan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",

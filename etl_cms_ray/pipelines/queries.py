@@ -1675,6 +1675,58 @@ FROM documents GROUP BY lang
 """
 
 
+def doc_pii_redact(sf_dir: str) -> "rd.Dataset":
+    """PII / secret scrub (stages/redact.py): docs with doc_id%5==0 get a
+    deterministic injected contact line (email + IPv4 + 32-hex token) so
+    the rules demonstrably fire, then every doc runs the vectorized RE2
+    redaction chain.  Returns the redacted text and per-doc replacement
+    count; the oracle SQL is GENERATED from the same RedactRule constants
+    (nested regexp_replace / regexp_extract_all), so engine and oracle
+    cannot drift."""
+    from ..stages.redact import redact_batch
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids = t["doc_id"]
+        idstr = pc.cast(ids, pa.string())
+        suffix = pc.binary_join_element_wise(
+            "contact u",
+            idstr,
+            "@example.com from 10.0.",
+            pc.cast(pc.bit_wise_and(ids, 127), pa.string()),
+            ".7 token 0123456789abcdef0123456789abcdef",
+            "",
+        )
+        pii = pc.binary_join_element_wise(t["text"], suffix, " ")
+        # doc_id % 5 == 0 without pc.mod (absent in this pyarrow)
+        mask = pc.equal(pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5)), 0)
+        text = pc.if_else(mask, pii, t["text"])
+        return pa.table({"doc_id": ids, "text": text})
+
+    return ds.map_batches(inject, batch_format="pyarrow").map_batches(
+        redact_batch, batch_format="pyarrow"
+    )
+
+
+def _sql_pii_redact() -> str:
+    from ..stages.redact import oracle_redact_sql
+
+    injected = (
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' contact u' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com from 10.0.' || CAST((doc_id & 127) AS VARCHAR)"
+        " || '.7 token 0123456789abcdef0123456789abcdef' ELSE text END"
+    )
+    red, cnt = oracle_redact_sql(injected)
+    return (
+        f"SELECT doc_id, {red} AS text, CAST({cnt} AS BIGINT) AS n_redactions"
+        " FROM documents"
+    )
+
+
 def doc_content_sample(sf_dir: str) -> "rd.Dataset":
     """Deterministic content-hash sampling (the stable way to downsample
     a training corpus: the decision is keyed on sha256(text), so it is
@@ -2367,6 +2419,7 @@ QUERIES = {
     "doc_token_unpivot": doc_token_unpivot,
     "doc_quality_filter": doc_quality_filter,
     "doc_content_sample": doc_content_sample,
+    "doc_pii_redact": doc_pii_redact,
     "user_train_val_split": user_train_val_split,
     "lang_doc_stats": lang_doc_stats,
     "dedup_exact_docs": dedup_exact_docs,
@@ -2426,6 +2479,7 @@ ORACLE_SQL = {
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,
     "doc_content_sample": _SQL_CONTENT_SAMPLE,
+    "doc_pii_redact": _sql_pii_redact(),
     "user_train_val_split": _SQL_TRAIN_VAL_SPLIT,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,

@@ -756,3 +756,57 @@ def test_repartition_preserves_delete_fences(ray_session, tmp_path):
     )
     assert res.events_applied == 0
     assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
+
+
+def test_redact_rules_and_counts():
+    import pyarrow as pa
+
+    from etl_cms_ray.stages.redact import (
+        DEFAULT_RULES,
+        oracle_redact_sql,
+        redact_batch,
+        redact_column,
+    )
+
+    col = pa.array(
+        [
+            "mail a@b.co and c.d+x@e.org here",
+            "host 192.168.0.1 key 0123456789abcdef0123456789abcdef done",
+            "clean text, no secrets",
+            None,
+        ]
+    )
+    red, n = redact_column(col)
+    assert red.to_pylist() == [
+        "mail <EMAIL> and <EMAIL> here",
+        "host <IP> key <KEY> done",
+        "clean text, no secrets",
+        None,
+    ]
+    assert n.to_pylist() == [2, 2, 0, None]
+
+    t = redact_batch(pa.table({"doc_id": pa.array([1, 2]), "text": col[:2]}))
+    assert t.column_names == ["doc_id", "text", "n_redactions"]
+    assert t["n_redactions"].to_pylist() == [2, 2]
+
+    # the generated SQL mirror computes the same thing in DuckDB
+    import duckdb
+
+    red_sql, cnt_sql = oracle_redact_sql("s")
+    df = duckdb.sql(
+        "SELECT "
+        + red_sql
+        + " AS r, "
+        + cnt_sql
+        + " AS n FROM (SELECT unnest(["
+        + ",".join("'" + v.replace("'", "''") + "'" for v in col.to_pylist()[:3])
+        + "]) AS s)"
+    ).df()
+    assert list(df["r"]) == red.to_pylist()[:3]
+    assert list(df["n"]) == n.to_pylist()[:3]
+
+    # an email that is ALSO preceded by hex-ish text: rules fire in order
+    tricky = pa.array(["deadbeefdeadbeefdeadbeefdeadbeef bob@x.io"])
+    r2, n2 = redact_column(tricky)
+    assert r2.to_pylist() == ["<KEY> <EMAIL>"]
+    assert n2.to_pylist() == [2]
