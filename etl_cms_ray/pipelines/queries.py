@@ -2104,6 +2104,68 @@ WHERE len(x.gs) > 0 AND len(y.gs) > 0
 """
 
 
+#: shared CTE block: the exact trigram-Jaccard near-dup pair set over the
+#: planted corpus — the SAME pair semantics as _SQL_NGRAM_JACCARD, reused
+#: by the clustering oracle so the two entries can never drift apart.
+_SQL_NGRAM_PAIR_CTES = """
+all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' near dup tail' FROM documents
+  WHERE doc_id < 30
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                                      i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])) AS gs
+  FROM toks
+), pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM grams x JOIN grams y ON x.doc_id < y.doc_id
+  WHERE len(x.gs) > 0 AND len(y.gs) > 0
+    AND CAST(len(list_intersect(x.gs, y.gs)) AS DOUBLE)
+        / (len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs))) >= 0.8
+)
+"""
+
+
+def dedup_cluster_docs(sf_dir: str) -> "rd.Dataset":
+    """Duplicate clustering: exact near-dup pairs -> connected components.
+
+    The action step of the dedup family: pairs alone don't say which doc
+    to keep — the transitive closure does.  Pairs come from the EXACT
+    n-gram Jaccard operator (so the full chain is oracle-checkable), the
+    component labels from the distributed hook+compress iteration in
+    ``stages/cluster.py``; ``cluster_id`` = min doc id of the component
+    (the deterministic survivor a keep-one filter would retain).
+    """
+    from ..stages.cluster import connected_components
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs_with_near_dups(sf_dir), threshold=0.8, n=3, order="df_join",
+        text_type=pa.string(),
+    )
+    cc = connected_components(pairs, a_col="a", b_col="b")
+    return cc.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_CLUSTER_DOCS = f"""
+WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+walk AS (
+  SELECT x AS node, x AS reach FROM edges
+  UNION
+  SELECT w.node, e.y FROM walk w JOIN edges e ON w.reach = e.x
+)
+SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 def lang_id_pred(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     return ds.map_batches(
@@ -2424,6 +2486,7 @@ QUERIES = {
     "lang_doc_stats": lang_doc_stats,
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_cluster_docs": dedup_cluster_docs,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
     # rows-only (non-SQL-expressible)
@@ -2484,6 +2547,7 @@ ORACLE_SQL = {
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dedup_cluster_docs": _SQL_CLUSTER_DOCS,
     "ann_cosine_topk": _SQL_ANN_TOPK,
     "embedding_norms": _SQL_EMBEDDING_NORMS,
     # formerly rows-only, now hard-checked

@@ -1,0 +1,49 @@
+"""Connected-components duplicate clustering (stages/cluster.py)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from etl_cms_ray.stages.cluster import connected_components
+
+
+def _labels(pairs: list[tuple[int, int]], **kw) -> dict[int, int]:
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([p[0] for p in pairs], pa.int64()),
+        "b": pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+    out = connected_components(ds, num_partitions=8, **kw).to_pandas()
+    assert not out["node"].duplicated().any()
+    return dict(zip(out["node"], out["label"]))
+
+
+def test_cc_path_clique_and_bridge():
+    # path 1-2-3-4-5 (worst case for pure hooking), clique {10,11,12},
+    # and a two-component merge via a late bridge edge
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (11, 12), (10, 12),
+             (20, 21), (30, 31), (21, 30)]
+    lab = _labels(pairs)
+    assert {lab[n] for n in (1, 2, 3, 4, 5)} == {1}
+    assert {lab[n] for n in (10, 11, 12)} == {10}
+    assert {lab[n] for n in (20, 21, 30, 31)} == {20}
+    assert len(lab) == 12
+
+
+def test_cc_reversed_ids_and_self_pairs():
+    # labels must be the MIN id regardless of pair orientation; self-pairs
+    # and duplicate edges are harmless
+    pairs = [(9, 3), (3, 7), (7, 7), (9, 3), (100, 4), (4, 100)]
+    lab = _labels(pairs)
+    assert lab[9] == lab[3] == lab[7] == 3
+    assert lab[100] == lab[4] == 4
+
+
+def test_cc_long_path_converges_fast():
+    # 64-node path: pure min-propagation needs ~64 rounds; hook+compress
+    # must converge well inside the max_rounds guard
+    pairs = [(i, i + 1) for i in range(64)]
+    lab = _labels(pairs, max_rounds=16)
+    assert set(lab.values()) == {0}
