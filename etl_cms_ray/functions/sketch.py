@@ -97,3 +97,91 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     for row in parts:
         acc = acc.merge(HyperLogLog.from_bytes(row["sketch"]))
     return acc.cardinality()
+
+
+class MisraGries:
+    """Mergeable heavy-hitters summary (Misra-Gries with m counters).
+
+    Invariant maintained by ``insert_counts`` and ``merge`` (the
+    "subtract the (m+1)-th largest counter" reduction of Agarwal et al.,
+    Mergeable Summaries, PODS'12): for every key,
+
+        true_count - self.err  <=  counter(key)  <=  true_count
+
+    with counter(key) = 0 for untracked keys, and ``self.err`` (the sum
+    of all subtracted reduction thresholds) bounded by n/(m+1) over a
+    total inserted weight n.  Hence any key whose true count exceeds
+    n/(m+1) is guaranteed present.  Counters accept pre-aggregated
+    (key, weight) batches — feed it value_counts output, not raw tokens,
+    so the Python dict loop runs over per-batch DISTINCT keys only.
+    """
+
+    def __init__(self, m: int = 64):
+        self.m = int(m)
+        self.counts: dict = {}
+        self.err = 0
+        self.n = 0
+
+    def _reduce(self) -> None:
+        if len(self.counts) <= self.m:
+            return
+        vals = sorted(self.counts.values(), reverse=True)
+        thr = vals[self.m]  # (m+1)-th largest
+        self.counts = {k: c - thr for k, c in self.counts.items() if c > thr}
+        self.err += thr
+
+    def insert_counts(self, keys, weights) -> None:
+        c = self.counts
+        for k, w in zip(keys, weights):
+            c[k] = c.get(k, 0) + int(w)
+        self.n += int(sum(weights))
+        self._reduce()
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(min(self.m, other.m))
+        out.counts = dict(self.counts)
+        for k, v in other.counts.items():
+            out.counts[k] = out.counts.get(k, 0) + v
+        out.err = self.err + other.err
+        out.n = self.n + other.n
+        out._reduce()
+        return out
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.m, self.counts, self.err, self.n))
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "MisraGries":
+        import pickle
+
+        m, counts, err, n = pickle.loads(b)
+        out = MisraGries(m)
+        out.counts, out.err, out.n = counts, err, n
+        return out
+
+
+def heavy_hitters(ds, key_col: str, weight_col: str, m: int = 64) -> MisraGries:
+    """Merged Misra-Gries summary of a pre-aggregated (key, weight)
+    Dataset: one sketch per batch inside map_batches (the HLL pattern
+    above), merged on the driver — each serialized sketch holds at most
+    ``m`` keys, so the driver merge is O(#blocks x m) regardless of the
+    underlying stream size."""
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        g = MisraGries(m)
+        g.insert_counts(
+            t[key_col].to_pylist(),
+            t[weight_col].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"sketch": pa.array([g.to_bytes()], type=pa.binary())})
+
+    parts = ds.select_columns([key_col, weight_col]).map_batches(
+        sketch_batch, batch_format="pyarrow"
+    ).take_all()
+    acc = MisraGries(m)
+    for row in parts:
+        acc = acc.merge(MisraGries.from_bytes(row["sketch"]))
+    return acc

@@ -37,7 +37,7 @@ from .pipelines.maintenance import (audit_lake, compact_lake,
                                     expire_snapshots, repartition_lake)
 
 # sketches / metrics
-from .functions.sketch import HyperLogLog
+from .functions.sketch import HyperLogLog, MisraGries, approx_distinct, heavy_hitters
 from .stages.metrics import make_counter, read_counter
 
 __all__ = [
@@ -52,5 +52,6 @@ __all__ = [
     "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "ingest", "read_lake", "point_lookup", "lookup_plan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
-    "HyperLogLog", "make_counter", "read_counter",
+    "HyperLogLog", "MisraGries", "approx_distinct", "heavy_hitters",
+    "make_counter", "read_counter",
 ]

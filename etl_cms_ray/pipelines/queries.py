@@ -2397,6 +2397,99 @@ SELECT 'distinct_users', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
 FROM events
 """
 
+def doc_token_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Top-20 corpus tokens by frequency with a mergeable Misra-Gries
+    heavy-hitters summary checked against the exact distributed count.
+
+    Three consumers share ONE materialized per-batch partial (token,
+    cnt, fp) — the partials are O(per-batch distinct tokens), not
+    O(corpus), so the mid-pipeline materialize holds the reduced
+    vocabulary only:
+
+    - exact top-k: coarse fnv-hash partitions -> per-partition sum +
+      candidate top-k -> bounded final merge (64 x k candidate rows);
+    - an m=64 Misra-Gries sketch whose merged counters are PROVABLY
+      exact while the observed vocabulary fits in m (no reduction ever
+      fires) — the oracle compares ``mg_count`` against count(*), so an
+      insert/merge drift in the sketch is a value-hash mismatch;
+    - an m=8 sketch that DOES reduce, gating the PODS'12 invariant
+      (counter <= true, counter >= true - err, heavy keys tracked) as
+      ``mg8_ok`` — the reduction path ships with teeth, not just a
+      unit test.
+    """
+    from ..functions.sketch import heavy_hitters
+
+    K = 20
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        vc = pc.value_counts(toks)
+        tok = vc.field("values")
+        return pa.table(
+            {
+                "token": tok,
+                "cnt": vc.field("counts").cast(pa.int64()),
+                "fp": fingerprint_column(tok),
+            }
+        )
+
+    partials = ds.map_batches(count_tokens, batch_format="pyarrow").materialize()
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["cnt"].sum().reset_index()
+        return g.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(K)
+
+    cands = _coarse_final(partials.select_columns(["token", "cnt", "fp"]), "fp", per_part)
+    top = _final_agg(
+        cands,
+        lambda df: df.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(K),
+    ).to_pandas()
+
+    acc64 = heavy_hitters(partials, "token", "cnt", m=64)
+    acc8 = heavy_hitters(partials, "token", "cnt", m=8)
+
+    def inv8_ok(tok: str, exact: int) -> bool:
+        c = acc8.counts.get(tok)
+        if c is None:  # untracked is only legal for light keys
+            return exact <= acc8.err
+        return exact - acc8.err <= c <= exact
+
+    toks = top["token"].tolist()
+    exacts = top["cnt"].astype("int64").tolist()
+    return pa.table(
+        {
+            "token": pa.array(toks, type=pa.string()),
+            "n_occurrences": pa.array(exacts, type=pa.int64()),
+            "mg_count": pa.array(
+                [int(acc64.counts.get(t, 0)) for t in toks], type=pa.int64()
+            ),
+            "mg8_ok": pa.array(
+                [inv8_ok(t, e) for t, e in zip(toks, exacts)], type=pa.bool_()
+            ),
+        }
+    )
+
+
+_SQL_HEAVY_HITTERS = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT token, count(*) AS n FROM tok GROUP BY token
+)
+SELECT token, CAST(n AS BIGINT) AS n_occurrences,
+       CAST(n AS BIGINT) AS mg_count, TRUE AS mg8_ok
+FROM cnt ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
 def multimodal_features(sf_dir: str) -> "rd.Dataset":
     """Media decode plumbing: synth payloads -> actor-pool decode stub ->
     per-kind feature stats (+ video frame sampling)."""
@@ -2476,6 +2569,7 @@ QUERIES = {
     # text / documents
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
+    "doc_token_heavy_hitters": doc_token_heavy_hitters,
     "events_asof_join": events_asof_join,
     "events_value_bands": events_value_bands,
     "doc_token_unpivot": doc_token_unpivot,
@@ -2537,6 +2631,7 @@ ORACLE_SQL = {
     "lineitem_distinct_suppliers": _SQL_DISTINCT_SUPP,
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
     "doc_bpe_token_stats": _SQL_BPE_TOKEN_STATS,
+    "doc_token_heavy_hitters": _SQL_HEAVY_HITTERS,
     "events_asof_join": _SQL_ASOF_JOIN,
     "events_value_bands": _SQL_VALUE_BANDS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,

@@ -491,6 +491,53 @@ def test_hyperloglog_accuracy_and_merge(ray_session):
     assert rt.cardinality() == ab.cardinality()
 
 
+def test_misra_gries_invariant_and_merge(ray_session):
+    """PODS'12 mergeable-summary invariant on a skewed stream, chunked
+    and merged every way the distributed path exercises it."""
+    from etl_cms_ray.functions.sketch import MisraGries, heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # zipf-ish skew over 500 keys, ~30k total weight
+    keys = [f"k{i}" for i in range(500)]
+    weights = (3000.0 / np.arange(1, 501)).astype(np.int64) + 1
+    stream = np.repeat(np.arange(500), weights)
+    rng.shuffle(stream)
+    true = {k: int(w) for k, w in zip(keys, weights)}
+    n = int(weights.sum())
+
+    def sketch_of(chunk, m):
+        g = MisraGries(m)
+        vals, cnts = np.unique(chunk, return_counts=True)
+        g.insert_counts([keys[v] for v in vals], cnts)
+        return g
+
+    for m in (8, 32, 128):
+        parts = [sketch_of(c, m) for c in np.array_split(stream, 7)]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.merge(p)
+        acc = MisraGries.from_bytes(acc.to_bytes())  # round-trip
+        assert acc.n == n
+        assert acc.err <= n / (m + 1), (m, acc.err, n)
+        assert len(acc.counts) <= m
+        for k, t in true.items():
+            c = acc.counts.get(k, 0)
+            assert c <= t, (m, k, c, t)
+            assert c >= t - acc.err, (m, k, c, t, acc.err)
+            if t > acc.err:  # heavy keys must be tracked
+                assert k in acc.counts
+
+    # distributed helper == exact when vocabulary fits in m
+    t = pa.table(
+        {"token": [keys[v] for v in stream[:5000]], "cnt": np.ones(5000, np.int64)}
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    acc = heavy_hitters(ds, "token", "cnt", m=1024)
+    assert acc.err == 0
+    vals, cnts = np.unique(stream[:5000], return_counts=True)
+    assert acc.counts == {keys[v]: int(c) for v, c in zip(vals, cnts)}
+
+
 def test_sharded_manifest_commit_is_incremental(tmp_path):
     """Format-2 manifests: a commit touching one partition rewrites only
     that partition's shard + the index; untouched shards are reused by
