@@ -38,6 +38,7 @@ from .pipelines.maintenance import (audit_lake, compact_lake,
 
 # sketches / metrics
 from .functions.sketch import HyperLogLog, MisraGries, approx_distinct, heavy_hitters
+from .stages.bloom import BloomFilter, bloom_prune, build_bloom
 from .stages.metrics import make_counter, read_counter
 
 __all__ = [
@@ -53,5 +54,6 @@ __all__ = [
     "snapshot_diff", "ingest", "read_lake", "point_lookup", "lookup_plan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "HyperLogLog", "MisraGries", "approx_distinct", "heavy_hitters",
+    "BloomFilter", "build_bloom", "bloom_prune",
     "make_counter", "read_counter",
 ]

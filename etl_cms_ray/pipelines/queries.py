@@ -441,6 +441,93 @@ FROM spans,
 """
 
 
+def cdc_user_topk_events(sf_dir: str) -> "rd.Dataset":
+    """Per-group top-k (row_number() OVER (PARTITION BY ...) <= k): each
+    user's 3 highest-value events.  Scale shape: a per-batch combiner
+    keeps only each user's LOCAL top-3 (so at most k rows per user per
+    block enter the shuffle), then coarse user-hash partitions do one
+    vectorized sort/head/cumcount sweep each — never a Python call per
+    user.  Deterministic tie-break on event_id; identical doubles order
+    identically on both engines."""
+    K = 3
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "event_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return df.groupby("user_id", sort=False).head(K)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = local_topk(df.drop(columns=["upart"]))
+        df = df.assign(rnk=df.groupby("user_id", sort=False).cumcount() + 1)
+        return df.assign(value=_qround(df["value"], 2))[
+            ["user_id", "rnk", "event_id", "value"]
+        ]
+
+    partials = ds.map_batches(local_topk, batch_format="pandas")
+    parts = partials.map_batches(_add_upart, batch_format="pyarrow",
+                                 batch_size=65536)
+    return parts.groupby("upart").map_groups(finalize, batch_format="pandas")
+
+
+_SQL_USER_TOPK = f"""
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events
+)
+SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id,
+       {_sql_q('value', 2)} AS value
+FROM r WHERE rnk <= 3
+"""
+
+
+def cdc_tumbling_window(sf_dir: str) -> "rd.Dataset":
+    """Tumbling (fixed, non-overlapping) time-window aggregate: per-user
+    daily event count + value sum.  The streaming-window shape done
+    batch-style: per-batch partials pre-aggregate (user, window) inside
+    map_batches, then coarse user-hash partitions finish with one
+    vectorized sweep — (user x window) is an unbounded key space, so no
+    single-task final (CLAUDE.md rule 3).  Grid discipline on the sum."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(win_start=df["ts"].dt.floor("D"), _v=_qround(df["value"], 2))
+        return (
+            df.groupby(["user_id", "win_start"], sort=False)
+            .agg(_n=("_v", "size"), _s=("_v", "sum"))
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop(columns=["upart"])
+            .groupby(["user_id", "win_start"], sort=False)
+            .agg(n_events=("_n", "sum"), _s=("_s", "sum"))
+            .reset_index()
+        )
+        return g.assign(
+            n_events=g["n_events"].astype("int64"),
+            sum_value=_qround(g["_s"], 2),
+        ).drop(columns=["_s"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    parts = partials.map_batches(_add_upart, batch_format="pyarrow",
+                                 batch_size=65536)
+    return parts.groupby("upart").map_groups(finalize, batch_format="pandas")
+
+
+_SQL_TUMBLING = f"""
+SELECT user_id, date_trunc('day', ts) AS win_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_sql_q("sum(floor((value) * 100 + 0.5) / 100)", 2)} AS sum_value
+FROM events GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
 def top_events_by_value(sf_dir: str) -> "rd.Dataset":
     """Global sort + limit through Ray Data's distributed sort operator
     (O1/O3 parity: the engine-produced total ordering the reference gets
@@ -1470,6 +1557,70 @@ SELECT count(DISTINCT l_suppkey) AS n_suppliers FROM lineitem
 
 # ===========================================================================
 # Documents / text analysis
+
+
+def lineitem_bloom_semi_join(sf_dir: str) -> "rd.Dataset":
+    """Semi join with Bloom pre-pruning (stages/bloom.py): revenue of
+    lineitems whose order is 1-URGENT.  The Bloom filter over the
+    filtered orders keys is built distributed and broadcast once; the
+    fact stream drops definitely-non-matching rows BEFORE the join
+    shuffle (no false negatives -> the exact semi join downstream makes
+    false positives invisible).  ~80% of the fact stream never enters
+    the exchange — the bloom_kept/bloom_pruned counters make the
+    pruning power observable (asserted in tests)."""
+    from ..stages.bloom import bloom_prune, build_bloom
+
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    bloom_ref = build_bloom(orders, "o_orderkey", n_bits=1 << 20, k=5)
+
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+    pruned = bloom_prune(li, "l_orderkey", bloom_ref)
+    matched = hash_join(
+        pruned,
+        orders,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        how="semi",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("l_extendedprice", pa.float64()),
+             ("l_discount", pa.float64()), ("l_returnflag", pa.string())]
+        ),
+        right_schema=pa.schema([("o_orderkey", pa.int64())]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = _qround(df["l_extendedprice"] * (1.0 - df["l_discount"]), 2)
+        return (
+            df.assign(_r=rev).groupby("l_returnflag", sort=False)
+            .agg(_n=("_r", "size"), _s=("_r", "sum")).reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", sort=False).agg(
+            n=("_n", "sum"), _s=("_s", "sum")
+        ).reset_index()
+        return g.assign(n=g["n"].astype("int64"),
+                        revenue=_qround(g["_s"], 2)).drop(columns=["_s"])
+
+    return _final_agg(matched.map_batches(partial, batch_format="pandas"),
+                      finalize)
+
+
+_SQL_BLOOM_SEMI = f"""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       {_sql_q("sum(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100)", 2)} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
 
 
 def doc_token_stats(sf_dir: str) -> "rd.Dataset":
@@ -2547,6 +2698,8 @@ QUERIES = {
     "events_scalar_decode": events_scalar_decode,
     "user_month_spans": user_month_spans,
     "top_events_by_value": top_events_by_value,
+    "cdc_user_topk_events": cdc_user_topk_events,
+    "cdc_tumbling_window": cdc_tumbling_window,
     "cdc_rolling_value_mean": cdc_rolling_value_mean,
     "order_status_revenue_native_join": order_status_revenue_native_join,
     "customer_order_counts": customer_order_counts,
@@ -2566,6 +2719,7 @@ QUERIES = {
     "part_type_stats": part_type_stats,
     "supplier_balance_by_nation": supplier_balance_by_nation,
     "lineitem_distinct_suppliers": lineitem_distinct_suppliers,
+    "lineitem_bloom_semi_join": lineitem_bloom_semi_join,
     # text / documents
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
@@ -2611,6 +2765,8 @@ ORACLE_SQL = {
     "events_scalar_decode": _SQL_SCALAR_DECODE,
     "user_month_spans": _SQL_MONTH_SPANS,
     "top_events_by_value": _SQL_TOP_EVENTS,
+    "cdc_user_topk_events": _SQL_USER_TOPK,
+    "cdc_tumbling_window": _SQL_TUMBLING,
     "cdc_rolling_value_mean": _SQL_ROLLING,
     "order_status_revenue_native_join": _SQL_NATIVE_JOIN,
     "customer_order_counts": _SQL_CUST_ORDER_COUNTS,
@@ -2629,6 +2785,7 @@ ORACLE_SQL = {
     "part_type_stats": _SQL_PART_STATS,
     "supplier_balance_by_nation": _SQL_SUPPLIER_BAL,
     "lineitem_distinct_suppliers": _SQL_DISTINCT_SUPP,
+    "lineitem_bloom_semi_join": _SQL_BLOOM_SEMI,
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
     "doc_bpe_token_stats": _SQL_BPE_TOKEN_STATS,
     "doc_token_heavy_hitters": _SQL_HEAVY_HITTERS,

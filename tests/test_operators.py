@@ -491,6 +491,51 @@ def test_hyperloglog_accuracy_and_merge(ray_session):
     assert rt.cardinality() == ab.cardinality()
 
 
+def test_bloom_filter_prune(ray_session):
+    """No false negatives ever; FPR near the design point; distributed
+    build == single-pass build; prune counters fire."""
+    from etl_cms_ray.stages.bloom import BloomFilter, bloom_prune, build_bloom
+    from etl_cms_ray.stages.metrics import make_counter, read_counter
+
+    keys = np.arange(0, 20000, 2, dtype=np.int64)  # evens present
+    probe = np.arange(20000, dtype=np.int64)
+    f = BloomFilter(n_bits=1 << 18, k=5)
+    f.add_many(keys)
+    mask = f.contains_many(probe)
+    assert mask[::2].all(), "false negative"
+    fpr = mask[1::2].mean()
+    assert fpr < 0.05, fpr  # ~26 bits/key, k=5 -> well under 5%
+
+    # merge == union; serialization round-trip
+    a, b = BloomFilter(1 << 14, 4), BloomFilter(1 << 14, 4)
+    a.add_many(keys[:1000]); b.add_many(keys[1000:2000])
+    m = BloomFilter.from_bytes(a.merge(b).to_bytes())
+    assert m.contains_many(keys[:2000]).all()
+
+    # distributed build over a Dataset == driver-side build
+    import ray as _ray
+    ds = rd.from_arrow(pa.table({"k": keys})).repartition(4)
+    ref = build_bloom(ds, "k", n_bits=1 << 18, k=5)
+    dist = _ray.get(ref)
+    assert np.array_equal(dist.bits, f.bits)
+
+    # prune keeps every true match and counts what it drops
+    fact = rd.from_arrow(pa.table({"k": probe, "v": probe * 2}))
+    c = make_counter()
+    kept = bloom_prune(fact, "k", ref, counter=c).to_pandas()
+    assert set(keys).issubset(set(kept["k"]))
+    # fire-and-forget adds from worker tasks land asynchronously
+    import time as _time
+    for _ in range(50):
+        counts = read_counter(c)
+        if counts.get("bloom_kept", 0) + counts.get("bloom_pruned", 0) == len(probe):
+            break
+        _time.sleep(0.1)
+    assert counts["bloom_kept"] == len(kept)
+    assert counts["bloom_pruned"] == len(probe) - len(kept)
+    assert counts["bloom_pruned"] > 0.9 * (len(probe) - len(keys))
+
+
 def test_misra_gries_invariant_and_merge(ray_session):
     """PODS'12 mergeable-summary invariant on a skewed stream, chunked
     and merged every way the distributed path exercises it."""
