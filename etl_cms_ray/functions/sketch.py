@@ -162,6 +162,136 @@ class MisraGries:
         return out
 
 
+class KLL:
+    """Mergeable quantile sketch (KLL-style compactor chain, deterministic).
+
+    Level ``i`` holds a numpy buffer of items with weight ``2^i``.  When a
+    level exceeds ``k`` items, it is sorted and every other item (starting
+    at a deterministically ALTERNATING offset, replacing KLL's coin flip
+    so runs are reproducible) is promoted to level ``i+1``; an odd tail
+    item stays behind, so total weight is conserved exactly and
+    ``rank(v)`` estimates drift at most ±(items compacted)/2 per level —
+    the classic Manku-Rajagopalan-Lindsay collapse bound.  ``merge``
+    concatenates level-wise then re-compacts; with identical ``k`` the
+    result is independent of merge order up to the alternation state
+    (rank-error bound unaffected).  Empirical rank error at k=200 is
+    ~0.5-1% (asserted in tests); size is O(k log(n/k))."""
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.n = 0
+        self.flips: list[int] = [0]
+
+    def _compact_level(self, i: int) -> None:
+        buf = np.sort(self.levels[i])
+        if len(buf) % 2:  # odd tail stays: weight conserved exactly
+            keep, buf = buf[-1:], buf[:-1]
+        else:
+            keep = buf[:0]
+        promoted = buf[self.flips[i] :: 2]
+        self.flips[i] ^= 1
+        self.levels[i] = keep
+        if i + 1 == len(self.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.flips.append(0)
+        self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+
+    def _cascade(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                self._compact_level(i)
+            i += 1
+
+    def add_many(self, values) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self.n += len(v)
+        self._cascade()
+
+    def merge(self, other: "KLL") -> "KLL":
+        assert self.k == other.k
+        out = KLL(self.k)
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = []
+        out.flips = []
+        for i in range(depth):
+            a = self.levels[i] if i < len(self.levels) else np.empty(0)
+            b = other.levels[i] if i < len(other.levels) else np.empty(0)
+            out.levels.append(np.concatenate([a, b]))
+            fa = self.flips[i] if i < len(self.flips) else 0
+            fb = other.flips[i] if i < len(other.flips) else 0
+            out.flips.append(fa ^ fb)
+        out.n = self.n + other.n
+        out._cascade()
+        return out
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(b), 1 << i, dtype=np.int64)
+             for i, b in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantile(self, q: float) -> float:
+        """Smallest stored value whose cumulative weight >= q * total
+        (the quantile_disc convention of the exact catalog query)."""
+        vals, wts = self._weighted()
+        if len(vals) == 0:
+            return float("nan")
+        cum = np.cumsum(wts)
+        idx = int(np.searchsorted(cum, q * cum[-1]))
+        return float(vals[min(idx, len(vals) - 1)])
+
+    def rank(self, v: float) -> int:
+        """Estimated count of items <= v."""
+        vals, wts = self._weighted()
+        return int(wts[: np.searchsorted(vals, v, side="right")].sum())
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.n, self.flips,
+                             [b.tobytes() for b in self.levels]))
+
+    @staticmethod
+    def from_bytes(b: bytes) -> "KLL":
+        import pickle
+
+        k, n, flips, bufs = pickle.loads(b)
+        out = KLL(k)
+        out.n, out.flips = n, list(flips)
+        out.levels = [np.frombuffer(x, dtype=np.float64).copy() for x in bufs]
+        return out
+
+
+def approx_quantiles(ds, column: str, qs, k: int = 200) -> "KLL":
+    """Merged KLL over a Dataset column: one sketch per batch inside
+    map_batches, merged on the driver (each sketch is O(k log n) floats
+    — the HLL/Misra-Gries pattern).  Returns the merged sketch; call
+    ``.quantile(q)`` on it."""
+    import pyarrow as pa
+
+    def sketch_batch(t: pa.Table) -> pa.Table:
+        g = KLL(k)
+        g.add_many(t[column].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([g.to_bytes()], type=pa.large_binary())})
+
+    parts = ds.select_columns([column]).map_batches(
+        sketch_batch, batch_format="pyarrow"
+    ).take_all()
+    acc = KLL(k)
+    for row in parts:
+        acc = acc.merge(KLL.from_bytes(row["sketch"]))
+    return acc
+
+
 def heavy_hitters(ds, key_col: str, weight_col: str, m: int = 64) -> MisraGries:
     """Merged Misra-Gries summary of a pre-aggregated (key, weight)
     Dataset: one sketch per batch inside map_batches (the HLL pattern

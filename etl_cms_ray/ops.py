@@ -37,7 +37,8 @@ from .pipelines.maintenance import (audit_lake, compact_lake,
                                     expire_snapshots, repartition_lake)
 
 # sketches / metrics
-from .functions.sketch import HyperLogLog, MisraGries, approx_distinct, heavy_hitters
+from .functions.sketch import (HyperLogLog, KLL, MisraGries, approx_distinct,
+                               approx_quantiles, heavy_hitters)
 from .stages.bloom import BloomFilter, bloom_prune, build_bloom
 from .stages.metrics import make_counter, read_counter
 
@@ -53,7 +54,8 @@ __all__ = [
     "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "ingest", "read_lake", "point_lookup", "lookup_plan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
-    "HyperLogLog", "MisraGries", "approx_distinct", "heavy_hitters",
+    "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
+    "approx_quantiles",
     "BloomFilter", "build_bloom", "bloom_prune",
     "make_counter", "read_counter",
 ]

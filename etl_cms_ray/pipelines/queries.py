@@ -2548,6 +2548,60 @@ SELECT 'distinct_users', CAST(count(DISTINCT user_id) AS BIGINT), TRUE
 FROM events
 """
 
+def approx_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """KLL quantile sketch over a CONTINUOUS column (l_extendedprice —
+    effectively one distinct value per row, where the exact value-count
+    approach of lineitem_quantity_quantiles would ship the whole column)
+    with a hard error gate: the TRUE rank of each estimated quantile is
+    computed distributed (per-batch vectorized counts of values <= est,
+    summed), and ``rank_ok`` asserts it sits within 2% of the target
+    rank.  A drift in the compactor/merge flips the flag and fails the
+    value-hash (oracle emits exact counts + TRUE)."""
+    from ..functions.sketch import approx_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    ds = _rpc(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    acc = approx_quantiles(ds, "l_extendedprice", qs, k=200)
+    ests = [acc.quantile(q) for q in qs]
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_n": pa.array([len(v)], type=pa.int64()),
+                **{
+                    f"_le{i}": pa.array([int((v <= e).sum())], type=pa.int64())
+                    for i, e in enumerate(ests)
+                },
+            }
+        )
+
+    sums = _final_agg(
+        ds.map_batches(rank_partial, batch_format="pyarrow"),
+        lambda df: df.sum().to_frame().T,
+    ).to_pandas()
+    n = int(sums["_n"].iloc[0])
+    oks = [
+        abs(int(sums[f"_le{i}"].iloc[0]) / n - q) <= 0.02
+        for i, q in enumerate(qs)
+    ]
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "n": pa.array([n] * len(qs), type=pa.int64()),
+            "rank_ok": pa.array(oks, type=pa.bool_()),
+        }
+    )
+
+
+_SQL_APPROX_QUANTILES = """
+SELECT CAST(0.25 AS DOUBLE) AS q, CAST(count(*) AS BIGINT) AS n, TRUE AS rank_ok FROM lineitem
+UNION ALL SELECT 0.5, count(*), TRUE FROM lineitem
+UNION ALL SELECT 0.75, count(*), TRUE FROM lineitem
+UNION ALL SELECT 0.9, count(*), TRUE FROM lineitem
+"""
+
+
 def doc_token_heavy_hitters(sf_dir: str) -> pa.Table:
     """Top-20 corpus tokens by frequency with a mergeable Misra-Gries
     heavy-hitters summary checked against the exact distributed count.
@@ -2724,6 +2778,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_token_heavy_hitters": doc_token_heavy_hitters,
+    "approx_quantiles_sketch": approx_quantiles_sketch,
     "events_asof_join": events_asof_join,
     "events_value_bands": events_value_bands,
     "doc_token_unpivot": doc_token_unpivot,
@@ -2789,6 +2844,7 @@ ORACLE_SQL = {
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
     "doc_bpe_token_stats": _SQL_BPE_TOKEN_STATS,
     "doc_token_heavy_hitters": _SQL_HEAVY_HITTERS,
+    "approx_quantiles_sketch": _SQL_APPROX_QUANTILES,
     "events_asof_join": _SQL_ASOF_JOIN,
     "events_value_bands": _SQL_VALUE_BANDS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
