@@ -2068,7 +2068,9 @@ def cdc_multi_sink_route(sf_dir: str) -> "rd.Dataset":
 
     parts = []
     for r in routes:
-        t = read_fanout_table(out_root, r.name)
+        # prune to the one compared column at the read; every part then
+        # carries the identical (sink, event_id) schema into the union
+        t = read_fanout_table(out_root, r.name, columns=["event_id"])
         parts.append(
             t.map_batches(
                 lambda b, name=r.name: pa.table(

@@ -50,12 +50,21 @@ MANIFEST_NAME = "_fanout_manifest.json"
 
 
 def fanout_write(
-    events: "ray.data.Dataset", routes: list[Route], out_root: str
+    events: "ray.data.Dataset", routes: list[Route], out_root: str,
+    batch_size: int | None = 65536,
 ) -> dict:
     """Execute the fan-out (consumes the Dataset) and commit one manifest.
 
     Returns ``{table: {"rows": n, "files": [...]}}``.  Tables with zero
     matching rows still appear (empty file list).
+
+    ``batch_size`` coalesces input blocks before routing: every batch
+    writes up to ``len(routes)`` files, so file count — which is what
+    read-back task count, manifest size and small-file IO all scale
+    with — is ``#batches x #routes``.  Routing itself is a light
+    vectorized pass, so the coalesce does not starve task parallelism
+    (measured 4x faster end-to-end at sf0.1 vs per-block batches); at
+    stream scale 65536-row batches still yield thousands of tasks.
     """
     names = [r.name for r in routes]
     if len(set(names)) != len(names):
@@ -100,7 +109,9 @@ def fanout_write(
             }
         )
 
-    written = events.map_batches(route_batch, batch_format="pyarrow").take_all()
+    written = events.map_batches(
+        route_batch, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()
     manifest: dict = {r.name: {"rows": 0, "files": []} for r in routes}
     for row in written:
         entry = manifest[row["table"]]
@@ -113,11 +124,17 @@ def fanout_write(
     return manifest
 
 
-def read_fanout_table(out_root: str, table: str) -> "ray.data.Dataset":
+def read_fanout_table(
+    out_root: str, table: str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
     """Read one routed table back — only files the manifest committed."""
     with open(os.path.join(out_root, MANIFEST_NAME)) as f:
         manifest = json.load(f)
     files = [os.path.join(out_root, rel) for rel in manifest[table]["files"]]
     if not files:
         return ray.data.from_arrow(pa.table({}))
-    return ray.data.read_parquet(files)
+    from ..functions.rayutil import read_parquet_clean
+
+    # one physical schema per routed table -> stripped-schema read keeps
+    # every downstream block schema hashable (schema-dedup early exit)
+    return read_parquet_clean(files, columns=columns)
