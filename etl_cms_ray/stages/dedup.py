@@ -334,30 +334,86 @@ def _attach_pair_texts(
     ``text_type`` when ``docs`` is a computed pipeline — the fallback
     ``docs.schema()`` executes that sub-plan once just to learn the
     column type."""
-    from .join import _ray_schema_to_arrow, hash_join
+    from .join import _ray_schema_to_arrow
 
     text_t = text_type
     if text_t is None:
         text_t = _ray_schema_to_arrow(docs.schema()).field(text_col).type
-    texts = docs.select_columns([id_col, text_col])
-    ren_a = texts.map_batches(
-        lambda t: t.rename_columns([id_col, "text_a"]), batch_format="pyarrow"
+    return _attach_pair_payload(
+        pairs, docs, id_col, text_col, "text_a", "text_b",
+        join_partitions, text_t,
     )
-    ren_b = texts.map_batches(
-        lambda t: t.rename_columns([id_col, "text_b"]), batch_format="pyarrow"
-    )
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    with_a = hash_join(
-        pairs, ren_a, on="a", right_on=id_col,
+
+
+def _attach_pair_payload(
+    pairs: "ray.data.Dataset",
+    payload_ds: "ray.data.Dataset",
+    id_col: str,
+    payload_col: str,
+    out_a: str,
+    out_b: str,
+    join_partitions: int,
+    payload_t: pa.DataType,
+) -> "ray.data.Dataset":
+    """Attach a per-doc payload column to both sides of (a, b) candidate
+    pairs with ONE pass of the payload through the join exchange.
+
+    Shape: each pair expands to two keyed rows (side 0 keyed by a, side
+    1 keyed by b); ONE co-group hash join attaches the payload; a
+    second, CANDIDATE-VOLUME-only shuffle (coarse a-hash partitions,
+    one vectorized Arrow sweep per partition — payload types survive
+    untouched) re-zips the two sides into (a, b, out_a, out_b).  The
+    corpus-sized side crosses exactly one exchange — the previous
+    two-chained-joins shape shipped it twice and re-executed a computed
+    ``payload_ds`` twice (measured ~1.8x slower end-to-end on the
+    minhash catalog entry)."""
+    from .join import hash_join
+
+    def expand(t: pa.Table) -> pa.Table:
+        zeros = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.concat_tables([
+            pa.table({"a": t["a"], "b": t["b"], "_id": t["a"], "_side": zeros}),
+            pa.table({"a": t["a"], "b": t["b"], "_id": t["b"], "_side": ones}),
+        ])
+
+    exp = pairs.map_batches(expand, batch_format="pyarrow")
+    joined = hash_join(
+        exp,
+        payload_ds.select_columns([id_col, payload_col]),
+        on="_id",
+        right_on=id_col,
         num_partitions=join_partitions,
-        left_schema=pair_schema,
-        right_schema=pa.schema([(id_col, pa.int64()), ("text_a", text_t)]),
+        left_schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("_id", pa.int64()), ("_side", pa.int8())]
+        ),
+        right_schema=pa.schema([(id_col, pa.int64()), (payload_col, payload_t)]),
     )
-    return hash_join(
-        with_a, ren_b, on="b", right_on=id_col,
-        num_partitions=join_partitions,
-        right_schema=pa.schema([(id_col, pa.int64()), ("text_b", text_t)]),
-    )
+
+    def add_ppart(t: pa.Table) -> pa.Table:
+        k = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("ppart", pa.array((k % 64).astype(np.int64)))
+
+    def zip_sides(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.drop(["ppart"])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("a", "ascending"), ("b", "ascending"),
+                          ("_side", "ascending")]
+        ))
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        t0 = t.take(pa.array(np.nonzero(side == 0)[0]))
+        t1 = t.take(pa.array(np.nonzero(side == 1)[0]))
+        # deduped pairs -> exactly one row per side per (a,b); the sort
+        # aligns them positionally
+        return pa.table({"a": t0["a"], "b": t0["b"],
+                         out_a: t0[payload_col], out_b: t1[payload_col]})
+
+    parted = joined.map_batches(add_ppart, batch_format="pyarrow",
+                                batch_size=65536)
+    return parted.groupby("ppart").map_groups(zip_sides, batch_format="pyarrow")
 
 
 def _attach_pair_vectors(
@@ -370,33 +426,19 @@ def _attach_pair_vectors(
 ) -> "ray.data.Dataset":
     """_attach_pair_texts for an embedding list column: vec_a / vec_b are
     joined onto (a, b) candidate pairs from the ORIGINAL vector dataset
-    via two task-based co-group hash joins — the vectors stream through
-    the join shuffle exactly once, instead of riding every LSH band.
+    via the expand -> one co-group join -> re-zip shape of
+    ``_attach_pair_payload`` — the vectors stream through the join
+    exchange exactly once, instead of riding every LSH band.
     Pass ``vec_type`` when ``vectors`` is computed (the schema()
     fallback executes the sub-plan once just to learn the type)."""
-    from .join import _ray_schema_to_arrow, hash_join
+    from .join import _ray_schema_to_arrow
 
     vec_t = vec_type
     if vec_t is None:
         vec_t = _ray_schema_to_arrow(vectors.schema()).field(emb_col).type
-    vecs = vectors.select_columns([id_col, emb_col])
-    ren_a = vecs.map_batches(
-        lambda t: t.rename_columns([id_col, "vec_a"]), batch_format="pyarrow"
-    )
-    ren_b = vecs.map_batches(
-        lambda t: t.rename_columns([id_col, "vec_b"]), batch_format="pyarrow"
-    )
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-    with_a = hash_join(
-        pairs, ren_a, on="a", right_on=id_col,
-        num_partitions=join_partitions,
-        left_schema=pair_schema,
-        right_schema=pa.schema([(id_col, pa.int64()), ("vec_a", vec_t)]),
-    )
-    return hash_join(
-        with_a, ren_b, on="b", right_on=id_col,
-        num_partitions=join_partitions,
-        right_schema=pa.schema([(id_col, pa.int64()), ("vec_b", vec_t)]),
+    return _attach_pair_payload(
+        pairs, vectors, id_col, emb_col, "vec_a", "vec_b",
+        join_partitions, vec_t,
     )
 
 
