@@ -1559,6 +1559,120 @@ SELECT count(DISTINCT l_suppkey) AS n_suppliers FROM lineitem
 # Documents / text analysis
 
 
+def doc_tfidf_topterms(sf_dir: str) -> "rd.Dataset":
+    """TF-IDF feature extraction: each document's top-3 terms by
+    tf x N / df (a RATIONAL idf — log-free, so the score is one double
+    multiply + divide over exact integers and both engines compute the
+    identical IEEE value; ordering ties break on token).
+
+    Scale shape: tokenize + per-doc term counts in one vectorized
+    map_batches pass (docs never straddle batches, so per-batch tf IS
+    final tf), materialized ONCE and consumed by both branches —
+    document frequencies via coarse token-hash partitions (vocabulary
+    stays a Dataset, never a driver broadcast: the rarest-first df_join
+    discipline of dedup_ngram_jaccard), joined back onto the term
+    stream by token with the task-based hash join, then one coarse
+    doc-hash sweep ranks terms per document."""
+    from ..stages.join import hash_join
+    from ..stages.unpivot import unpivot_list
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        long = unpivot_list(pa.table({"doc_id": t["doc_id"], "token": toks}),
+                            "token")
+        g = (
+            long.select(["doc_id", "token_item"])
+            .rename_columns(["doc_id", "token"]).to_pandas()
+            .groupby(["doc_id", "token"], sort=False)
+            .size().rename("tf").reset_index()
+        )
+        # strip pandas metadata: a schema carrying a dict is unhashable and
+        # defeats Ray's schema-dedup early exit (functions/rayutil.py)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    # (doc_id, token, tf) is O(distinct terms per doc), far smaller than
+    # the text; materializing it lets the tf and df branches share one
+    # tokenization pass instead of re-executing it
+    tf_mat = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    def add_tpart(t: pa.Table) -> pa.Table:
+        fp = fingerprint_column(t["token"]).to_numpy(zero_copy_only=False)
+        return t.append_column("tpart", pa.array((fp % 64).astype(np.int64)))
+
+    df_ds = (
+        tf_mat.map_batches(add_tpart, batch_format="pyarrow", batch_size=65536)
+        .groupby("tpart")
+        .map_groups(
+            lambda d: d.groupby("token", sort=False).size().rename("df")
+            .reset_index(),
+            batch_format="pandas",
+        )
+    )
+
+    joined = hash_join(
+        tf_mat, df_ds, on="token",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+
+    def add_dpart(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("dpart", pa.array((k % 64).astype(np.int64)))
+
+    def score_topk(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.drop(columns=["dpart"])
+        d = d.assign(
+            score_raw=d["tf"].astype("float64") * float(n_docs)
+            / d["df"].astype("float64")
+        )
+        d = d.sort_values(["doc_id", "score_raw", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        d = d.groupby("doc_id", sort=False).head(3)
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"],
+                "rnk": d.groupby("doc_id", sort=False).cumcount() + 1,
+                "token": d["token"],
+                "score": _qround(d["score_raw"], 4),
+            }
+        )
+
+    parted = joined.map_batches(add_dpart, batch_format="pyarrow",
+                                batch_size=65536)
+    return parted.groupby("dpart").map_groups(score_topk, batch_format="pandas")
+
+
+_SQL_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(tf.tf AS DOUBLE) * (SELECT count(*) FROM documents) / df.df AS score_raw
+  FROM tf JOIN df USING (token)
+), r AS (
+  SELECT doc_id, token, score_raw,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_raw DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token,
+       floor((score_raw) * 10000 + 0.5) / 10000 AS score
+FROM r WHERE rnk <= 3
+"""
+
+
 def lineitem_bloom_semi_join(sf_dir: str) -> "rd.Dataset":
     """Semi join with Bloom pre-pruning (stages/bloom.py): revenue of
     lineitems whose order is 1-URGENT.  The Bloom filter over the
@@ -2780,6 +2894,7 @@ QUERIES = {
     "doc_token_stats": doc_token_stats,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_token_heavy_hitters": doc_token_heavy_hitters,
+    "doc_tfidf_topterms": doc_tfidf_topterms,
     "approx_quantiles_sketch": approx_quantiles_sketch,
     "events_asof_join": events_asof_join,
     "events_value_bands": events_value_bands,
@@ -2846,6 +2961,7 @@ ORACLE_SQL = {
     "doc_token_stats": _SQL_DOC_TOKEN_STATS,
     "doc_bpe_token_stats": _SQL_BPE_TOKEN_STATS,
     "doc_token_heavy_hitters": _SQL_HEAVY_HITTERS,
+    "doc_tfidf_topterms": _SQL_TFIDF,
     "approx_quantiles_sketch": _SQL_APPROX_QUANTILES,
     "events_asof_join": _SQL_ASOF_JOIN,
     "events_value_bands": _SQL_VALUE_BANDS,
