@@ -32,7 +32,8 @@ from .stages.unpivot import unpivot_list
 # lake lifecycle
 from .pipelines.history import (incremental_repo_stats, read_snapshot,
                                 repo_stats_snapshot, snapshot_diff)
-from .pipelines.ingest import ingest, lookup_plan, point_lookup, read_lake
+from .pipelines.ingest import (ingest, lookup_plan, point_lookup, range_plan,
+                               range_scan, read_lake, read_lake_table)
 from .pipelines.maintenance import (audit_lake, compact_lake,
                                     expire_snapshots, repartition_lake)
 
@@ -52,7 +53,8 @@ __all__ = [
     "unpivot_list",
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",
     "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
-    "snapshot_diff", "ingest", "read_lake", "point_lookup", "lookup_plan",
+    "snapshot_diff", "ingest", "read_lake", "read_lake_table",
+    "point_lookup", "lookup_plan", "range_plan", "range_scan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
     "approx_quantiles",

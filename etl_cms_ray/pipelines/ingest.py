@@ -22,6 +22,7 @@ per-beneficiary main loop + append sinks + control-file resume
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
@@ -186,7 +187,8 @@ def ingest(
             "registry_json": registry.to_json(),
             "target_schema_version": target_version,
             "prior_meta": {
-                pid: (ps.rows, ps.content_hash, ps.schema_version, list(ps.deltas))
+                pid: (ps.rows, ps.content_hash, ps.schema_version,
+                      list(ps.deltas), dict(ps.stats))
                 for pid, ps in manifest.partitions.items()
             },
             "commit_mode": cfg.commit_mode,
@@ -212,6 +214,7 @@ def ingest(
             content_hash=r["content_hash"],
             schema_version=int(r["schema_version"]),
             deltas=list(r["delta_files"] or []),
+            stats=json.loads(r["stats"]) if r.get("stats") else {},
         )
         shuffled += int(r["events_shuffled"])
         applied += int(r["events_applied"])
@@ -488,6 +491,68 @@ def point_lookup(
     t = pa.concat_tables(tables).cast(empty.schema)
     sort_keys = [(k, "ascending") for k in ("repo", "path") if k in out_names]
     return t.take(pc.sort_indices(t, sort_keys=sort_keys)) if sort_keys else t
+
+
+def range_plan(manifest: Manifest, column: str, lo, hi) -> list[dict]:
+    """Zone-map pruning plan for a value-range scan: keep only partitions
+    whose manifest ``stats[column]`` interval intersects ``[lo, hi]``.
+
+    CONSERVATIVE by construction: a partition with no zone map for the
+    column (legacy manifest, maintenance rewrite, all-null column) is
+    always kept — pruning may only drop partitions PROVEN disjoint, so
+    the scan result never depends on stats freshness (stats widened by
+    MOR tombstones just prune less).  Iceberg/Delta file-skipping shape;
+    the reference always scans forward (``FileControl.py:181-236``)."""
+    plan = []
+    for pid in sorted(manifest.partitions):
+        ps = manifest.partitions[pid]
+        if not ps.file and not ps.deltas:
+            continue
+        s = (ps.stats or {}).get(column)
+        if s is not None and (s[1] < lo or s[0] > hi):
+            continue  # provably disjoint
+        plan.append({"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)})
+    return plan
+
+
+def range_scan(
+    lake_root: str, column: str, lo, hi, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Live lake rows with ``lo <= column <= hi``, reading ONLY the
+    partitions the zone maps cannot rule out (``range_plan``).  The exact
+    predicate is re-applied after the MOR-aware partition merge, so the
+    result is identical to filtering ``read_lake`` — stats only decide
+    how little gets read."""
+    import ray
+
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    schema = registry.schema_for(latest)
+    out_names = [c for c in (columns or schema.names)]
+    plan = range_plan(manifest, column, lo, hi)
+    if not plan:
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], type=schema.field(n).type) for n in out_names})
+        )
+    reg_json = registry.to_json()
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        reg = SchemaRegistry.from_json(reg_json)
+        out = []
+        for f0, ds_ in zip(batch["file"].to_pylist(), batch["deltas"].to_pylist()):
+            t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+            mask = pc.and_(
+                pc.greater_equal(t[column], pa.scalar(lo)),
+                pc.less_equal(t[column], pa.scalar(hi)),
+            )
+            out.append(t.filter(mask).select(out_names))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(plan).map_batches(
+        fetch, batch_format="pyarrow", batch_size=1
+    )
 
 
 def read_lake_table(lake_root: str) -> pa.Table:

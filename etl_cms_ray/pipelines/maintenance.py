@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import json
 import os
 
 import pyarrow as pa
@@ -20,7 +21,7 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import part_id_for, sha256_column
 from ..state.manifest import LakeStore, Manifest, PartitionState
-from ..stages.applier import _write_deterministic
+from ..stages.applier import _column_stats, _write_deterministic
 from .ingest import read_lake
 
 
@@ -69,6 +70,7 @@ def repartition_lake(lake_root: str, new_num_partitions: int) -> Manifest:
                 "file": [os.path.relpath(fname, lake_root)],
                 "rows": pa.array([live.num_rows], type=pa.int64()),
                 "content_hash": [sha16],
+                "stats": [json.dumps(_column_stats(live), sort_keys=True)],
             }
         )
 
@@ -99,6 +101,7 @@ def repartition_lake(lake_root: str, new_num_partitions: int) -> Manifest:
             applied_through_epoch=global_fence,
             content_hash=r["content_hash"],
             schema_version=latest,
+            stats=json.loads(r["stats"]) if r.get("stats") else {},
         )
     new_manifest.metrics = {
         "op": "repartition",
@@ -143,7 +146,8 @@ def compact_lake(lake_root: str) -> Manifest:
 
         def fold(batch: pa.Table) -> pa.Table:
             reg = SchemaRegistry.from_json(reg_json)
-            out = {"part_id": [], "file": [], "rows": [], "content_hash": [], "fence": []}
+            out = {"part_id": [], "file": [], "rows": [], "content_hash": [],
+                   "fence": [], "stats": []}
             for pid, f0, ds_, fence in zip(
                 batch["part_id"].to_pylist(), batch["file"].to_pylist(),
                 batch["deltas"].to_pylist(), batch["fence"].to_pylist(),
@@ -158,6 +162,9 @@ def compact_lake(lake_root: str) -> Manifest:
                 out["rows"].append(live.num_rows)
                 out["content_hash"].append(sha16)
                 out["fence"].append(fence)
+                # compaction folds tombstones away — recompute TIGHT zone
+                # maps over the live rows (MOR widening is undone here)
+                out["stats"].append(json.dumps(_column_stats(live), sort_keys=True))
             return pa.table(
                 {
                     "part_id": pa.array(out["part_id"], type=pa.int32()),
@@ -165,6 +172,7 @@ def compact_lake(lake_root: str) -> Manifest:
                     "rows": pa.array(out["rows"], type=pa.int64()),
                     "content_hash": out["content_hash"],
                     "fence": pa.array(out["fence"], type=pa.int64()),
+                    "stats": out["stats"],
                 }
             )
 
@@ -181,6 +189,7 @@ def compact_lake(lake_root: str) -> Manifest:
                 content_hash=r["content_hash"],
                 schema_version=latest,
                 deltas=[],
+                stats=json.loads(r["stats"]) if r.get("stats") else {},
             )
     new_manifest.metrics = {
         "op": "compact",

@@ -1066,6 +1066,47 @@ def cdc_point_lookup(sf_dir: str) -> pa.Table:
     )
 
 
+def cdc_range_scan(sf_dir: str) -> "rd.Dataset":
+    """Zone-map file skipping: ingest the _docs_change_events stream into
+    a fresh lake (the applier records per-partition [min,max] stats for
+    every numeric column in the manifest), then ``range_scan`` the lake
+    for ``150 <= size <= 450`` — partitions whose zone map is provably
+    disjoint from the range are never opened (Iceberg/Delta-style data
+    skipping; the reference always scans forward,
+    ``FileControl.py:181-236``).  The exact predicate is re-applied after
+    the MOR-aware merge, so the result is independent of how much the
+    stats actually pruned."""
+    from .ingest import range_scan
+
+    lake_root, _r1, _r2 = _two_commit_lake(sf_dir, "rs_lake")
+    ds = range_scan(lake_root, "size", 150, 450)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_RANGE_SCAN = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS content_sha_hex,
+       CAST(octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) AS BIGINT) AS size
+FROM documents
+WHERE doc_id % 7 <> 0
+  AND octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) BETWEEN 150 AND 450
+"""
+
+
 _SQL_POINT_LOOKUP = """
 SELECT source AS repo,
        'doc_' || CAST(doc_id AS VARCHAR) AS path,
@@ -2879,6 +2920,7 @@ QUERIES = {
     "cdc_time_travel_diff": cdc_time_travel_diff,
     "cdc_incremental_stats": cdc_incremental_stats,
     "cdc_point_lookup": cdc_point_lookup,
+    "cdc_range_scan": cdc_range_scan,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2948,6 +2990,7 @@ ORACLE_SQL = {
     "cdc_time_travel_diff": _SQL_TIME_TRAVEL_DIFF,
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
+    "cdc_range_scan": _SQL_RANGE_SCAN,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,

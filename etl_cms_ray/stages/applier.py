@@ -21,6 +21,7 @@ fence prevents — no persisted tombstones needed.
 
 from __future__ import annotations
 
+import json
 import hashlib
 import os
 import tempfile
@@ -48,10 +49,40 @@ RESULT_SCHEMA = pa.schema(
         ("events_shuffled", pa.int64()),
         ("events_applied", pa.int64()),
         ("delta_files", pa.list_(pa.string())),
+        ("stats", pa.string()),  # JSON zone map {col: [min, max]}
     ]
 )
 
 _EVENT_META = ["op", "part_id"]  # event-only columns, not persisted in the lake
+
+
+def _column_stats(t: pa.Table) -> dict:
+    """Zone map of a written partition table: {col: [min, max]} for
+    int/float columns (JSON-scalar types only; strings/binary are
+    skipped — content-like columns would bloat the manifest).  Empty
+    table -> {} (= unknown; readers must not prune on it)."""
+    out: dict = {}
+    if t.num_rows == 0:
+        return out
+    for field_ in t.schema:
+        if not (pa.types.is_integer(field_.type) or pa.types.is_floating(field_.type)):
+            continue
+        mm = pc.min_max(t[field_.name])
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:  # all-null column
+            continue
+        out[field_.name] = [lo, hi]
+    return out
+
+
+def _widen_stats(prior: dict, extra: dict) -> dict:
+    """Conservative MOR widen: only columns known in BOTH summaries keep
+    a zone map (a column absent from the prior is unknown over the base
+    rows, so claiming the delta's bounds would be WRONG, not just loose)."""
+    return {
+        c: [min(prior[c][0], extra[c][0]), max(prior[c][1], extra[c][1])]
+        for c in prior.keys() & extra.keys()
+    }
 
 
 def _write_deterministic(table: pa.Table, directory: str, stem: str) -> tuple[str, str]:
@@ -96,6 +127,9 @@ class MergeApplier:
         self._prior_schema_version = {p: m[2] for p, m in prior_meta.items()}
         self._prior_deltas = {
             p: list(m[3]) if len(m) > 3 else [] for p, m in prior_meta.items()
+        }
+        self._prior_stats = {
+            p: dict(m[4]) if len(m) > 4 else {} for p, m in prior_meta.items()
         }
 
     def _with_op(self, t: pa.Table, default_op: str = "insert") -> pa.Table:
@@ -171,6 +205,8 @@ class MergeApplier:
                     "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
                     "events_applied": pa.array([0], type=pa.int64()),
                     "delta_files": [self._prior_deltas.get(part_id, [])],
+                    "stats": [json.dumps(self._prior_stats.get(part_id, {}),
+                                         sort_keys=True)],
                 },
                 schema=RESULT_SCHEMA,
             )
@@ -194,6 +230,12 @@ class MergeApplier:
                 os.path.join(self.lake_root, "data", f"part={part_id:05d}"),
                 f"delta-e{new_fence:010d}",
             )
+            # widen the zone map with the delta's bounds (tombstones too —
+            # conservative over-approximation, tightened at compaction)
+            mor_stats = _widen_stats(
+                self._prior_stats.get(part_id, {}),
+                _column_stats(delta.drop_columns(["op"])),
+            )
             return pa.table(
                 {
                     "part_id": pa.array([part_id], type=pa.int32()),
@@ -207,6 +249,7 @@ class MergeApplier:
                     "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
                     "events_applied": pa.array([applied], type=pa.int64()),
                     "delta_files": [prior_deltas + [os.path.relpath(fname, self.lake_root)]],
+                    "stats": [json.dumps(mor_stats, sort_keys=True)],
                 },
                 schema=RESULT_SCHEMA,
             )
@@ -251,6 +294,7 @@ class MergeApplier:
                 "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
                 "events_applied": pa.array([applied], type=pa.int64()),
                 "delta_files": [[]],  # base rewrite folds all deltas
+                "stats": [json.dumps(_column_stats(live), sort_keys=True)],
             },
             schema=RESULT_SCHEMA,
         )

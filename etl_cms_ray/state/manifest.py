@@ -49,6 +49,14 @@ class PartitionState:
     schema_version: int = 0
     #: merge-on-read delta files (epoch order); live state = LWW(base ∪ deltas)
     deltas: list = field(default_factory=list)
+    #: zone map: column -> [min, max] over the partition's persisted rows
+    #: (int/float columns only; JSON scalars).  CONSERVATIVE semantics: a
+    #: missing column (or empty dict — e.g. manifests written before the
+    #: field existed, or maintenance rewrites that skip stats) means
+    #: "unknown, cannot prune", never "empty".  MOR deltas WIDEN the
+    #: interval (tombstoned rows may leave it wider than the live data —
+    #: still a valid over-approximation; the next CoW rewrite tightens).
+    stats: dict = field(default_factory=dict)
 
     def all_files(self) -> list:
         return ([self.file] if self.file else []) + list(self.deltas)
@@ -62,6 +70,7 @@ class PartitionState:
             "content_hash": self.content_hash,
             "schema_version": self.schema_version,
             "deltas": list(self.deltas),
+            "stats": {k: list(v) for k, v in sorted(self.stats.items())},
         }
 
     @staticmethod
@@ -74,6 +83,7 @@ class PartitionState:
             content_hash=d.get("content_hash", ""),
             schema_version=int(d.get("schema_version", 0)),
             deltas=list(d.get("deltas", [])),
+            stats=dict(d.get("stats", {})),
         )
 
 
