@@ -65,6 +65,15 @@ def main(argv: list[str] | None = None) -> int:
     pex.add_argument("--lake", required=True)
     pex.add_argument("--keep-last", type=int, default=2, dest="keep_last")
 
+    psy = sub.add_parser("sync", help="advance a replica lake to the "
+                                      "primary's snapshot via the changelog")
+    psy.add_argument("--primary", required=True)
+    psy.add_argument("--replica", required=True)
+    psy.add_argument("--partitions", type=int, default=None,
+                     help="bucket count for a FRESH replica (default: primary's)")
+    psy.add_argument("--verify", action="store_true",
+                     help="also run the multiset-hash convergence check")
+
     ps = sub.add_parser("show", help="print manifest + lineage")
     ps.add_argument("--lake", required=True)
 
@@ -146,6 +155,20 @@ def main(argv: list[str] | None = None) -> int:
             counts = (df["change"].value_counts().to_dict()
                       if "change" in df.columns else {})
             print(json.dumps({"rows": int(len(df)), "changes": counts}))
+        elif args.cmd == "sync":
+            from .pipelines.replicate import sync_lake, verify_replica
+
+            res = sync_lake(args.primary, args.replica,
+                            num_partitions=args.partitions)
+            out = {"synced": res is not None}
+            if res is not None:
+                out.update(res.__dict__)
+            if args.verify:
+                chk = verify_replica(args.primary, args.replica)
+                out.update(chk)
+                print(json.dumps(out))
+                return 0 if chk["converged"] else 2
+            print(json.dumps(out))
         elif args.cmd == "show":
             from .state.manifest import LakeStore
 

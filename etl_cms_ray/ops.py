@@ -36,6 +36,7 @@ from .pipelines.ingest import (ingest, lookup_plan, point_lookup, range_plan,
                                range_scan, read_lake, read_lake_table)
 from .pipelines.maintenance import (audit_lake, compact_lake,
                                     expire_snapshots, repartition_lake)
+from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
 
 # sketches / metrics
 from .functions.sketch import (HyperLogLog, KLL, MisraGries, approx_distinct,
@@ -56,6 +57,7 @@ __all__ = [
     "snapshot_diff", "ingest", "read_lake", "read_lake_table",
     "point_lookup", "lookup_plan", "range_plan", "range_scan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
+    "sync_lake", "verify_replica", "lake_content_hash",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
     "approx_quantiles",
     "BloomFilter", "build_bloom", "bloom_prune",

@@ -1066,6 +1066,54 @@ def cdc_point_lookup(sf_dir: str) -> pa.Table:
     )
 
 
+def cdc_replica_sync(sf_dir: str) -> "rd.Dataset":
+    """Changelog-driven replication: a primary lake is built in two
+    commits; after EACH commit a replica (with a DIFFERENT partition
+    count) is advanced via ``sync_lake`` — the manifest-diff changelog
+    re-applied through the replica's own ingest with epoch = primary
+    manifest version, so the replica's fences are the sync cursor and
+    replaying a completed sync is a fenced no-op.  The pipeline asserts
+    the no-op, asserts multiset-hash convergence (the BASELINE.json
+    per-row sha256 invariant), and returns the REPLICA's state — the
+    oracle is the same relational reconstruction the primary must match,
+    so replication is value-checked end to end."""
+    from .replicate import sync_lake, verify_replica
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    primary = os.path.join(tempfile.gettempdir(), f"repl_p_{tag}")
+    replica = os.path.join(tempfile.gettempdir(), f"repl_r_{tag}")
+    for d in (primary, replica):
+        _sh.rmtree(d, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=primary, num_partitions=16)
+    ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    r1 = sync_lake(primary, replica, num_partitions=8)  # initial full sync
+    ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    r2 = sync_lake(primary, replica)  # incremental: only changed partitions
+    r3 = sync_lake(primary, replica)  # converged -> no-op, no commit
+    chk = verify_replica(primary, replica)
+    if r1 is None or r2 is None or r3 is not None or not chk["converged"]:
+        raise AssertionError(f"replication invariants violated: {chk}")
+    lake = read_lake(replica)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
 def cdc_range_scan(sf_dir: str) -> "rd.Dataset":
     """Zone-map file skipping: ingest the _docs_change_events stream into
     a fresh lake (the applier records per-partition [min,max] stats for
@@ -2921,6 +2969,7 @@ QUERIES = {
     "cdc_incremental_stats": cdc_incremental_stats,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_range_scan": cdc_range_scan,
+    "cdc_replica_sync": cdc_replica_sync,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2991,6 +3040,7 @@ ORACLE_SQL = {
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "cdc_range_scan": _SQL_RANGE_SCAN,
+    "cdc_replica_sync": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,
