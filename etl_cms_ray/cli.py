@@ -44,14 +44,27 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--salt", type=int, default=1)
     pi.add_argument("--batch-size", type=int, default=16384)
     pi.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    pi.add_argument("--stage", action="store_true",
+                    help="write-audit-publish: write everything but do not "
+                         "move CURRENT (then: audit --version, publish/abort)")
 
     pr = sub.add_parser("replay", help="re-apply a stream (fenced no-op when already applied)")
     pr.add_argument("--events", nargs="+", required=True)
     pr.add_argument("--lake", required=True)
     pr.add_argument("--partitions", type=int, default=64)
 
-    pa_ = sub.add_parser("audit", help="integrity audit of the live lake")
+    pa_ = sub.add_parser("audit", help="integrity audit of the live lake "
+                                       "(or any snapshot, incl. staged)")
     pa_.add_argument("--lake", required=True)
+    pa_.add_argument("--version", type=int, default=None)
+
+    pwp = sub.add_parser("publish", help="flip CURRENT to a staged manifest")
+    pwp.add_argument("--lake", required=True)
+    pwp.add_argument("--version", type=int, required=True)
+
+    pwa = sub.add_parser("abort", help="discard a staged manifest")
+    pwa.add_argument("--lake", required=True)
+    pwa.add_argument("--version", type=int, required=True)
 
     pp = sub.add_parser("repartition", help="re-bucket the lake")
     pp.add_argument("--lake", required=True)
@@ -108,14 +121,25 @@ def main(argv: list[str] | None = None) -> int:
                 batch_size=getattr(args, "batch_size", 16384),
                 commit_mode=getattr(args, "mode", "cow"),
             )
-            res = ingest(read_events_parquet(args.events), cfg)
+            res = ingest(read_events_parquet(args.events), cfg,
+                         stage=getattr(args, "stage", False))
             print(json.dumps(res.__dict__))
         elif args.cmd == "audit":
             from .pipelines.maintenance import audit_lake
 
-            report = audit_lake(args.lake)
+            report = audit_lake(args.lake, version=args.version)
             print(json.dumps(report))
             return 0 if report["healthy"] else 2
+        elif args.cmd in ("publish", "abort"):
+            from .state.manifest import LakeStore
+
+            store = LakeStore(args.lake)
+            if args.cmd == "publish":
+                store.commit_staged(args.version)
+            else:
+                store.abort_staged(args.version)
+            print(json.dumps({"cmd": args.cmd, "version": args.version,
+                              "current": store.current_version()}))
         elif args.cmd == "compact":
             from .pipelines.maintenance import compact_lake
 

@@ -98,6 +98,7 @@ def ingest(
     cfg: EngineConfig,
     schema_changes: list[SchemaChange] | None = None,
     count_input: bool = True,
+    stage: bool = False,
 ) -> IngestResult:
     """Apply one batch of change events to the lake, exactly once.
 
@@ -108,6 +109,13 @@ def ingest(
     delete-resurrection hazard.  ``schema_changes`` are merged into the
     lake's persistent schema registry before application (the CDM
     v5.0->v5.2 DDL-migration analog).
+
+    ``stage=True`` = the write step of write-audit-publish: all data and
+    manifest files land, but CURRENT is not moved — readers (and the
+    next ingest's fences) keep seeing the prior snapshot until
+    ``LakeStore.commit_staged(result.manifest_version)``; validate the
+    staged snapshot first with ``audit_lake(..., version=...)`` and
+    discard a failed one with ``abort_staged``.
     """
     import time as _time
 
@@ -235,9 +243,11 @@ def ingest(
         new_manifest,
         expect_version=manifest.version,
         changed_parts={int(r["part_id"]) for r in rows},
+        stage=stage,
     )
     store.append_lineage(
         {
+            **({"op": "wap_stage"} if stage else {}),
             "manifest_version": new_manifest.version,
             "partitions_touched": len(rows),
             **new_manifest.metrics,

@@ -201,23 +201,28 @@ def compact_lake(lake_root: str) -> Manifest:
     return new_manifest
 
 
-def audit_lake(lake_root: str) -> dict:
-    """Distributed integrity audit of the live lake.
+def audit_lake(lake_root: str, version: int | None = None) -> dict:
+    """Distributed integrity audit of the live lake (or, with
+    ``version``, of any manifest snapshot — including a STAGED one, which
+    is the audit step of write-audit-publish: validate what an ingest
+    wrote before CURRENT moves to it).
 
     Checks per batch (vectorized, streaming): stored content_sha equals
     recomputed sha256(content); size equals byte length; and every key
     hashes into the partition file that holds it.  Returns violation
     counts (all zero on a healthy lake).
     """
+    from .history import read_snapshot
+
     store = LakeStore(lake_root)
-    manifest = store.load_manifest()
+    manifest = store.load_manifest(version=version)
     num_parts = manifest.num_partitions
     rows_known = all(p.rows >= 0 for p in manifest.partitions.values())
     expected_rows = (
         sum(p.rows for p in manifest.partitions.values()) if rows_known else -1
     )
 
-    ds = read_lake(lake_root)
+    ds = read_snapshot(lake_root, version=version)
 
     def check(t: pa.Table) -> pa.Table:
         sha_ok = pc.equal(sha256_column(t["content"]), t["content_sha"])

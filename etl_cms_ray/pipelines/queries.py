@@ -1114,6 +1114,53 @@ def cdc_replica_sync(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_wap_publish(sf_dir: str) -> "rd.Dataset":
+    """Write-audit-publish: each commit of the _docs_change_events stream
+    is STAGED (all data + manifest files written, CURRENT untouched —
+    readers still see the prior snapshot), then the staged snapshot is
+    integrity-audited (sha256/size recompute + key-placement, the
+    reference's expected-output-diff spirit), and only then atomically
+    published.  The pipeline asserts staged-invisibility and audit
+    health at every step and returns the final lake state — the oracle
+    is the same relational reconstruction as the direct-ingest path, so
+    WAP must be a pure visibility protocol with zero effect on content."""
+    from ..state.manifest import LakeStore
+    from .maintenance import audit_lake
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"wap_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    store = LakeStore(lake_root)
+    for ep in (0, 1):
+        before = store.current_version()
+        r = ingest(events.filter(expr=f"epoch == {ep}"), cfg,
+                   count_input=False, stage=True)
+        rep = audit_lake(lake_root, version=r.manifest_version)
+        if store.current_version() != before or not rep["healthy"]:
+            raise AssertionError(f"WAP protocol violated: {rep}")
+        store.commit_staged(r.manifest_version)
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
 def cdc_range_scan(sf_dir: str) -> "rd.Dataset":
     """Zone-map file skipping: ingest the _docs_change_events stream into
     a fresh lake (the applier records per-partition [min,max] stats for
@@ -2970,6 +3017,7 @@ QUERIES = {
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_range_scan": cdc_range_scan,
     "cdc_replica_sync": cdc_replica_sync,
+    "cdc_wap_publish": cdc_wap_publish,
     # relational operators
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3041,6 +3089,7 @@ ORACLE_SQL = {
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "cdc_range_scan": _SQL_RANGE_SCAN,
     "cdc_replica_sync": _SQL_REPOS_LAKE,
+    "cdc_wap_publish": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,

@@ -228,6 +228,7 @@ class LakeStore:
         manifest: Manifest,
         expect_version: int | None = None,
         changed_parts: "set[int] | None" = None,
+        stage: bool = False,
     ) -> None:
         """Write the sharded manifest (index + changed shards), then flip
         CURRENT atomically.
@@ -240,6 +241,13 @@ class LakeStore:
         reuses the prior version's content-addressed file.  When omitted,
         all shards are serialized and deduplicated by content hash
         (correct, O(P) serialize, still O(changed) disk writes).
+
+        ``stage=True`` (write-audit-publish): everything is written
+        EXCEPT the CURRENT flip — readers keep seeing the old snapshot
+        until ``commit_staged``; ``abort_staged`` discards.  A staged
+        version is exclusive with direct commits (both would claim
+        version CURRENT+1; single-writer discipline, same as rollback's
+        roll-forward window).
         """
         if expect_version is not None and self.current_version() != expect_version:
             raise RuntimeError(
@@ -291,7 +299,42 @@ class LakeStore:
         }
         path = os.path.join(self.manifest_dir, f"manifest-{manifest.version:06d}.json")
         _atomic_write(path, json.dumps(index, indent=1))
-        _atomic_write(self.current_path, str(manifest.version))
+        if not stage:
+            _atomic_write(self.current_path, str(manifest.version))
+
+    def commit_staged(self, version: int) -> None:
+        """Flip CURRENT to a previously staged manifest version (the
+        'publish' of write-audit-publish).  Strictly linear: only
+        CURRENT+1 may be committed, and the staged index must exist."""
+        cur = self.current_version()
+        if version != cur + 1:
+            raise RuntimeError(
+                f"cannot commit staged version {version}: CURRENT={cur} "
+                "(only CURRENT+1 is committable)"
+            )
+        path = os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        _atomic_write(self.current_path, str(version))
+        self.append_lineage({"op": "wap_publish", "manifest_version": version})
+
+    def abort_staged(self, version: int) -> None:
+        """Discard a staged manifest: unlink its index so no snapshot
+        references it.  Data/shard files it introduced become
+        unreferenced and are reclaimed by the next ``expire_snapshots``
+        (content-addressed files may be shared with live snapshots, so
+        referenced-set subtraction — not eager deletion — is the only
+        safe rule)."""
+        cur = self.current_version()
+        if version <= cur:
+            raise RuntimeError(
+                f"version {version} is published (CURRENT={cur}); "
+                "use rollback, not abort_staged"
+            )
+        path = os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")
+        if os.path.exists(path):
+            os.unlink(path)
+        self.append_lineage({"op": "wap_abort", "manifest_version": version})
 
     # -- schema registry -------------------------------------------------
     def load_registry(self) -> SchemaRegistry:

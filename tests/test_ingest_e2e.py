@@ -326,7 +326,8 @@ def test_crash_before_publish_recovers(ray_session, tmp_path, monkeypatch):
 
     real_publish = mstate.LakeStore.publish
 
-    def exploding_publish(self, manifest, expect_version=None, changed_parts=None):
+    def exploding_publish(self, manifest, expect_version=None,
+                          changed_parts=None, stage=False):
         raise RuntimeError("simulated crash before commit")
 
     monkeypatch.setattr(mstate.LakeStore, "publish", exploding_publish)
