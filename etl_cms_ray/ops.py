@@ -32,8 +32,9 @@ from .stages.unpivot import unpivot_list
 # lake lifecycle
 from .pipelines.history import (incremental_repo_stats, read_snapshot,
                                 repo_stats_snapshot, snapshot_diff)
-from .pipelines.ingest import (ingest, lookup_plan, point_lookup, range_plan,
-                               range_scan, read_lake, read_lake_table)
+from .pipelines.ingest import (eq_plan, eq_scan, ingest, lookup_plan,
+                               point_lookup, range_plan, range_scan,
+                               read_lake, read_lake_table)
 from .pipelines.maintenance import (audit_lake, compact_lake,
                                     expire_snapshots, repartition_lake)
 from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
@@ -56,6 +57,7 @@ __all__ = [
     "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "ingest", "read_lake", "read_lake_table",
     "point_lookup", "lookup_plan", "range_plan", "range_scan",
+    "eq_plan", "eq_scan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "sync_lake", "verify_replica", "lake_content_hash",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",

@@ -519,10 +519,66 @@ def range_plan(manifest: Manifest, column: str, lo, hi) -> list[dict]:
         if not ps.file and not ps.deltas:
             continue
         s = (ps.stats or {}).get(column)
-        if s is not None and (s[1] < lo or s[0] > hi):
-            continue  # provably disjoint
+        if isinstance(s, list) and (s[1] < lo or s[0] > hi):
+            continue  # provably disjoint (dict stats: eq_plan's job)
         plan.append({"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)})
     return plan
+
+
+def eq_plan(manifest: Manifest, column: str, value) -> list[dict]:
+    """Equality-pruning plan: keep only partitions whose stats cannot
+    rule out ``column == value`` — dictionary stats ({"in": [...]}) by
+    set membership, range stats by interval membership.  Same
+    conservative contract as ``range_plan``: missing/unknown stats keep
+    the partition."""
+    plan = []
+    for pid in sorted(manifest.partitions):
+        ps = manifest.partitions[pid]
+        if not ps.file and not ps.deltas:
+            continue
+        s = (ps.stats or {}).get(column)
+        if isinstance(s, dict) and value not in s["in"]:
+            continue  # provably absent
+        if isinstance(s, list) and not (s[0] <= value <= s[1]):
+            continue
+        plan.append({"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)})
+    return plan
+
+
+def eq_scan(
+    lake_root: str, column: str, value, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Live lake rows with ``column == value``, reading ONLY the
+    partitions ``eq_plan`` cannot rule out (dictionary-stat file
+    skipping — the low-cardinality-string complement of ``range_scan``).
+    The exact predicate is re-applied after the MOR-aware merge."""
+    import ray
+
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    schema = registry.schema_for(latest)
+    out_names = [c for c in (columns or schema.names)]
+    plan = eq_plan(manifest, column, value)
+    if not plan:
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], type=schema.field(n).type) for n in out_names})
+        )
+    reg_json = registry.to_json()
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        reg = SchemaRegistry.from_json(reg_json)
+        out = []
+        for f0, ds_ in zip(batch["file"].to_pylist(), batch["deltas"].to_pylist()):
+            t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+            mask = pc.equal(t[column], pa.scalar(value))
+            out.append(t.filter(mask).select(out_names))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(plan).map_batches(
+        fetch, batch_format="pyarrow", batch_size=1
+    )
 
 
 def range_scan(

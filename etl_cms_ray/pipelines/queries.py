@@ -1190,6 +1190,44 @@ def cdc_range_scan(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_eq_scan(sf_dir: str) -> "rd.Dataset":
+    """Dictionary-stat file skipping: the applier records the distinct
+    value set of low-cardinality string columns (<= 8 short values —
+    lang/category shapes) per partition in the manifest; ``eq_scan``
+    opens only partitions whose set contains the probe value.  The
+    equality predicate is re-applied after the MOR-aware merge, so the
+    result is independent of how much the stats pruned (conservative
+    contract shared with ``range_scan``)."""
+    from .ingest import eq_scan
+
+    lake_root, _r1, _r2 = _two_commit_lake(sf_dir, "eq_lake")
+    ds = eq_scan(lake_root, "lang", "fr")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_EQ_SCAN = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS content_sha_hex,
+       CAST(octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) AS BIGINT) AS size
+FROM documents
+WHERE doc_id % 7 <> 0 AND lang = 'fr'
+"""
+
+
 _SQL_RANGE_SCAN = """
 SELECT source AS repo,
        'doc_' || CAST(doc_id AS VARCHAR) AS path,
@@ -3016,6 +3054,7 @@ QUERIES = {
     "cdc_incremental_stats": cdc_incremental_stats,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_range_scan": cdc_range_scan,
+    "cdc_eq_scan": cdc_eq_scan,
     "cdc_replica_sync": cdc_replica_sync,
     "cdc_wap_publish": cdc_wap_publish,
     # relational operators
@@ -3088,6 +3127,7 @@ ORACLE_SQL = {
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "cdc_range_scan": _SQL_RANGE_SCAN,
+    "cdc_eq_scan": _SQL_EQ_SCAN,
     "cdc_replica_sync": _SQL_REPOS_LAKE,
     "cdc_wap_publish": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,

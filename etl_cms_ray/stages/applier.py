@@ -56,33 +56,62 @@ RESULT_SCHEMA = pa.schema(
 _EVENT_META = ["op", "part_id"]  # event-only columns, not persisted in the lake
 
 
+#: dictionary-stat caps: a string column qualifies only while its
+#: per-partition distinct set stays tiny (lang/status/category shapes);
+#: content-like columns blow past these and record nothing
+_DICT_MAX_VALUES = 8
+_DICT_MAX_VALUE_BYTES = 64
+
+
 def _column_stats(t: pa.Table) -> dict:
-    """Zone map of a written partition table: {col: [min, max]} for
-    int/float columns (JSON-scalar types only; strings/binary are
-    skipped — content-like columns would bloat the manifest).  Empty
-    table -> {} (= unknown; readers must not prune on it)."""
+    """Per-column pruning stats of a written partition table:
+
+    - int/float columns -> ``[min, max]`` zone map
+    - string columns with <= 8 short distinct values -> ``{"in": [...]}``
+      dictionary (equality pruning for lang/category-shaped columns)
+
+    Content-like columns (binary, or strings over the caps) record
+    nothing.  Empty table -> {} (= unknown; readers must not prune)."""
     out: dict = {}
     if t.num_rows == 0:
         return out
     for field_ in t.schema:
-        if not (pa.types.is_integer(field_.type) or pa.types.is_floating(field_.type)):
-            continue
-        mm = pc.min_max(t[field_.name])
-        lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        if lo is None:  # all-null column
-            continue
-        out[field_.name] = [lo, hi]
+        if pa.types.is_integer(field_.type) or pa.types.is_floating(field_.type):
+            mm = pc.min_max(t[field_.name])
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is None:  # all-null column
+                continue
+            out[field_.name] = [lo, hi]
+        elif pa.types.is_string(field_.type) or pa.types.is_large_string(field_.type):
+            # cheap distinct probe; drop_null — null presence never blocks
+            # equality pruning (an eq predicate cannot match null)
+            vals = pc.unique(t[field_.name]).drop_null()
+            if len(vals) == 0 or len(vals) > _DICT_MAX_VALUES:
+                continue
+            pys = sorted(vals.to_pylist())
+            if any(len(v.encode()) > _DICT_MAX_VALUE_BYTES for v in pys):
+                continue
+            out[field_.name] = {"in": pys}
     return out
 
 
 def _widen_stats(prior: dict, extra: dict) -> dict:
     """Conservative MOR widen: only columns known in BOTH summaries keep
-    a zone map (a column absent from the prior is unknown over the base
-    rows, so claiming the delta's bounds would be WRONG, not just loose)."""
-    return {
-        c: [min(prior[c][0], extra[c][0]), max(prior[c][1], extra[c][1])]
-        for c in prior.keys() & extra.keys()
-    }
+    stats (a column absent from the prior is unknown over the base rows,
+    so claiming the delta's bounds would be WRONG, not just loose).
+    Ranges take the interval union; dictionaries take the set union,
+    dropping the column entirely once it outgrows the cap (= unknown).
+    Mixed kinds (schema drift) also drop — unknown beats wrong."""
+    out: dict = {}
+    for c in prior.keys() & extra.keys():
+        p, e = prior[c], extra[c]
+        if isinstance(p, list) and isinstance(e, list):
+            out[c] = [min(p[0], e[0]), max(p[1], e[1])]
+        elif isinstance(p, dict) and isinstance(e, dict):
+            u = sorted(set(p["in"]) | set(e["in"]))
+            if len(u) <= _DICT_MAX_VALUES:
+                out[c] = {"in": u}
+    return out
 
 
 def _write_deterministic(table: pa.Table, directory: str, stem: str) -> tuple[str, str]:

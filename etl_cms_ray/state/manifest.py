@@ -49,8 +49,9 @@ class PartitionState:
     schema_version: int = 0
     #: merge-on-read delta files (epoch order); live state = LWW(base ∪ deltas)
     deltas: list = field(default_factory=list)
-    #: zone map: column -> [min, max] over the partition's persisted rows
-    #: (int/float columns only; JSON scalars).  CONSERVATIVE semantics: a
+    #: pruning stats: column -> [min, max] zone map (int/float columns)
+    #: or {"in": [...]} dictionary (low-cardinality string columns).
+    #: CONSERVATIVE semantics: a
     #: missing column (or empty dict — e.g. manifests written before the
     #: field existed, or maintenance rewrites that skip stats) means
     #: "unknown, cannot prune", never "empty".  MOR deltas WIDEN the
@@ -70,7 +71,11 @@ class PartitionState:
             "content_hash": self.content_hash,
             "schema_version": self.schema_version,
             "deltas": list(self.deltas),
-            "stats": {k: list(v) for k, v in sorted(self.stats.items())},
+            # range stats are 2-lists, dictionary stats are {"in": [...]}
+            "stats": {
+                k: (dict(v) if isinstance(v, dict) else list(v))
+                for k, v in sorted(self.stats.items())
+            },
         }
 
     @staticmethod

@@ -19,6 +19,8 @@ import ray.data as rd
 from etl_cms_ray.config import EngineConfig
 from etl_cms_ray.fixtures import make_events, make_repos
 from etl_cms_ray.pipelines.ingest import (
+    eq_plan,
+    eq_scan,
     ingest,
     range_plan,
     range_scan,
@@ -46,14 +48,17 @@ def _sorted(t: pa.Table) -> pa.Table:
     )
 
 
-def _scan_table(lake_root, column, lo, hi, **kw) -> pa.Table:
-    tables = [b for b in range_scan(lake_root, column, lo, hi, **kw).to_arrow_refs()]
+def _scan_table_ds(ds) -> pa.Table:
     import ray
 
-    tables = [t for t in ray.get(tables) if t.num_rows]
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
     if not tables:
         return None
     return _sorted(pa.concat_tables(tables))
+
+
+def _scan_table(lake_root, column, lo, hi, **kw) -> pa.Table:
+    return _scan_table_ds(range_scan(lake_root, column, lo, hi, **kw))
 
 
 def test_range_scan_matches_full_filter(lake):
@@ -146,6 +151,51 @@ def test_mor_widen_then_compact_tightens():
                 assert post[0] >= pre[0] and post[1] <= pre[1]
     got2 = _scan_table(root, "size", lo, hi)
     assert got2.equals(got)
+
+
+def test_eq_scan_matches_full_filter_and_prunes(lake):
+    """Dictionary stats: every partition records its lang value set; a
+    probe value present nowhere prunes the whole plan; a real value
+    returns exactly the filtered lake rows."""
+    full = read_lake_table(lake)
+    manifest = LakeStore(lake).load_manifest()
+    live = [p for p in manifest.partitions.values() if p.rows > 0]
+    assert all(isinstance(p.stats.get("lang"), dict) for p in live)
+    # per-partition sets reflect the actual data
+    langs = set(full["lang"].to_pylist())
+    assert set().union(*(p.stats["lang"]["in"] for p in live)) == langs
+    assert eq_plan(manifest, "lang", "no_such_lang") == []
+    lang = sorted(langs)[0]
+    got = _scan_table_ds(eq_scan(lake, "lang", lang))
+    expect = _sorted(full.filter(pc.equal(full["lang"], lang)))
+    assert expect.num_rows > 0
+    assert got.cast(expect.schema).equals(expect)
+    # the plan keeps exactly the partitions whose set contains the value
+    keep = {p.part_id for p in live if lang in p.stats["lang"]["in"]}
+    assert {e["part_id"] for e in eq_plan(manifest, "lang", lang)} == keep
+    # eq_plan also consumes numeric range stats
+    hi = max(p.stats["size"][1] for p in live)
+    assert eq_plan(manifest, "size", hi + 1) == []
+    # content (high-cardinality string) records no dictionary: no pruning
+    assert all("content" not in p.stats for p in live)
+    assert {e["part_id"] for e in eq_plan(manifest, "content", "x")} == {
+        p.part_id for p in live
+    }
+
+
+def test_dict_stats_mor_union_and_overflow():
+    """MOR deltas union the value sets; overflowing the cap drops the
+    column (unknown), never produces a wrong set."""
+    from etl_cms_ray.stages.applier import _DICT_MAX_VALUES, _widen_stats
+
+    a = {"lang": {"in": ["en", "fr"]}, "size": [1, 5]}
+    b = {"lang": {"in": ["de"]}, "size": [3, 9]}
+    w = _widen_stats(a, b)
+    assert w == {"lang": {"in": ["de", "en", "fr"]}, "size": [1, 9]}
+    big = {"lang": {"in": [f"l{i}" for i in range(_DICT_MAX_VALUES)]}}
+    assert "lang" not in _widen_stats(a, big)  # union > cap -> unknown
+    # mixed kinds (schema drift) -> unknown, not a crash
+    assert "lang" not in _widen_stats({"lang": [0, 1]}, {"lang": {"in": ["x"]}})
 
 
 def test_repartition_recomputes_stats(lake):
