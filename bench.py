@@ -253,6 +253,8 @@ def run_bench() -> dict:
     timed("events_asof_join", Q.events_asof_join)
     timed("cdc_time_travel_diff", Q.cdc_time_travel_diff)
     timed("cdc_incremental_stats", Q.cdc_incremental_stats)
+    timed("cdc_replica_sync", Q.cdc_replica_sync)
+    timed("cdc_range_scan", Q.cdc_range_scan)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",
