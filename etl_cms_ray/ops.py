@@ -21,7 +21,7 @@ from .stages.dedup import (exact_dedup_groups, minhash_lsh_pairs,
 
 # similarity search
 from .stages.ann import (brute_force_topk, cosine_pairs, ivf_topk, lsh_topk,
-                         train_centroids)
+                         pq_encode, pq_topk, train_centroids, train_pq)
 
 # structural
 from .stages.closure import closure_roots
@@ -50,7 +50,7 @@ __all__ = [
     "exact_dedup_groups", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "simhash_pairs",
     "brute_force_topk", "cosine_pairs", "ivf_topk", "lsh_topk",
-    "train_centroids",
+    "train_centroids", "train_pq", "pq_encode", "pq_topk",
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",

@@ -2686,6 +2686,23 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def ann_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization top-k with a per-query ``recall`` column vs
+    exact brute force — the memory-bound scale path (stages/ann.py
+    pq_topk): embeddings compress to one uint8 code per subspace
+    (64-dim float -> 8 bytes here), queries stay full precision, and
+    scoring is ADC table lookups instead of dot products.  Codebooks
+    train on the same bounded deterministic sample contract as IVF."""
+    from ..stages.ann import pq_topk
+
+    return _approx_topk_with_recall(
+        sf_dir,
+        lambda ds, q_ids, q_vecs: pq_topk(
+            ds, q_ids, q_vecs, k=5, n_subspaces=8, n_codes=16, concurrency=2
+        ),
+    )
+
+
 def _approx_topk_with_recall(sf_dir: str, approx_fn) -> pd.DataFrame:
     """Shared harness for approximate top-k catalog entries: run the
     approximate operator and exact brute force over the same distributed
@@ -3094,6 +3111,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "dedup_cosine_pairs": dedup_cosine_pairs,
     "approx_distinct_sketch": approx_distinct_sketch,
     "multimodal_features": multimodal_features,

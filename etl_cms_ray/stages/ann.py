@@ -34,6 +34,14 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _canonical_order(M: np.ndarray) -> np.ndarray:
+    """Rows in a value-determined order (lexicographic by dimension).
+    Training samples arrive in Ray block order, which can differ between
+    executions of the same read — and k-means first-rows init + mean
+    accumulation order would leak that nondeterminism into the model."""
+    return M[np.lexsort(M.T[::-1])]
+
+
 class BatchScorer:
     """Per-batch exact cosine scores vs the broadcast query matrix; emits
     each batch's local top-k candidates per query."""
@@ -228,6 +236,7 @@ def train_centroids(
     """
     sample = vectors.select_columns([emb_col]).limit(sample_size).to_pandas()
     M = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    M = _canonical_order(M)
     n_cells = min(n_cells, len(M))
     C = M[:n_cells].copy()
     for _ in range(iters):
@@ -397,3 +406,201 @@ def cosine_pairs(
         )
 
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress embeddings to uint8 codes, search
+# with asymmetric distance computation (ADC)
+
+
+def train_pq(
+    vectors: "ray.data.Dataset",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters: int = 8,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace k-means codebooks from a bounded deterministic sample
+    (same sampling/determinism contract as ``train_centroids``:
+    ``limit(sample_size)`` prefix, first-rows init, no RNG, argmin ties
+    to the lowest code).  Vectors are L2-normalized BEFORE splitting, so
+    summed per-subspace inner products approximate cosine.  Returns
+    ``(n_subspaces, n_codes, dim // n_subspaces)`` float64; dim must
+    divide evenly (a transparent failure beats silent zero-padding)."""
+    sample = vectors.select_columns([emb_col]).limit(sample_size).to_pandas()
+    M = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    M = _canonical_order(M)
+    n, dim = M.shape
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    n_codes = min(n_codes, n)
+    books = np.empty((n_subspaces, n_codes, dsub), dtype=np.float64)
+    for s in range(n_subspaces):
+        X = M[:, s * dsub : (s + 1) * dsub]
+        C = X[:n_codes].copy()
+        for _ in range(iters):
+            # squared-L2 assignment (== max dot only for unit rows, and
+            # SUBvectors are not unit): ||x-c||^2 = ||x||^2 - 2xc + ||c||^2
+            d2 = (
+                -2.0 * (X @ C.T)
+                + np.sum(C * C, axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)  # ties -> lowest code
+            for c in range(n_codes):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[s] = C
+    return books
+
+
+def _pq_codes(M: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) float -> (n, n_subspaces) uint8 nearest-code assignment."""
+    n_sub, _n_codes, dsub = books.shape
+    codes = np.empty((M.shape[0], n_sub), dtype=np.uint8)
+    for s in range(n_sub):
+        X = M[:, s * dsub : (s + 1) * dsub]
+        C = books[s]
+        d2 = -2.0 * (X @ C.T) + np.sum(C * C, axis=1)[None, :]
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(
+    vectors: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Compress the embedding column to PQ codes: one uint8 per subspace
+    per row (e.g. 64-dim float32 -> 8 bytes, 32x).  Streaming map_batches
+    with the codebooks broadcast once via ray.put — the storage-side
+    operator; ``pq_topk`` searches such codes with full-precision
+    queries (ADC)."""
+    books_ref = ray.put(np.ascontiguousarray(codebooks))
+
+    def encode(batch: pa.Table, *, books_ref=books_ref) -> pa.Table:
+        books = ray.get(books_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], type=pa.int64()),
+                 "code": pa.array([], type=pa.list_(pa.uint8()))}
+            )
+        M = _normalize(_to_matrix(batch[emb_col]))
+        codes = _pq_codes(M, books)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array(codes.reshape(-1), type=pa.uint8()), codes.shape[1]
+                ).cast(pa.list_(pa.uint8())),
+            }
+        )
+
+    return vectors.map_batches(encode, batch_format="pyarrow", batch_size=4096)
+
+
+def pq_topk(
+    vectors: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    n_subspaces: int = 8,
+    n_codes: int = 64,
+    sample_size: int = 2048,
+    rerank: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Approximate cosine top-k over PQ-compressed vectors via ADC with
+    exact re-ranking: queries stay full precision; per (query, subspace,
+    code) inner products are precomputed ONCE into a lookup table, so
+    the bulk scan scores a row with ``n_subspaces`` uint8 gathers + adds
+    instead of a dim-length dot — the memory-bound scale path (LUT ships
+    via ray.put; one streaming pass, no shuffle).  Per batch, each
+    query's top ``rerank * k`` ADC candidates get an exact dot product
+    (the standard IVFPQ re-rank step — ADC distortion ~ the tiny cosine
+    margins between true neighbors on near-random corpora, so raw ADC
+    ordering alone loses recall), and the emitted scores are EXACT —
+    comparable across batches and to brute force.
+
+    Self-matches are excluded by id (same contract as brute_force_topk);
+    recall vs exact is reported by the catalog entry."""
+    books = train_pq(vectors, n_subspaces=n_subspaces, n_codes=n_codes,
+                     sample_size=sample_size, emb_col=emb_col)
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    n_sub, real_codes, dsub = books.shape
+    # LUT[q, s, c] = <Q_sub, C_c>: all the dot products ADC will ever need
+    lut = np.einsum(
+        "qsd,scd->qsc", Q.reshape(Q.shape[0], n_sub, dsub), books
+    )
+    state_ref = ray.put(
+        {"ids": np.asarray(query_ids), "books": books, "lut": lut,
+         "qvecs": Q}
+    )
+
+    class ADCScorer:
+        def __init__(self, state_ref, k, rerank, id_col, emb_col):
+            s = ray.get(state_ref)
+            self.query_ids = s["ids"]
+            self.books = s["books"]
+            self.lut = s["lut"]  # (q, n_sub, n_codes)
+            self.Q = s["qvecs"]  # full-precision queries for the re-rank
+            self.k = k
+            self.shortlist = max(k, rerank * k)
+            self.id_col, self.emb_col = id_col, emb_col
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"query_id": pa.array([], type=pa.int64()),
+                     "neighbor_id": pa.array([], type=pa.int64()),
+                     "score": pa.array([], type=pa.float64())}
+                )
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            M = _normalize(_to_matrix(batch[self.emb_col]))
+            codes = _pq_codes(M, self.books)  # (n, n_sub)
+            nq = self.lut.shape[0]
+            scores = np.zeros((len(ids), nq), dtype=np.float64)
+            for s in range(codes.shape[1]):
+                # gather the subspace's code dot-products for every query
+                scores += self.lut[:, s, codes[:, s]].T  # (n, q)
+            self_mask = ids[:, None] == self.query_ids[None, :]
+            scores = np.where(self_mask, -np.inf, scores)
+            R = min(self.shortlist, scores.shape[0])
+            k = min(self.k, scores.shape[0])
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(self.query_ids):
+                col = scores[:, j]
+                short = np.lexsort((ids, -col))[:R]
+                short = short[np.isfinite(col[short])]
+                if not len(short):
+                    continue
+                # exact re-rank of the ADC shortlist only: R dot products
+                # per (query, batch), not n
+                ex = M[short] @ self.Q[j]
+                order = np.lexsort((ids[short], -ex))[:k]
+                for i in order:
+                    out_q.append(qid)
+                    out_n.append(ids[short[i]])
+                    out_s.append(ex[i])
+            return pa.table(
+                {"query_id": pa.array(out_q, type=pa.int64()),
+                 "neighbor_id": pa.array(out_n, type=pa.int64()),
+                 "score": pa.array(out_s, type=pa.float64())}
+            )
+
+    partials = vectors.map_batches(
+        ADCScorer,
+        fn_constructor_kwargs=dict(state_ref=state_ref, k=k, rerank=rerank,
+                                   id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k), batch_format="pandas"
+    )

@@ -91,6 +91,43 @@ def test_ann_ivf_topk_recall_and_subset(ray_session):
     assert a.equals(b)
 
 
+def test_ann_pq_topk_recall_and_compression(ray_session):
+    """PQ/ADC top-k must (a) report recall >= 0.6 mean on this corpus,
+    (b) be deterministic across runs (sample/init/tie contract), and
+    (c) pq_encode must actually compress: one uint8 per subspace per
+    row, with codes that reproduce the ADC ranking the search used."""
+    import numpy as np
+    import ray.data as rd
+
+    from etl_cms_ray.stages.ann import pq_encode, train_pq
+
+    out = _queries()["ann_pq_topk"](SF_DIR)
+    assert "recall" in out.columns
+    mean_recall = out.groupby("query_id")["recall"].first().mean()
+    assert mean_recall >= 0.6, mean_recall
+
+    out2 = _queries()["ann_pq_topk"](SF_DIR)
+    a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = out2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    books = train_pq(ds, n_subspaces=8, n_codes=16)
+    assert books.shape == (8, 16, 8)  # 64-dim corpus
+    enc = pq_encode(ds, books).to_pandas()
+    n_rows = ds.count()
+    assert len(enc) == n_rows
+    codes = np.stack(enc["code"].to_numpy())
+    assert codes.shape == (n_rows, 8) and codes.dtype == np.uint8
+    assert codes.max() < 16
+    # encoding is deterministic too
+    enc2 = pq_encode(ds, books).to_pandas()
+    assert enc.sort_values("vec_id").reset_index(drop=True).equals(
+        enc2.sort_values("vec_id").reset_index(drop=True)
+    )
+
+
 def test_multimodal_frames_expected_counts(ray_session):
     """FrameSampler output is deterministic given the synthetic metadata:
     per-video frame count must equal ceil(duration_ms / 1000)."""
