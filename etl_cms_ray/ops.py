@@ -35,8 +35,9 @@ from .pipelines.history import (incremental_repo_stats, read_snapshot,
 from .pipelines.ingest import (eq_plan, eq_scan, ingest, lookup_plan,
                                point_lookup, range_plan, range_scan,
                                read_lake, read_lake_table)
-from .pipelines.maintenance import (audit_lake, compact_lake,
-                                    expire_snapshots, repartition_lake)
+from .pipelines.maintenance import (audit_lake, compact_lake, delete_where,
+                                    expire_snapshots, repartition_lake,
+                                    update_where)
 from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
 
 # sketches / metrics
@@ -60,6 +61,7 @@ __all__ = [
     "eq_plan", "eq_scan",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "sync_lake", "verify_replica", "lake_content_hash",
+    "delete_where", "update_where",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
     "approx_quantiles",
     "BloomFilter", "build_bloom", "bloom_prune",

@@ -363,3 +363,176 @@ def expire_snapshots(lake_root: str, keep_last: int = 2) -> dict:
     }
     store.append_lineage({"op": "expire_snapshots", **report})
     return report
+
+
+# ---------------------------------------------------------------------------
+# In-place rewrites: DELETE WHERE / UPDATE WHERE over the live lake
+
+
+def _rewrite_lake(lake_root: str, rewrite_fn, op_name: str,
+                  allow_row_loss: bool) -> Manifest:
+    """Shared core of ``delete_where``/``update_where``: one task per
+    partition loads the live rows (MOR deltas folded), applies
+    ``rewrite_fn``, re-derives the invariant columns (content_sha =
+    sha256(content), size = byte length — so ``audit_lake`` stays green
+    by construction), key-sorts, rewrites the base and publishes a fresh
+    manifest with tight stats.  Epoch fences are UNCHANGED: the rewrite
+    is outside the event stream, so later events still win by (epoch,
+    seq) and replays of already-applied epochs stay fenced no-ops.
+
+    Keys must keep their hash placement: rewrite_fn may drop rows (when
+    ``allow_row_loss``) but NEVER change repo/path — the task verifies
+    the surviving key set is a subset of the input's and fails loudly
+    otherwise (a silently moved key would corrupt point_lookup and the
+    fence semantics).
+
+    Reference analog: the reference can only re-run the whole forward
+    pass to amend output (``Main.py``); Delta/Iceberg expose this as
+    DELETE/UPDATE.  snapshot_diff sees the rewrite as ordinary
+    update/delete changelog rows, so replicas converge via sync_lake.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import key_array
+    from ..schema import SchemaRegistry
+    from .ingest import load_partition_live
+
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    todo = [
+        {"part_id": ps.part_id, "file": ps.file, "deltas": list(ps.deltas),
+         "fence": ps.applied_through_epoch}
+        for ps in manifest.partitions.values()
+        if ps.file or ps.deltas
+    ]
+    new_manifest = Manifest(
+        version=manifest.version + 1,
+        num_partitions=manifest.num_partitions,
+        partitions=dict(manifest.partitions),
+        partitioner=manifest.partitioner,
+    )
+    rows_before = rows_after = 0
+    if todo:
+        reg_json = registry.to_json()
+
+        def rewrite(batch: pa.Table) -> pa.Table:
+            from ..functions.threads import single_threaded_kernels
+
+            single_threaded_kernels()
+            reg = SchemaRegistry.from_json(reg_json)
+            out = {"part_id": [], "file": [], "rows": [], "content_hash": [],
+                   "fence": [], "stats": [], "rows_in": []}
+            for pid, f0, ds_, fence in zip(
+                batch["part_id"].to_pylist(), batch["file"].to_pylist(),
+                batch["deltas"].to_pylist(), batch["fence"].to_pylist(),
+            ):
+                live = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+                new = rewrite_fn(live)
+                in_keys = set(key_array(live["repo"], live["path"]).to_pylist())
+                out_keys = key_array(new["repo"], new["path"]).to_pylist()
+                if not set(out_keys) <= in_keys or len(out_keys) != len(set(out_keys)):
+                    raise ValueError(
+                        f"{op_name}: rewrite changed or duplicated keys in "
+                        f"partition {pid} — repo/path are immutable here"
+                    )
+                if not allow_row_loss and new.num_rows != live.num_rows:
+                    raise ValueError(f"{op_name}: rewrite dropped rows")
+                # re-derive the judged invariants from the (possibly new)
+                # content, whatever the rewrite touched
+                content = new["content"]
+                new = new.set_column(
+                    new.schema.get_field_index("content_sha"), "content_sha",
+                    sha256_column(content),
+                )
+                size = pc.fill_null(
+                    pc.binary_length(content.cast(pa.large_binary())), 0
+                ).cast(new.schema.field("size").type)
+                new = new.set_column(
+                    new.schema.get_field_index("size"), "size", size
+                )
+                new = new.take(pc.sort_indices(
+                    new, sort_keys=[("repo", "ascending"), ("path", "ascending")]
+                ))
+                fname, sha16 = _write_deterministic(
+                    new, os.path.join(lake_root, "data", f"part={pid:05d}"),
+                    f"e{fence:010d}-rw",
+                )
+                out["part_id"].append(pid)
+                out["file"].append(os.path.relpath(fname, lake_root))
+                out["rows"].append(new.num_rows)
+                out["content_hash"].append(sha16)
+                out["fence"].append(fence)
+                out["stats"].append(json.dumps(_column_stats(new), sort_keys=True))
+                out["rows_in"].append(live.num_rows)
+            return pa.table(
+                {"part_id": pa.array(out["part_id"], type=pa.int32()),
+                 "file": out["file"],
+                 "rows": pa.array(out["rows"], type=pa.int64()),
+                 "content_hash": out["content_hash"],
+                 "fence": pa.array(out["fence"], type=pa.int64()),
+                 "stats": out["stats"],
+                 "rows_in": pa.array(out["rows_in"], type=pa.int64())}
+            )
+
+        rows = rd.from_items(todo).map_batches(
+            rewrite, batch_format="pyarrow", batch_size=1
+        ).take_all()
+        for r in rows:
+            pid = int(r["part_id"])
+            rows_before += int(r["rows_in"])
+            rows_after += int(r["rows"])
+            new_manifest.partitions[pid] = PartitionState(
+                part_id=pid,
+                file=r["file"] if int(r["rows"]) else None,
+                rows=int(r["rows"]),
+                applied_through_epoch=int(r["fence"]),
+                content_hash=r["content_hash"] if int(r["rows"]) else "",
+                schema_version=latest,
+                deltas=[],
+                stats=json.loads(r["stats"]) if r.get("stats") else {},
+            )
+    new_manifest.metrics = {
+        "op": op_name,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "lake_rows": sum(max(p.rows, 0) for p in new_manifest.partitions.values()),
+    }
+    store.publish(new_manifest, expect_version=manifest.version)
+    store.append_lineage({"manifest_version": new_manifest.version,
+                          **new_manifest.metrics})
+    return new_manifest
+
+
+def delete_where(lake_root: str, mask_fn) -> Manifest:
+    """DELETE WHERE over the live lake: ``mask_fn(table) -> bool array``
+    selects rows to REMOVE (the GDPR right-to-be-forgotten path — rows
+    leave the base files now, not at the next tombstone compaction).
+    One streaming pass, fences unchanged, stats recomputed; the
+    changelog shows ordinary deletes, so replicas converge via sync."""
+    def rewrite(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.fill_null(mask_fn(t), False)))
+
+    return _rewrite_lake(lake_root, rewrite, "delete_where",
+                         allow_row_loss=True)
+
+
+def update_where(lake_root: str, mask_fn, transform_fn) -> Manifest:
+    """UPDATE WHERE over the live lake: rows where ``mask_fn`` is true
+    are replaced by ``transform_fn(rows) -> table`` (same schema, keys
+    immutable); content_sha/size are re-derived centrally, so transforms
+    just edit the payload columns (backfill / in-place redaction)."""
+    def rewrite(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(mask_fn(t), False)
+        hit = t.filter(mask)
+        if hit.num_rows == 0:
+            return t
+        changed = transform_fn(hit)
+        if changed.schema.names != t.schema.names:
+            changed = changed.select(t.schema.names)
+        return pa.concat_tables([t.filter(pc.invert(mask)),
+                                 changed.cast(t.schema)])
+
+    return _rewrite_lake(lake_root, rewrite, "update_where",
+                         allow_row_loss=False)

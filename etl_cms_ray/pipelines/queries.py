@@ -1161,6 +1161,74 @@ def cdc_wap_publish(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_inplace_rewrite(sf_dir: str) -> "rd.Dataset":
+    """DELETE WHERE + UPDATE WHERE over the live lake (Delta/Iceberg-
+    style in-place amendment; the reference can only re-run the whole
+    forward pass, ``Main.py``): ingest the _docs_change_events stream,
+    then physically remove the 'de' rows (GDPR-delete path — gone from
+    the base files now, not merely tombstoned) and stamp the 'fr' rows'
+    content in place.  content_sha/size are re-derived centrally by the
+    rewrite core, so the oracle recomputes both from the amended text
+    and must match hash-for-hash."""
+    from .maintenance import delete_where, update_where
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"rw_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    ingest(events, cfg, count_input=False)
+    delete_where(lake_root, lambda t: pc.equal(t["lang"], pa.scalar("de")))
+
+    def stamp(rows: pa.Table) -> pa.Table:
+        marked = pc.binary_join_element_wise(
+            rows["content"].cast(pa.large_string()),
+            pa.array([" [fr]"] * rows.num_rows, type=pa.large_string()),
+            pa.scalar("", type=pa.large_string()),
+        )
+        return rows.set_column(
+            rows.schema.get_field_index("content"), "content", marked
+        )
+
+    update_where(lake_root,
+                 lambda t: pc.equal(t["lang"], pa.scalar("fr")), stamp)
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_INPLACE_REWRITE = """
+WITH final AS (
+  SELECT source, doc_id, lang,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS c0
+  FROM documents
+  WHERE doc_id % 7 <> 0 AND lang <> 'de'
+)
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       CASE WHEN lang = 'fr' THEN c0 || ' [fr]' ELSE c0 END AS content,
+       sha256(CASE WHEN lang = 'fr' THEN c0 || ' [fr]' ELSE c0 END) AS content_sha_hex,
+       CAST(octet_length(encode(CASE WHEN lang = 'fr' THEN c0 || ' [fr]' ELSE c0 END)) AS BIGINT) AS size
+FROM final
+"""
+
+
 def cdc_range_scan(sf_dir: str) -> "rd.Dataset":
     """Zone-map file skipping: ingest the _docs_change_events stream into
     a fresh lake (the applier records per-partition [min,max] stats for
@@ -3072,6 +3140,7 @@ QUERIES = {
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_range_scan": cdc_range_scan,
     "cdc_eq_scan": cdc_eq_scan,
+    "cdc_inplace_rewrite": cdc_inplace_rewrite,
     "cdc_replica_sync": cdc_replica_sync,
     "cdc_wap_publish": cdc_wap_publish,
     # relational operators
@@ -3146,6 +3215,7 @@ ORACLE_SQL = {
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "cdc_range_scan": _SQL_RANGE_SCAN,
     "cdc_eq_scan": _SQL_EQ_SCAN,
+    "cdc_inplace_rewrite": _SQL_INPLACE_REWRITE,
     "cdc_replica_sync": _SQL_REPOS_LAKE,
     "cdc_wap_publish": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,

@@ -1,0 +1,131 @@
+"""In-place lake rewrites: delete_where / update_where.
+
+Must remove/transform exactly the masked rows, keep the audit invariants
+(content_sha/size re-derived), preserve epoch fences (replays stay
+no-ops), refuse key mutations, refresh pruning stats, and surface as
+ordinary changelog rows so replicas converge.
+"""
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data as rd
+
+from etl_cms_ray.config import EngineConfig
+from etl_cms_ray.fixtures import make_events, make_repos
+from etl_cms_ray.pipelines.ingest import ingest, read_lake_table
+from etl_cms_ray.pipelines.maintenance import (
+    audit_lake,
+    delete_where,
+    update_where,
+)
+from etl_cms_ray.pipelines.replicate import sync_lake, verify_replica
+from etl_cms_ray.state.manifest import LakeStore
+
+LAKE = "/tmp/test_rewrite_lake"
+
+
+@pytest.fixture()
+def lake(ray_session):
+    shutil.rmtree(LAKE, ignore_errors=True)
+    repos = make_repos(n_repos=5, files_per_repo=8)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=40)
+    cfg = EngineConfig(lake_root=LAKE, num_partitions=8)
+    ingest(rd.from_arrow(ev), cfg)
+    return LAKE, rd.from_arrow(ev), cfg
+
+
+def test_delete_where_removes_only_masked(lake):
+    root, events, cfg = lake
+    before = read_lake_table(root)
+    lang = sorted(set(before["lang"].to_pylist()))[0]
+    m = delete_where(root, lambda t: pc.equal(t["lang"], lang))
+    after = read_lake_table(root)
+    expect = before.filter(pc.not_equal(before["lang"], lang))
+    assert after.num_rows == expect.num_rows
+    assert after.equals(expect)
+    assert m.metrics["rows_before"] - m.metrics["rows_after"] > 0
+    assert audit_lake(root)["healthy"]
+    # fences unchanged: replaying the original stream is still a no-op
+    # (deleted keys stay deleted — their epochs are already fenced)
+    r = ingest(events, cfg, count_input=False)
+    assert r.events_applied == 0
+    assert read_lake_table(root).equals(expect)
+
+
+def test_update_where_transforms_and_rederives(lake):
+    root, _events, _cfg = lake
+    before = read_lake_table(root)
+    lang = sorted(set(before["lang"].to_pylist()))[-1]
+
+    def stamp(rows: pa.Table) -> pa.Table:
+        marked = pc.binary_join_element_wise(
+            rows["content"].cast(pa.large_string()),
+            pa.array([" !"] * rows.num_rows, type=pa.large_string()),
+            pa.scalar("", type=pa.large_string()),
+        )
+        return rows.set_column(
+            rows.schema.get_field_index("content"), "content", marked
+        )
+
+    update_where(root, lambda t: pc.equal(t["lang"], lang), stamp)
+    after = read_lake_table(root)
+    assert after.num_rows == before.num_rows
+    hit_b = before.filter(pc.equal(before["lang"], lang))
+    hit_a = after.filter(pc.equal(after["lang"], lang))
+    others_a = after.filter(pc.not_equal(after["lang"], lang))
+    others_b = before.filter(pc.not_equal(before["lang"], lang))
+    assert others_a.equals(others_b)  # untouched rows bit-identical
+    # transformed rows: content stamped, sha/size re-derived
+    assert all(c.endswith(" !") for c in hit_a["content"].to_pylist())
+    assert audit_lake(root)["healthy"]
+    assert (
+        pc.sum(hit_a["size"].cast(pa.int64())).as_py()
+        == pc.sum(hit_b["size"].cast(pa.int64())).as_py() + 2 * hit_a.num_rows
+    )
+    # pruning stats were refreshed to the new sizes
+    manifest = LakeStore(root).load_manifest()
+    hi = max(p.stats["size"][1] for p in manifest.partitions.values()
+             if p.rows > 0 and "size" in p.stats)
+    assert hi == max(after["size"].to_pylist())
+
+
+def test_rewrite_refuses_key_mutation(lake):
+    root, _e, _c = lake
+
+    def rekey(rows: pa.Table) -> pa.Table:
+        return rows.set_column(
+            rows.schema.get_field_index("path"), "path",
+            pa.array(["hijacked"] * rows.num_rows),
+        )
+
+    with pytest.raises(Exception, match="keys"):
+        update_where(root, lambda t: pa.array([True] * t.num_rows), rekey)
+
+
+def test_rewrite_flows_to_replica(lake):
+    root, _e, _c = lake
+    replica = "/tmp/test_rewrite_replica"
+    shutil.rmtree(replica, ignore_errors=True)
+    sync_lake(root, replica)
+    assert verify_replica(root, replica)["converged"]
+    before = read_lake_table(root)
+    lang = sorted(set(before["lang"].to_pylist()))[0]
+    delete_where(root, lambda t: pc.equal(t["lang"], lang))
+
+    def stamp(rows: pa.Table) -> pa.Table:
+        marked = pc.binary_join_element_wise(
+            rows["content"].cast(pa.large_string()),
+            pa.array(["?"] * rows.num_rows, type=pa.large_string()),
+            pa.scalar("", type=pa.large_string()),
+        )
+        return rows.set_column(
+            rows.schema.get_field_index("content"), "content", marked
+        )
+
+    update_where(root, lambda t: pa.array([True] * t.num_rows), stamp)
+    assert not verify_replica(root, replica)["converged"]
+    assert sync_lake(root, replica) is not None
+    assert verify_replica(root, replica)["converged"]
