@@ -1161,6 +1161,56 @@ def cdc_wap_publish(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_schema_evolution(sf_dir: str) -> "rd.Dataset":
+    """Full schema-evolution lifecycle on the documents-derived stream:
+    commit 1 ADDs a payload column (backfilled default), commit 2 WIDENs
+    size to int64 and soft-DROPs the added column (the CDM v5.0->v5.2
+    DDL-migration analog, including column removal).  Old partition
+    files are promoted on read, dropped columns vanish from current
+    reads but remain time-travelable; the oracle pins that none of this
+    perturbed the payload (same relational reconstruction as direct
+    ingest)."""
+    from ..schema import SchemaChange
+    from ..state.manifest import LakeStore
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"evo_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    add = SchemaChange(epoch=0, change="add_column", column="stars",
+                       type_name="int64", default=7)
+    widen = SchemaChange(epoch=1, change="widen", column="size",
+                         type_name="int64")
+    drop = SchemaChange(epoch=1, change="drop_column", column="stars")
+    ingest(events.filter(expr="epoch == 0"), cfg, schema_changes=[add],
+           count_input=False)
+    ingest(events.filter(expr="epoch == 1"), cfg,
+           schema_changes=[add, widen, drop], count_input=False)
+    store = LakeStore(lake_root)
+    sch = store.load_registry().schema_for(store.load_registry().latest_version)
+    if "stars" in sch.names or sch.field("size").type != pa.int64():
+        raise AssertionError(f"evolution lifecycle violated: {sch}")
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
 def cdc_inplace_rewrite(sf_dir: str) -> "rd.Dataset":
     """DELETE WHERE + UPDATE WHERE over the live lake (Delta/Iceberg-
     style in-place amendment; the reference can only re-run the whole
@@ -3141,6 +3191,7 @@ QUERIES = {
     "cdc_range_scan": cdc_range_scan,
     "cdc_eq_scan": cdc_eq_scan,
     "cdc_inplace_rewrite": cdc_inplace_rewrite,
+    "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_replica_sync": cdc_replica_sync,
     "cdc_wap_publish": cdc_wap_publish,
     # relational operators
@@ -3216,6 +3267,7 @@ ORACLE_SQL = {
     "cdc_range_scan": _SQL_RANGE_SCAN,
     "cdc_eq_scan": _SQL_EQ_SCAN,
     "cdc_inplace_rewrite": _SQL_INPLACE_REWRITE,
+    "cdc_schema_evolution": _SQL_REPOS_LAKE,
     "cdc_replica_sync": _SQL_REPOS_LAKE,
     "cdc_wap_publish": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,

@@ -150,6 +150,11 @@ class SchemaRegistry:
     def latest_version(self) -> int:
         return len(self.changes)
 
+    #: engine-invariant columns: keys, LWW order, and derived invariants
+    #: can never be dropped (placement, fencing and the audit depend on
+    #: them) — only evolved/payload columns are droppable
+    PROTECTED = ("repo", "path", "epoch", "seq", "content", "content_sha", "size")
+
     def schema_for(self, version: int) -> pa.Schema:
         sch = self.base
         for ch in self.changes[:version]:
@@ -162,6 +167,16 @@ class SchemaRegistry:
                 if not is_widening(src, dst):
                     raise ValueError(f"non-widening change {src} -> {dst} for {ch.column}")
                 sch = sch.set(i, pa.field(ch.column, dst))
+            elif ch.change == "drop_column":
+                # soft drop: data files written at older versions keep the
+                # column; promote-on-read simply stops selecting it, and
+                # time travel at a pre-drop version still shows it
+                if ch.column in self.PROTECTED:
+                    raise ValueError(f"cannot drop engine column {ch.column!r}")
+                i = sch.get_field_index(ch.column)
+                if i < 0:
+                    raise ValueError(f"drop of unknown column {ch.column!r}")
+                sch = sch.remove(i)
             else:
                 raise ValueError(f"unknown change kind {ch.change!r}")
         return sch
@@ -174,11 +189,14 @@ class SchemaRegistry:
         return v
 
     def defaults_for(self, version: int) -> dict:
-        """Backfill defaults for columns added up to ``version``."""
+        """Backfill defaults for columns added (and not later dropped)
+        up to ``version``."""
         out = {}
         for ch in self.changes[:version]:
             if ch.change == "add_column":
                 out[ch.column] = ch.default
+            elif ch.change == "drop_column":
+                out.pop(ch.column, None)
         return out
 
     def evolve_table(self, t: pa.Table, to_version: int) -> pa.Table:

@@ -97,6 +97,48 @@ def test_schema_evolution_end_to_end(ray_session, tmp_path):
     assert tables_equal_by_sha(lake, expected)
 
 
+def test_schema_drop_column_end_to_end(ray_session, tmp_path):
+    """add -> drop lifecycle: a payload column added mid-stream is soft-
+    dropped later; current reads lack it, engine state matches the
+    oracle under the same registry, time travel at a pre-drop version
+    still shows it, and engine columns are undroppable."""
+    import pyarrow.compute as pc
+
+    from etl_cms_ray.pipelines.history import read_snapshot
+    from etl_cms_ray.schema import SchemaChange
+
+    repos = make_repos(3, 5)
+    ev = make_events(repos, n_epochs=4, events_per_epoch=40)
+    add = SchemaChange(epoch=1, change="add_column", column="stars",
+                       type_name="int64", default=3)
+    drop = SchemaChange(epoch=3, change="drop_column", column="stars")
+    cfg = _cfg(tmp_path, "lake_drop")
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 2))),
+           cfg, schema_changes=[add])
+    v1 = LakeStore(cfg.lake_root).current_version()
+    assert "stars" in read_lake_table(cfg.lake_root).column_names
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 2))),
+           cfg, schema_changes=[add, drop])
+    lake = read_lake_table(cfg.lake_root)
+    assert "stars" not in lake.column_names
+    expected = replay(ev, registry=SchemaRegistry(changes=[add, drop]))
+    assert "stars" not in expected.column_names
+    assert tables_equal_by_sha(lake, expected)
+    # time travel: the pre-drop snapshot still carries the column
+    snap = read_snapshot(cfg.lake_root, version=v1).to_pandas()
+    assert "stars" in snap.columns
+    # guards: engine columns are undroppable; unknown columns fail loudly
+    for bad in ("content", "repo", "size"):
+        with pytest.raises(ValueError):
+            SchemaRegistry(
+                changes=[SchemaChange(epoch=0, change="drop_column", column=bad)]
+            ).schema_for(1)
+    with pytest.raises((ValueError, KeyError)):
+        SchemaRegistry(
+            changes=[SchemaChange(epoch=0, change="drop_column", column="ghost")]
+        ).schema_for(1)
+
+
 def test_dead_letter_routing(ray_session, tmp_path):
     """Malformed events (bad op / null key / missing content) land in the
     dead-letter sink, not the lake (unmapped-code-log analog)."""
