@@ -78,6 +78,18 @@ def main(argv: list[str] | None = None) -> int:
     pex.add_argument("--lake", required=True)
     pex.add_argument("--keep-last", type=int, default=2, dest="keep_last")
 
+    pt = sub.add_parser("tail", help="poll a binlog directory of "
+                                     "epoch=N.parquet files and ingest new epochs")
+    pt.add_argument("--events-dir", required=True, dest="events_dir")
+    pt.add_argument("--lake", required=True)
+    pt.add_argument("--partitions", type=int, default=64)
+    pt.add_argument("--poll-seconds", type=float, default=1.0, dest="poll_seconds")
+    pt.add_argument("--max-polls", type=int, default=None, dest="max_polls")
+    pt.add_argument("--idle-stop", type=int, default=None, dest="idle_stop",
+                    help="stop after N consecutive empty polls")
+    pt.add_argument("--late-policy", choices=["ignore", "rescue", "strict"],
+                    default="ignore", dest="late_policy")
+
     psy = sub.add_parser("sync", help="advance a replica lake to the "
                                       "primary's snapshot via the changelog")
     psy.add_argument("--primary", required=True)
@@ -179,6 +191,23 @@ def main(argv: list[str] | None = None) -> int:
             counts = (df["change"].value_counts().to_dict()
                       if "change" in df.columns else {})
             print(json.dumps({"rows": int(len(df)), "changes": counts}))
+        elif args.cmd == "tail":
+            from .config import EngineConfig
+            from .pipelines.tail import tail_loop
+            from .state.manifest import LakeStore
+
+            manifest = LakeStore(args.lake).load_manifest()
+            partitions = (manifest.num_partitions if manifest.partitions
+                          else args.partitions)
+            commits = tail_loop(
+                args.events_dir,
+                EngineConfig(lake_root=args.lake, num_partitions=partitions),
+                poll_seconds=args.poll_seconds,
+                max_polls=args.max_polls,
+                idle_polls_to_stop=args.idle_stop,
+                late_policy=args.late_policy,
+            )
+            print(json.dumps({"commits": commits}))
         elif args.cmd == "sync":
             from .pipelines.replicate import sync_lake, verify_replica
 
