@@ -2725,6 +2725,65 @@ SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
 """
 
 
+def dedup_apply_docs(sf_dir: str) -> "rd.Dataset":
+    """The end artifact of the dedup family: the FILTERED CORPUS.
+    Pairs (exact n-gram Jaccard) -> connected components -> keep ONE
+    canonical doc per cluster (min doc id — the component label itself)
+    and drop the rest via a hash anti-join; singleton docs pass through
+    untouched.  Everything upstream is shuffle-based (no broadcast of
+    the duplicate set — it scales with corpus duplication, which at
+    100 TB is exactly the side you cannot hold on one node)."""
+    from ..stages.cluster import connected_components
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.join import hash_join
+
+    corpus = _docs_with_near_dups(sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.8, n=3, order="df_join",
+                                text_type=pa.string())
+    cc = connected_components(pairs, a_col="a", b_col="b")
+
+    def losers(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["label"])
+        return pa.table({"doc_id": t["node"].filter(keep)})
+
+    dup_ids = cc.map_batches(losers, batch_format="pyarrow")
+    kept = hash_join(
+        _docs_with_near_dups(sf_dir), dup_ids, on="doc_id", how="anti",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_sha_hex": sha256_hex_column(t["text"]),
+                "n_bytes": pc.binary_length(
+                    t["text"].cast(pa.large_binary())
+                ).cast(pa.int64()),
+            }
+        )
+
+    return kept.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_DEDUP_APPLY = f"""
+WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+walk AS (
+  SELECT x AS node, x AS reach FROM edges
+  UNION
+  SELECT w.node, e.y FROM walk w JOIN edges e ON w.reach = e.x
+),
+labels AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node)
+SELECT d.doc_id,
+       sha256(d.text) AS text_sha_hex,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+FROM all_docs d LEFT JOIN labels l ON d.doc_id = l.node
+WHERE l.node IS NULL OR l.cluster_id = d.doc_id
+"""
+
+
 def lang_id_pred(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     return ds.map_batches(
@@ -3232,6 +3291,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "dedup_apply_docs": dedup_apply_docs,
     "dedup_cosine_pairs": dedup_cosine_pairs,
     "approx_distinct_sketch": approx_distinct_sketch,
     "multimodal_features": multimodal_features,
@@ -3296,6 +3356,7 @@ ORACLE_SQL = {
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_cluster_docs": _SQL_CLUSTER_DOCS,
+    "dedup_apply_docs": _SQL_DEDUP_APPLY,
     "ann_cosine_topk": _SQL_ANN_TOPK,
     "embedding_norms": _SQL_EMBEDDING_NORMS,
     # formerly rows-only, now hard-checked
