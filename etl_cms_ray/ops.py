@@ -30,8 +30,9 @@ from .stages.redact import DEFAULT_RULES, RedactRule, redact_batch, redact_colum
 from .stages.unpivot import unpivot_list
 
 # lake lifecycle
-from .pipelines.history import (incremental_repo_stats, read_snapshot,
-                                repo_stats_snapshot, snapshot_diff)
+from .pipelines.history import (incremental_repo_stats, incremental_token_df,
+                                read_snapshot, repo_stats_snapshot,
+                                snapshot_diff, token_df_snapshot)
 from .pipelines.ingest import (eq_plan, eq_scan, ingest, lookup_plan,
                                point_lookup, range_plan, range_scan,
                                read_lake, read_lake_table)
@@ -55,7 +56,8 @@ __all__ = [
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",
-    "incremental_repo_stats", "read_snapshot", "repo_stats_snapshot",
+    "incremental_repo_stats", "incremental_token_df", "token_df_snapshot",
+    "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "ingest", "read_lake", "read_lake_table",
     "point_lookup", "lookup_plan", "range_plan", "range_scan",
     "eq_plan", "eq_scan",

@@ -295,3 +295,145 @@ def incremental_repo_stats(
         batch_format="pyarrow",
     )
     return _stats_final(prev_arrow.union(delta_ds), key)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance THROUGH a flat-map: per-token document
+# frequency rolled forward from the changelog
+
+
+def _distinct_doc_tokens(content_col, keys_df: pd.DataFrame) -> pd.DataFrame:
+    """(key columns x content) -> long (key columns, token) rows, tokens
+    DISTINCT per document (df counts documents, not occurrences)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(
+        pc.cast(content_col, pa.large_string()), pattern=" "
+    )
+    frames = []
+    for i in range(len(keys_df)):
+        t = toks[i].as_py() if toks[i].is_valid else None
+        if not t:
+            continue
+        uniq = sorted(set(t) - {""})
+        if not uniq:
+            continue
+        f = pd.DataFrame({"token": uniq})
+        for c in keys_df.columns:
+            f[c] = keys_df[c].iloc[i]
+        frames.append(f)
+    if not frames:
+        empty = {"token": pd.Series([], dtype=object)}
+        for c in keys_df.columns:
+            empty[c] = pd.Series([], dtype=keys_df[c].dtype)
+        return pd.DataFrame(empty)
+    return pd.concat(frames, ignore_index=True)
+
+
+_EMPTY_TOKEN_DF = pa.table(
+    {"token": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}
+)
+
+
+def _token_df_final(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Coarse token-hash partition final sum of (token, df) deltas —
+    the unbounded-key final pattern (CLAUDE.md rule 3), keyed by token."""
+    from ..functions.text import fingerprint_column
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        h = (fingerprint_column(t["token"]).to_numpy(zero_copy_only=False)
+             .view(np.uint64))
+        return t.append_column(
+            "tp", pa.array((h % np.uint64(_STATS_PARTS)).astype(np.int64))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("token", sort=False)["df"].sum().reset_index()
+        out = out[out["df"] != 0]
+        return out.astype({"df": "int64"})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=65536)
+        .groupby("tp")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def token_df_snapshot(
+    lake_root: str, version: int | None = None, content_col: str = "content"
+) -> "ray.data.Dataset":
+    """Full recompute of the per-token document-frequency view from a
+    snapshot — the batch baseline the incremental path must equal.
+    Output: (token, df) with df = number of live documents containing
+    the token at least once."""
+    snap = read_snapshot(lake_root, version=version, columns=[content_col])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        keys = pd.DataFrame({"_doc": np.arange(t.num_rows)})
+        long = _distinct_doc_tokens(t[content_col], keys)
+        if long.empty:
+            return _EMPTY_TOKEN_DF
+        g = long.groupby("token", sort=False).size().rename("df").reset_index()
+        return pa.table({"token": pa.array(g["token"], type=pa.string()),
+                         "df": pa.array(g["df"], type=pa.int64())})
+
+    return _token_df_final(
+        snap.map_batches(partial, batch_format="pyarrow")
+    )
+
+
+def incremental_token_df(
+    lake_root: str,
+    prev_df: "ray.data.Dataset",
+    from_version: int,
+    to_version: int | None = None,
+    content_col: str = "content",
+) -> "ray.data.Dataset":
+    """Roll the token-df view forward by applying the changelog — IVM
+    THROUGH the tokenize flat-map: each changed document contributes
+    +1 for tokens it gained (present in new content, absent in old) and
+    -1 for tokens it lost, computed from the diff's value columns alone.
+    Cost: O(changed documents x tokens/doc), independent of both the
+    lake size and the vocabulary size; the final sum shuffles only the
+    touched tokens.  Abelian (count), so prev + delta == full recompute
+    — pinned by the oracle and the commit-pair property test."""
+    diff = snapshot_diff(lake_root, from_version, to_version,
+                         value_cols=(content_col,))
+
+    def deltas(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        idx = pd.DataFrame({"_doc": np.arange(t.num_rows)})
+        new_long = _distinct_doc_tokens(t[content_col], idx)
+        old_long = _distinct_doc_tokens(t[f"old_{content_col}"], idx)
+        if new_long.empty and old_long.empty:
+            return _EMPTY_TOKEN_DF
+        m = new_long.assign(_n=1).merge(
+            old_long.assign(_o=1), on=["_doc", "token"], how="outer"
+        )
+        gained = m[m["_o"].isna()]
+        lost = m[m["_n"].isna()]
+        d = pd.concat([
+            gained.groupby("token", sort=False).size().rename("df"),
+            -lost.groupby("token", sort=False).size().rename("df"),
+        ])
+        out = d.groupby(level=0).sum().reset_index()
+        out = out[out["df"] != 0]
+        return pa.table({"token": pa.array(out["token"], type=pa.string()),
+                         "df": pa.array(out["df"], type=pa.int64())})
+
+    delta_ds = diff.map_batches(deltas, batch_format="pyarrow")
+    # strip pandas metadata: a schema carrying a dict is unhashable and
+    # defeats Ray's schema-dedup early exit (functions/rayutil.py note)
+    prev_arrow = prev_df.map_batches(
+        lambda t: t.select(["token", "df"]).replace_schema_metadata(None),
+        batch_format="pyarrow",
+    )
+    return _token_df_final(prev_arrow.union(delta_ds))

@@ -1031,6 +1031,38 @@ GROUP BY source
 """
 
 
+def cdc_incremental_token_df(sf_dir: str) -> "rd.Dataset":
+    """IVM through a flat-map: the per-token document-frequency view is
+    materialized at commit 1, then rolled FORWARD by tokenizing only the
+    changelog's old/new content (+1 for tokens a changed doc gained, -1
+    for tokens it lost) — never recomputed from the lake.  Cost is
+    O(changed docs x tokens/doc), independent of lake and vocabulary
+    size.  The oracle computes token df over the FINAL state directly,
+    so prev + delta must equal the full recompute exactly."""
+    from .history import incremental_token_df, token_df_snapshot
+
+    lake_root, r1, r2 = _two_commit_lake(sf_dir, "tdf_lake")
+    v1 = token_df_snapshot(lake_root, version=r1.manifest_version)
+    return incremental_token_df(
+        lake_root, v1, r1.manifest_version, r2.manifest_version
+    )
+
+
+_SQL_INCREMENTAL_TOKEN_DF = """
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS c
+  FROM documents WHERE doc_id % 7 <> 0
+), toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(c, ' '))) AS token
+  FROM final
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df
+FROM toks WHERE token <> ''
+GROUP BY token
+"""
+
+
 def cdc_point_lookup(sf_dir: str) -> pa.Table:
     """Hash-pruned random access: ingest the _docs_change_events stream
     into a fresh lake, then ``point_lookup`` a fixed key set — only the
@@ -3246,6 +3278,7 @@ QUERIES = {
     "repos_lake_ingest": repos_lake_ingest,
     "cdc_time_travel_diff": cdc_time_travel_diff,
     "cdc_incremental_stats": cdc_incremental_stats,
+    "cdc_incremental_token_df": cdc_incremental_token_df,
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_range_scan": cdc_range_scan,
     "cdc_eq_scan": cdc_eq_scan,
@@ -3323,6 +3356,7 @@ ORACLE_SQL = {
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "cdc_time_travel_diff": _SQL_TIME_TRAVEL_DIFF,
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
+    "cdc_incremental_token_df": _SQL_INCREMENTAL_TOKEN_DF,
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "cdc_range_scan": _SQL_RANGE_SCAN,
     "cdc_eq_scan": _SQL_EQ_SCAN,

@@ -139,6 +139,26 @@ def test_incremental_stats_equal_full_recompute(lake):
         )
 
 
+def test_incremental_token_df_equal_full_recompute(lake):
+    """IVM through the tokenize flat-map: token_df(v_a) + delta(v_a ->
+    v_b) == full recompute at v_b, across commit pairs with updates,
+    deletes (tombstone scenario) and a schema change in between."""
+    from etl_cms_ray.pipelines.history import (incremental_token_df,
+                                               token_df_snapshot)
+
+    root, snaps = lake
+    versions = [v for v, _ in snaps]
+    for va, vb in [(versions[0], versions[1]), (versions[0], versions[2])]:
+        base = token_df_snapshot(root, version=va)
+        inc = incremental_token_df(root, base, va, vb).to_pandas()
+        full = token_df_snapshot(root, version=vb).to_pandas()
+        pd.testing.assert_frame_equal(
+            inc.sort_values("token").reset_index(drop=True),
+            full.sort_values("token").reset_index(drop=True),
+        )
+        assert (inc["df"] > 0).all()
+
+
 def test_expire_snapshots_reclaims_and_preserves_kept(lake):
     import os
 
