@@ -275,8 +275,12 @@ def run_scaling() -> None:
     lo, hi = 8, 32
 
     def run(ncpu: int) -> dict:
+        # mult=24 (14.4M events): the 32-cpu ingest wall is ~8-9 s, so the
+        # ~1-2 s fixed session/commit cost is <20% of the measurement; at
+        # mult=12 the 4-5 s hi-side walls diluted efficiency by ~0.08
+        # (measured 0.795 vs 0.88 same day, BASELINE.md runs 11-12)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "12"))
+                   GRAFT_SCALE_MULT=os.environ.get("GRAFT_SCALE_MULT", "24"))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True,
