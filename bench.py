@@ -255,6 +255,7 @@ def run_bench() -> dict:
     timed("cdc_incremental_stats", Q.cdc_incremental_stats)
     timed("cdc_replica_sync", Q.cdc_replica_sync)
     timed("cdc_range_scan", Q.cdc_range_scan)
+    timed("training_corpus", Q.training_corpus)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

@@ -2857,6 +2857,129 @@ FROM scored
 """
 
 
+def training_corpus(sf_dir: str) -> "rd.Dataset":
+    """The capstone composition a pretraining-data user actually runs:
+    quality filter -> language-ID consistency check -> exact dedup
+    (first-wins by min doc id) -> deterministic content-keyed train/val
+    split, as ONE streaming pipeline.  Stage 1 is a single vectorized
+    pass per batch (all three filters + sha + per-batch dedup combiner);
+    the only exchange is the coarse sha-hash final dedup.  The split is
+    keyed on sha256(text) (first hex nibble < 'c' -> train, 12/16 =
+    75%), so membership is reproducible across runs, engines, and
+    repartitioning.  Every rule is mirrored exactly in the generated
+    SQL oracle (marker scores and argmax order generated from the same
+    constants as lang_id_table)."""
+    import zlib
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def stage1(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        text = t["text"]
+        n_tok = token_count_column(text)
+        n_chars = char_count_column(text)
+        n_punct = punct_count_column(text)
+        ratio = pc.divide(n_punct.cast(pa.float64()), n_chars.cast(pa.float64()))
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_tok, pa.scalar(5, type=pa.int64())),
+                pc.less_equal(n_tok, pa.scalar(5000, type=pa.int64())),
+            ),
+            pc.and_(
+                pc.greater_equal(n_chars, pa.scalar(30, type=pa.int64())),
+                pc.less(ratio, pa.scalar(0.1)),
+            ),
+        )
+        t2 = lang_id_table(t.filter(mask))
+        t3 = t2.filter(pc.equal(t2["lang_pred"], t2["lang"]))
+        df = pd.DataFrame(
+            {
+                "text_sha_hex": sha256_hex_column(t3["text"]).to_pandas(),
+                "doc_id": t3["doc_id"].to_pandas(),
+                "lang": t3["lang"].to_pandas(),
+            }
+        )
+        # per-batch dedup combiner: keep the min-doc-id row per sha (the
+        # whole row, so the kept lang is the min-doc row's — arg_min)
+        g = df.sort_values("doc_id", kind="mergesort").drop_duplicates(
+            "text_sha_hex", keep="first"
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        part = np.fromiter(
+            (zlib.crc32(s.encode()) % 64 for s in t["text_sha_hex"].to_pylist()),
+            dtype=np.int64,
+            count=t.num_rows,
+        )
+        return t.append_column("sp", pa.array(part))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort").drop_duplicates(
+            "text_sha_hex", keep="first"
+        )
+        g = g.assign(
+            split=np.where(g["text_sha_hex"].str[0] < "c", "train", "val")
+        )
+        return g[["doc_id", "lang", "text_sha_hex", "split"]].astype(
+            {"doc_id": "int64"}
+        )
+
+    return (
+        ds.map_batches(stage1, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow", batch_size=65536)
+        .groupby("sp")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _training_corpus_sql() -> str:
+    """Composed oracle generated from the same constants as the Ray
+    pipeline: quality predicates + marker-score lang CASE + min-doc-id
+    dedup (arg_min for the carried lang) + sha-nibble split."""
+    from ..functions.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        terms = [
+            f"(length(lower(text)) - length(replace(lower(text), '{m}', ''))) // {len(m)}"
+            for m in _LANG_MARKERS[lang]
+        ]
+        score_exprs.append(f"({' + '.join(terms)}) AS s_{lang}")
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
+    cases = [f"WHEN {all_zero} THEN 'unknown'"]
+    for i, lang in enumerate(langs):
+        geq = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        cases.append(f"WHEN {geq} THEN '{lang}'" if geq else f"ELSE '{lang}'")
+    case_sql = "\n         ".join(cases)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text, {", ".join(score_exprs)}
+  FROM documents
+  WHERE array_length(string_split(text, ' ')) BETWEEN 5 AND 5000
+    AND length(text) >= 30
+    AND CAST(length(text) - length(replace(text, '.', '')) AS DOUBLE) / length(text) < 0.1
+), pred AS (
+  SELECT doc_id, lang, text,
+         CASE {case_sql}
+         END AS lang_pred
+  FROM scored
+), kept AS (
+  SELECT doc_id, lang, text FROM pred WHERE lang_pred = lang
+), dedup AS (
+  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+         sha256(text) AS text_sha_hex
+  FROM kept GROUP BY sha256(text)
+)
+SELECT doc_id, lang, text_sha_hex,
+       CASE WHEN substr(text_sha_hex, 1, 1) < 'c' THEN 'train' ELSE 'val' END AS split
+FROM dedup
+"""
+
+
 def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -3325,6 +3448,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "dedup_apply_docs": dedup_apply_docs,
+    "training_corpus": training_corpus,
     "dedup_cosine_pairs": dedup_cosine_pairs,
     "approx_distinct_sketch": approx_distinct_sketch,
     "multimodal_features": multimodal_features,
@@ -3391,6 +3515,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_cluster_docs": _SQL_CLUSTER_DOCS,
     "dedup_apply_docs": _SQL_DEDUP_APPLY,
+    "training_corpus": _training_corpus_sql(),
     "ann_cosine_topk": _SQL_ANN_TOPK,
     "embedding_norms": _SQL_EMBEDDING_NORMS,
     # formerly rows-only, now hard-checked
