@@ -1414,6 +1414,101 @@ WHERE doc_id % 7 <> 0
 """
 
 
+def cdc_scd2_history(sf_dir: str) -> "rd.Dataset":
+    """SCD type-2 dimension history from the change stream (D5/T3 family
+    extension; the warehouse-side history table ETL-CMS leaves to its
+    SQL load step).  Every surviving (non-delete) version of a key
+    becomes one row with its validity interval
+    ``[(valid_from_epoch, valid_from_seq), (valid_to_epoch, valid_to_seq))``;
+    a delete event closes the last open interval without emitting a row;
+    ``is_current=1`` marks intervals still open at head.
+
+    Scale shape: content is hashed to its 64-char sha BEFORE the
+    exchange (the sweep only needs ordering columns + the sha, so the
+    shuffle ships ~100 B/row instead of whole documents), then one
+    coarse key-hash partition (part_id_for % 64) and ONE vectorized
+    lead() sweep per bucket — per-key windows never span buckets and no
+    task ever holds the whole key space.
+    """
+    from ..functions.hashing import part_id_for
+
+    events = _docs_change_events(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "op": t["op"],
+                "epoch": t["epoch"],
+                "seq": t["seq"],
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "kpart": pc.cast(part_id_for(t["repo"], t["path"], 64), pa.int64()),
+            }
+        )
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["repo", "path", "epoch", "seq"], kind="mergesort")
+        same_key = (df["repo"].shift(-1) == df["repo"]) & (
+            df["path"].shift(-1) == df["path"]
+        )
+        # nullable lead() -> float64 + NaN on BOTH engines (the
+        # prev_event_id precedent: DuckDB nullable BIGINT lands as
+        # float64 in pandas too, so hashes agree)
+        to_epoch = df["epoch"].shift(-1).where(same_key).astype("float64")
+        to_seq = df["seq"].shift(-1).where(same_key).astype("float64")
+        out = pd.DataFrame(
+            {
+                "repo": df["repo"],
+                "path": df["path"],
+                "valid_from_epoch": df["epoch"],
+                "valid_from_seq": df["seq"],
+                "valid_to_epoch": to_epoch,
+                "valid_to_seq": to_seq,
+                "is_current": to_epoch.isna().astype("int64"),
+                "content_sha_hex": df["content_sha_hex"],
+            }
+        )
+        return out[(df["op"] != "delete").values]
+
+    parts = events.map_batches(prep, batch_format="pyarrow")
+    return parts.groupby("kpart").map_groups(sweep, batch_format="pandas")
+
+
+_SQL_SCD2 = """
+WITH stream AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         'insert' AS op, CAST(0 AS BIGINT) AS epoch,
+         CAST(doc_id AS BIGINT) AS seq, text AS content
+  FROM documents
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR), 'update',
+         CAST(1 AS BIGINT), CAST(doc_id AS BIGINT), text || ' v2'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR), 'delete',
+         CAST(1 AS BIGINT), CAST(doc_id + 1000000 AS BIGINT), NULL
+  FROM documents WHERE doc_id % 7 = 0
+), v AS (
+  SELECT repo, path, op, epoch, seq, content,
+         lead(epoch) OVER w AS nxt_epoch,
+         lead(seq) OVER w AS nxt_seq
+  FROM stream
+  WINDOW w AS (PARTITION BY repo, path ORDER BY epoch, seq)
+)
+SELECT repo, path,
+       epoch AS valid_from_epoch, seq AS valid_from_seq,
+       CAST(nxt_epoch AS DOUBLE) AS valid_to_epoch,
+       CAST(nxt_seq AS DOUBLE) AS valid_to_seq,
+       CAST(nxt_epoch IS NULL AS BIGINT) AS is_current,
+       sha256(content) AS content_sha_hex
+FROM v WHERE op <> 'delete'
+"""
+
+
 # ===========================================================================
 # TPC-H-style relational operators
 
@@ -3399,6 +3494,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
     "repos_lake_ingest": repos_lake_ingest,
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_time_travel_diff": cdc_time_travel_diff,
     "cdc_incremental_stats": cdc_incremental_stats,
     "cdc_incremental_token_df": cdc_incremental_token_df,
@@ -3478,6 +3574,7 @@ ORACLE_SQL = {
     "events_value_histogram": _SQL_VALUE_HISTOGRAM,
     "lineitem_quantity_quantiles": _SQL_QUANTILES,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
+    "cdc_scd2_history": _SQL_SCD2,
     "cdc_time_travel_diff": _SQL_TIME_TRAVEL_DIFF,
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "cdc_incremental_token_df": _SQL_INCREMENTAL_TOKEN_DF,
