@@ -1509,6 +1509,121 @@ FROM v WHERE op <> 'delete'
 """
 
 
+def cdc_patch_merge(sf_dir: str) -> "rd.Dataset":
+    """Partial-column (patch) upsert merge — the Debezium-style sparse
+    update: a change event carries only the columns it touches (others
+    NULL = untouched), and the merged state per key is the LATEST
+    NON-NULL value per column, each column independently.  Extends the
+    row-granularity LWW core (D5) to column granularity.
+
+    Patch stream (deterministic, mirrored in the oracle): epoch 0
+    inserts every doc with (content, lang); epoch 1 patches content only
+    for doc_id%3==0 and lang only for doc_id%5==0.
+
+    Scale shape: content is pre-hashed before any exchange; a per-batch
+    COMBINER keeps at most 2 rows per key per batch (the per-column
+    winners — the same latest-non-null sweep as the final, so combine is
+    idempotent), then one coarse key-hash partition and one vectorized
+    sweep per bucket.
+    """
+    from ..functions.hashing import part_id_for
+
+    docs = _rpc(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def to_patches(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids = batch["doc_id"]
+        path = pc.binary_join_element_wise("doc_", pc.cast(ids, pa.string()), "")
+        n = batch.num_rows
+        seq0 = pc.cast(ids, pa.int64())
+        ids_np = ids.to_numpy(zero_copy_only=False)
+
+        def mk(epoch, seq, sha, lang, mask=None):
+            t = pa.table(
+                {
+                    "repo": batch["source"],
+                    "path": path,
+                    "epoch": pa.array([epoch] * n, type=pa.int64()),
+                    "seq": seq,
+                    "content_sha": sha,
+                    "lang": lang,
+                }
+            )
+            return t.filter(mask) if mask is not None else t
+
+        base = mk(0, seq0, sha256_hex_column(batch["text"]), batch["lang"])
+        upd_content = pc.binary_join_element_wise(batch["text"], " v2", "")
+        patch_c = mk(1, seq0, sha256_hex_column(upd_content),
+                     pa.nulls(n, type=pa.string()),
+                     pa.array(ids_np % 3 == 0))
+        lang_alt = pc.binary_join_element_wise(batch["lang"], "-alt", "")
+        patch_l = mk(1, pc.add(seq0, pa.scalar(1_000_000, type=pa.int64())),
+                     pa.nulls(n, type=pa.string()), lang_alt,
+                     pa.array(ids_np % 5 == 0))
+        t = pa.concat_tables([base, patch_c, patch_l])
+        return t.append_column(
+            "kpart", pc.cast(part_id_for(t["repo"], t["path"], 64), pa.int64())
+        )
+
+    def latest_nonnull(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-column LWW: the latest non-null (epoch, seq) row wins each
+        column independently.  Same function serves as combiner and final
+        (idempotent: output rows re-enter as a valid patch stream)."""
+        df = df.sort_values(["epoch", "seq"], kind="mergesort")
+        a = df[df["content_sha"].notna()].groupby(["repo", "path"], sort=False).tail(1)
+        b = df[df["lang"].notna()].groupby(["repo", "path"], sort=False).tail(1)
+        return pd.concat([a, b], ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["epoch", "seq"], kind="mergesort")
+        sha = (
+            df[df["content_sha"].notna()]
+            .groupby(["repo", "path"], sort=False)
+            .tail(1)[["repo", "path", "content_sha"]]
+        )
+        lang = (
+            df[df["lang"].notna()]
+            .groupby(["repo", "path"], sort=False)
+            .tail(1)[["repo", "path", "lang"]]
+        )
+        out = sha.merge(lang, on=["repo", "path"], how="outer")
+        return out.rename(columns={"content_sha": "content_sha_hex"})[
+            ["repo", "path", "lang", "content_sha_hex"]
+        ]
+
+    patches = docs.map_batches(to_patches, batch_format="pyarrow")
+    combined = patches.map_batches(latest_nonnull, batch_format="pandas")
+    return combined.groupby("kpart").map_groups(final, batch_format="pandas")
+
+
+_SQL_PATCH_MERGE = """
+WITH stream AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         CAST(0 AS BIGINT) AS epoch, CAST(doc_id AS BIGINT) AS seq,
+         text AS content, lang
+  FROM documents
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR),
+         CAST(1 AS BIGINT), CAST(doc_id AS BIGINT), text || ' v2', NULL
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR),
+         CAST(1 AS BIGINT), CAST(doc_id + 1000000 AS BIGINT), NULL, lang || '-alt'
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT repo, path,
+       arg_max(lang, epoch * 100000000 + seq)
+         FILTER (WHERE lang IS NOT NULL) AS lang,
+       arg_max(sha256(content), epoch * 100000000 + seq)
+         FILTER (WHERE content IS NOT NULL) AS content_sha_hex
+FROM stream GROUP BY repo, path
+"""
+
+
 # ===========================================================================
 # TPC-H-style relational operators
 
@@ -3495,6 +3610,7 @@ QUERIES = {
     "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
     "repos_lake_ingest": repos_lake_ingest,
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_patch_merge": cdc_patch_merge,
     "cdc_time_travel_diff": cdc_time_travel_diff,
     "cdc_incremental_stats": cdc_incremental_stats,
     "cdc_incremental_token_df": cdc_incremental_token_df,
@@ -3575,6 +3691,7 @@ ORACLE_SQL = {
     "lineitem_quantity_quantiles": _SQL_QUANTILES,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "cdc_scd2_history": _SQL_SCD2,
+    "cdc_patch_merge": _SQL_PATCH_MERGE,
     "cdc_time_travel_diff": _SQL_TIME_TRAVEL_DIFF,
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "cdc_incremental_token_df": _SQL_INCREMENTAL_TOKEN_DF,
