@@ -1624,6 +1624,32 @@ FROM stream GROUP BY repo, path
 """
 
 
+def event_type_exact_median(sf_dir: str) -> pa.Table:
+    """EXACT per-group median without sorting or gathering the column:
+    sketch-guided iterative refinement (stages/selection.py) — KLL
+    brackets the target rank, counting passes shrink the live set ~50x
+    per round, and only the final <=cap candidates are ever gathered.
+    The emitted value is an exact element of the data (no interpolation),
+    so both engines return identical IEEE doubles with no rounding."""
+    from ..stages.selection import exact_group_quantile
+
+    ds = _events(sf_dir, ["event_type", "value"])
+    med = exact_group_quantile(ds, "event_type", "value", q=0.5, cap=4096)
+    rows = sorted(med.items())
+    return pa.table(
+        {
+            "event_type": pa.array([g for g, _ in rows], type=pa.string()),
+            "median_value": pa.array([v for _, v in rows], type=pa.float64()),
+        }
+    )
+
+
+_SQL_EXACT_MEDIAN = """
+SELECT event_type, quantile_disc(value, 0.5) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
 # ===========================================================================
 # TPC-H-style relational operators
 
@@ -3608,6 +3634,7 @@ QUERIES = {
     "customer_order_counts": customer_order_counts,
     "events_value_histogram": events_value_histogram,
     "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
+    "event_type_exact_median": event_type_exact_median,
     "repos_lake_ingest": repos_lake_ingest,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_patch_merge": cdc_patch_merge,
@@ -3689,6 +3716,7 @@ ORACLE_SQL = {
     "customer_order_counts": _SQL_CUST_ORDER_COUNTS,
     "events_value_histogram": _SQL_VALUE_HISTOGRAM,
     "lineitem_quantity_quantiles": _SQL_QUANTILES,
+    "event_type_exact_median": _SQL_EXACT_MEDIAN,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "cdc_scd2_history": _SQL_SCD2,
     "cdc_patch_merge": _SQL_PATCH_MERGE,

@@ -1,0 +1,60 @@
+"""Exact distributed grouped quantile (stages/selection.py)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from etl_cms_ray.stages.selection import exact_group_quantile
+
+
+def _make_ds(groups: dict[str, np.ndarray], block_rows: int = 4096) -> rd.Dataset:
+    g = np.concatenate([[k] * len(v) for k, v in groups.items()])
+    v = np.concatenate(list(groups.values()))
+    order = np.random.RandomState(7).permutation(len(v))
+    t = pa.table({"g": pa.array(g[order]), "v": pa.array(v[order], pa.float64())})
+    return rd.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=block_rows
+    )
+
+
+def _disc(vals: np.ndarray, q: float) -> float:
+    s = np.sort(vals)
+    return float(s[int(math.floor(q * (len(s) - 1) + 1e-9))])
+
+
+def test_exact_median_multi_round_tiny_cap():
+    # cap far below group size forces >=2 refinement rounds (resketch path)
+    rng = np.random.RandomState(11)
+    groups = {
+        "a": rng.normal(0.0, 10.0, 60_000),
+        "b": rng.exponential(3.0, 50_000),
+        "c": rng.uniform(-5, 5, 40_000),
+    }
+    ds = _make_ds(groups)
+    got = exact_group_quantile(ds, "g", "v", q=0.5, cap=64, guard=0.02)
+    for k, vals in groups.items():
+        assert got[k] == _disc(vals, 0.5), k
+
+
+def test_exact_quantiles_various_q_with_ties_and_nans():
+    rng = np.random.RandomState(5)
+    base = np.round(rng.normal(0, 3, 20_000), 1)  # heavy ties
+    withnan = np.concatenate([base, np.full(500, np.nan)])
+    groups = {"x": withnan, "y": rng.gamma(2.0, 2.0, 9_999)}
+    ds = _make_ds(groups)
+    for q in (0.0, 0.25, 0.9, 1.0):
+        got = exact_group_quantile(ds, "g", "v", q=q, cap=2048)
+        assert got["x"] == _disc(base, q), q  # NaNs ignored
+        assert got["y"] == _disc(groups["y"], q), q
+
+
+def test_tight_guard_recovers_via_widening():
+    # guard so small the sandwich check must fail and widen at least once
+    rng = np.random.RandomState(3)
+    vals = rng.normal(0, 1, 30_000)
+    ds = _make_ds({"only": vals})
+    got = exact_group_quantile(ds, "g", "v", q=0.5, cap=128, guard=1e-5)
+    assert got["only"] == _disc(vals, 0.5)
