@@ -1650,6 +1650,99 @@ FROM events GROUP BY event_type
 """
 
 
+def user_distinct_event_types(sf_dir: str) -> "rd.Dataset":
+    """Exact grouped COUNT(DISTINCT) over an UNBOUNDED key space: the
+    per-batch combiner collapses to distinct (user, type) pairs (at most
+    #types rows per user per block), the coarse key-hash final dedups
+    across blocks and counts — no global distinct shuffle, no single
+    final task (A4/D4 family; complements the global-distinct
+    lineitem_distinct_suppliers)."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def distinct_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates()
+            .groupby("user_id", sort=False)["event_type"]
+            .nunique()
+            .reset_index(name="n_types")
+        )
+        return g.assign(n_types=g["n_types"].astype("int64"))
+
+    ds = ds.map_batches(distinct_pairs, batch_format="pandas")
+    return _coarse_final(ds, "user_id", final)
+
+
+_SQL_DISTINCT_TYPES = """
+SELECT user_id, count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def orders_rollup(sf_dir: str) -> "rd.Dataset":
+    """ROLLUP / hierarchical totals (GROUPING SETS family, missing from
+    the flat-groupby catalog): per-batch partials at the finest grain,
+    then ONE bounded-key final that re-aggregates the fine cells into
+    the (priority, status) / (priority) / () levels — super-aggregates
+    derive from partials, so the input is read once and nothing beyond
+    #fine_cells x #blocks rows ever shuffles."""
+    ds = _rpc(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_t=_qround(df["o_totalprice"], 2))
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+            .agg(_n=("_t", "size"), _s=("_t", "sum"))
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        fine = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+            .agg(_n=("_n", "sum"), _s=("_s", "sum"))
+            .reset_index()
+        )
+        mid = (
+            fine.groupby("o_orderpriority", sort=False)
+            .agg(_n=("_n", "sum"), _s=("_s", "sum"))
+            .reset_index()
+        )
+        mid["o_orderstatus"] = None
+        top = pd.DataFrame(
+            {
+                "o_orderpriority": [None],
+                "o_orderstatus": [None],
+                "_n": [fine["_n"].sum()],
+                "_s": [fine["_s"].sum()],
+            }
+        )
+        out = pd.concat(
+            [fine, mid[fine.columns], top[fine.columns]], ignore_index=True
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": out["o_orderpriority"],
+                "o_orderstatus": out["o_orderstatus"],
+                "n_orders": out["_n"].astype("int64"),
+                "sum_total": _qround(out["_s"], 2),
+            }
+        )
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_ORDERS_ROLLUP = f"""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       {_sql_q("sum(floor((o_totalprice) * 100 + 0.5) / 100)", 2)} AS sum_total
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
 # ===========================================================================
 # TPC-H-style relational operators
 
@@ -3635,6 +3728,8 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
     "event_type_exact_median": event_type_exact_median,
+    "user_distinct_event_types": user_distinct_event_types,
+    "orders_rollup": orders_rollup,
     "repos_lake_ingest": repos_lake_ingest,
     "cdc_scd2_history": cdc_scd2_history,
     "cdc_patch_merge": cdc_patch_merge,
@@ -3717,6 +3812,8 @@ ORACLE_SQL = {
     "events_value_histogram": _SQL_VALUE_HISTOGRAM,
     "lineitem_quantity_quantiles": _SQL_QUANTILES,
     "event_type_exact_median": _SQL_EXACT_MEDIAN,
+    "user_distinct_event_types": _SQL_DISTINCT_TYPES,
+    "orders_rollup": _SQL_ORDERS_ROLLUP,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
     "cdc_scd2_history": _SQL_SCD2,
     "cdc_patch_merge": _SQL_PATCH_MERGE,
