@@ -1,0 +1,216 @@
+"""Inverted token index over the lake: bucket-bitmap file skipping for
+token search.
+
+The zone-map / dictionary stats (stages/applier.py) prune partitions by
+VALUE range or small value sets; neither helps "which partitions contain
+a document mentioning X".  This module adds the third pruning family —
+a per-partition token-bucket bitmap:
+
+- ``build_token_index`` runs one streaming pass over the live lake (one
+  task per partition, the audit/scan shape), space-tokenizes the target
+  column, hashes every distinct token (the engine's vectorized fnv1a64),
+  and sets bit ``hash % num_buckets`` in that partition's bitmap.  The
+  index is #partitions x (num_buckets/8) bytes — 512 B/partition at the
+  4096-bucket default, 32 MB for a 64Ki-partition lake — written as ONE
+  parquet under ``_index/`` with the manifest version it describes
+  (tmp + atomic rename, the manifest discipline).
+- ``token_search`` prunes to partitions whose bit for the probe token is
+  set.  An unset bit PROVES absence (no token of that hash bucket occurs
+  in the partition); a set bit may be a hash collision, so the exact
+  membership predicate is re-applied after the MOR-aware merge — same
+  conservative contract as range_scan/eq_scan: pruning decides how
+  little gets read, never the answer.
+- Staleness: the index records the manifest version it was built at; if
+  the lake has moved, search falls back to the full partition list (and
+  reports it) instead of trusting stale bits — rebuild is one pass.
+
+Token semantics are the catalog's single-space split, so the DuckDB
+mirror is ``list_contains(string_split(content, ' '), token)`` exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..state.manifest import LakeStore
+from ..schema import SchemaRegistry
+from .ingest import load_partition_live
+
+_INDEX_REL = os.path.join("_index", "tokens.parquet")
+
+
+def _index_path(lake_root: str) -> str:
+    return os.path.join(lake_root, _INDEX_REL)
+
+
+def build_token_index(
+    lake_root: str, column: str = "content", num_buckets: int = 4096
+) -> dict:
+    """One pass over the live lake -> ``_index/tokens.parquet``.
+
+    Returns {"version", "num_buckets", "partitions", "set_bits"}.
+    """
+    import ray
+
+    assert num_buckets % 8 == 0
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    reg_json = registry.to_json()
+    plan = [
+        {"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)}
+        for pid, ps in sorted(manifest.partitions.items())
+        if ps.file or ps.deltas
+    ]
+
+    def bitmap_partition(batch: pa.Table) -> pa.Table:
+        from ..functions.text import fingerprint_column
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        reg = SchemaRegistry.from_json(reg_json)
+        pids, maps = [], []
+        for pid, f0, ds_ in zip(
+            batch["part_id"].to_pylist(),
+            batch["file"].to_pylist(),
+            batch["deltas"].to_pylist(),
+        ):
+            t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+            bits = np.zeros(num_buckets // 8, dtype=np.uint8)
+            col = t[column]
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())
+            toks = pc.list_flatten(pc.split_pattern(col, " "))
+            if len(toks) > 0:
+                toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+                uniq = pc.unique(toks)
+                h = fingerprint_column(uniq).to_numpy(zero_copy_only=False).view(
+                    np.uint64
+                )
+                b = (h % np.uint64(num_buckets)).astype(np.int64)
+                np.bitwise_or.at(bits, b // 8, (1 << (b % 8)).astype(np.uint8))
+            pids.append(pid)
+            maps.append(bits.tobytes())
+        return pa.table(
+            {
+                "part_id": pa.array(pids, type=pa.int32()),
+                "bitmap": pa.array(maps, type=pa.binary(num_buckets // 8)),
+            }
+        )
+
+    rows = (
+        ray.data.from_items(plan)
+        .map_batches(bitmap_partition, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    t = pa.table(
+        {
+            "part_id": pa.array([r["part_id"] for r in rows], type=pa.int32()),
+            "bitmap": pa.array(
+                [r["bitmap"] for r in rows], type=pa.binary(num_buckets // 8)
+            ),
+        }
+    )
+    meta = {
+        "version": manifest.version,
+        "num_buckets": num_buckets,
+        "column": column,
+        "partitioner": "fnv1a64",
+    }
+    t = t.replace_schema_metadata({"token_index": json.dumps(meta)})
+    os.makedirs(os.path.dirname(_index_path(lake_root)), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(_index_path(lake_root)))
+    os.close(fd)
+    pq.write_table(t, tmp)
+    os.replace(tmp, _index_path(lake_root))
+    set_bits = int(
+        sum(bin(int.from_bytes(r["bitmap"], "little")).count("1") for r in rows)
+    )
+    return {
+        "version": manifest.version,
+        "num_buckets": num_buckets,
+        "partitions": len(rows),
+        "set_bits": set_bits,
+    }
+
+
+def token_plan(lake_root: str, token: str) -> tuple[list[dict], dict]:
+    """Pruned partition plan for ``token``; (plan, info) where info
+    reports {"pruned", "total", "fallback"}.  Missing or stale index ->
+    full plan (conservative: never a wrong answer, only a bigger read)."""
+    from ..functions.text import fingerprint64
+
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    full = [
+        {"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)}
+        for pid, ps in sorted(manifest.partitions.items())
+        if ps.file or ps.deltas
+    ]
+    info = {"total": len(full), "pruned": 0, "fallback": True}
+    path = _index_path(lake_root)
+    if not os.path.exists(path):
+        return full, info
+    t = pq.read_table(path)
+    meta = json.loads(t.schema.metadata[b"token_index"].decode())
+    if meta["version"] != manifest.version:
+        return full, info  # stale: the lake moved since the build
+    nb = int(meta["num_buckets"])
+    bucket = fingerprint64(token) % nb
+    byte_i, bit = bucket // 8, 1 << (bucket % 8)
+    keep = set()
+    for pid, bm in zip(t["part_id"].to_pylist(), t["bitmap"].to_pylist()):
+        if bm[byte_i] & bit:
+            keep.add(pid)
+    plan = [p for p in full if p["part_id"] in keep]
+    return plan, {"total": len(full), "pruned": len(full) - len(plan),
+                  "fallback": False}
+
+
+def token_search(
+    lake_root: str, token: str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Live lake rows whose ``content`` token list contains ``token``,
+    reading only the partitions the bitmap cannot rule out."""
+    import ray
+
+    store = LakeStore(lake_root)
+    registry = store.load_registry()
+    latest = registry.latest_version
+    schema = registry.schema_for(latest)
+    out_names = list(columns or schema.names)
+    plan, _info = token_plan(lake_root, token)
+    if not plan:
+        return ray.data.from_arrow(
+            pa.table({n: pa.array([], type=schema.field(n).type) for n in out_names})
+        )
+    reg_json = registry.to_json()
+    needle = f" {token} "
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        reg = SchemaRegistry.from_json(reg_json)
+        out = []
+        for f0, ds_ in zip(batch["file"].to_pylist(), batch["deltas"].to_pylist()):
+            t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+            col = t["content"]
+            if not pa.types.is_string(col.type):
+                col = col.cast(pa.string())
+            padded = pc.binary_join_element_wise(" ", col, " ", "")
+            mask = pc.match_substring(padded, needle)
+            out.append(t.filter(mask).select(out_names))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(plan).map_batches(
+        fetch, batch_format="pyarrow", batch_size=1
+    )

@@ -1624,6 +1624,52 @@ FROM stream GROUP BY repo, path
 """
 
 
+def cdc_token_search(sf_dir: str) -> "rd.Dataset":
+    """Inverted-token-index search over the lake (pipelines/index.py):
+    ingest the change stream, build the per-partition token-bucket
+    bitmap in one pass, then answer "documents mentioning X" reading
+    only partitions whose bit is set — an unset bit proves absence, a
+    set bit is re-checked exactly after the MOR merge, so the result
+    always equals filtering the full state.  Probe token 'v2' (the
+    update marker every epoch-1 content rewrite appends)."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from .index import build_token_index, token_search
+
+    events = _docs_change_events(sf_dir)
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"tokidx_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    ingest(events, cfg, count_input=False)
+    build_token_index(lake_root)
+    ds = token_search(lake_root, "v2", columns=["repo", "path", "lang", "content"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content_sha_hex": sha256_hex_column(t["content"]),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_TOKEN_SEARCH = """
+WITH final AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path, lang,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS content
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT repo, path, lang, sha256(content) AS content_sha_hex
+FROM final WHERE list_contains(string_split(content, ' '), 'v2')
+"""
+
+
 def event_type_exact_median(sf_dir: str) -> pa.Table:
     """EXACT per-group median without sorting or gathering the column:
     sketch-guided iterative refinement (stages/selection.py) — KLL
@@ -3739,6 +3785,7 @@ QUERIES = {
     "cdc_point_lookup": cdc_point_lookup,
     "cdc_range_scan": cdc_range_scan,
     "cdc_eq_scan": cdc_eq_scan,
+    "cdc_token_search": cdc_token_search,
     "cdc_inplace_rewrite": cdc_inplace_rewrite,
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_replica_sync": cdc_replica_sync,
@@ -3823,6 +3870,7 @@ ORACLE_SQL = {
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "cdc_range_scan": _SQL_RANGE_SCAN,
     "cdc_eq_scan": _SQL_EQ_SCAN,
+    "cdc_token_search": _SQL_TOKEN_SEARCH,
     "cdc_inplace_rewrite": _SQL_INPLACE_REWRITE,
     "cdc_schema_evolution": _SQL_REPOS_LAKE,
     "cdc_replica_sync": _SQL_REPOS_LAKE,
