@@ -1624,6 +1624,102 @@ FROM stream GROUP BY repo, path
 """
 
 
+def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
+    """Benchmark decontamination (stages/decontam.py): the corpus is
+    documents plus PLANTED contaminated copies (each benchmark doc
+    doc_id%97==1 re-appears at id+10M with a prefix), the benchmark set
+    is the original %97 docs, and the output is the pool with every
+    document sharing >=1 exact 5-token shingle with the benchmark
+    dropped.  Two task-based hash joins (shingle semi, id anti) — no
+    broadcast of either side; the oracle recomputes contamination from
+    the shingle definition itself, so organic (non-planted) collisions
+    are adjudicated identically on both engines."""
+    from ..stages.decontam import decontaminate
+
+    cols = ["doc_id", "text"]
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=cols)
+
+    def _bench_mask(t: pa.Table) -> pa.Array:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.array(ids % 97 == 1)
+
+    def planted(t: pa.Table) -> pa.Table:
+        t = t.filter(_bench_mask(t))
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 10_000_000),
+                "text": pc.binary_join_element_wise(
+                    "benchmark passage copied verbatim ", t["text"], ""
+                ),
+            }
+        )
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        return t.filter(_bench_mask(t))
+
+    def pool_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(_bench_mask(t)))
+
+    corpus = docs.map_batches(pool_only, batch_format="pyarrow").union(
+        docs.map_batches(planted, batch_format="pyarrow")
+    )
+    bench = docs.map_batches(bench_only, batch_format="pyarrow")
+    clean = decontaminate(
+        corpus, bench, n=5,
+        pool_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "content_sha_hex": sha256_hex_column(t["text"]),
+            }
+        )
+
+    return clean.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_DECONTAMINATE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 1
+  UNION ALL
+  SELECT doc_id + 10000000, 'benchmark passage copied verbatim ' || text
+  FROM documents WHERE doc_id % 97 = 1
+), tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(generate_series(1, array_length(string_split(text, ' ')))) AS pos
+  FROM corpus
+), sh AS (
+  SELECT doc_id,
+         token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+               || ' ' || lead(token, 3) OVER w || ' ' || lead(token, 4) OVER w
+           AS shingle
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(token, 4) OVER w IS NOT NULL
+), btok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(generate_series(1, array_length(string_split(text, ' ')))) AS pos
+  FROM documents WHERE doc_id % 97 = 1
+), bench AS (
+  SELECT DISTINCT token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+               || ' ' || lead(token, 3) OVER w || ' ' || lead(token, 4) OVER w
+           AS shingle
+  FROM btok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(token, 4) OVER w IS NOT NULL
+), hits AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+)
+SELECT c.doc_id, sha256(c.text) AS content_sha_hex
+FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
 def cdc_token_search(sf_dir: str) -> "rd.Dataset":
     """Inverted-token-index search over the lake (pipelines/index.py):
     ingest the change stream, build the per-partition token-bucket
@@ -3816,6 +3912,7 @@ QUERIES = {
     "user_train_val_split": user_train_val_split,
     "lang_doc_stats": lang_doc_stats,
     "dedup_exact_docs": dedup_exact_docs,
+    "decontaminate_docs": decontaminate_docs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_docs": dedup_cluster_docs,
     "ann_cosine_topk": ann_cosine_topk,
@@ -3899,6 +3996,7 @@ ORACLE_SQL = {
     "user_train_val_split": _SQL_TRAIN_VAL_SPLIT,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
+    "decontaminate_docs": _SQL_DECONTAMINATE,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_cluster_docs": _SQL_CLUSTER_DOCS,
     "dedup_apply_docs": _SQL_DEDUP_APPLY,

@@ -1,0 +1,129 @@
+"""Benchmark decontamination: drop documents that share any n-token
+shingle with a benchmark/eval set.
+
+The standard pretraining-hygiene operator (the reference's anti-join →
+dead-letter shape, J3, applied to eval leakage): a document is
+CONTAMINATED iff at least one of its word n-grams appears verbatim in
+the benchmark corpus.  Everything is streaming set algebra on the
+existing engine primitives — no broadcast of either side:
+
+  doc_shingles(pool)  ⋉ (semi, on shingle)  doc_shingles(benchmark)
+        -> contaminated doc ids
+  pool  ▷ (anti, on id)  contaminated ids   -> clean corpus
+
+Both joins are the task-based co-group ``hash_join``, so the benchmark
+side may be arbitrarily large (it stays a Dataset end-to-end).  Shingles
+join as exact STRINGS for oracle parity; at 100 TB you'd swap the join
+key for the engine's 64-bit gram hashes (functions/text.fingerprint64)
+— one line here — trading a 2^-64 collision (a false drop) for ~8x less
+shuffle bandwidth.
+
+Shingle construction is one vectorized sweep per batch: Arrow
+split_pattern gives the token ListArray; the flat token buffer is
+shingled by shifted pandas string adds with document boundaries masked
+via the list offsets — no per-row Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def shingle_rows(
+    batch: pa.Table, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """(id, shingle) rows: every n-token window of every document,
+    deduped per document (membership semantics)."""
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
+    toks = pc.split_pattern(batch[text_col], " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    lengths = offsets[1:] - offsets[:-1]
+    ids = np.repeat(
+        batch[id_col].to_numpy(zero_copy_only=False), lengths
+    )
+    ends = np.repeat(offsets[1:], lengths)  # exclusive end of own doc
+    s = pd.Series(flat.to_pandas().to_numpy(), dtype="object")
+    shingle = s.copy()
+    for i in range(1, n):
+        shingle = shingle + " " + s.shift(-i)
+    idx = np.arange(len(s))
+    valid = idx + n <= ends  # window stays inside its document
+    out = pd.DataFrame({id_col: ids[valid], "shingle": shingle.to_numpy()[valid]})
+    out = out.drop_duplicates()
+    return pa.table(
+        {
+            id_col: pa.array(out[id_col].to_numpy(), type=batch[id_col].type),
+            "shingle": pa.array(out["shingle"].tolist(), type=pa.string()),
+        }
+    )
+
+
+def contaminated_ids(
+    pool: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_type: pa.DataType = None,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Distinct-enough pool ids sharing >=1 shingle with the benchmark
+    (rows may repeat across partitions — harmless for the anti-join)."""
+    from .join import hash_join
+
+    id_type = id_type or pa.int64()
+    sh_schema = pa.schema([(id_col, id_type), ("shingle", pa.string())])
+    pool_sh = pool.map_batches(
+        shingle_rows, batch_format="pyarrow",
+        fn_kwargs=dict(n=n, id_col=id_col, text_col=text_col),
+    )
+    bench_sh = benchmark.map_batches(
+        shingle_rows, batch_format="pyarrow",
+        fn_kwargs=dict(n=n, id_col=id_col, text_col=text_col),
+    ).select_columns(["shingle"])
+    hits = hash_join(
+        pool_sh, bench_sh, on="shingle", how="semi",
+        num_partitions=num_partitions,
+        left_schema=sh_schema,
+        right_schema=pa.schema([("shingle", pa.string())]),
+    )
+
+    def distinct_ids(t: pa.Table) -> pa.Table:
+        u = pc.unique(t[id_col])
+        return pa.table({id_col: u})
+
+    return hits.map_batches(distinct_ids, batch_format="pyarrow")
+
+
+def decontaminate(
+    pool: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pool_schema: Optional[pa.Schema] = None,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """The clean corpus: pool minus contaminated documents."""
+    from .join import hash_join
+
+    id_type = (pool_schema or pa.schema([(id_col, pa.int64())])).field(id_col).type
+    hits = contaminated_ids(
+        pool, benchmark, n=n, id_col=id_col, text_col=text_col,
+        id_type=id_type, num_partitions=num_partitions,
+    )
+    return hash_join(
+        pool, hits, on=id_col, how="anti", num_partitions=num_partitions,
+        left_schema=pool_schema,
+        right_schema=pa.schema([(id_col, id_type)]),
+    )
