@@ -1720,6 +1720,73 @@ WHERE c.doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
+def doc_repetition_stats(sf_dir: str) -> "rd.Dataset":
+    """Gopher-style within-document repetition statistics: per document,
+    total vs distinct word-trigram windows and the duplicate-gram ratio
+    (1 - distinct/total), flagging documents above a 10% threshold.
+    Pure per-batch vectorization — a document's windows never leave its
+    row, so the stage is embarrassingly parallel at any scale; reuses
+    the decontamination shingle kernel with multiplicity kept."""
+    from ..stages.decontam import shingle_rows
+
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        sh = shingle_rows(t, n=3, distinct=False).to_pandas()
+        g = (
+            sh.groupby("doc_id", sort=False)
+            .agg(n_grams=("shingle", "size"), n_distinct=("shingle", "nunique"))
+            .reset_index()
+        )
+        m = pd.DataFrame(
+            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False)}
+        ).merge(g, on="doc_id", how="left").fillna(0)
+        n_grams = m["n_grams"].to_numpy(dtype=np.float64)
+        n_distinct = m["n_distinct"].to_numpy(dtype=np.float64)
+        ratio = np.where(n_grams > 0, 1.0 - n_distinct / np.maximum(n_grams, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(m["doc_id"].to_numpy(), type=pa.int64()),
+                "n_grams": pa.array(n_grams.astype(np.int64)),
+                "n_distinct": pa.array(n_distinct.astype(np.int64)),
+                "dup_ratio": pa.array(ratio, type=pa.float64()),
+                "is_repetitive": pa.array(
+                    ((n_grams > 0) & (ratio > 0.1)).astype(np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+_SQL_REPETITION = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(generate_series(1, array_length(string_split(text, ' ')))) AS pos
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+         token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS g
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(token, 2) OVER w IS NOT NULL
+), c AS (
+  SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct
+  FROM tri GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(c.n_grams, 0) AS n_grams,
+       COALESCE(c.n_distinct, 0) AS n_distinct,
+       CASE WHEN c.n_grams IS NULL THEN 0.0
+            ELSE 1.0 - CAST(c.n_distinct AS DOUBLE) / c.n_grams END AS dup_ratio,
+       CAST(CASE WHEN c.n_grams IS NOT NULL
+                  AND 1.0 - CAST(c.n_distinct AS DOUBLE) / c.n_grams > 0.1
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+FROM documents d LEFT JOIN c USING (doc_id)
+"""
+
+
 def cdc_token_search(sf_dir: str) -> "rd.Dataset":
     """Inverted-token-index search over the lake (pipelines/index.py):
     ingest the change stream, build the per-partition token-bucket
@@ -3913,6 +3980,7 @@ QUERIES = {
     "lang_doc_stats": lang_doc_stats,
     "dedup_exact_docs": dedup_exact_docs,
     "decontaminate_docs": decontaminate_docs,
+    "doc_repetition_stats": doc_repetition_stats,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_docs": dedup_cluster_docs,
     "ann_cosine_topk": ann_cosine_topk,
@@ -3997,6 +4065,7 @@ ORACLE_SQL = {
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "decontaminate_docs": _SQL_DECONTAMINATE,
+    "doc_repetition_stats": _SQL_REPETITION,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_cluster_docs": _SQL_CLUSTER_DOCS,
     "dedup_apply_docs": _SQL_DEDUP_APPLY,

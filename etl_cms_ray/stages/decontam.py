@@ -35,10 +35,12 @@ import pyarrow.compute as pc
 
 
 def shingle_rows(
-    batch: pa.Table, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+    batch: pa.Table, n: int = 5, id_col: str = "doc_id", text_col: str = "text",
+    distinct: bool = True,
 ) -> pa.Table:
     """(id, shingle) rows: every n-token window of every document,
-    deduped per document (membership semantics)."""
+    deduped per document when ``distinct`` (membership semantics);
+    ``distinct=False`` keeps multiplicity (repetition statistics)."""
     from ..functions.threads import single_threaded_kernels
 
     single_threaded_kernels()
@@ -59,7 +61,8 @@ def shingle_rows(
     idx = np.arange(len(s))
     valid = idx + n <= ends  # window stays inside its document
     out = pd.DataFrame({id_col: ids[valid], "shingle": shingle.to_numpy()[valid]})
-    out = out.drop_duplicates()
+    if distinct:
+        out = out.drop_duplicates()
     return pa.table(
         {
             id_col: pa.array(out[id_col].to_numpy(), type=batch[id_col].type),
