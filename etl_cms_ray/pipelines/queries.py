@@ -1720,6 +1720,71 @@ WHERE c.doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
 
+def user_customer_full_outer(sf_dir: str) -> "rd.Dataset":
+    """FULL OUTER hash join (stages/join.py how='outer'): per-user event
+    counts x a customer key range chosen so BOTH unmatched sides are
+    non-empty (users below the range, customers above the user space).
+    The coalesced join key rides under the left name; unmatched-side
+    BIGINTs surface as float64+NaN on both engines (the prev_event_id
+    convention)."""
+    from ..stages.join import hash_join
+
+    left = _coarse_final(
+        _events(sf_dir, ["user_id"]).map_batches(
+            lambda df: df.groupby("user_id", sort=False)
+            .size()
+            .rename("_n")
+            .reset_index(),
+            batch_format="pandas",
+        ),
+        "user_id",
+        lambda df: df.groupby("user_id", sort=False)["_n"]
+        .sum()
+        .rename("n_events")
+        .reset_index()
+        .assign(n_events=lambda d: d["n_events"].astype("int64")),
+    )
+    right = _rpc(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    right = right.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                (t["c_custkey"].to_numpy(zero_copy_only=False) >= 50)
+                & (t["c_custkey"].to_numpy(zero_copy_only=False) <= 200)
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        left, right, on="user_id", right_on="c_custkey", how="outer",
+        left_schema=pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
+
+    def to_float(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": t["n_events"].cast(pa.float64()),
+                "c_name": t["c_name"],
+            }
+        )
+
+    return joined.map_batches(to_float, batch_format="pyarrow")
+
+
+_SQL_FULL_OUTER = """
+WITH u AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+), c AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey BETWEEN 50 AND 200
+)
+SELECT COALESCE(u.user_id, c.c_custkey) AS user_id,
+       CAST(u.n_events AS DOUBLE) AS n_events,
+       c.c_name
+FROM u FULL OUTER JOIN c ON u.user_id = c.c_custkey
+"""
+
+
 def doc_repetition_stats(sf_dir: str) -> "rd.Dataset":
     """Gopher-style within-document repetition statistics: per document,
     total vs distinct word-trigram windows and the duplicate-gram ratio
@@ -3933,6 +3998,7 @@ QUERIES = {
     "cdc_tumbling_window": cdc_tumbling_window,
     "cdc_rolling_value_mean": cdc_rolling_value_mean,
     "order_status_revenue_native_join": order_status_revenue_native_join,
+    "user_customer_full_outer": user_customer_full_outer,
     "customer_order_counts": customer_order_counts,
     "events_value_histogram": events_value_histogram,
     "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
@@ -4020,6 +4086,7 @@ ORACLE_SQL = {
     "cdc_tumbling_window": _SQL_TUMBLING,
     "cdc_rolling_value_mean": _SQL_ROLLING,
     "order_status_revenue_native_join": _SQL_NATIVE_JOIN,
+    "user_customer_full_outer": _SQL_FULL_OUTER,
     "customer_order_counts": _SQL_CUST_ORDER_COUNTS,
     "events_value_histogram": _SQL_VALUE_HISTOGRAM,
     "lineitem_quantity_quantiles": _SQL_QUANTILES,

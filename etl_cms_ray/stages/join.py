@@ -60,6 +60,9 @@ _HOW_TO_ACERO = {
     "left_semi": "left semi",
     "anti": "left anti",
     "left_anti": "left anti",
+    "outer": "full outer",
+    "full": "full outer",
+    "full_outer": "full outer",
 }
 
 _RKEY_FMT = "__rk{}"
@@ -116,8 +119,10 @@ def hash_join(
     (``suffix`` appended where a name collides with a left column) —
     matching ``pa.Table.join``.  Row order is not defined (hash join);
     sort downstream if order matters.  ``how``: inner / left / semi /
-    anti (semi and anti return left columns only; full outer is not
-    implemented — the index-join merge would need key coalescing).
+    anti / outer (semi and anti return left columns only; ``outer`` is
+    FULL outer — unmatched rows of both sides survive, and the key
+    columns carry the Acero-coalesced left∪right key under the LEFT
+    names, cast to the left key types; right outer = swap the inputs).
 
     Schemas: the union plan needs both input schemas up front, but
     ``Dataset.schema()`` on a COMPUTED input (anything behind a shuffle)
@@ -149,8 +154,13 @@ def hash_join(
         raise ValueError("on/right_on arity mismatch")
     acero_how = _HOW_TO_ACERO[how]
     semi_like = acero_how in ("left semi", "left anti")
+    full_outer = acero_how == "full outer"
     if hot_keys is not None and len(l_on) != 1:
         raise ValueError("hot_keys salting supports single-column joins only")
+    if hot_keys is not None and full_outer:
+        # replicated hot build rows would emit their unmatched copies
+        # `salt` times on the right-outer side
+        raise ValueError("hot_keys salting is incompatible with a full outer join")
     # salt > P would wrap (base+s) % P onto the same slot, replicating a
     # hot right row INTO a partition twice -> duplicated join rows
     salt = min(max(1, int(salt)), num_partitions)
@@ -304,7 +314,16 @@ def hash_join(
             right_keys=rk_names,
             join_type=acero_how,
         )
-        out = lt.take(j["__li"])
+        out = lt.take(j["__li"])  # null __li (right-only rows) take as nulls
+        if full_outer:
+            # key columns come back Acero-coalesced (left∪right key) under
+            # the left names; overwrite the null-padded left keys with them
+            for k in l_on:
+                idx = out.schema.get_field_index(k)
+                key = j[k]
+                if key.type != out_types[k]:
+                    key = key.cast(out_types[k])
+                out = out.set_column(idx, k, key)
         if not semi_like:
             rtaken = rt.select(out_r_cols).take(j["__ri"])
             for c in out_r_cols:

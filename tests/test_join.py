@@ -181,3 +181,33 @@ def test_hot_key_salting_preserves_results(ray_session):
                       num_partitions=16, hot_keys=[7], salt=4).to_pandas()
         pd.testing.assert_frame_equal(_sorted(a), _sorted(b), check_dtype=False)
     assert len(plain) > n  # the hot key actually fanned out
+
+
+def test_full_outer_matches_pandas(sides):
+    left, right = sides
+    lp, rp = left.to_pandas(), right.to_pandas()
+    got = hash_join(_ds(left), _ds(right), on="k", how="outer").to_pandas()
+    exp = lp.merge(rp, on="k", how="outer", suffixes=("", "_r"))
+    assert _sorted(got).equals(_sorted(exp.astype({"k": "int64"})))
+    # both unmatched sides must actually be exercised by the fixture
+    assert got["lv"].isna().any() and got["rv"].isna().any()
+
+
+def test_full_outer_null_keys_emitted_unmatched(ray_session):
+    left = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                     "lv": pa.array([10, 20, 30], pa.int64())})
+    right = pa.table({"k": pa.array([None, 3, 9], pa.int64()),
+                      "rv": pa.array([7, 8, 9], pa.int64())})
+    got = hash_join(_ds(left), _ds(right), on="k", how="outer").to_pandas()
+    # SQL semantics: null keys never match but DO survive a full outer
+    assert len(got) == 5
+    m = got[got["k"] == 3]
+    assert len(m) == 1 and m["lv"].iloc[0] == 30 and m["rv"].iloc[0] == 8
+    assert got["k"].isna().sum() == 2
+
+
+def test_full_outer_rejects_salting(ray_session):
+    left = pa.table({"k": pa.array([1], pa.int64())})
+    right = pa.table({"k": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        hash_join(_ds(left), _ds(right), on="k", how="outer", hot_keys=[1])
