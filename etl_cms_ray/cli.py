@@ -113,6 +113,18 @@ def main(argv: list[str] | None = None) -> int:
     pd_.add_argument("--to-version", type=int, default=None, dest="to_v")
     pd_.add_argument("--out", default=None, help="optional parquet output path")
 
+    pidx = sub.add_parser("index", help="(re)build the inverted token index "
+                          "over the live lake")
+    pidx.add_argument("--lake", required=True)
+    pidx.add_argument("--column", default="content")
+    pidx.add_argument("--buckets", type=int, default=4096)
+
+    psrch = sub.add_parser("search", help="token search via the inverted "
+                           "index (prunes provably-absent partitions)")
+    psrch.add_argument("--lake", required=True)
+    psrch.add_argument("--token", required=True)
+    psrch.add_argument("--out", default=None, help="optional parquet output path")
+
     args = p.parse_args(argv)
     ray = _ray_session(args.num_cpus)
     try:
@@ -191,6 +203,25 @@ def main(argv: list[str] | None = None) -> int:
             counts = (df["change"].value_counts().to_dict()
                       if "change" in df.columns else {})
             print(json.dumps({"rows": int(len(df)), "changes": counts}))
+        elif args.cmd == "index":
+            from .pipelines.index import build_token_index
+
+            print(json.dumps(build_token_index(
+                args.lake, column=args.column, num_buckets=args.buckets)))
+        elif args.cmd == "search":
+            from .pipelines.index import token_plan, token_search
+
+            plan, info = token_plan(args.lake, args.token)
+            ds = token_search(args.lake, args.token)
+            if args.out:
+                ds.write_parquet(args.out)
+                import pyarrow.dataset as pds
+
+                rows = sum(f.count_rows()
+                           for f in pds.dataset(args.out).get_fragments())
+            else:
+                rows = ds.count()
+            print(json.dumps({"rows": int(rows), **info}))
         elif args.cmd == "tail":
             from .config import EngineConfig
             from .pipelines.tail import tail_loop

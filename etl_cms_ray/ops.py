@@ -23,6 +23,12 @@ from .stages.dedup import (exact_dedup_groups, minhash_lsh_pairs,
 from .stages.ann import (brute_force_topk, cosine_pairs, ivf_topk, lsh_topk,
                          pq_encode, pq_topk, train_centroids, train_pq)
 
+# corpus hygiene
+from .stages.decontam import contaminated_ids, decontaminate, shingle_rows
+
+# exact distributed selection
+from .stages.selection import exact_group_quantile
+
 # structural
 from .stages.closure import closure_roots
 from .stages.fanout import Route, fanout_write, read_fanout_table
@@ -33,6 +39,7 @@ from .stages.unpivot import unpivot_list
 from .pipelines.history import (incremental_repo_stats, incremental_token_df,
                                 read_snapshot, repo_stats_snapshot,
                                 snapshot_diff, token_df_snapshot)
+from .pipelines.index import build_token_index, token_plan, token_search
 from .pipelines.ingest import (eq_plan, eq_scan, ingest, lookup_plan,
                                point_lookup, range_plan, range_scan,
                                read_lake, read_lake_table)
@@ -61,6 +68,9 @@ __all__ = [
     "snapshot_diff", "ingest", "read_lake", "read_lake_table",
     "point_lookup", "lookup_plan", "range_plan", "range_scan",
     "eq_plan", "eq_scan",
+    "build_token_index", "token_plan", "token_search",
+    "decontaminate", "contaminated_ids", "shingle_rows",
+    "exact_group_quantile",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where",
