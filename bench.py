@@ -256,6 +256,10 @@ def run_bench() -> dict:
     timed("cdc_replica_sync", Q.cdc_replica_sync)
     timed("cdc_range_scan", Q.cdc_range_scan)
     timed("training_corpus", Q.training_corpus)
+    timed("cdc_scd2_history", Q.cdc_scd2_history)
+    timed("cdc_token_search", Q.cdc_token_search)
+    timed("decontaminate_docs", Q.decontaminate_docs)
+    timed("event_type_exact_median", Q.event_type_exact_median)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",
