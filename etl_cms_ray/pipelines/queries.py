@@ -2946,6 +2946,126 @@ WHERE substr(sha256(text), 1, 1) IN ('0', '1')
 """
 
 
+_QUOTA_K = 40
+
+
+def doc_lang_quota_sample(sf_dir: str) -> "rd.Dataset":
+    """Per-group quota cap (the per-domain document cap of a pretraining
+    mix): keep at most K docs per lang, selected by a DETERMINISTIC
+    content-hash order (sha256(text), doc_id) — reproducible across
+    runs, engines, and partitioning.  Per-batch local top-K combiner
+    bounds the shuffle to langs x K rows per block; the final re-merge
+    is bounded-key (langs x K x blocks), so no unbounded task exists."""
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        df = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "sha": sha256_hex_column(t["text"]),
+            }
+        ).to_pandas()
+        df = df.sort_values(["lang", "sha", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(_QUOTA_K), preserve_index=False
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "sha", "doc_id"], kind="mergesort")
+        out = df.groupby("lang", sort=False).head(_QUOTA_K)
+        return out[["doc_id", "lang"]]
+
+    return _final_agg(ds.map_batches(local_topk, batch_format="pyarrow"), final)
+
+
+_SQL_QUOTA_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY sha256(text), doc_id)
+        <= {_QUOTA_K}
+"""
+
+
+def user_top_event_type(sf_dir: str) -> "rd.Dataset":
+    """Grouped MODE / argmax aggregate over an unbounded key space: each
+    user's most frequent event type (ties -> lexicographically smallest
+    type).  Per-batch (user, type) count partials, coarse key-hash final
+    sum + one vectorized argmax sweep per bucket."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("_n")
+            .reset_index()
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)["_n"]
+            .sum()
+            .reset_index()
+        )
+        g = g.sort_values(
+            ["user_id", "_n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = g.groupby("user_id", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "top_type": out["event_type"],
+                "n_events": out["_n"].astype("int64"),
+            }
+        )
+
+    return _coarse_final(ds.map_batches(partial, batch_format="pandas"),
+                         "user_id", final)
+
+
+_SQL_TOP_EVENT_TYPE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type AS top_type, n AS n_events FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+"""
+
+
+def doc_stratified_sample(sf_dir: str) -> "rd.Dataset":
+    """Stratified (per-group-RATE) content-hash sampling — the quota
+    rebalancing step of a corpus mix: 'en' keeps a 1/2 rate, every other
+    lang 1/4, each decision keyed on sha256(text) so the sample is
+    order/partitioning/engine independent.  Pure per-batch vectorization
+    (single hex-nibble compare against a per-row threshold)."""
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        sha = sha256_hex_column(t["text"])
+        nibble = pc.utf8_slice_codeunits(sha, 0, 1)
+        thr = pc.if_else(
+            pc.equal(t["lang"], pa.scalar("en")), pa.scalar("8"), pa.scalar("4")
+        )
+        out = t.filter(pc.less(nibble, thr))
+        return pa.table({"doc_id": out["doc_id"], "lang": out["lang"]})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(sha256(text), 1, 1) < (CASE WHEN lang = 'en' THEN '8' ELSE '4' END)
+"""
+
+
 def user_train_val_split(sf_dir: str) -> "rd.Dataset":
     """Leakage-safe train/val split: the split decision hashes the ENTITY
     key (user_id), so every event of one user lands on the same side —
@@ -4041,6 +4161,9 @@ QUERIES = {
     "doc_token_unpivot": doc_token_unpivot,
     "doc_quality_filter": doc_quality_filter,
     "doc_content_sample": doc_content_sample,
+    "doc_lang_quota_sample": doc_lang_quota_sample,
+    "doc_stratified_sample": doc_stratified_sample,
+    "user_top_event_type": user_top_event_type,
     "doc_pii_redact": doc_pii_redact,
     "user_train_val_split": user_train_val_split,
     "lang_doc_stats": lang_doc_stats,
@@ -4127,6 +4250,9 @@ ORACLE_SQL = {
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,
     "doc_content_sample": _SQL_CONTENT_SAMPLE,
+    "doc_lang_quota_sample": _SQL_QUOTA_SAMPLE,
+    "doc_stratified_sample": _SQL_STRATIFIED_SAMPLE,
+    "user_top_event_type": _SQL_TOP_EVENT_TYPE,
     "doc_pii_redact": _sql_pii_redact(),
     "user_train_val_split": _SQL_TRAIN_VAL_SPLIT,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
