@@ -1474,7 +1474,9 @@ def cdc_scd2_history(sf_dir: str) -> "rd.Dataset":
         )
         return out[(df["op"] != "delete").values]
 
-    parts = events.map_batches(prep, batch_format="pyarrow")
+    # batch_size coalesces the tiny per-read blocks before the sort
+    # shuffle (O(M x R) block pairs — the engine-wide pre-shuffle rule)
+    parts = events.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     return parts.groupby("kpart").map_groups(sweep, batch_format="pandas")
 
 
@@ -1908,7 +1910,9 @@ def event_type_exact_median(sf_dir: str) -> pa.Table:
     from ..stages.selection import exact_group_quantile
 
     ds = _events(sf_dir, ["event_type", "value"])
-    med = exact_group_quantile(ds, "event_type", "value", q=0.5, cap=4096)
+    # cap 64Ki: one refinement round suffices through sf1 (the gather is
+    # a few MB); the multi-round path is pinned by tests/test_selection.py
+    med = exact_group_quantile(ds, "event_type", "value", q=0.5, cap=65536)
     rows = sorted(med.items())
     return pa.table(
         {
