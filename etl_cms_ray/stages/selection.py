@@ -173,7 +173,13 @@ def exact_group_quantile(
             s["offset"] += below
             s["lo"], s["hi"] = brackets[g][2], brackets[g][3]
             s["live"] = cand
-            if cand <= max(1, cap // max(1, len(live))):
+            if s["lo"] == s["hi"] and np.isfinite(s["lo"]):
+                # bracket collapsed to one value (massive ties): every
+                # candidate IS that value — no gather needed, and without
+                # this exit re-sketching could never shrink the bracket
+                result[g] = float(s["lo"])
+                s["done"] = True
+            elif cand <= max(1, cap // max(1, len(live))):
                 gather[g] = (s["lo"], s["hi"])
 
         if gather:  # final gather for the groups whose bracket fits

@@ -58,3 +58,12 @@ def test_tight_guard_recovers_via_widening():
     ds = _make_ds({"only": vals})
     got = exact_group_quantile(ds, "g", "v", q=0.5, cap=128, guard=1e-5)
     assert got["only"] == _disc(vals, 0.5)
+
+
+def test_massive_ties_collapse_bracket_without_gather():
+    # one value repeated far beyond cap: the bracket collapses to [x, x]
+    # and the answer is emitted without ever gathering `cap` rows
+    vals = np.full(200_000, 3.25)
+    ds = _make_ds({"t": vals})
+    got = exact_group_quantile(ds, "g", "v", q=0.5, cap=64)
+    assert got["t"] == 3.25
