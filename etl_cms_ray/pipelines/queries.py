@@ -1416,8 +1416,11 @@ WHERE doc_id % 7 <> 0
 
 def cdc_scd2_history(sf_dir: str) -> "rd.Dataset":
     """SCD type-2 dimension history from the change stream (D5/T3 family
-    extension; the warehouse-side history table ETL-CMS leaves to its
-    SQL load step).  Every surviving (non-delete) version of a key
+    extension; the validity-interval shape of the reference's era/
+    observation-period derivations — ``write_observation_period_records``,
+    ``CMS_SynPuf_ETL_CDM_v5.py:844``, and the event-ordinal window of
+    ``SQL/create_CDMv5_drug_era_non_stockpile.sql:57`` — applied to the
+    key's own version chain).  Every surviving (non-delete) version of a key
     becomes one row with its validity interval
     ``[(valid_from_epoch, valid_from_seq), (valid_to_epoch, valid_to_seq))``;
     a delete event closes the last open interval without emitting a row;
@@ -1516,7 +1519,8 @@ def cdc_patch_merge(sf_dir: str) -> "rd.Dataset":
     update: a change event carries only the columns it touches (others
     NULL = untouched), and the merged state per key is the LATEST
     NON-NULL value per column, each column independently.  Extends the
-    row-granularity LWW core (D5) to column granularity.
+    row-granularity LWW core (D5, the reference's ``LatestYearData``
+    pick at ``CMS_SynPuf_ETL_CDM_v5.py:546``) to column granularity.
 
     Patch stream (deterministic, mirrored in the oracle): epoch 0
     inserts every doc with (content, lang); epoch 1 patches content only

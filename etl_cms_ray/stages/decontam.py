@@ -2,7 +2,8 @@
 shingle with a benchmark/eval set.
 
 The standard pretraining-hygiene operator (the reference's anti-join →
-dead-letter shape, J3, applied to eval leakage): a document is
+dead-letter shape, J3 — the unmapped-code log of
+``CMS_SynPuf_ETL_CDM_v5.py:966`` — applied to eval leakage): a document is
 CONTAMINATED iff at least one of its word n-grams appears verbatim in
 the benchmark corpus.  Everything is streaming set algebra on the
 existing engine primitives — no broadcast of either side:
