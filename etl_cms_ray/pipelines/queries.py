@@ -1637,9 +1637,11 @@ def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
     is the original %97 docs, and the output is the pool with every
     document sharing >=1 exact 5-token shingle with the benchmark
     dropped.  Two task-based hash joins (shingle semi, id anti) — no
-    broadcast of either side; the oracle recomputes contamination from
-    the shingle definition itself, so organic (non-planted) collisions
-    are adjudicated identically on both engines."""
+    broadcast of either side; runs the DEFAULT 64-bit hashed-gram key
+    (the scale path — the oracle compares on shingle STRINGS, exact up
+    to a 2^-64 gram collision, the n-gram-Jaccard precedent); the
+    oracle recomputes contamination from the shingle definition itself,
+    so organic (non-planted) collisions are adjudicated identically."""
     from ..stages.decontam import decontaminate
 
     cols = ["doc_id", "text"]

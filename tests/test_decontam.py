@@ -55,3 +55,24 @@ def test_no_overlap_keeps_everything(ray_session):
     pool = _ds([(1, "a b c d e f g"), (2, "h i j k l m n")])
     clean = decontaminate(pool, bench, n=5, pool_schema=SCHEMA).to_pandas()
     assert sorted(clean["doc_id"]) == [1, 2]
+
+
+def test_hash_and_string_modes_agree(ray_session):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    vocab = [f"w{i}" for i in range(60)]
+    mk = lambda k: " ".join(rng.choice(vocab, k))
+    bench = _ds([(100 + i, mk(20)) for i in range(5)])
+    bench_texts = bench.to_pandas()["text"].tolist()
+    pool_rows = [(i, mk(30)) for i in range(40)]
+    # plant verbatim benchmark passages into a few pool docs
+    pool_rows[3] = (3, pool_rows[3][1] + " " + bench_texts[0])
+    pool_rows[7] = (7, bench_texts[2])
+    pool = _ds(pool_rows)
+    a = sorted(decontaminate(pool, bench, n=5, pool_schema=SCHEMA,
+                             key="hash").to_pandas()["doc_id"])
+    b = sorted(decontaminate(pool, bench, n=5, pool_schema=SCHEMA,
+                             key="string").to_pandas()["doc_id"])
+    assert a == b
+    assert 3 not in a and 7 not in a
