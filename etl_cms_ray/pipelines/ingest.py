@@ -266,10 +266,20 @@ def ingest(
 
 def load_partition_live(
     lake_root: str, file: str | None, deltas: list, registry: SchemaRegistry,
-    version: int,
+    version: int, key_filters: list | None = None,
 ) -> pa.Table:
     """LIVE rows of one partition: LWW(base ∪ deltas), tombstones dropped,
-    promoted to the target schema version, key-sorted."""
+    promoted to the target schema version, key-sorted.
+
+    ``key_filters`` (parquet DNF, e.g. ``[[("repo","=",r),("path","=",p)],
+    ...]``) pushes row-group/page skipping into every file read.  ONLY
+    predicates on the LWW KEY columns are safe here: a key's whole
+    version chain satisfies or fails a key predicate together, so the
+    merge sees either all of a key's rows or none — a VALUE predicate
+    pushed pre-merge could drop the newest version and resurrect an
+    older matching one (see range_scan for the delta-free fast path).
+    Files are written key-sorted, so key predicates align with row-group
+    min/max stats."""
     import pyarrow.parquet as pq
 
     from ..stages.lww import drop_tombstones, lww_reduce
@@ -277,10 +287,15 @@ def load_partition_live(
     schema = registry.schema_for(version)
     tables = []
     if file:
-        base = registry.evolve_table(pq.read_table(os.path.join(lake_root, file)), version)
-        tables.append(base.append_column("op", pa.array(["insert"] * base.num_rows)))
+        base = registry.evolve_table(
+            pq.read_table(os.path.join(lake_root, file), filters=key_filters),
+            version,
+        )
+        tables.append(base.append_column(
+            "op", pa.array(["insert"] * base.num_rows, type=pa.string())
+        ))
     for rel in deltas:
-        d = pq.read_table(os.path.join(lake_root, rel))
+        d = pq.read_table(os.path.join(lake_root, rel), filters=key_filters)
         op = d["op"]
         tables.append(registry.evolve_table(d, version).append_column("op", op))
     if not tables:
@@ -486,7 +501,12 @@ def point_lookup(
             batch["repos"].to_pylist(),
             batch["paths"].to_pylist(),
         ):
-            t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+            # key-predicate pushdown: parquet row groups whose (repo,
+            # path) stats exclude every probe key are never decoded
+            kf = [[("repo", "=", r), ("path", "=", p)]
+                  for r, p in zip(repos, paths)]
+            t = load_partition_live(lake_root, f0, list(ds_ or []), reg,
+                                    latest, key_filters=kf)
             wanted = [f"{r}\x00{p}" for r, p in zip(repos, paths)]
             mask = pc.is_in(key_array(t["repo"], t["path"]), value_set=pa.array(wanted))
             out.append(t.filter(mask).select(out_names))
@@ -521,7 +541,11 @@ def range_plan(manifest: Manifest, column: str, lo, hi) -> list[dict]:
         s = (ps.stats or {}).get(column)
         if isinstance(s, list) and (s[1] < lo or s[0] > hi):
             continue  # provably disjoint (dict stats: eq_plan's job)
-        plan.append({"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)})
+        # push=True: recorded range stats prove the column exists in the
+        # file with a filterable type, so the scan may push the predicate
+        # into the parquet read (delta-free partitions only — see fetch)
+        plan.append({"part_id": pid, "file": ps.file, "deltas": list(ps.deltas),
+                     "push": isinstance(s, list)})
     return plan
 
 
@@ -541,7 +565,8 @@ def eq_plan(manifest: Manifest, column: str, value) -> list[dict]:
             continue  # provably absent
         if isinstance(s, list) and not (s[0] <= value <= s[1]):
             continue
-        plan.append({"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)})
+        plan.append({"part_id": pid, "file": ps.file, "deltas": list(ps.deltas),
+                     "push": isinstance(s, (list, dict))})
     return plan
 
 
@@ -570,8 +595,17 @@ def eq_scan(
     def fetch(batch: pa.Table) -> pa.Table:
         reg = SchemaRegistry.from_json(reg_json)
         out = []
-        for f0, ds_ in zip(batch["file"].to_pylist(), batch["deltas"].to_pylist()):
-            t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+        for f0, ds_, push in zip(batch["file"].to_pylist(),
+                                 batch["deltas"].to_pylist(),
+                                 batch["push"].to_pylist()):
+            # delta-free partition + stats-proven column: the base file IS
+            # the live state (CoW / compacted — no tombstones), so a VALUE
+            # predicate may push into the read; with deltas the predicate
+            # must wait for the LWW merge (pre-merge filtering could drop
+            # the newest version and resurrect an older matching one)
+            kf = [[(column, "=", value)]] if push and not ds_ else None
+            t = load_partition_live(lake_root, f0, list(ds_ or []), reg,
+                                    latest, key_filters=kf)
             mask = pc.equal(t[column], pa.scalar(value))
             out.append(t.filter(mask).select(out_names))
         return pa.concat_tables(out)
@@ -607,8 +641,14 @@ def range_scan(
     def fetch(batch: pa.Table) -> pa.Table:
         reg = SchemaRegistry.from_json(reg_json)
         out = []
-        for f0, ds_ in zip(batch["file"].to_pylist(), batch["deltas"].to_pylist()):
-            t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
+        for f0, ds_, push in zip(batch["file"].to_pylist(),
+                                 batch["deltas"].to_pylist(),
+                                 batch["push"].to_pylist()):
+            # same delta-free pushdown contract as eq_scan's fetch
+            kf = ([[(column, ">=", lo), (column, "<=", hi)]]
+                  if push and not ds_ else None)
+            t = load_partition_live(lake_root, f0, list(ds_ or []), reg,
+                                    latest, key_filters=kf)
             mask = pc.and_(
                 pc.greater_equal(t[column], pa.scalar(lo)),
                 pc.less_equal(t[column], pa.scalar(hi)),
