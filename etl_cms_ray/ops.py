@@ -40,9 +40,9 @@ from .pipelines.history import (incremental_repo_stats, incremental_token_df,
                                 read_snapshot, repo_stats_snapshot,
                                 snapshot_diff, token_df_snapshot)
 from .pipelines.index import build_token_index, token_plan, token_search
-from .pipelines.ingest import (eq_plan, eq_scan, ingest, lookup_plan,
-                               point_lookup, range_plan, range_scan,
-                               read_lake, read_lake_table)
+from .pipelines.ingest import (eq_plan, eq_scan, ingest, ingest_with_retry,
+                               lookup_plan, point_lookup, range_plan,
+                               range_scan, read_lake, read_lake_table)
 from .pipelines.maintenance import (audit_lake, compact_lake, delete_where,
                                     expire_snapshots, repartition_lake,
                                     update_where)
@@ -65,7 +65,8 @@ __all__ = [
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",
     "incremental_repo_stats", "incremental_token_df", "token_df_snapshot",
     "read_snapshot", "repo_stats_snapshot",
-    "snapshot_diff", "ingest", "read_lake", "read_lake_table",
+    "snapshot_diff", "ingest", "ingest_with_retry", "read_lake",
+    "read_lake_table",
     "point_lookup", "lookup_plan", "range_plan", "range_scan",
     "eq_plan", "eq_scan",
     "build_token_index", "token_plan", "token_search",

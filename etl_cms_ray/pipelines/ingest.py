@@ -264,6 +264,37 @@ def ingest(
     )
 
 
+def ingest_with_retry(
+    events: "ray.data.Dataset",
+    cfg: EngineConfig,
+    retries: int = 2,
+    **kwargs,
+) -> IngestResult:
+    """``ingest`` with optimistic-concurrency retry.
+
+    The manifest publish is compare-and-swap (``LakeStore.publish``
+    raises ``manifest conflict`` if another committer advanced CURRENT
+    since this ingest loaded it).  Retrying by re-running the WHOLE
+    ingest is safe and exact: each attempt reloads the fresh manifest,
+    so fences are recomputed against the racing commit's state (already-
+    applied epochs fence out, new ones apply); data files are
+    content-addressed, so a redo rewrites identical bytes under
+    identical names; the failed attempt's unreferenced files are
+    reclaimed by ``expire_snapshots``.  Single-writer remains the normal
+    discipline — this makes the occasional race a retry, not a corruption.
+    """
+    last: Exception | None = None
+    for _attempt in range(retries + 1):
+        try:
+            return ingest(events, cfg, **kwargs)
+        except RuntimeError as e:
+            if "manifest conflict" not in str(e):
+                raise
+            last = e
+    assert last is not None
+    raise last
+
+
 def load_partition_live(
     lake_root: str, file: str | None, deltas: list, registry: SchemaRegistry,
     version: int, key_filters: list | None = None,

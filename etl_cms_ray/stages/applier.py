@@ -124,7 +124,14 @@ def _write_deterministic(table: pa.Table, directory: str, stem: str) -> tuple[st
     os.makedirs(directory, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=directory, prefix=".tmp-")
     os.close(fd)
-    pq.write_table(table, tmp, compression="zstd", data_page_version="2.0")
+    # 128Ki-row row groups: partitions are key-sorted, so parquet
+    # row-group stats give the key/value predicate pushdown
+    # (load_partition_live key_filters, range/eq_scan delta-free push)
+    # intra-file skipping to work with — one giant row group per file
+    # would make every pushdown read the whole partition anyway.
+    # Fixed option => file bytes stay deterministic (content addressing).
+    pq.write_table(table, tmp, compression="zstd", data_page_version="2.0",
+                   row_group_size=131072)
     h = hashlib.sha256()
     with open(tmp, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):

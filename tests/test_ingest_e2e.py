@@ -386,3 +386,67 @@ def test_crash_before_publish_recovers(ray_session, tmp_path, monkeypatch):
     res = ingest(ray.data.from_arrow(ev), cfg)
     assert res.manifest_version == 1
     assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
+
+
+def test_ingest_with_retry_survives_racing_committer(ray_session, tmp_path,
+                                                     monkeypatch):
+    """Optimistic concurrency: a second committer advances CURRENT between
+    this ingest's manifest load and its publish.  The publish CAS fails,
+    ingest_with_retry reruns the whole apply against the fresh manifest,
+    and the final state equals the oracle replay — the racing commit is
+    metadata-only, so relational state must be exactly the events'."""
+    from etl_cms_ray.pipelines.ingest import ingest_with_retry
+
+    import etl_cms_ray.state.manifest as mstate
+    from etl_cms_ray.state.manifest import Manifest
+
+    repos = make_repos(3, 5)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=40)
+    cfg = _cfg(tmp_path, "lake_race")
+    ingest(ray.data.from_arrow(ev).filter(expr="epoch == 0"), cfg)
+
+    real_publish = mstate.LakeStore.publish
+    state = {"raced": False}
+
+    def racing_publish(self, manifest, expect_version=None,
+                       changed_parts=None, stage=False):
+        if not state["raced"] and not stage:
+            state["raced"] = True  # a rival writer lands a commit first
+            other = mstate.LakeStore(self.root)
+            cur = other.load_manifest()
+            bump = Manifest(version=cur.version + 1,
+                            num_partitions=cur.num_partitions,
+                            partitions=dict(cur.partitions),
+                            partitioner=cur.partitioner)
+            bump.metrics = {"op": "rival_touch"}
+            real_publish(other, bump, expect_version=cur.version)
+        return real_publish(self, manifest, expect_version=expect_version,
+                            changed_parts=changed_parts, stage=stage)
+
+    monkeypatch.setattr(mstate.LakeStore, "publish", racing_publish)
+    res = ingest_with_retry(
+        ray.data.from_arrow(ev).filter(expr="epoch > 0"), cfg)
+    monkeypatch.setattr(mstate.LakeStore, "publish", real_publish)
+
+    assert state["raced"]
+    assert res.manifest_version == 3  # v1 ingest, v2 rival, v3 retried
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
+
+
+def test_ingest_with_retry_gives_up_and_reraises(ray_session, tmp_path,
+                                                 monkeypatch):
+    from etl_cms_ray.pipelines.ingest import ingest_with_retry
+
+    import etl_cms_ray.state.manifest as mstate
+
+    repos = make_repos(2, 3)
+    ev = make_events(repos, n_epochs=1, events_per_epoch=10)
+    cfg = _cfg(tmp_path, "lake_race_giveup")
+
+    def always_conflict(self, manifest, expect_version=None,
+                        changed_parts=None, stage=False):
+        raise RuntimeError("manifest conflict: CURRENT=9 != expected 0")
+
+    monkeypatch.setattr(mstate.LakeStore, "publish", always_conflict)
+    with pytest.raises(RuntimeError, match="manifest conflict"):
+        ingest_with_retry(ray.data.from_arrow(ev), cfg, retries=1)
