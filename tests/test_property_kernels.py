@@ -97,3 +97,41 @@ def test_closure_roots_matches_naive_walk(nodes, rnd):
         root, depth = walk(n)
         assert got.loc[f"n{n}", "root"] == f"n{root}", n
         assert got.loc[f"n{n}", "depth"] == depth, n
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_shingle_hash_rows_equivalent_to_string_shingles(token_lists):
+    """The hashed-gram kernel must induce the SAME doc↔shingle structure
+    as the string kernel: per-doc distinct counts match, and the grouping
+    of documents by shared shingle is identical (collision-free at these
+    sizes, which is the point of 64-bit grams)."""
+    import pyarrow as pa
+
+    from etl_cms_ray.stages.decontam import shingle_hash_rows, shingle_rows
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(len(token_lists)), pa.int64()),
+            "text": pa.array([" ".join(ts) for ts in token_lists], pa.string()),
+        }
+    )
+    s = shingle_rows(batch, n=3).to_pandas()
+    h = shingle_hash_rows(batch, n=3).to_pandas()
+    # identical per-doc distinct window counts
+    sc = s.groupby("doc_id").size().to_dict()
+    hc = h.groupby("doc_id").size().to_dict()
+    assert sc == hc
+    # identical doc-grouping structure: the multiset of doc-sets reachable
+    # from one shingle equals the multiset reachable from one hash
+    sg = sorted(s.groupby("shingle")["doc_id"].apply(frozenset).tolist(),
+                key=lambda x: sorted(x))
+    hg = sorted(h.groupby("gh")["doc_id"].apply(frozenset).tolist(),
+                key=lambda x: sorted(x))
+    assert sg == hg
