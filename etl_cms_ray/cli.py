@@ -212,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.index import token_plan, token_search
 
             plan, info = token_plan(args.lake, args.token)
-            ds = token_search(args.lake, args.token)
+            ds = token_search(args.lake, args.token, plan=plan)
             if args.out:
                 ds.write_parquet(args.out)
                 import pyarrow.dataset as pds

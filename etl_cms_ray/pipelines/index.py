@@ -142,12 +142,20 @@ def build_token_index(
     }
 
 
-def token_plan(lake_root: str, token: str) -> tuple[list[dict], dict]:
+def token_plan(
+    lake_root: str, token: str, column: str = "content"
+) -> tuple[list[dict], dict]:
     """Pruned partition plan for ``token``; (plan, info) where info
-    reports {"pruned", "total", "fallback"}.  Missing or stale index ->
-    full plan (conservative: never a wrong answer, only a bigger read)."""
+    reports {"pruned", "total", "fallback"}.  Missing or stale index, or
+    an index built over a DIFFERENT column, -> full plan (conservative:
+    never a wrong answer, only a bigger read)."""
     from ..functions.text import fingerprint64
 
+    if " " in token:
+        # the index is built over single-space-split tokens; a multi-word
+        # probe's bit was never set, so pruning would change the ANSWER
+        # depending on index freshness instead of just the read size
+        raise ValueError("token_plan/token_search probe must be a single token")
     store = LakeStore(lake_root)
     manifest = store.load_manifest()
     full = [
@@ -161,8 +169,8 @@ def token_plan(lake_root: str, token: str) -> tuple[list[dict], dict]:
         return full, info
     t = pq.read_table(path)
     meta = json.loads(t.schema.metadata[b"token_index"].decode())
-    if meta["version"] != manifest.version:
-        return full, info  # stale: the lake moved since the build
+    if meta["version"] != manifest.version or meta.get("column") != column:
+        return full, info  # stale, or an index over a different column
     nb = int(meta["num_buckets"])
     bucket = fingerprint64(token) % nb
     byte_i, bit = bucket // 8, 1 << (bucket % 8)
@@ -176,10 +184,16 @@ def token_plan(lake_root: str, token: str) -> tuple[list[dict], dict]:
 
 
 def token_search(
-    lake_root: str, token: str, columns: list[str] | None = None
+    lake_root: str,
+    token: str,
+    columns: list[str] | None = None,
+    column: str = "content",
+    plan: list[dict] | None = None,
 ) -> "ray.data.Dataset":
-    """Live lake rows whose ``content`` token list contains ``token``,
-    reading only the partitions the bitmap cannot rule out."""
+    """Live lake rows whose ``column`` token list contains ``token``,
+    reading only the partitions the bitmap cannot rule out.  Pass a
+    precomputed ``plan`` from ``token_plan`` to avoid re-reading the
+    index (the CLI does; the plan must be for the same token/column)."""
     import ray
 
     store = LakeStore(lake_root)
@@ -187,7 +201,8 @@ def token_search(
     latest = registry.latest_version
     schema = registry.schema_for(latest)
     out_names = list(columns or schema.names)
-    plan, _info = token_plan(lake_root, token)
+    if plan is None:
+        plan, _info = token_plan(lake_root, token, column=column)
     if not plan:
         return ray.data.from_arrow(
             pa.table({n: pa.array([], type=schema.field(n).type) for n in out_names})
@@ -203,7 +218,7 @@ def token_search(
         out = []
         for f0, ds_ in zip(batch["file"].to_pylist(), batch["deltas"].to_pylist()):
             t = load_partition_live(lake_root, f0, list(ds_ or []), reg, latest)
-            col = t["content"]
+            col = t[column]
             if not pa.types.is_string(col.type):
                 col = col.cast(pa.string())
             padded = pc.binary_join_element_wise(" ", col, " ", "")

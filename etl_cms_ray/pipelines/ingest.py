@@ -272,9 +272,11 @@ def ingest_with_retry(
 ) -> IngestResult:
     """``ingest`` with optimistic-concurrency retry.
 
-    The manifest publish is compare-and-swap (``LakeStore.publish``
-    raises ``manifest conflict`` if another committer advanced CURRENT
-    since this ingest loaded it).  Retrying by re-running the WHOLE
+    The manifest publish is a true compare-and-swap: a fast CURRENT
+    version check plus an O_EXCL per-version claim file, so of two
+    committers overlapping in the check-then-act window exactly one
+    lands and the other gets ``manifest conflict`` (see
+    ``LakeStore.publish``).  Retrying by re-running the WHOLE
     ingest is safe and exact: each attempt reloads the fresh manifest,
     so fences are recomputed against the racing commit's state (already-
     applied epochs fence out, new ones apply); data files are

@@ -155,6 +155,9 @@ def contaminated_ids(
     )
 
     def distinct_ids(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         u = pc.unique(t[id_col])
         return pa.table({id_col: u})
 

@@ -21,9 +21,11 @@ band was too tight (sketch error exceeded it), the round widens the band
 and re-counts instead of failing — correctness never depends on the
 sketch, only the pass count does.
 
-Rank convention: 0-based rank floor(q * (n-1)), matching DuckDB's
-``quantile_disc`` (verified empirically for odd/even n and q in
-{0, .25, .5, 1}).
+Rank convention: 0-based rank max(0, ceil(q*n) - 1), matching DuckDB's
+``quantile_disc`` (verified empirically for every n in 1..29 x q in
+{0, .1, .25, .33, .5, .66, .75, .9, .99, 1} — the earlier floor(q*(n-1))
+formula coincides at q in {0, .25, .5, 1} but diverges at e.g. q=0.9,
+n=2, where quantile_disc returns the max and floor returns the min).
 """
 
 from __future__ import annotations
@@ -100,7 +102,9 @@ def exact_group_quantile(
     state = {}
     for g, kll in sketches.items():
         n = kll.n
-        r = int(math.floor(q * (n - 1) + 1e-9)) if n > 0 else 0
+        # quantile_disc rank: 1-based ceil(q*n), clamped; the epsilon
+        # keeps exact products (q=0.5, n=4 -> 2.0) from ceiling upward
+        r = max(0, int(math.ceil(q * n - 1e-9)) - 1) if n > 0 else 0
         state[g] = {"r": r, "offset": 0, "lo": -_INF, "hi": _INF,
                     "live": n, "sk": kll, "done": n == 0}
     result = {g: float("nan") for g in state}

@@ -219,6 +219,13 @@ class LakeStore:
         if to_version != 0 and not os.path.exists(path):
             raise FileNotFoundError(path)
         _atomic_write(self.current_path, str(to_version))
+        # release version claims above the restored point: roll-forward
+        # commits REUSE those version numbers (see publish's CAS claim)
+        claims_dir = os.path.join(self.manifest_dir, "claims")
+        if os.path.isdir(claims_dir):
+            for f in os.listdir(claims_dir):
+                if f.startswith("v") and int(f[1:]) > to_version:
+                    os.unlink(os.path.join(claims_dir, f))
         self.append_lineage({"op": "rollback", "manifest_version": to_version})
 
     #: shard fan-out of the partition map: shard_size = ceil(P / SHARD_FAN);
@@ -258,6 +265,30 @@ class LakeStore:
             raise RuntimeError(
                 f"manifest conflict: CURRENT={self.current_version()} != expected {expect_version}"
             )
+        if expect_version is not None:
+            # the version check above is check-then-act: two committers
+            # inside the window both pass it and would clobber each
+            # other's manifest-N.json.  The REAL CAS is an O_EXCL claim
+            # file per version — exactly one committer creates it, the
+            # loser gets the same 'manifest conflict' and retries against
+            # the fresh manifest.  rollback releases claims above the
+            # restored version (roll-forward reuses version numbers) and
+            # abort_staged releases its own; a committer that CRASHED
+            # between claim and CURRENT-flip leaves a stale claim —
+            # rollback(current_version()) is the documented release.
+            claim = os.path.join(self.manifest_dir, "claims",
+                                 f"v{manifest.version:06d}")
+            os.makedirs(os.path.dirname(claim), exist_ok=True)
+            try:
+                fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+            except FileExistsError:
+                raise RuntimeError(
+                    f"manifest conflict: version {manifest.version} already "
+                    f"claimed by another committer "
+                    f"(CURRENT={self.current_version()}); a crashed claimant "
+                    f"is released by rollback(current_version())"
+                ) from None
         prior_index = (
             self._load_index(expect_version) if expect_version is not None else None
         )
@@ -339,6 +370,9 @@ class LakeStore:
         path = os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")
         if os.path.exists(path):
             os.unlink(path)
+        claim = os.path.join(self.manifest_dir, "claims", f"v{version:06d}")
+        if os.path.exists(claim):
+            os.unlink(claim)  # the aborted version number is reusable
         self.append_lineage({"op": "wap_abort", "manifest_version": version})
 
     # -- schema registry -------------------------------------------------

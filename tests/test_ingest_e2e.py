@@ -450,3 +450,34 @@ def test_ingest_with_retry_gives_up_and_reraises(ray_session, tmp_path,
     monkeypatch.setattr(mstate.LakeStore, "publish", always_conflict)
     with pytest.raises(RuntimeError, match="manifest conflict"):
         ingest_with_retry(ray.data.from_arrow(ev), cfg, retries=1)
+
+
+def test_publish_claim_blocks_overlapped_committers(ray_session, tmp_path):
+    """The version check alone is check-then-act; the O_EXCL claim file is
+    the real CAS.  A rival that claimed the version inside the window
+    (before our CURRENT check could observe its flip) must force a
+    conflict rather than a silent manifest clobber."""
+    from etl_cms_ray.state.manifest import LakeStore, Manifest
+
+    store = LakeStore(str(tmp_path / "lake_claim"))
+    os.makedirs(os.path.join(store.manifest_dir, "claims"), exist_ok=True)
+    open(os.path.join(store.manifest_dir, "claims", "v000001"), "x").close()
+    with pytest.raises(RuntimeError, match="manifest conflict"):
+        store.publish(Manifest(version=1), expect_version=0)
+
+
+def test_rollback_and_abort_release_version_claims(ray_session, tmp_path):
+    from etl_cms_ray.state.manifest import LakeStore, Manifest
+
+    store = LakeStore(str(tmp_path / "lake_claimroll"))
+    store.publish(Manifest(version=1), expect_version=0)
+    store.publish(Manifest(version=2), expect_version=1)
+    store.rollback(1)
+    # roll-forward reuses the version number: the claim must be gone
+    store.publish(Manifest(version=2), expect_version=1)
+    assert store.current_version() == 2
+    # staged version numbers are reusable after abort
+    store.publish(Manifest(version=3), expect_version=2, stage=True)
+    store.abort_staged(3)
+    store.publish(Manifest(version=3), expect_version=2)
+    assert store.current_version() == 3

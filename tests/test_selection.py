@@ -21,8 +21,16 @@ def _make_ds(groups: dict[str, np.ndarray], block_rows: int = 4096) -> rd.Datase
 
 
 def _disc(vals: np.ndarray, q: float) -> float:
-    s = np.sort(vals)
-    return float(s[int(math.floor(q * (len(s) - 1) + 1e-9))])
+    """The ORACLE convention, straight from DuckDB — not a reimplementation
+    of the engine's rank formula (a shared formula would hide a
+    convention bug, as it did for q=0.9 before this test asked DuckDB)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"x": vals}))
+    return float(
+        con.sql(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+    )
 
 
 def test_exact_median_multi_round_tiny_cap():
