@@ -1934,6 +1934,63 @@ FROM events GROUP BY event_type
 """
 
 
+def event_type_value_stats(sf_dir: str) -> "rd.Dataset":
+    """Grouped statistical moments (population variance / stddev) from
+    mergeable (n, sum, sumsq) partials — the moments family the flat
+    sum/avg aggregates don't cover.  Grid discipline (CLAUDE.md rule 4):
+    inputs quantize to the 0.01 grid so both engines' sums are EXACT
+    grid integers regardless of summation order, and the variance
+    expression is mirrored literally so the final doubles are identical
+    IEEE values."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = _qround(df["value"], 2)
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "_v": v, "_vv": v * v})
+            .groupby("event_type", sort=False)
+            .agg(_n=("_v", "size"), _s=("_v", "sum"), _ss=("_vv", "sum"))
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("event_type", sort=False)
+            .agg(_n=("_n", "sum"), _s=("_s", "sum"), _ss=("_ss", "sum"))
+            .reset_index()
+        )
+        n = g["_n"].astype("float64")
+        s, ss = g["_s"], g["_ss"]
+        var = (ss - s * s / n) / n
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_events": g["_n"].astype("int64"),
+                "mean_value": _qround(s / n, 6),
+                "var_pop": _qround(var, 6),
+                "std_pop": _qround(np.sqrt(var), 6),
+            }
+        )
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_VALUE_STATS = """
+WITH q AS (
+  SELECT event_type, floor((value) * 100 + 0.5) / 100 AS v FROM events
+), a AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(v) AS s, sum(v * v) AS ss
+  FROM q GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       floor((s / n) * 1000000 + 0.5) / 1000000 AS mean_value,
+       floor(((ss - s * s / n) / n) * 1000000 + 0.5) / 1000000 AS var_pop,
+       floor(sqrt((ss - s * s / n) / n) * 1000000 + 0.5) / 1000000 AS std_pop
+FROM a
+"""
+
+
 def user_distinct_event_types(sf_dir: str) -> "rd.Dataset":
     """Exact grouped COUNT(DISTINCT) over an UNBOUNDED key space: the
     per-batch combiner collapses to distinct (user, type) pairs (at most
@@ -4133,6 +4190,7 @@ QUERIES = {
     "events_value_histogram": events_value_histogram,
     "lineitem_quantity_quantiles": lineitem_quantity_quantiles,
     "event_type_exact_median": event_type_exact_median,
+    "event_type_value_stats": event_type_value_stats,
     "user_distinct_event_types": user_distinct_event_types,
     "orders_rollup": orders_rollup,
     "repos_lake_ingest": repos_lake_ingest,
@@ -4224,6 +4282,7 @@ ORACLE_SQL = {
     "events_value_histogram": _SQL_VALUE_HISTOGRAM,
     "lineitem_quantity_quantiles": _SQL_QUANTILES,
     "event_type_exact_median": _SQL_EXACT_MEDIAN,
+    "event_type_value_stats": _SQL_VALUE_STATS,
     "user_distinct_event_types": _SQL_DISTINCT_TYPES,
     "orders_rollup": _SQL_ORDERS_ROLLUP,
     "repos_lake_ingest": _SQL_REPOS_LAKE,
