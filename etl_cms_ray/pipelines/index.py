@@ -50,12 +50,29 @@ def _index_path(lake_root: str) -> str:
     return os.path.join(lake_root, _INDEX_REL)
 
 
+def _state_id(ps) -> str:
+    """Identity of a partition's LIVE state: data files are immutable and
+    content-addressed, so (base file, delta chain) determines the rows
+    exactly — the incremental rebuild's reuse key."""
+    import hashlib
+
+    raw = (ps.file or "") + "|" + "|".join(ps.deltas or [])
+    return hashlib.sha1(raw.encode()).hexdigest()[:16]
+
+
 def build_token_index(
-    lake_root: str, column: str = "content", num_buckets: int = 4096
+    lake_root: str, column: str = "content", num_buckets: int = 4096,
+    incremental: bool = True,
 ) -> dict:
     """One pass over the live lake -> ``_index/tokens.parquet``.
 
-    Returns {"version", "num_buckets", "partitions", "set_bits"}.
+    ``incremental`` (default): partitions whose (base file, delta chain)
+    is unchanged since the existing index was built REUSE their bitmap —
+    a refresh after a commit costs O(changed partitions), the same cost
+    class as the changelog.  The index version always advances to the
+    CURRENT manifest, so token_plan's staleness check passes after every
+    refresh.  Returns {"version", "num_buckets", "partitions",
+    "set_bits", "rebuilt", "reused"}.
     """
     import ray
 
@@ -65,10 +82,28 @@ def build_token_index(
     registry = store.load_registry()
     latest = registry.latest_version
     reg_json = registry.to_json()
+
+    reuse: dict[int, bytes] = {}
+    if incremental and os.path.exists(_index_path(lake_root)):
+        old = pq.read_table(_index_path(lake_root))
+        old_meta = json.loads(old.schema.metadata[b"token_index"].decode())
+        if (old_meta.get("column") == column
+                and int(old_meta.get("num_buckets", -1)) == num_buckets
+                and "state_id" in old.column_names):
+            old_state = dict(zip(old["part_id"].to_pylist(),
+                                 old["state_id"].to_pylist()))
+            old_bm = dict(zip(old["part_id"].to_pylist(),
+                              old["bitmap"].to_pylist()))
+            for pid, ps in manifest.partitions.items():
+                if (ps.file or ps.deltas) and old_state.get(pid) == _state_id(ps):
+                    reuse[pid] = old_bm[pid]
+
+    live = {pid: ps for pid, ps in sorted(manifest.partitions.items())
+            if ps.file or ps.deltas}
     plan = [
         {"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)}
-        for pid, ps in sorted(manifest.partitions.items())
-        if ps.file or ps.deltas
+        for pid, ps in live.items()
+        if pid not in reuse
     ]
 
     def bitmap_partition(batch: pa.Table) -> pa.Table:
@@ -106,16 +141,24 @@ def build_token_index(
             }
         )
 
-    rows = (
-        ray.data.from_items(plan)
-        .map_batches(bitmap_partition, batch_format="pyarrow", batch_size=1)
-        .take_all()
-    )
+    fresh: dict[int, bytes] = {}
+    if plan:
+        rows = (
+            ray.data.from_items(plan)
+            .map_batches(bitmap_partition, batch_format="pyarrow", batch_size=1)
+            .take_all()
+        )
+        fresh = {r["part_id"]: r["bitmap"] for r in rows}
+    bitmaps = {**reuse, **fresh}
+    pids = sorted(bitmaps)
     t = pa.table(
         {
-            "part_id": pa.array([r["part_id"] for r in rows], type=pa.int32()),
+            "part_id": pa.array(pids, type=pa.int32()),
             "bitmap": pa.array(
-                [r["bitmap"] for r in rows], type=pa.binary(num_buckets // 8)
+                [bitmaps[p] for p in pids], type=pa.binary(num_buckets // 8)
+            ),
+            "state_id": pa.array(
+                [_state_id(live[p]) for p in pids], type=pa.string()
             ),
         }
     )
@@ -132,13 +175,15 @@ def build_token_index(
     pq.write_table(t, tmp)
     os.replace(tmp, _index_path(lake_root))
     set_bits = int(
-        sum(bin(int.from_bytes(r["bitmap"], "little")).count("1") for r in rows)
+        sum(bin(int.from_bytes(b, "little")).count("1") for b in bitmaps.values())
     )
     return {
         "version": manifest.version,
         "num_buckets": num_buckets,
-        "partitions": len(rows),
+        "partitions": len(pids),
         "set_bits": set_bits,
+        "rebuilt": len(fresh),
+        "reused": len(reuse),
     }
 
 

@@ -103,3 +103,27 @@ def test_stale_index_falls_back(lake):
     build_token_index(lake)
     _, info2 = token_plan(lake, "def")
     assert not info2["fallback"]
+
+
+def test_incremental_rebuild_reuses_unchanged_partitions(lake):
+    # lake currently has a fresh full index (built by the stale test).
+    # One tiny commit touches few partitions; the refresh must recompute
+    # only those and still answer exactly.
+    planted = pa.table(
+        {
+            "repo": ["r-inc"], "path": ["p-inc"], "op": ["insert"],
+            "commit": ["beef"], "epoch": [9], "seq": [0], "lang": ["py"],
+            "content": ["incremental flag token qqincrementalqq here"],
+        }
+    )
+    cfg = EngineConfig(lake_root=lake, num_partitions=16)
+    ingest(rd.from_arrow(planted), cfg)
+    stats = build_token_index(lake)
+    assert stats["reused"] > 0, "unchanged partitions must reuse bitmaps"
+    assert 0 < stats["rebuilt"] < stats["partitions"]
+    got = token_search(lake, "qqincrementalqq", columns=["repo", "path"]).to_pandas()
+    assert got["repo"].tolist() == ["r-inc"]
+    # and an unrelated common token still matches the full filter
+    exp = _expected(lake, "def").to_pandas()
+    got2 = token_search(lake, "def", columns=["repo", "path"]).to_pandas()
+    assert len(got2) == len(exp)
