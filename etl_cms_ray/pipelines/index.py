@@ -20,9 +20,18 @@ a per-partition token-bucket bitmap:
   membership predicate is re-applied after the MOR-aware merge — same
   conservative contract as range_scan/eq_scan: pruning decides how
   little gets read, never the answer.
-- Staleness: the index records the manifest version it was built at; if
-  the lake has moved, search falls back to the full partition list (and
-  reports it) instead of trusting stale bits — rebuild is one pass.
+- Staleness is decided PER PARTITION by state identity, never by
+  manifest version number: versions are reused after rollback +
+  roll-forward (state/manifest.py rollback releases the claim), so an
+  index built at old version N could otherwise validate against a
+  different roll-forward state also numbered N and prune partitions
+  that now contain the token.  Data files are immutable and
+  content-addressed, so a matching ``state_id`` (sha1 of base file +
+  delta chain) PROVES the bitmap describes the current rows; any
+  mismatched or missing partition is included in the plan
+  unconditionally (reported as ``stale``) — pruning still never
+  decides the answer, and a partially-stale index keeps pruning the
+  unchanged partitions instead of falling back wholesale.
 
 Token semantics are the catalog's single-space split, so the DuckDB
 mirror is ``list_contains(string_split(content, ' '), token)`` exactly.
@@ -191,9 +200,15 @@ def token_plan(
     lake_root: str, token: str, column: str = "content"
 ) -> tuple[list[dict], dict]:
     """Pruned partition plan for ``token``; (plan, info) where info
-    reports {"pruned", "total", "fallback"}.  Missing or stale index, or
-    an index built over a DIFFERENT column, -> full plan (conservative:
-    never a wrong answer, only a bigger read)."""
+    reports {"pruned", "total", "fallback", "stale"}.  Missing index or
+    an index built over a DIFFERENT column -> full plan (``fallback``);
+    a partition whose stored ``state_id`` does not match the CURRENT
+    manifest's (base file, delta chain) is counted ``stale`` and kept in
+    the plan unconditionally — never trust a bitmap for rows it was not
+    built over.  Manifest version numbers are deliberately NOT used for
+    trust: they are reused after rollback + roll-forward, so two
+    different lake states can share a version (conservative: never a
+    wrong answer, only a bigger read)."""
     from ..functions.text import fingerprint64
 
     if " " in token:
@@ -203,29 +218,35 @@ def token_plan(
         raise ValueError("token_plan/token_search probe must be a single token")
     store = LakeStore(lake_root)
     manifest = store.load_manifest()
+    live = {pid: ps for pid, ps in sorted(manifest.partitions.items())
+            if ps.file or ps.deltas}
     full = [
         {"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)}
-        for pid, ps in sorted(manifest.partitions.items())
-        if ps.file or ps.deltas
+        for pid, ps in live.items()
     ]
-    info = {"total": len(full), "pruned": 0, "fallback": True}
+    info = {"total": len(full), "pruned": 0, "fallback": True, "stale": 0}
     path = _index_path(lake_root)
     if not os.path.exists(path):
         return full, info
     t = pq.read_table(path)
     meta = json.loads(t.schema.metadata[b"token_index"].decode())
-    if meta["version"] != manifest.version or meta.get("column") != column:
-        return full, info  # stale, or an index over a different column
+    if meta.get("column") != column or "state_id" not in t.column_names:
+        return full, info  # an index over a different column / pre-state_id
     nb = int(meta["num_buckets"])
     bucket = fingerprint64(token) % nb
     byte_i, bit = bucket // 8, 1 << (bucket % 8)
-    keep = set()
-    for pid, bm in zip(t["part_id"].to_pylist(), t["bitmap"].to_pylist()):
-        if bm[byte_i] & bit:
+    idx_state = dict(zip(t["part_id"].to_pylist(), t["state_id"].to_pylist()))
+    idx_bm = dict(zip(t["part_id"].to_pylist(), t["bitmap"].to_pylist()))
+    keep, stale = set(), 0
+    for pid, ps in live.items():
+        if idx_state.get(pid) != _state_id(ps):
+            keep.add(pid)  # changed since indexing: cannot prune
+            stale += 1
+        elif idx_bm[pid][byte_i] & bit:
             keep.add(pid)
     plan = [p for p in full if p["part_id"] in keep]
     return plan, {"total": len(full), "pruned": len(full) - len(plan),
-                  "fallback": False}
+                  "fallback": False, "stale": stale}
 
 
 def token_search(

@@ -145,10 +145,15 @@ def exact_group_quantile(
                 q_lo, q_hi = q_mid - gband, q_mid + gband
                 # the sketch only stores a subsample: its 0/1 quantiles
                 # are NOT the true min/max, so a band touching either
-                # boundary must open the bracket to infinity or the
-                # sandwich check below could never pass
-                nlo = -_INF if q_lo <= 0.0 else s["sk"].quantile(q_lo)
-                nhi = _INF if q_hi >= 1.0 else s["sk"].quantile(q_hi)
+                # boundary must open the bracket — but only to the
+                # CURRENT bracket bound, never past it: opening to -inf
+                # in a later round would re-admit rows already counted
+                # into `offset`, and the gather would then return a
+                # value ~offset ranks too low.  (Round 1 has
+                # lo/hi = -inf/+inf, preserving the subsample-min/max
+                # concern above.)
+                nlo = s["lo"] if q_lo <= 0.0 else s["sk"].quantile(q_lo)
+                nhi = s["hi"] if q_hi >= 1.0 else s["sk"].quantile(q_hi)
                 brackets[g] = (s["lo"], s["hi"], nlo, nhi)
             counts = {g: [0, 0] for g in live}
             for row in _group_pass(

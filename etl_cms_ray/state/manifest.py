@@ -289,6 +289,30 @@ class LakeStore:
                     f"(CURRENT={self.current_version()}); a crashed claimant "
                     f"is released by rollback(current_version())"
                 ) from None
+        try:
+            self._write_manifest(manifest, expect_version, changed_parts, stage)
+        except BaseException:
+            # a claim followed by a FAILED write would otherwise leave a
+            # phantom claim: every retry of this version hits 'manifest
+            # conflict' until a manual rollback.  Release it — the claim
+            # protected nothing yet (CURRENT never flipped).  A committer
+            # that CRASHES between claim and flip still leaves a stale
+            # claim (documented: rollback(current_version()) releases).
+            if expect_version is not None:
+                try:
+                    os.unlink(os.path.join(self.manifest_dir, "claims",
+                                           f"v{manifest.version:06d}"))
+                except OSError:
+                    pass
+            raise
+
+    def _write_manifest(
+        self,
+        manifest: Manifest,
+        expect_version: int | None,
+        changed_parts: "set[int] | None",
+        stage: bool,
+    ) -> None:
         prior_index = (
             self._load_index(expect_version) if expect_version is not None else None
         )

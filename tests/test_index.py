@@ -88,21 +88,75 @@ def test_common_token_matches_everywhere(lake):
     assert len(got) == len(exp)
 
 
-def test_stale_index_falls_back(lake):
+def test_stale_partitions_included_unconditionally(lake):
     repos = make_repos(n_repos=6, files_per_repo=8)
     ev = make_events(repos, n_epochs=3, events_per_epoch=40, seed=99)
     cfg = EngineConfig(lake_root=lake, num_partitions=16)
     ingest(rd.from_arrow(ev).filter(expr="epoch == 3"), cfg)
+    # per-partition staleness: changed partitions are in the plan
+    # regardless of their old bits; unchanged ones still prune
     plan, info = token_plan(lake, "def")
-    assert info["fallback"] and info["pruned"] == 0
+    assert not info["fallback"] and info["stale"] > 0
+    stale_pids = {p["part_id"] for p in plan}
+    # a token absent everywhere must still read every STALE partition
+    plan_absent, info_absent = token_plan(lake, "zz-never-a-token-zz")
+    assert {p["part_id"] for p in plan_absent} <= stale_pids
+    assert len(plan_absent) == info_absent["stale"] > 0
     # search still correct against the NEW state
     got = token_search(lake, "def", columns=["repo", "path"]).to_pandas()
     exp = _expected(lake, "def").to_pandas()
     assert len(got) == len(exp)
-    # rebuild refreshes the version and pruning returns
+    # rebuild refreshes the state ids and full pruning returns
     build_token_index(lake)
     _, info2 = token_plan(lake, "def")
-    assert not info2["fallback"]
+    assert not info2["fallback"] and info2["stale"] == 0
+
+
+def test_version_reuse_after_rollback_never_trusted(ray_session):
+    # Regression (ADVICE r2, index.py:217): manifest version numbers are
+    # REUSED after rollback + roll-forward, so an index built at old
+    # version N must NOT validate against a different roll-forward state
+    # also numbered N — stale bits would prune partitions that now
+    # contain the token and silently drop rows.
+    import pyarrow.parquet as pq
+    from etl_cms_ray.pipelines.index import _index_path
+    from etl_cms_ray.state.manifest import LakeStore
+
+    root = "/tmp/test_tokenindex_rollback"
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = EngineConfig(lake_root=root, num_partitions=8)
+    base = pa.table(
+        {
+            "repo": ["r0", "r1"], "path": ["a", "b"],
+            "op": ["insert", "insert"], "commit": ["c0", "c1"],
+            "epoch": [1, 1], "seq": [0, 1], "lang": ["py", "py"],
+            "content": ["plain words only", "more plain words"],
+        }
+    )
+    ingest(rd.from_arrow(base), cfg)  # v1
+    second = base.set_column(
+        4, "epoch", pa.array([2, 2])).set_column(
+        7, "content", pa.array(["still plain", "nothing special"]))
+    ingest(rd.from_arrow(second), cfg)  # v2, no sentinel anywhere
+    build_token_index(root)  # index at version 2: sentinel bit unset
+    store = LakeStore(root)
+    assert store.current_version() == 2
+    store.rollback(1)
+    withtok = base.set_column(
+        4, "epoch", pa.array([2, 2])).set_column(
+        7, "content", pa.array([f"now has {SENTINEL} inside", "plain"]))
+    ingest(rd.from_arrow(withtok), cfg)  # roll-forward: version 2 REUSED
+    assert store.current_version() == 2
+    meta_version = int(
+        __import__("json").loads(
+            pq.read_table(_index_path(root)).schema.metadata[b"token_index"]
+        )["version"]
+    )
+    assert meta_version == 2  # versions collide — the trap this test pins
+    plan, info = token_plan(root, SENTINEL)
+    assert info["stale"] > 0
+    got = token_search(root, SENTINEL, columns=["repo", "path"]).to_pandas()
+    assert got["repo"].tolist() == ["r0"], "stale bits must not drop rows"
 
 
 def test_incremental_rebuild_reuses_unchanged_partitions(lake):

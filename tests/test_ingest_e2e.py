@@ -481,3 +481,26 @@ def test_rollback_and_abort_release_version_claims(ray_session, tmp_path):
     store.abort_staged(3)
     store.publish(Manifest(version=3), expect_version=2)
     assert store.current_version() == 3
+
+
+def test_failed_publish_releases_claim(ray_session, tmp_path, monkeypatch):
+    """Regression (ADVICE r2, manifest.py:283): an exception AFTER the
+    O_EXCL claim but before the CURRENT flip must unlink the claim —
+    otherwise every retry of the same version hits a phantom 'manifest
+    conflict' until a manual rollback."""
+    import etl_cms_ray.state.manifest as mstate
+    from etl_cms_ray.state.manifest import LakeStore, Manifest
+
+    store = LakeStore(str(tmp_path / "lake_claimfail"))
+    real = LakeStore._write_manifest
+
+    def exploding(self, manifest, expect_version, changed_parts, stage):
+        raise OSError("disk full while writing shards")
+
+    monkeypatch.setattr(mstate.LakeStore, "_write_manifest", exploding)
+    with pytest.raises(OSError, match="disk full"):
+        store.publish(Manifest(version=1), expect_version=0)
+    monkeypatch.setattr(mstate.LakeStore, "_write_manifest", real)
+    # the claim was released: retrying the SAME version succeeds
+    store.publish(Manifest(version=1), expect_version=0)
+    assert store.current_version() == 1

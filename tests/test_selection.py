@@ -68,6 +68,28 @@ def test_tight_guard_recovers_via_widening():
     assert got["only"] == _disc(vals, 0.5)
 
 
+def test_low_edge_band_never_reopens_committed_offset():
+    # Regression (ADVICE r2, selection.py:150): with a committed offset
+    # from round 1, a later round whose guard band touches the lower
+    # edge (q_lo <= 0) must clamp to the CURRENT bracket bound, not
+    # -inf — reopening re-admits rows already counted into `offset` and
+    # the gather returns a value ~offset ranks too low.  A tiny sketch
+    # (k=8) makes rank error huge, so the widening loop pushes the
+    # guard toward 0.5 and q_lo <= 0 occurs on multi-round paths with
+    # offset > 0 across these seeds/qs.
+    for seed in (0, 1, 2, 3, 4):
+        rng = np.random.RandomState(seed)
+        vals = np.concatenate(
+            [rng.lognormal(0.0, 1.5, 40_000), np.full(5_000, 1.0)]
+        )
+        ds = _make_ds({"g0": vals})
+        for q in (0.3, 0.5, 0.9):
+            got = exact_group_quantile(
+                ds, "g", "v", q=q, cap=256, k=8, guard=0.01
+            )
+            assert got["g0"] == _disc(vals, q), (seed, q)
+
+
 def test_massive_ties_collapse_bracket_without_gather():
     # one value repeated far beyond cap: the bracket collapses to [x, x]
     # and the answer is emitted without ever gathering `cap` rows
