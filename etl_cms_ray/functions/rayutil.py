@@ -50,9 +50,30 @@ def read_parquet_clean(paths, *, columns=None, **kwargs):
     import pyarrow.parquet as pq
     import ray.data as rd
 
+    plist = list(paths) if isinstance(paths, (list, tuple)) else [paths]
+    if any(isinstance(p, str) and "://" in p for p in plist):
+        # URI sources (file://, s3://, ...): resolve scheme -> filesystem
+        # OURSELVES and hand Ray plain paths + an explicit filesystem.
+        # Ray 2.49's path resolver locks onto the first path's filesystem
+        # and then calls normalize_path on the RAW URI of every later
+        # path, so a list of URIs fails without this.
+        from pyarrow.fs import FileSystem
+
+        fs = None
+        stripped = []
+        for p in plist:
+            f, pth = FileSystem.from_uri(p)
+            if fs is not None and type(f) is not type(fs):
+                raise ValueError("mixed URI schemes in one read")
+            fs = f
+            stripped.append(pth)
+        paths = stripped if isinstance(paths, (list, tuple)) else stripped[0]
+        kwargs = {**kwargs, "filesystem": fs}
     first = paths[0] if isinstance(paths, (list, tuple)) else paths
     try:
-        schema = pq.read_schema(first).remove_metadata()
+        schema = pq.read_schema(
+            first, filesystem=kwargs.get("filesystem")
+        ).remove_metadata()
         if columns is not None:
             # subset to the projection (file order), else the scanner
             # compares pruned batches against the full schema and raises

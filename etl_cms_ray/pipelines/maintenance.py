@@ -209,8 +209,14 @@ def audit_lake(lake_root: str, version: int | None = None) -> dict:
 
     Checks per batch (vectorized, streaming): stored content_sha equals
     recomputed sha256(content); size equals byte length; and every key
-    hashes into the partition file that holds it.  Returns violation
-    counts (all zero on a healthy lake).
+    hashes into the partition file that holds it.  Per partition:
+    post-merge KEY UNIQUENESS ((repo, path) appears once in the live
+    state — the analog of the reference's PK constraints,
+    ``SQL/create_CDMv5_constraints.sql``) and EPOCH-FENCE consistency
+    (no live row's epoch exceeds the partition's
+    ``applied_through_epoch``, and no fence regressed vs the previous
+    manifest version).  Returns violation counts (all zero on a healthy
+    lake).
     """
     from .history import read_snapshot
 
@@ -252,28 +258,68 @@ def audit_lake(lake_root: str, version: int | None = None) -> dict:
     import ray.data as rd
 
     parts = [
-        {"part_id": ps.part_id, "file": store.abspath(f)}
+        {"part_id": ps.part_id, "file": store.abspath(f),
+         "fence": ps.applied_through_epoch}
         for ps in manifest.partitions.values()
         for f in ps.all_files()
     ]
-    misplaced = 0
+    misplaced = dup_keys = over_fence = 0
     if parts:
-        def check_placement(batch: pa.Table) -> pa.Table:
+        def check_files(batch: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
 
-            bad = []
-            for pid, path in zip(batch["part_id"].to_pylist(), batch["file"].to_pylist()):
-                t = pq.read_table(path, columns=["repo", "path"])
+            from ..functions.hashing import key_array
+
+            bad, dups, over = [], [], []
+            for pid, path, fence in zip(
+                batch["part_id"].to_pylist(), batch["file"].to_pylist(),
+                batch["fence"].to_pylist(),
+            ):
+                pf = pq.ParquetFile(path)
+                cols = ["repo", "path"] + (
+                    ["epoch"] if "epoch" in pf.schema_arrow.names else []
+                )
+                t = pq.read_table(path, columns=cols)
                 got = part_id_for(t["repo"], t["path"], num_parts)
                 bad.append(int(pc.sum(pc.cast(pc.not_equal(got, pid), pa.int64())).as_py() or 0))
-            return pa.table({"bad": pa.array(bad, type=pa.int64())})
+                # key uniqueness is a PER-FILE invariant: the applier
+                # writes every base/delta file LWW-merged (one row per
+                # key per commit), so any in-file duplicate is corruption
+                # — the merged live state dedups by construction and
+                # would hide it
+                keys = key_array(t["repo"], t["path"])
+                dups.append(t.num_rows - len(pc.unique(keys)))
+                over.append(int(pc.sum(pc.cast(
+                    pc.greater(t["epoch"], fence), pa.int64()
+                )).as_py() or 0) if "epoch" in t.column_names else 0)
+            return pa.table({"bad": pa.array(bad, type=pa.int64()),
+                             "dups": pa.array(dups, type=pa.int64()),
+                             "over": pa.array(over, type=pa.int64())})
 
-        misplaced = int(
+        file_agg = (
             rd.from_items(parts)
-            .map_batches(check_placement, batch_format="pyarrow", batch_size=4)
-            .to_pandas()["bad"]
-            .sum()
+            .map_batches(check_files, batch_format="pyarrow", batch_size=4)
+            .to_pandas().sum()
         )
+        misplaced = int(file_agg["bad"])
+        dup_keys, over_fence = int(file_agg["dups"]), int(file_agg["over"])
+
+    # fence monotonicity vs the previous manifest version (cheap driver
+    # pass over two partition maps; version numbers may be reused after
+    # rollback, so only a still-readable prior version is compared)
+    fence_regressions = 0
+    if manifest.version > 1:
+        try:
+            prev = store.load_manifest(version=manifest.version - 1)
+        except FileNotFoundError:
+            prev = None
+        if prev is not None and prev.num_partitions == manifest.num_partitions:
+            for pid, ps in manifest.partitions.items():
+                if pid in prev.partitions and (
+                    ps.applied_through_epoch
+                    < prev.partitions[pid].applied_through_epoch
+                ):
+                    fence_regressions += 1
 
     return {
         "rows_scanned": int(agg["n"]),
@@ -281,10 +327,16 @@ def audit_lake(lake_root: str, version: int | None = None) -> dict:
         "bad_sha": int(agg["bad_sha"]),
         "bad_size": int(agg["bad_size"]),
         "misplaced_keys": misplaced,
+        "duplicate_keys": dup_keys,
+        "rows_over_fence": over_fence,
+        "fence_regressions": fence_regressions,
         "num_partitions": num_parts,
         "healthy": int(agg["bad_sha"]) == 0
         and int(agg["bad_size"]) == 0
         and misplaced == 0
+        and dup_keys == 0
+        and over_fence == 0
+        and fence_regressions == 0
         and (expected_rows < 0 or int(agg["n"]) == expected_rows),
     }
 

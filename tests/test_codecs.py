@@ -1,0 +1,122 @@
+"""Pure-numpy media codecs + the real multimodal decode stage.
+
+The engine's multimodal path decodes REAL containers (RIFF/WAVE PCM,
+BMP BI_RGB 24-bit, PPM P6) with numpy only — no PIL/ffmpeg in this
+environment; video stays an honest stub.  These tests pin the codec
+roundtrips, the feature extraction semantics, and the actor-pool stage
+contract (Arrow in/out, dead-letter on strict).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from etl_cms_ray.functions.codecs import (
+    decode_bmp,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+    resize_image,
+    sniff_kind,
+)
+
+
+def test_wav_roundtrip_and_variants():
+    s = (np.sin(np.linspace(0, 40 * np.pi, 8000)) * 0.7).astype(np.float32)
+    dec, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and len(dec) == 8000
+    assert float(np.max(np.abs(dec - s))) < 1e-3
+    # stereo 16-bit downmix: interleave L=s, R=-s -> silence
+    pcm = np.empty(16000, dtype="<i2")
+    pcm[0::2] = (s * 32767).astype("<i2")
+    pcm[1::2] = (-s * 32767).astype("<i2")
+    import struct
+
+    data = pcm.tobytes()
+    raw = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    mix, rate2 = decode_wav(raw)
+    assert rate2 == 8000 and float(np.max(np.abs(mix))) < 1e-3
+
+
+def test_image_roundtrips_padding_and_resize():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(13, 7, 3), dtype=np.uint8)  # odd width: row pad
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    r = resize_image(img, 3, 5)
+    assert r.shape == (5, 3, 3)
+    # identity resize is exact
+    assert np.array_equal(resize_image(img, 7, 13), img)
+
+
+def test_malformed_payloads_raise():
+    for bad in (b"", b"RIFFxxxxWAVE", b"BMxx", b"P6 1"):
+        with pytest.raises(ValueError):
+            decode_wav(bad)
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+    assert sniff_kind(b"garbage") == "unknown"
+
+
+def test_media_decoder_real_features(ray_session):
+    from etl_cms_ray.stages.multimodal import MediaDecoder, synth_media_table
+
+    media = synth_media_table(n=48)
+    feats = (
+        rd.from_arrow(media)
+        .map_batches(MediaDecoder, batch_format="pyarrow", batch_size=8,
+                     concurrency=2)
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert len(feats) == 48
+    kinds = media.to_pandas().set_index("media_id")["kind"]
+    for mid, row in feats.iterrows():
+        v = np.asarray(row["features"], dtype=np.float32)
+        if kinds[mid] == "image":
+            # [w, h, mean_r, mean_g, mean_b, luma_std, edge, aspect]
+            assert v[0] > 0 and v[1] > 0 and 0 <= v[2] <= 255
+            assert abs(v[7] - v[0] / v[1]) < 1e-3
+        elif kinds[mid] == "audio":
+            # [dur_s, rms, zcr, centroid, peak, rate_khz, 0, 0]
+            assert v[0] > 0 and 0 < v[1] <= 1 and v[5] == pytest.approx(8.0)
+        else:  # video: honest stub (sha-derived, deterministic)
+            assert v.shape == (8,)
+    # decoded dims must MATCH the metadata the fixture encoded
+    imgs = feats[kinds == "image"]
+    meta = media.to_pandas().set_index("media_id")
+    for mid, row in imgs.iterrows():
+        v = np.asarray(row["features"])
+        assert int(v[0]) == meta.loc[mid, "width"]
+        assert int(v[1]) == meta.loc[mid, "height"]
+
+
+def test_media_decoder_strict_dead_letters(ray_session):
+    from etl_cms_ray.stages.multimodal import MediaDecoder, synth_media_table
+
+    t = synth_media_table(n=3).set_column(
+        1, "kind", pa.array(["video"] * 3)
+    )
+    dec = MediaDecoder(strict=True)
+    with pytest.raises(NotImplementedError):
+        dec(t)
+
+
+def test_media_decoder_resize_path(ray_session):
+    from etl_cms_ray.stages.multimodal import MediaDecoder, synth_media_table
+
+    media = synth_media_table(n=12)
+    out = MediaDecoder(resize_to=(16, 16))(media)
+    kinds = media["kind"].to_pylist()
+    th = out["thumb"].to_pylist()
+    for k, tb in zip(kinds, th):
+        if k == "image":
+            assert len(tb) == 16 * 16 * 3
+        else:
+            assert tb is None

@@ -483,6 +483,35 @@ def test_rollback_and_abort_release_version_claims(ray_session, tmp_path):
     assert store.current_version() == 3
 
 
+def test_uri_glob_source_ingest(ray_session, tmp_path):
+    """S1 closure (VERDICT r2 #8): ingest from a file:// URI glob through
+    read_events_parquet and converge to the same lake state as the
+    in-memory stream.  Object-store URIs (s3://...) ride the SAME
+    pyarrow-filesystem path inside ray.data.read_parquet — file:// is
+    the only scheme testable in this sandbox."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from etl_cms_ray.sources.events import read_events_parquet
+
+    repos = make_repos(3, 5)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=30)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for e in (0, 1, 2):  # one file per epoch (0 = backfill), glob-discovered
+        pq.write_table(ev.filter(pc.equal(ev["epoch"], e)),
+                       str(drop / f"epoch{e}.parquet"))
+    uris = [f"file://{p}" for p in sorted(glob.glob(str(drop / "*.parquet")))]
+    assert len(uris) == 3
+    ds = read_events_parquet(uris)
+    cfg = _cfg(tmp_path, "lake_uri")
+    res = ingest(ds, cfg)
+    assert res.events_in == ev.num_rows and res.events_applied > 0
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
+
+
 def test_failed_publish_releases_claim(ray_session, tmp_path, monkeypatch):
     """Regression (ADVICE r2, manifest.py:283): an exception AFTER the
     O_EXCL claim but before the CURRENT flip must unlink the claim —

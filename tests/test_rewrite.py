@@ -105,6 +105,51 @@ def test_rewrite_refuses_key_mutation(lake):
         update_where(root, lambda t: pa.array([True] * t.num_rows), rekey)
 
 
+def test_audit_flags_duplicate_keys_and_fence_violations(lake):
+    """Constraints analog (reference SQL/create_CDMv5_constraints.sql,
+    VERDICT r2 #6): a hand-corrupted lake must fail the audit on key
+    uniqueness / fence consistency; the clean lake passes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root, _e, _c = lake
+    rep = audit_lake(root)
+    assert rep["healthy"] and rep["duplicate_keys"] == 0 \
+        and rep["rows_over_fence"] == 0 and rep["fence_regressions"] == 0
+
+    # corrupt 1: duplicate the first row of one partition file (same key
+    # twice post-merge) and bump its epoch past the partition fence
+    store = LakeStore(root)
+    manifest = store.load_manifest()
+    ps = next(p for p in manifest.partitions.values() if p.file and p.rows > 1)
+    path = store.abspath(ps.file)
+    t = pq.read_table(path)
+    dup = t.slice(0, 1).set_column(
+        t.schema.get_field_index("epoch"), "epoch",
+        pa.array([ps.applied_through_epoch + 5],
+                 type=t.schema.field("epoch").type),
+    )
+    pq.write_table(pa.concat_tables([t, dup]), path)
+    rep2 = audit_lake(root)
+    assert not rep2["healthy"]
+    assert rep2["duplicate_keys"] >= 1
+    assert rep2["rows_over_fence"] >= 1
+
+    # restore, then corrupt 2: regress one partition's fence in a new
+    # manifest version
+    pq.write_table(t, path)
+    assert audit_lake(root)["healthy"]
+    m2 = store.load_manifest()
+    m2.version += 1
+    victim = next(p for p in m2.partitions.values()
+                  if p.applied_through_epoch > 0)
+    victim.applied_through_epoch -= 1
+    store.publish(m2, expect_version=m2.version - 1)
+    rep3 = audit_lake(root)
+    assert rep3["fence_regressions"] >= 1 and not rep3["healthy"]
+
+
 def test_rewrite_flows_to_replica(lake):
     root, _e, _c = lake
     replica = "/tmp/test_rewrite_replica"
