@@ -341,8 +341,8 @@ def minhash_lsh_pairs(
     pairs = bands_ds.groupby("ph").map_groups(
         lambda g: _partition_pairs(g, metrics=metrics), batch_format="pandas"
     )
-    pairs = _dedup_pairs(pairs, ["a", "b"])
     if broadcast_texts:
+        pairs = _dedup_pairs(pairs, ["a", "b"])
         return pairs.map_batches(
             JaccardVerifier,
             fn_constructor_kwargs=dict(texts_ref=texts_ref, shingle_k=shingle_k,
@@ -462,11 +462,22 @@ def _attach_pair_payload(
             t, sort_keys=[("a", "ascending"), ("b", "ascending"),
                           ("_side", "ascending")]
         ))
+        # global (a, b) dedup happens HERE, not in a separate shuffle:
+        # every copy of a pair hashes to the same ppart (keyed by a), so
+        # one vectorized first-occurrence sweep per partition is globally
+        # correct — LSH bands emit the same pair many times and a
+        # dedicated dedup exchange was a whole extra groupby
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sd = t["_side"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (sd[1:] != sd[:-1])
+        t = t.filter(pa.array(keep))
         side = t["_side"].to_numpy(zero_copy_only=False)
         t0 = t.take(pa.array(np.nonzero(side == 0)[0]))
         t1 = t.take(pa.array(np.nonzero(side == 1)[0]))
-        # deduped pairs -> exactly one row per side per (a,b); the sort
-        # aligns them positionally
+        # one row per side per (a, b) after the sweep; the sort aligns
+        # them positionally
         return pa.table({"a": t0["a"], "b": t0["b"],
                          out_a: t0[payload_col], out_b: t1[payload_col]})
 
@@ -744,7 +755,8 @@ def _ngram_pairs_tail(
         lambda g: _partition_pairs(g, max_bucket=max_bucket, metrics=metrics),
         batch_format="pandas",
     )
-    pairs = _dedup_pairs(pairs, ["a", "b"])
+    # no dedicated pair-dedup exchange: the attach stage's zip partition
+    # (keyed by a-hash) dedups (a, b) globally in its vectorized sweep
     with_ab = _attach_pair_texts(pairs, docs, id_col, text_col,
                                  join_partitions, text_type=text_type)
 
