@@ -48,6 +48,15 @@ from .pipelines.maintenance import (audit_lake, compact_lake, delete_where,
                                     update_where)
 from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
 
+# training-batch layout
+from .stages.packing import pack_token_chunks, weighted_corpus_mix
+
+# multimodal (real numpy codecs; video decode is the documented stub)
+from .functions.codecs import (decode_bmp, decode_ppm, decode_wav, encode_bmp,
+                               encode_ppm, encode_wav, resize_image, sniff_kind)
+from .stages.multimodal import (DecodeStub, FrameSampler, MediaDecoder,
+                                synth_media_table)
+
 # sketches / metrics
 from .functions.sketch import (HyperLogLog, KLL, MisraGries, approx_distinct,
                                approx_quantiles, heavy_hitters)
@@ -79,4 +88,8 @@ __all__ = [
     "approx_quantiles",
     "BloomFilter", "build_bloom", "bloom_prune",
     "make_counter", "read_counter",
+    "pack_token_chunks", "weighted_corpus_mix",
+    "MediaDecoder", "DecodeStub", "FrameSampler", "synth_media_table",
+    "decode_wav", "encode_wav", "decode_bmp", "encode_bmp",
+    "decode_ppm", "encode_ppm", "resize_image", "sniff_kind",
 ]

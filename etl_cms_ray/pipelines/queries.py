@@ -41,6 +41,7 @@ from ..stages.dedup import exact_dedup_groups, minhash_lsh_pairs, simhash_pairs
 from ..stages.dimjoin import BroadcastJoiner, put_dim
 from ..stages.join import hash_join
 from ..stages.multimodal import DecodeStub, FrameSampler, synth_media_table
+from ..stages.packing import pack_token_chunks, weighted_corpus_mix
 from .ingest import ingest, read_lake
 
 
@@ -4124,6 +4125,54 @@ FROM cnt ORDER BY n DESC, token ASC LIMIT 20
 """
 
 
+def training_pack_chunks(sf_dir: str) -> "rd.Dataset":
+    """Concat-and-chunk sequence packing (stages/packing.py): every doc's
+    global token offset + the fixed-256-token chunk range it spans, via
+    the two-level distributed prefix sum — the oracle is one SQL window
+    cumsum, which is exactly what the operator distributes."""
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_token_chunks(docs, max_tokens=256)
+
+
+_SQL_PACK_CHUNKS = """
+WITH c AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+), p AS (
+  SELECT doc_id, ntok,
+         CAST(COALESCE(sum(ntok) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tok_start
+  FROM c
+)
+SELECT doc_id, ntok, tok_start,
+       tok_start // 256 AS chunk_start,
+       (tok_start + greatest(ntok, 1) - 1) // 256 AS chunk_end
+FROM p
+"""
+
+
+def training_weighted_mix(sf_dir: str) -> "rd.Dataset":
+    """Deterministic weighted language mix (stages/packing.py): en 100%,
+    zh 50%, es 25%, everything else 12.5%, decided by the first
+    sha256(text) nibble — reproducible across runs/engines/partitioning,
+    no RNG."""
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "lang", "text"])
+    return weighted_corpus_mix(docs)
+
+
+_SQL_WEIGHTED_MIX = """
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en')
+   OR (lang = 'zh' AND substr(sha256(text), 1, 1)
+       IN ('0','1','2','3','4','5','6','7'))
+   OR (lang = 'es' AND substr(sha256(text), 1, 1) IN ('0','1','2','3'))
+   OR (lang NOT IN ('en','zh','es')
+       AND substr(sha256(text), 1, 1) IN ('0','1'))
+"""
+
+
 def multimodal_features(sf_dir: str) -> "rd.Dataset":
     """Media decode: REAL container parsing for the image (BMP) and audio
     (WAV PCM) payloads via the pure-numpy codecs — width/height/RGB/edge
@@ -4196,6 +4245,9 @@ QUERIES = {
     "doc_stratified_sample": doc_stratified_sample,
     "user_top_event_type": user_top_event_type,
     "user_train_val_split": user_train_val_split,
+    # new in round 3 (no driver row yet either)
+    "training_pack_chunks": training_pack_chunks,
+    "training_weighted_mix": training_weighted_mix,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -4332,6 +4384,8 @@ ORACLE_SQL = {
     "user_top_event_type": _SQL_TOP_EVENT_TYPE,
     "doc_pii_redact": _sql_pii_redact(),
     "user_train_val_split": _SQL_TRAIN_VAL_SPLIT,
+    "training_pack_chunks": _SQL_PACK_CHUNKS,
+    "training_weighted_mix": _SQL_WEIGHTED_MIX,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "decontaminate_docs": _SQL_DECONTAMINATE,

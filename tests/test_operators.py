@@ -944,3 +944,57 @@ def test_redact_rules_and_counts():
     r2, n2 = redact_column(tricky)
     assert r2.to_pylist() == ["<KEY> <EMAIL>"]
     assert n2.to_pylist() == [2]
+
+
+def test_pack_token_chunks_order_independent(ray_session):
+    """The distributed prefix sum must produce the doc_id-ORDERED global
+    offsets regardless of input row order or batching: shuffled rows in
+    tiny batches equal the single-process cumsum."""
+    import numpy as np
+
+    from etl_cms_ray.stages.packing import pack_token_chunks
+
+    rng = np.random.RandomState(11)
+    n = 5000
+    ntok = rng.randint(1, 90, size=n)
+    texts = ["w " * (k - 1) + "w" for k in ntok]  # exactly k single-space tokens
+    order = rng.permutation(n)
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(order.astype("int64")),
+                  "text": pa.array([texts[i] for i in order])})
+    ).map_batches(lambda b: b, batch_format="pyarrow", batch_size=257)
+    got = (
+        pack_token_chunks(docs, max_tokens=64, bucket_width=128)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    start = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+    assert got["ntok"].to_numpy().tolist() == ntok.tolist()
+    assert got["tok_start"].to_numpy().tolist() == start.tolist()
+    assert (got["chunk_start"] == start // 64).all()
+    assert (got["chunk_end"] == (start + ntok - 1) // 64).all()
+    # chunk ranges tile the stream: consecutive docs overlap or abut
+    ce = got["chunk_end"].to_numpy()
+    cs = got["chunk_start"].to_numpy()
+    assert (cs[1:] - ce[:-1] <= 1).all() and (cs[1:] >= cs[:-1]).all()
+
+
+def test_weighted_corpus_mix_rates_and_determinism(ray_session):
+    from etl_cms_ray.stages.packing import weighted_corpus_mix
+
+    docs = rd.read_parquet("/root/testdata/sf0.01/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    a = weighted_corpus_mix(docs).to_pandas().sort_values("doc_id")
+    b = weighted_corpus_mix(docs).to_pandas().sort_values("doc_id")
+    assert a.equals(b.reset_index(drop=True).set_axis(a.index))  # deterministic
+    full = docs.to_pandas()
+    kept = a.groupby("lang").size()
+    total = full.groupby("lang").size()
+    assert kept["en"] == total["en"]  # rate 1.0 keeps everything
+    for lang, lo, hi in (("zh", 0.3, 0.7), ("es", 0.1, 0.45)):
+        frac = kept.get(lang, 0) / total[lang]
+        assert lo <= frac <= hi, (lang, frac)
+    # invalid rate (not a multiple of 1/16) must raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_corpus_mix(docs, rates={"en": 0.3}).count()
