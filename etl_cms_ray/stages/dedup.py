@@ -24,8 +24,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import sha256_hex_column
-from ..functions.minhash import (MinHasher, char_shingles, jaccard, simhash64,
-                                 word_shingles)
+from ..functions.minhash import MinHasher, char_shingles, simhash64
 
 
 # ---------------------------------------------------------------------------
@@ -94,6 +93,95 @@ def minhash_band_batch(batch: pa.Table, *, num_perm: int = 128, bands: int = 32,
                          id_col=id_col, text_col=text_col)(batch)
 
 
+def _window_hashes(col: pa.Array, k: int, fallback_whole_text: bool):
+    """Flat word-k-gram 64-bit hashes for every row of a string column in
+    ONE list-offset-masked sweep (vectorized FNV-1a per token + an n-wide
+    uint64 polynomial roll with cross-row windows masked out).
+
+    Returns ``(grams, counts)``: ``grams`` is the flat uint64 array in
+    row order, ``counts[i]`` the number of grams of row i.  With
+    ``fallback_whole_text`` rows shorter than k tokens contribute ONE
+    gram — the hash of the whole text (identical short rows still
+    match); without it they contribute zero grams.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.text import fingerprint_column
+
+    if not pa.types.is_string(col.type):
+        col = col.cast(pa.string())
+    n_rows = len(col)
+    toks = pc.split_pattern(col, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    lengths = offsets[1:] - offsets[:-1]
+    m = int(offsets[-1] - offsets[0])
+    th = np.zeros(m, dtype=np.uint64)
+    if m:
+        th[:] = (
+            fingerprint_column(flat).to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    h = th.copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            shifted = np.zeros(m, dtype=np.uint64)
+            shifted[: m - j] = th[j:]
+            h = h * np.uint64(1099511628211) ^ shifted
+    ends = np.repeat(offsets[1:] - offsets[0], lengths)
+    valid = np.arange(m) + k <= ends
+    grams = h[valid]
+    counts = np.maximum(lengths - k + 1, 0)
+    if not fallback_whole_text:
+        return grams, counts
+    need_fb = counts == 0
+    if not need_fb.any():
+        return grams, counts
+    counts_adj = np.where(need_fb, 1, counts)
+    seg_starts = np.concatenate([[0], np.cumsum(counts_adj)[:-1]])
+    out_g = np.empty(int(counts_adj.sum()), dtype=np.uint64)
+    if len(grams):
+        did = np.repeat(np.arange(n_rows), counts)
+        real_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        out_g[seg_starts[did] + (np.arange(len(grams)) - real_starts[did])] = grams
+    fb = fingerprint_column(col).to_numpy(zero_copy_only=False).view(np.uint64)
+    out_g[seg_starts[need_fb]] = fb[need_fb]
+    return out_g, counts_adj
+
+
+def _pair_jaccard(batch: pa.Table, k: int, *, fallback_whole_text: bool,
+                  empty_is_one: bool) -> np.ndarray:
+    """Exact gram-set Jaccard per (text_a, text_b) pair, fully vectorized:
+    one gram sweep over both sides stacked, per-row distinct via a pandas
+    drop_duplicates, intersection sizes via one inner merge on
+    (pair, gh) + bincount — no per-pair Python."""
+    n = batch.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    both = pa.concat_arrays([
+        (batch["text_a"].combine_chunks() if isinstance(batch["text_a"], pa.ChunkedArray) else batch["text_a"]).cast(pa.string()),
+        (batch["text_b"].combine_chunks() if isinstance(batch["text_b"], pa.ChunkedArray) else batch["text_b"]).cast(pa.string()),
+    ])
+    grams, counts = _window_hashes(both, k, fallback_whole_text)
+    rid = np.repeat(np.arange(2 * n), counts)
+    df = pd.DataFrame({"rid": rid, "gh": grams.view(np.int64)}).drop_duplicates()
+    pid = df["rid"].to_numpy() % n
+    side = df["rid"].to_numpy() // n
+    a = pd.DataFrame({"pid": pid[side == 0], "gh": df["gh"].to_numpy()[side == 0]})
+    b = pd.DataFrame({"pid": pid[side == 1], "gh": df["gh"].to_numpy()[side == 1]})
+    inter = np.bincount(
+        a.merge(b, on=["pid", "gh"])["pid"].to_numpy(), minlength=n
+    ).astype(np.float64)
+    sa = np.bincount(a["pid"].to_numpy(), minlength=n).astype(np.float64)
+    sb = np.bincount(b["pid"].to_numpy(), minlength=n).astype(np.float64)
+    union = sa + sb - inter
+    empty_val = 1.0 if empty_is_one else 0.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        j = np.where(union > 0, inter / np.maximum(union, 1), empty_val)
+    return j
+
+
 class MinHashBander:
     """doc -> exploded (band_id, band_key, doc_id) rows.
 
@@ -118,65 +206,22 @@ class MinHashBander:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from ..functions.text import fingerprint_column
         from ..functions.threads import single_threaded_kernels
 
         single_threaded_kernels()
         ids = np.asarray(batch[self.id_col].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
-        col = batch[self.text_col]
-        if not pa.types.is_string(col.type):
-            col = col.cast(pa.string())
         n_docs = len(ids)
         if n_docs == 0:
             return pa.table({"band_id": pa.array([], type=pa.int32()),
                              "band_key": pa.array([], type=pa.int64()),
                              "doc_id": pa.array([], type=pa.int64())})
-        toks = pc.split_pattern(col, " ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        offsets = toks.offsets.to_numpy(zero_copy_only=False)
-        lengths = offsets[1:] - offsets[:-1]
-        m = int(offsets[-1] - offsets[0])
-        k = self.k
-        th = np.zeros(m, dtype=np.uint64)
-        if m:
-            th[:] = (
-                fingerprint_column(flat)
-                .to_numpy(zero_copy_only=False)
-                .view(np.uint64)
-            )
-        h = th.copy()
-        with np.errstate(over="ignore"):
-            for j in range(1, k):
-                shifted = np.zeros(m, dtype=np.uint64)
-                shifted[: m - j] = th[j:]
-                h = h * np.uint64(1099511628211) ^ shifted
-        # valid = window of k tokens stays inside its own document
-        ends = np.repeat(offsets[1:] - offsets[0], lengths)
-        valid = np.arange(m) + k <= ends
-        grams = h[valid]
-        counts = np.maximum(lengths - k + 1, 0)
-        # docs with < k tokens fall back to ONE gram: the hash of the whole
-        # text (identical short docs still collide in every band)
-        need_fb = counts == 0
-        counts_adj = np.where(need_fb, 1, counts)
+        # one gram per <k-token doc (whole-text hash): identical short
+        # docs still collide in every band
+        out_g, counts_adj = _window_hashes(
+            batch[self.text_col], self.k, fallback_whole_text=True
+        )
         seg_starts = np.concatenate([[0], np.cumsum(counts_adj)[:-1]])
-        out_g = np.empty(int(counts_adj.sum()), dtype=np.uint64)
-        if len(grams):
-            did = np.repeat(np.arange(n_docs), counts)
-            real_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            out_g[seg_starts[did] + (np.arange(len(grams)) - real_starts[did])] = grams
-        if need_fb.any():
-            fb = (
-                fingerprint_column(col)
-                .to_numpy(zero_copy_only=False)
-                .view(np.uint64)
-            )
-            out_g[seg_starts[need_fb]] = fb[need_fb]
         sigs = self.mh.signatures_flat(out_g, seg_starts)
         bands = self.mh.bands
         return pa.table(
@@ -259,33 +304,31 @@ def _dedup_pairs(pairs: "ray.data.Dataset", keep_cols: list) -> "ray.data.Datase
 
 
 class JaccardVerifier:
-    """Verify candidate pairs by exact shingle Jaccard; texts come from a
-    broadcast id->text dict (one object-store copy per node)."""
-
-    _CACHE_CAP = 65536  # per-actor shingle cache bound (reset on overflow)
+    """Verify candidate pairs by exact gram-set Jaccard; texts come from a
+    broadcast id->text dict (one object-store copy per node).  Uses the
+    same vectorized ``_pair_jaccard`` kernel as the join-verify path, so
+    the two modes report identical similarities by construction."""
 
     def __init__(self, texts_ref, shingle_k: int = 3, threshold: float = 0.8):
         self.texts = ray.get(texts_ref) if isinstance(texts_ref, ray.ObjectRef) else texts_ref
         self.k = shingle_k
         self.threshold = threshold
-        self._cache: dict[int, np.ndarray] = {}
-
-    def _sh(self, i: int) -> np.ndarray:
-        s = self._cache.get(i)
-        if s is None:
-            if len(self._cache) >= self._CACHE_CAP:
-                self._cache.clear()
-            s = np.sort(word_shingles(self.texts[i], self.k))
-            self._cache[i] = s
-        return s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        sims = [jaccard(self._sh(x), self._sh(y)) for x, y in zip(a, b)]
-        out = batch.append_column("jaccard", pa.array(sims, type=pa.float64()))
         import pyarrow.compute as pc
 
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        probe = pa.table({
+            "text_a": pa.array([self.texts[i] for i in batch["a"].to_pylist()],
+                               type=pa.string()),
+            "text_b": pa.array([self.texts[i] for i in batch["b"].to_pylist()],
+                               type=pa.string()),
+        })
+        sims = _pair_jaccard(probe, self.k, fallback_whole_text=True,
+                             empty_is_one=True)
+        out = batch.append_column("jaccard", pa.array(sims, type=pa.float64()))
         return out.filter(pc.greater_equal(out["jaccard"], self.threshold))
 
 
@@ -356,11 +399,13 @@ def minhash_lsh_pairs(
                                  join_partitions, text_type=text_type)
 
     def verify(batch: pa.Table) -> pa.Table:
-        sims = [
-            jaccard(np.sort(word_shingles(x, shingle_k)),
-                    np.sort(word_shingles(y, shingle_k)))
-            for x, y in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist())
-        ]
+        import pyarrow.compute as pc
+
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        sims = _pair_jaccard(batch, shingle_k, fallback_whole_text=True,
+                             empty_is_one=True)
         out = pa.table(
             {
                 "a": batch["a"],
@@ -368,8 +413,6 @@ def minhash_lsh_pairs(
                 "jaccard": pa.array(sims, type=pa.float64()),
             }
         )
-        import pyarrow.compute as pc
-
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
@@ -761,28 +804,24 @@ def _ngram_pairs_tail(
                                  join_partitions, text_type=text_type)
 
     def verify(batch: pa.Table) -> pa.Table:
-        out_j = []
-        for x, y in zip(batch["text_a"].to_pylist(), batch["text_b"].to_pylist()):
-            ga, gb = _word_ngram_hashes(x, n), _word_ngram_hashes(y, n)
-            if len(ga) == 0 or len(gb) == 0:
-                out_j.append(0.0)
-                continue
-            inter = np.intersect1d(ga, gb, assume_unique=True).size
-            out_j.append(inter / (len(ga) + len(gb) - inter))
+        import pyarrow.compute as pc
+
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        # oracle-exact semantics: no short-doc fallback gram, empty gram
+        # set -> J = 0; one vectorized sweep over both sides stacked
+        out_j = _pair_jaccard(batch, n, fallback_whole_text=False,
+                              empty_is_one=False)
         out = pa.table(
             {
                 "a": batch["a"],
                 "b": batch["b"],
                 "jaccard": pa.array(
-                    np.floor(np.array(out_j) * 10000 + 0.5) / 10000
-                    if out_j
-                    else np.empty(0, np.float64),
-                    type=pa.float64(),
+                    np.floor(out_j * 10000 + 0.5) / 10000, type=pa.float64()
                 ),
             }
         )
-        import pyarrow.compute as pc
-
         mask = pc.greater_equal(
             pa.array(out_j, type=pa.float64()), pa.scalar(threshold)
         )
