@@ -17,7 +17,8 @@ from .stages.dimjoin import BroadcastJoiner, put_dim
 
 # dedup family
 from .stages.dedup import (exact_dedup_groups, minhash_lsh_pairs,
-                           ngram_jaccard_pairs, simhash_pairs)
+                           ngram_jaccard_pairs, simhash_pairs,
+                           substring_dup_stats)
 
 # similarity search
 from .stages.ann import (brute_force_topk, cosine_pairs, ivf_topk, lsh_topk,
@@ -66,6 +67,7 @@ from .stages.metrics import make_counter, read_counter
 __all__ = [
     "asof_join", "hash_join", "interval_join", "BroadcastJoiner", "put_dim",
     "exact_dedup_groups", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "substring_dup_stats",
     "simhash_pairs",
     "brute_force_topk", "cosine_pairs", "ivf_topk", "lsh_topk",
     "train_centroids", "train_pq", "pq_encode", "pq_topk",

@@ -3486,6 +3486,46 @@ WHERE len(x.gs) > 0 AND len(y.gs) > 0
 """
 
 
+def doc_substring_dup(sf_dir: str) -> "rd.Dataset":
+    """Corpus-level exact substring duplication (Lee et al. 2022 signal):
+    per document, how many of its distinct 8-token windows occur in at
+    least one OTHER document.  Runs over the planted near-dup corpus so
+    duplicated spans are guaranteed; the full chain (window sweep -> df
+    partials -> co-group join back -> per-doc rollup) is oracle-pinned —
+    any window miscount is a hard value-hash mismatch."""
+    from ..stages.dedup import substring_dup_stats
+
+    return substring_dup_stats(_docs_with_near_dups(sf_dir), window=8)
+
+
+_SQL_SUBSTRING_DUP = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' near dup tail' FROM documents
+  WHERE doc_id < 30
+), toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs
+), wins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(ws) - 7, 0) + 1),
+                                      i -> array_to_string(ws[i:i+7], chr(31)))) AS gs
+  FROM toks
+), dwins AS (
+  SELECT doc_id, unnest(gs) AS w FROM wins
+), df AS (
+  SELECT w, count(*) AS d FROM dwins GROUP BY w
+)
+SELECT v.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN f.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       floor((CAST(sum(CASE WHEN f.d >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*)) * 10000 + 0.5) / 10000 AS dup_ratio
+FROM dwins v JOIN df f ON v.w = f.w
+GROUP BY v.doc_id
+"""
+
+
 #: shared CTE block: the exact trigram-Jaccard near-dup pair set over the
 #: planted corpus — the SAME pair semantics as _SQL_NGRAM_JACCARD, reused
 #: by the clustering oracle so the two entries can never drift apart.
@@ -4248,6 +4288,7 @@ QUERIES = {
     # new in round 3 (no driver row yet either)
     "training_pack_chunks": training_pack_chunks,
     "training_weighted_mix": training_weighted_mix,
+    "doc_substring_dup": doc_substring_dup,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -4386,6 +4427,7 @@ ORACLE_SQL = {
     "user_train_val_split": _SQL_TRAIN_VAL_SPLIT,
     "training_pack_chunks": _SQL_PACK_CHUNKS,
     "training_weighted_mix": _SQL_WEIGHTED_MIX,
+    "doc_substring_dup": _SQL_SUBSTRING_DUP,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "decontaminate_docs": _SQL_DECONTAMINATE,

@@ -831,6 +831,117 @@ def _ngram_pairs_tail(
 
 
 # ---------------------------------------------------------------------------
+# Exact substring duplication (duplicated token windows across documents)
+
+
+def substring_dup_stats(
+    docs: "ray.data.Dataset",
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    join_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document duplicated-substring stats: for every document with at
+    least one ``window``-token window, the number of DISTINCT windows, how
+    many of them also occur in at least one OTHER document, and the
+    duplicated fraction — the corpus-level exact-substring-duplication
+    signal ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, trims such duplicated spans; reference analog: the
+    emit-once/dedup family, ``CMS_SynPuf_ETL_CDM_v5.py:541-590``,
+    reframed from row identity to intra-text span identity).
+
+    Scale shape (no all-pairs, no broadcast, nothing driver-side):
+
+    1. one list-offset-masked gram sweep per batch (``_window_hashes``,
+       the shared minhash/decontam kernel) + a per-doc distinct —
+       gram-row volume is O(total tokens);
+    2. per-window document frequency via per-batch partials -> coarse
+       gram-hash partitions (bounded groups, one vectorized sum each);
+    3. frequencies join BACK onto the gram stream with the task-based
+       co-group ``hash_join`` (the df stays a Dataset — unbounded window
+       vocabulary never lands on the driver);
+    4. per-doc rollup in coarse doc-hash partitions.
+
+    A window counts as duplicated when its document frequency >= 2; the
+    per-doc distinct in step 1 makes the df a true document count, so a
+    window repeated WITHIN one document only is not "duplicated" — that
+    intra-doc signal is ``doc_repetition_stats``'s job.
+    """
+    from .join import hash_join
+
+    if join_partitions is None:
+        join_partitions = _TEXT_JOIN_PARTS
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        grams, counts = _window_hashes(t[text_col], window,
+                                       fallback_whole_text=False)
+        did = np.repeat(ids, counts)
+        df = pd.DataFrame({"doc_id": did, "gh": grams.view(np.int64)})
+        df = df.drop_duplicates()
+        return pa.table({"doc_id": df["doc_id"].to_numpy(),
+                         "gh": df["gh"].to_numpy()})
+
+    gr = docs.select_columns([id_col, text_col]).map_batches(
+        gram_rows, batch_format="pyarrow", batch_size=1024
+    )
+
+    # document frequency per window hash: (doc, gh) rows are distinct per
+    # doc, and a doc never splits across batches, so per-batch counts sum
+    # to the exact number of distinct documents containing the window
+    partials = gr.map_batches(
+        lambda df: df.groupby("gh", sort=False).size().rename("_df").reset_index(),
+        batch_format="pandas",
+    )
+
+    def add_gp(t: pa.Table) -> pa.Table:
+        gh = t["gh"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return t.append_column(
+            "gp", pa.array((gh % np.uint64(_PAIR_PARTS)).astype(np.int64))
+        )
+
+    counts_ds = (
+        partials.map_batches(add_gp, batch_format="pyarrow", batch_size=65536)
+        .groupby("gp")
+        .map_groups(
+            lambda g: g.groupby("gh", sort=False)["_df"].sum().reset_index(),
+            batch_format="pandas",
+        )
+    )
+    with_df = hash_join(
+        gr, counts_ds, on="gh",
+        num_partitions=join_partitions,
+        left_schema=pa.schema([("doc_id", pa.int64()), ("gh", pa.int64())]),
+        right_schema=pa.schema([("gh", pa.int64()), ("_df", pa.int64())]),
+    )
+
+    def add_dp(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("dp", pa.array(d % _PAIR_PARTS))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        tmp = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "_d": (g["_df"].to_numpy() >= 2).astype(np.int64),
+        })
+        out = tmp.groupby("doc_id", sort=False).agg(
+            n_windows=("_d", "size"), n_dup_windows=("_d", "sum")
+        ).reset_index()
+        ratio = out["n_dup_windows"].to_numpy() / out["n_windows"].to_numpy()
+        out["dup_ratio"] = np.floor(ratio * 10000 + 0.5) / 10000
+        return out
+
+    return (
+        with_df.map_batches(add_dp, batch_format="pyarrow", batch_size=65536)
+        .groupby("dp")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 
 

@@ -998,3 +998,40 @@ def test_weighted_corpus_mix_rates_and_determinism(ray_session):
 
     with _pytest.raises(ValueError):
         weighted_corpus_mix(docs, rates={"en": 0.3}).count()
+
+
+def test_substring_dup_planted(ray_session):
+    """Planted duplicated spans: two docs sharing one 4-token window are
+    both flagged with exactly one duplicated window; a window repeated
+    WITHIN one doc only is not duplicated; tiny batches force the
+    cross-batch document-frequency partials to sum correctly."""
+    import numpy as np
+
+    from etl_cms_ray.stages.dedup import substring_dup_stats
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (0, shared + " one two three"),          # shares `shared` with doc 1
+        (1, "x y " + shared + " z"),             # shares `shared` with doc 0
+        (2, "p q r s p q r s p q r s"),          # intra-doc repeats only
+        (3, "u v w"),                            # < window tokens: no output row
+        (4, "lone words that match nothing else here"),
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                  "text": pa.array([r[1] for r in rows])})
+    ).map_batches(lambda b: b, batch_format="pyarrow", batch_size=1)
+    got = (
+        substring_dup_stats(docs, window=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 2, 4]  # doc 3 has no windows
+    by = got.set_index("doc_id")
+    assert by.loc[0, "n_dup_windows"] == 1
+    assert by.loc[1, "n_dup_windows"] == 1
+    assert by.loc[2, "n_dup_windows"] == 0  # intra-doc repetition is not dup
+    assert by.loc[4, "n_dup_windows"] == 0
+    # distinct-window counts: doc 2 has 12 tokens -> 9 positions but only
+    # 4 distinct windows (period-4 repetition)
+    assert by.loc[2, "n_windows"] == 4
+    assert np.isclose(by.loc[0, "dup_ratio"], 1 / by.loc[0, "n_windows"])
