@@ -16,9 +16,9 @@ from .stages.rangejoin import interval_join
 from .stages.dimjoin import BroadcastJoiner, put_dim
 
 # dedup family
-from .stages.dedup import (exact_dedup_groups, minhash_lsh_pairs,
-                           ngram_jaccard_pairs, simhash_pairs,
-                           substring_dup_stats)
+from .stages.dedup import (exact_dedup_groups, incremental_exact_dedup,
+                           minhash_lsh_pairs, ngram_jaccard_pairs,
+                           simhash_pairs, substring_dup_stats)
 
 # similarity search
 from .stages.ann import (brute_force_topk, cosine_pairs, ivf_topk, lsh_topk,
@@ -67,7 +67,7 @@ from .stages.metrics import make_counter, read_counter
 __all__ = [
     "asof_join", "hash_join", "interval_join", "BroadcastJoiner", "put_dim",
     "exact_dedup_groups", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "substring_dup_stats",
+    "substring_dup_stats", "incremental_exact_dedup",
     "simhash_pairs",
     "brute_force_topk", "cosine_pairs", "ivf_topk", "lsh_topk",
     "train_centroids", "train_pq", "pq_encode", "pq_topk",

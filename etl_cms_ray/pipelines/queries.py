@@ -3486,6 +3486,95 @@ WHERE len(x.gs) > 0 AND len(y.gs) > 0
 """
 
 
+def cdc_incremental_dedup(sf_dir: str) -> "rd.Dataset":
+    """Ingest-time exact dedup against the committed lake: the even-id
+    half of `documents` is committed as epoch-0 lake content; the "next
+    crawl increment" is the odd-id half PLUS re-crawled copies of
+    committed content (even ids < 60, re-keyed +500000) and an in-batch
+    duplicate block (odd ids < 20, re-keyed +600000).  Survivors are
+    exactly the new shas, first-wins within the batch — the rows a real
+    incremental crawl would hand to ``ingest``.  Lake membership is a
+    task-based co-group ANTI join on the sha (nothing broadcast); the
+    oracle reproduces lake + batch + survivor rule in SQL."""
+    from ..stages.dedup import incremental_exact_dedup
+
+    docs = _rpc(f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang", "source"])
+
+    def to_insert(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids_np % 2 == 0))
+        ids = t["doc_id"]
+        n = t.num_rows
+        return pa.table({
+            "repo": t["source"],
+            "path": pc.binary_join_element_wise("doc_", pc.cast(ids, pa.string()), ""),
+            "op": pa.array(["insert"] * n),
+            "commit": pa.array(["c0"] * n),
+            "epoch": pa.array([0] * n, type=pa.int64()),
+            "seq": pc.cast(ids, pa.int64()),
+            "lang": t["lang"],
+            "content": t["text"],
+        })
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(f"incdedup:{sf_dir}".encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"incdedup_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16,
+                       normalize_concurrency=2, applier_concurrency=2)
+    ingest(docs.map_batches(to_insert, batch_format="pyarrow"), cfg,
+           count_input=False)
+
+    def new_batch(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        odd = batch.filter(pa.array(ids_np % 2 == 1))
+        recrawl = batch.filter(pa.array((ids_np % 2 == 0) & (ids_np < 60)))
+        indup = batch.filter(pa.array((ids_np % 2 == 1) & (ids_np < 20)))
+
+        def shift(t: pa.Table, by: int) -> pa.Table:
+            return pa.table({"doc_id": pc.add(t["doc_id"], by),
+                             "text": t["text"]})
+
+        return pa.concat_tables([
+            pa.table({"doc_id": odd["doc_id"], "text": odd["text"]}),
+            shift(recrawl, 500_000),
+            shift(indup, 600_000),
+        ])
+
+    newb = docs.map_batches(new_batch, batch_format="pyarrow")
+    return incremental_exact_dedup(newb, lake_root)
+
+
+_SQL_INCREMENTAL_DEDUP = """
+WITH lake AS (
+  SELECT DISTINCT sha256(text) AS sha FROM documents WHERE doc_id % 2 = 0
+), newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 60
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id < 20
+), winners AS (
+  SELECT sha256(text) AS content_sha_hex, min(doc_id) AS doc_id
+  FROM newb GROUP BY sha256(text)
+)
+SELECT w.doc_id, w.content_sha_hex
+FROM winners w LEFT JOIN lake l ON w.content_sha_hex = l.sha
+WHERE l.sha IS NULL
+"""
+
+
 def doc_substring_dup(sf_dir: str) -> "rd.Dataset":
     """Corpus-level exact substring duplication (Lee et al. 2022 signal):
     per document, how many of its distinct 8-token windows occur in at
@@ -4289,6 +4378,7 @@ QUERIES = {
     "training_pack_chunks": training_pack_chunks,
     "training_weighted_mix": training_weighted_mix,
     "doc_substring_dup": doc_substring_dup,
+    "cdc_incremental_dedup": cdc_incremental_dedup,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -4428,6 +4518,7 @@ ORACLE_SQL = {
     "training_pack_chunks": _SQL_PACK_CHUNKS,
     "training_weighted_mix": _SQL_WEIGHTED_MIX,
     "doc_substring_dup": _SQL_SUBSTRING_DUP,
+    "cdc_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
     "decontaminate_docs": _SQL_DECONTAMINATE,

@@ -942,6 +942,103 @@ def substring_dup_stats(
 
 
 # ---------------------------------------------------------------------------
+# Incremental exact dedup against a committed lake
+
+
+def incremental_exact_dedup(
+    new_docs: "ray.data.Dataset",
+    lake_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lake_content_col: str = "content",
+    join_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Ingest-time exact dedup of a NEW document batch against the
+    already-committed lake: a new document survives iff (a) no document
+    with the same content sha256 exists in the lake, and (b) it is the
+    min-``id_col`` holder of its sha within the new batch (first-wins,
+    the engine's LWW-adjacent survivor rule).  Returns
+    ``(doc_id, content_sha_hex)`` for the survivors — the rows an
+    incremental crawl would actually hand to ``ingest``.
+
+    This is the CDC x training-data crossover the lake exists for: each
+    crawl increment dedups against ALL previously committed content
+    without re-reading texts — only the lake's content column streams
+    through one sha pass.  (Reference analog: the emit-once dims /
+    visit-identity sets, ``CMS_SynPuf_ETL_CDM_v5.py:541-590``, which
+    dedup each run's rows against state accumulated across runs.)
+
+    Scale shape: within-batch winners via per-batch sha partials ->
+    coarse fingerprint partitions (the ``exact_dedup_groups`` shape);
+    the lake side is a streamed projection of one column, hashed
+    per batch and deduped per batch before the exchange; the final
+    membership test is a task-based co-group ANTI join — neither side
+    is broadcast or driver-materialized.
+    """
+    from ..functions.text import fingerprint_column
+    from .join import hash_join
+
+    if join_partitions is None:
+        join_partitions = _TEXT_JOIN_PARTS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sha = sha256_hex_column(batch[text_col])
+        df = pd.DataFrame({
+            "content_sha_hex": sha.to_pandas(),
+            "_min_id": batch[id_col].to_pandas(),
+        })
+        g = df.groupby("content_sha_hex", sort=False)["_min_id"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def add_sp(t: pa.Table) -> pa.Table:
+        fp = fingerprint_column(t["content_sha_hex"]).to_numpy(
+            zero_copy_only=False
+        ).view(np.uint64)
+        return t.append_column(
+            "sp", pa.array((fp % np.uint64(_PAIR_PARTS)).astype(np.int64))
+        )
+
+    winners = (
+        new_docs.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .map_batches(add_sp, batch_format="pyarrow", batch_size=65536)
+        .groupby("sp")
+        .map_groups(
+            lambda g: g.groupby("content_sha_hex", sort=False)["_min_id"]
+            .min().reset_index(),
+            batch_format="pandas",
+        )
+    )
+
+    def lake_shas(t: pa.Table) -> pa.Table:
+        sha = sha256_hex_column(t[lake_content_col])
+        # per-batch distinct: the anti probe only needs membership
+        return pa.table({"content_sha_hex": sha}).group_by(
+            "content_sha_hex"
+        ).aggregate([])
+
+    from ..pipelines.ingest import read_lake
+
+    lake_side = read_lake(lake_root, columns=[lake_content_col]).map_batches(
+        lake_shas, batch_format="pyarrow"
+    )
+
+    fresh = hash_join(
+        winners, lake_side, on="content_sha_hex", how="anti",
+        num_partitions=join_partitions,
+        left_schema=pa.schema([("content_sha_hex", pa.string()),
+                               ("_min_id", pa.int64())]),
+        right_schema=pa.schema([("content_sha_hex", pa.string())]),
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["_min_id"],
+                         "content_sha_hex": t["content_sha_hex"]})
+
+    return fresh.map_batches(rename, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash near-dup
 
 

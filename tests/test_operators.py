@@ -1035,3 +1035,44 @@ def test_substring_dup_planted(ray_session):
     # 4 distinct windows (period-4 repetition)
     assert by.loc[2, "n_windows"] == 4
     assert np.isclose(by.loc[0, "dup_ratio"], 1 / by.loc[0, "n_windows"])
+
+
+def test_incremental_exact_dedup_against_lake(ray_session, tmp_path):
+    """New-batch docs dedup against committed lake content: a re-crawled
+    copy of committed content is dropped, an in-batch duplicate pair
+    collapses to its min id, fresh content survives."""
+    import pyarrow.compute as pc
+
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.pipelines.ingest import ingest
+    from etl_cms_ray.stages.dedup import incremental_exact_dedup
+
+    committed = ["the committed text one", "the committed text two"]
+    ev = pa.table({
+        "repo": pa.array(["r"] * 2),
+        "path": pa.array(["a", "b"]),
+        "op": pa.array(["insert"] * 2),
+        "commit": pa.array(["c0"] * 2),
+        "epoch": pa.array([0, 0], type=pa.int64()),
+        "seq": pa.array([0, 1], type=pa.int64()),
+        "lang": pa.array(["py", "py"]),
+        "content": pa.array(committed),
+    })
+    lake = str(tmp_path / "lake")
+    ingest(rd.from_arrow(ev), EngineConfig(lake_root=lake, num_partitions=4),
+           count_input=False)
+
+    newb = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": pa.array([
+            "the committed text one",   # lake dup -> dropped
+            "brand new text",           # fresh -> survives
+            "another new text",         # fresh, duplicated in-batch
+            "another new text",         # in-batch dup -> collapses to 12
+        ]),
+    })).map_batches(lambda b: b, batch_format="pyarrow", batch_size=1)
+    got = (
+        incremental_exact_dedup(newb, lake)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [11, 12]
