@@ -21,7 +21,8 @@ from .stages.dedup import (exact_dedup_groups, incremental_exact_dedup,
                            simhash_pairs, substring_dup_stats)
 
 # similarity search
-from .stages.ann import (brute_force_topk, cosine_pairs, ivf_topk, lsh_topk,
+from .stages.ann import (brute_force_topk, centroid_cosine_scores,
+                         cosine_pairs, group_centroids, ivf_topk, lsh_topk,
                          pq_encode, pq_topk, train_centroids, train_pq)
 
 # corpus hygiene
@@ -71,6 +72,7 @@ __all__ = [
     "simhash_pairs",
     "brute_force_topk", "cosine_pairs", "ivf_topk", "lsh_topk",
     "train_centroids", "train_pq", "pq_encode", "pq_topk",
+    "group_centroids", "centroid_cosine_scores",
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",

@@ -3615,6 +3615,48 @@ GROUP BY v.doc_id
 """
 
 
+def embedding_centroid_scores(sf_dir: str) -> "rd.Dataset":
+    """Per-label centroid cosine scoring (embedding-space outlier/quality
+    signal for curating training corpora): cosine of every vector to its
+    OWN label's mean vector.  Two streaming passes — bounded per-label
+    centroid partials (one row per (batch, label)), then a broadcast of
+    the (G, dim) centroid matrix and a vectorized row-wise dot sweep.
+    The label key is bounded (class-count-sized), never doc-sized."""
+    from ..stages.ann import centroid_cosine_scores
+
+    ds = _rpc(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "label", "embedding"])
+    out = centroid_cosine_scores(ds, id_col="vec_id", group_col="label",
+                                 emb_col="embedding", round_digits=4)
+    return out.map_batches(
+        lambda df: df.astype({"vec_id": "int64", "label": "int64"}),
+        batch_format="pandas",
+    )
+
+
+_SQL_CENTROID_SCORES = """
+WITH flat AS (
+  SELECT vec_id, label,
+         unnest(CAST(embedding AS DOUBLE[])) AS val,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), cent AS (
+  SELECT label, i, avg(val) AS c FROM flat GROUP BY label, i
+), dots AS (
+  SELECT f.vec_id, f.label,
+         sum(f.val * c.c) AS dot,
+         sqrt(sum(f.val * f.val)) AS n1,
+         sqrt(sum(c.c * c.c)) AS n2
+  FROM flat f JOIN cent c ON f.label = c.label AND f.i = c.i
+  GROUP BY f.vec_id, f.label
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       floor((CASE WHEN n1 * n2 > 0 THEN dot / (n1 * n2) ELSE 0 END)
+             * 10000 + 0.5) / 10000 AS cos_sim
+FROM dots
+"""
+
+
 #: shared CTE block: the exact trigram-Jaccard near-dup pair set over the
 #: planted corpus — the SAME pair semantics as _SQL_NGRAM_JACCARD, reused
 #: by the clustering oracle so the two entries can never drift apart.
@@ -4379,6 +4421,7 @@ QUERIES = {
     "training_weighted_mix": training_weighted_mix,
     "doc_substring_dup": doc_substring_dup,
     "cdc_incremental_dedup": cdc_incremental_dedup,
+    "embedding_centroid_scores": embedding_centroid_scores,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -4518,6 +4561,7 @@ ORACLE_SQL = {
     "training_pack_chunks": _SQL_PACK_CHUNKS,
     "training_weighted_mix": _SQL_WEIGHTED_MIX,
     "doc_substring_dup": _SQL_SUBSTRING_DUP,
+    "embedding_centroid_scores": _SQL_CENTROID_SCORES,
     "cdc_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,

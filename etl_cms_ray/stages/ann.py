@@ -604,3 +604,89 @@ def pq_topk(
     return partials.groupby("query_id").map_groups(
         _global_topk_fn(k), batch_format="pandas"
     )
+
+
+def group_centroids(
+    vectors: "ray.data.Dataset",
+    group_col: str = "label",
+    emb_col: str = "embedding",
+) -> dict:
+    """Exact per-group mean vector over a BOUNDED group key (labels,
+    languages, shards — dimension-sized, never doc-sized).
+
+    Scale shape: one streaming pass; each batch reduces to one
+    (group, sum-vector, count) row per group present (a vectorized
+    pandas groupby over the batch matrix), so the driver materializes
+    only n_batches x n_groups partial rows — never vectors.  Returns
+    {group: (dim,) float64 centroid}.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        m = _to_matrix(t[emb_col])
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(m)
+        df["_g"] = g
+        agg = df.groupby("_g", sort=False).sum()
+        cnt = df.groupby("_g", sort=False).size()
+        return pa.table({
+            "g": pa.array(agg.index.to_numpy()),
+            "s": pa.array(list(agg.to_numpy()),
+                          type=pa.list_(pa.float64())),
+            "n": pa.array(cnt.to_numpy(), type=pa.int64()),
+        })
+
+    rows = vectors.select_columns([group_col, emb_col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    out = {}
+    for gval, sub in rows.groupby("g", sort=False):
+        s = np.stack(sub["s"].to_numpy()).sum(axis=0)
+        out[gval] = s / sub["n"].sum()
+    return out
+
+
+def centroid_cosine_scores(
+    vectors: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    group_col: str = "label",
+    emb_col: str = "embedding",
+    round_digits: int = 4,
+) -> "ray.data.Dataset":
+    """(id, group, cos_sim) — cosine of every vector to ITS group's mean
+    vector: the embedding-space quality/outlier signal (low similarity =
+    candidate mislabel or junk doc).  Two streaming passes: the bounded
+    per-group centroids (``group_centroids``) are broadcast once via
+    ``ray.put``; scoring is one vectorized matmul-free sweep per batch
+    (row-wise dot with the group-gathered centroid matrix).  Zero-norm
+    rows score 0."""
+    cents = group_centroids(vectors, group_col=group_col, emb_col=emb_col)
+    keys = np.array(sorted(cents))                  # sorted -> searchsorted
+    C = np.stack([cents[k] for k in keys])          # (G, dim)
+    ref = ray.put((C, keys))
+    scale = float(10 ** round_digits)
+
+    def score(t: pa.Table, _ref=ref) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        C, keys = ray.get(_ref)
+        m = _to_matrix(t[emb_col])
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        ix = np.searchsorted(keys, g)                # vectorized gather ix
+        cg = C[ix]                                   # (n, dim) gathered
+        dot = (m * cg).sum(axis=1)
+        denom = np.linalg.norm(m, axis=1) * np.linalg.norm(cg, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, dot / np.where(denom == 0, 1, denom), 0.0)
+        cos = np.floor(cos * scale + 0.5) / scale
+        return pa.table({
+            id_col: t[id_col],
+            group_col: t[group_col],
+            "cos_sim": pa.array(cos, type=pa.float64()),
+        })
+
+    return vectors.select_columns([id_col, group_col, emb_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

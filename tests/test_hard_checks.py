@@ -146,3 +146,31 @@ def test_multimodal_frames_expected_counts(ray_session):
     out = _queries()["multimodal_frames"](SF_DIR).to_pandas()
     got = dict(zip(out["media_id"], out["n_frames"]))
     assert got == expect
+
+
+def test_centroid_cosine_planted_outlier(ray_session):
+    """Planted embedding-space outlier: one vector in a tight cluster
+    points the opposite way — it must score lowest (strongly negative)
+    while the cluster members score near 1; a zero vector scores 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_cms_ray.stages.ann import centroid_cosine_scores
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    base /= np.linalg.norm(base)
+    rows = [base + rng.normal(scale=0.01, size=8) for _ in range(20)]
+    rows.append(-10.0 * base)            # vec_id 20: the outlier
+    rows.append(np.zeros(8))             # vec_id 21: zero-norm -> 0.0
+    t = pa.table({
+        "vec_id": pa.array(range(22), type=pa.int64()),
+        "label": pa.array([0] * 22, type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              type=pa.list_(pa.float32())),
+    })
+    out = centroid_cosine_scores(rd.from_arrow(t)).to_pandas()
+    s = dict(zip(out["vec_id"], out["cos_sim"]))
+    assert s[21] == 0.0
+    assert s[20] == min(s.values()) and s[20] < -0.5
+    assert all(s[i] > 0.95 for i in range(20))
