@@ -3657,6 +3657,179 @@ FROM dots
 """
 
 
+#: BM25 query-term set for the retrieval catalog entry — corpus words
+#: chosen so df varies (common, mid, rare-ish); the oracle SQL is
+#: GENERATED from this same list (stages/retrieval.bm25_oracle_sql), so
+#: the two expression trees cannot drift.
+_BM25_TERMS = ["merge", "window", "stream"]
+
+
+def doc_bm25_search(sf_dir: str) -> pa.Table:
+    """Ranked lexical retrieval (BM25 top-10) over the documents table —
+    the training-lake analog of the reference's warehouse text lookups.
+    Rational (log-free) idf and left-associated term summation make the
+    pre-quantization double bit-identical to the oracle; both passes
+    reduce per batch (one stats row / k candidates), so the final gather
+    is n_batches x k rows, never the corpus."""
+    from ..stages.retrieval import bm25_topk
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=10)
+
+
+def _sql_bm25() -> str:
+    from ..stages.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=10)
+
+
+_OOV_V = 24  # top-V corpus vocabulary size
+
+
+def doc_oov_rate(sf_dir: str) -> "rd.Dataset":
+    """Out-of-vocabulary rate per document against the exact top-V corpus
+    vocabulary — the tokenizer-coverage signal of a pretraining mix (a
+    doc whose tokens mostly fall outside the vocabulary is boilerplate,
+    another language, or junk).
+
+    Scale shape: vocabulary selection reuses the heavy-hitters discipline
+    — per-batch ``value_counts`` partials (O(batch-distinct), never the
+    corpus), coarse fp-hash partitions summing each token wholly inside
+    one bucket, per-bucket candidate top-V, bounded final merge of
+    64 x V rows.  The V-token vocabulary is then broadcast once
+    (``ray.put``) and the rate pass is one C-kernel ``is_in`` + cumsum
+    segment-count per batch.  Tie at the V boundary breaks (count DESC,
+    token ASC) on both engines."""
+    from ..functions.threads import single_threaded_kernels
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        toks = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        vc = pc.value_counts(toks)
+        tok = vc.field("values")
+        return pa.table(
+            {
+                "token": tok,
+                "cnt": vc.field("counts").cast(pa.int64()),
+                "fp": fingerprint_column(tok),
+            }
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["cnt"].sum().reset_index()
+        return g.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(_OOV_V)
+
+    partials = ds.map_batches(count_tokens, batch_format="pyarrow")
+    cands = _coarse_final(partials, "fp", per_part)
+    vocab = _final_agg(
+        cands,
+        lambda df: df.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(_OOV_V),
+    ).to_pandas()["token"].tolist()
+    vocab_ref = ray.put(pa.array(sorted(vocab), type=pa.string()))
+
+    def rate(t: pa.Table, *, _ref) -> pa.Table:
+        single_threaded_kernels()
+        vocab_arr = ray.get(_ref)
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        inv = pc.is_in(flat, value_set=vocab_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(dl)])
+        csum = np.concatenate([[0], np.cumsum(inv)])
+        nin = csum[offs[1:]] - csum[offs[:-1]]
+        oov = _qround(1 - nin.astype(np.float64) / dl, 4)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(dl, type=pa.int64()),
+                "n_invocab": pa.array(nin, type=pa.int64()),
+                "oov_rate": pa.array(oov, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(rate, batch_format="pyarrow",
+                          fn_kwargs={"_ref": vocab_ref})
+
+
+_SQL_OOV_RATE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tok AS (
+  SELECT unnest(ws) AS token FROM toks
+), vocab AS (
+  SELECT token FROM tok GROUP BY token
+  ORDER BY count(*) DESC, token ASC LIMIT {_OOV_V}
+), dtok AS (
+  SELECT doc_id, unnest(ws) AS token FROM toks
+), inv AS (
+  SELECT d.doc_id, count(*) AS nin
+  FROM dtok d JOIN vocab v USING (token) GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(coalesce(i.nin, 0) AS BIGINT) AS n_invocab,
+       floor((1 - CAST(coalesce(i.nin, 0) AS DOUBLE) / len(t.ws))
+             * 10000 + 0.5) / 10000 AS oov_rate
+FROM toks t LEFT JOIN inv i USING (doc_id)
+"""
+
+
+def training_shard_shuffle(sf_dir: str) -> "rd.Dataset":
+    """Deterministic global training shuffle: every doc gets a shard (its
+    content-sha first nibble, 16 shards) and a stable position within the
+    shard ordered by (sha256, doc_id) — the reproducible, engine- and
+    partitioning-independent way to lay out data-loader shards (contrast
+    random_shuffle, which is neither resumable nor replayable).
+
+    Scale shape: the shard key is computed per batch (vectorized sha);
+    positions need one bounded-key shuffle — 16 shard groups, each
+    ranked by ONE vectorized argsort sweep (the cdc_sessionize coarse
+    pattern), with tiny pre-shuffle blocks coalesced."""
+    from ..functions.threads import single_threaded_kernels
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        sha = sha256_hex_column(t["text"])
+        nib = pc.utf8_slice_codeunits(sha, 0, 1)
+        shard = pc.index_in(
+            nib, value_set=pa.array(list("0123456789abcdef"))
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "shard": shard, "sha": sha})
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sha", "doc_id"], kind="mergesort")
+        df["pos"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["doc_id", "shard", "pos"]]
+
+    parts = ds.map_batches(keyed, batch_format="pyarrow", batch_size=65536)
+    return parts.groupby("shard").map_groups(rank, batch_format="pandas")
+
+
+_SQL_SHARD_SHUFFLE = """
+WITH s AS (
+  SELECT doc_id, sha256(text) AS sha,
+         CAST(strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1
+              AS BIGINT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY sha, doc_id) AS pos
+FROM s
+"""
+
+
 #: shared CTE block: the exact trigram-Jaccard near-dup pair set over the
 #: planted corpus — the SAME pair semantics as _SQL_NGRAM_JACCARD, reused
 #: by the clustering oracle so the two entries can never drift apart.
@@ -4422,6 +4595,9 @@ QUERIES = {
     "doc_substring_dup": doc_substring_dup,
     "cdc_incremental_dedup": cdc_incremental_dedup,
     "embedding_centroid_scores": embedding_centroid_scores,
+    "doc_bm25_search": doc_bm25_search,
+    "doc_oov_rate": doc_oov_rate,
+    "training_shard_shuffle": training_shard_shuffle,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -4562,6 +4738,9 @@ ORACLE_SQL = {
     "training_weighted_mix": _SQL_WEIGHTED_MIX,
     "doc_substring_dup": _SQL_SUBSTRING_DUP,
     "embedding_centroid_scores": _SQL_CENTROID_SCORES,
+    "doc_bm25_search": _sql_bm25(),
+    "doc_oov_rate": _SQL_OOV_RATE,
+    "training_shard_shuffle": _SQL_SHARD_SHUFFLE,
     "cdc_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
