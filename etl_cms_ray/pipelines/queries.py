@@ -3784,6 +3784,74 @@ FROM toks t LEFT JOIN inv i USING (doc_id)
 """
 
 
+def doc_lang_median_filter(sf_dir: str) -> "rd.Dataset":
+    """Per-language percentile gate: keep documents whose token count is
+    at or above their OWN language's exact median — the
+    relative-quality cut of a multilingual pretraining mix (absolute
+    thresholds over-prune low-resource languages; a per-group percentile
+    adapts).  Composes the sketch-guided exact grouped quantile
+    (stages/selection.py — no sort, no column gather) over the bounded
+    lang key with a broadcast threshold filter; the doc stream is
+    touched twice, both times vectorized, never shuffled."""
+    from ..stages.selection import exact_group_quantile
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def with_ntok(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tok": token_count_column(t["text"]).cast(pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(with_ntok, batch_format="pyarrow")
+    med = exact_group_quantile(scored, "lang", "n_tok", q=0.5, cap=65536)
+    med_ref = ray.put(med)
+
+    def keep(t: pa.Table, *, _ref) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        med = ray.get(_ref)
+        langs = sorted(med)
+        thr = np.array([med[l] for l in langs])
+        ix = np.searchsorted(np.array(langs), t["lang"].to_numpy(zero_copy_only=False))
+        ntok = t["n_tok"].to_numpy(zero_copy_only=False)
+        mask = ntok >= thr[ix]
+        out = t.filter(pa.array(mask))
+        oix = np.searchsorted(np.array(langs), out["lang"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "lang": out["lang"],
+                "n_tokens": out["n_tok"].cast(pa.int64()),
+                "lang_median": pa.array(thr[oix], type=pa.float64()),
+            }
+        )
+
+    return scored.map_batches(keep, batch_format="pyarrow",
+                              fn_kwargs={"_ref": med_ref})
+
+
+_SQL_LANG_MEDIAN_FILTER = """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+  FROM documents
+), med AS (
+  SELECT lang, quantile_disc(n_tok, 0.5) AS lang_median FROM d GROUP BY lang
+)
+SELECT d.doc_id, d.lang, CAST(d.n_tok AS BIGINT) AS n_tokens, m.lang_median
+FROM d JOIN med m USING (lang)
+WHERE d.n_tok >= m.lang_median
+"""
+
+
 def training_shard_shuffle(sf_dir: str) -> "rd.Dataset":
     """Deterministic global training shuffle: every doc gets a shard (its
     content-sha first nibble, 16 shards) and a stable position within the
@@ -4598,6 +4666,7 @@ QUERIES = {
     "doc_bm25_search": doc_bm25_search,
     "doc_oov_rate": doc_oov_rate,
     "training_shard_shuffle": training_shard_shuffle,
+    "doc_lang_median_filter": doc_lang_median_filter,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -4741,6 +4810,7 @@ ORACLE_SQL = {
     "doc_bm25_search": _sql_bm25(),
     "doc_oov_rate": _SQL_OOV_RATE,
     "training_shard_shuffle": _SQL_SHARD_SHUFFLE,
+    "doc_lang_median_filter": _SQL_LANG_MEDIAN_FILTER,
     "cdc_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
