@@ -26,7 +26,7 @@ from .stages.ann import (brute_force_topk, centroid_cosine_scores,
                          pq_encode, pq_topk, train_centroids, train_pq)
 
 # lexical retrieval
-from .stages.retrieval import bm25_topk
+from .stages.retrieval import bm25_topk, rrf_fuse
 
 # corpus hygiene
 from .stages.decontam import contaminated_ids, decontaminate, shingle_rows
@@ -76,7 +76,7 @@ __all__ = [
     "brute_force_topk", "cosine_pairs", "ivf_topk", "lsh_topk",
     "train_centroids", "train_pq", "pq_encode", "pq_topk",
     "group_centroids", "centroid_cosine_scores",
-    "bm25_topk",
+    "bm25_topk", "rrf_fuse",
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",

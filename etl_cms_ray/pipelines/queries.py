@@ -3784,6 +3784,106 @@ FROM toks t LEFT JOIN inv i USING (doc_id)
 """
 
 
+def hybrid_search_rrf(sf_dir: str) -> pa.Table:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-20 (documents) with the brute-force cosine top-20 around query
+    vector 0 (embeddings; vec_id = doc_id by fixture construction) —
+    the lexical+dense fusion step of a retrieval/curation stack.  Both
+    pools are already bounded top-k pipelines (per-batch candidates,
+    never the corpus); fusion itself is driver-side arithmetic over
+    <=40 rows with exact-integer rank denominators, so every fused
+    double is IEEE-identical to the SQL mirror."""
+    from ..stages.retrieval import bm25_topk, rrf_fuse
+
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bm = bm25_topk(docs, _BM25_TERMS, k=20).to_pandas()
+
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
+    q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+    emb = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ann = brute_force_topk(emb, q_ids, q_vecs, k=20, concurrency=2,
+                           round_digits=4).to_pandas()
+    ann = ann.rename(columns={"neighbor_id": "doc_id"})[["doc_id", "rank"]]
+    return rrf_fuse([bm[["doc_id", "rank"]], ann], k=10)
+
+
+def _sql_hybrid() -> str:
+    from ..stages.retrieval import hybrid_oracle_sql
+
+    return hybrid_oracle_sql(_BM25_TERMS, query_vec_id=0, k=10, pool=20)
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WINDOW = pd.Timedelta(hours=24)
+
+
+def user_funnel(sf_dir: str) -> "rd.Dataset":
+    """Ordered multi-step conversion funnel (sequence analytics the
+    reference's SQL warehouse answers with chained min-ts self-joins):
+    how many users reach step k of view -> click -> purchase, where each
+    step must occur within 24 h AT OR AFTER the user's earliest
+    completion of the previous step.
+
+    Scale shape: one coarse user-hash shuffle co-locates each user's
+    events (the cdc_sessionize pattern — 64 hash groups, never per-user
+    tasks); inside a partition the chained mins are THREE vectorized
+    groupby-min sweeps, and only (step, count) partials leave, so the
+    final reduce folds 64 x 3 rows."""
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        prev = None  # Series: user_id -> min ts of previous step chain
+        counts = []
+        for step in _FUNNEL_STEPS:
+            sub = df[df["event_type"] == step]
+            if prev is not None:
+                sub = sub.merge(prev.rename("prev_t"), left_on="user_id",
+                                right_index=True)
+                sub = sub[(sub["ts"] >= sub["prev_t"])
+                          & (sub["ts"] <= sub["prev_t"] + _FUNNEL_WINDOW)]
+            cur = sub.groupby("user_id", sort=False)["ts"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame(
+            {"step": np.arange(1, len(_FUNNEL_STEPS) + 1, dtype=np.int64),
+             "n_users": np.array(counts, dtype=np.int64)}
+        )
+
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
+    partials = parts.groupby("upart").map_groups(
+        per_partition, batch_format="pandas"
+    )
+    return _final_agg(
+        partials,
+        lambda df: df.groupby("step", sort=True)["n_users"].sum()
+        .reset_index().astype({"step": "int64", "n_users": "int64"}),
+    )
+
+
+_SQL_FUNNEL = """
+WITH u1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN u1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= u1.t
+    AND e.ts <= u1.t + INTERVAL 24 HOUR GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN u2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= u2.t
+    AND e.ts <= u2.t + INTERVAL 24 HOUR GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, count(*) AS n_users FROM u1
+UNION ALL SELECT 2, count(*) FROM u2
+UNION ALL SELECT 3, count(*) FROM u3
+"""
+
+
 def doc_lang_median_filter(sf_dir: str) -> "rd.Dataset":
     """Per-language percentile gate: keep documents whose token count is
     at or above their OWN language's exact median — the
@@ -4667,6 +4767,8 @@ QUERIES = {
     "doc_oov_rate": doc_oov_rate,
     "training_shard_shuffle": training_shard_shuffle,
     "doc_lang_median_filter": doc_lang_median_filter,
+    "user_funnel": user_funnel,
+    "hybrid_search_rrf": hybrid_search_rrf,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -4811,6 +4913,8 @@ ORACLE_SQL = {
     "doc_oov_rate": _SQL_OOV_RATE,
     "training_shard_shuffle": _SQL_SHARD_SHUFFLE,
     "doc_lang_median_filter": _SQL_LANG_MEDIAN_FILTER,
+    "user_funnel": _SQL_FUNNEL,
+    "hybrid_search_rrf": _sql_hybrid(),
     "cdc_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,

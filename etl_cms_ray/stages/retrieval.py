@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-__all__ = ["bm25_topk", "bm25_oracle_sql"]
+__all__ = ["bm25_topk", "bm25_oracle_sql", "rrf_fuse", "hybrid_oracle_sql"]
 
 
 def _qround(x: np.ndarray, digits: int) -> np.ndarray:
@@ -151,20 +151,20 @@ def bm25_topk(
     return pa.Table.from_pandas(cands.reset_index(drop=True), preserve_index=False)
 
 
-def bm25_oracle_sql(
+def _bm25_scored_ctes(
     terms: list[str],
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-    round_digits: int = 4,
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
+    k1: float,
+    b: float,
+    round_digits: int,
+    table: str,
+    id_col: str,
+    text_col: str,
 ) -> str:
-    """DuckDB SQL computing the IDENTICAL expression tree as
-    :func:`bm25_topk` — generated from the same term list so the two can
-    never drift.  Per-term contributions appear as an explicit
-    left-associated sum in term order."""
+    """The shared ``toks / st / scored`` CTE block computing the BM25
+    score with the IDENTICAL expression tree as :func:`bm25_topk` —
+    generated from the same term list so Ray and SQL can never drift.
+    Per-term contributions appear as an explicit left-associated sum in
+    term order."""
     scale = int(10**round_digits)
 
     def s(term: str) -> str:
@@ -181,8 +181,7 @@ def bm25_oracle_sql(
         )
 
     total = " + ".join(s(t) for t in terms)
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT {id_col}, string_split({text_col}, ' ') AS ws FROM {table}
 ), st AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -192,9 +191,104 @@ WITH toks AS (
   SELECT {id_col},
          floor(({total}) * {scale} + 0.5) / {scale} AS score
   FROM toks, st
-)
+)"""
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 4,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB SQL mirror of :func:`bm25_topk` (see _bm25_scored_ctes)."""
+    ctes = _bm25_scored_ctes(terms, k1, b, round_digits, table, id_col, text_col)
+    return f"""
+WITH {ctes}
 SELECT {id_col}, score,
        row_number() OVER (ORDER BY score DESC, {id_col}) AS rank
 FROM scored WHERE score > 0
 ORDER BY score DESC, {id_col} LIMIT {k}
+"""
+
+
+def rrf_fuse(
+    lists: list[pd.DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_digits: int = 6,
+) -> pa.Table:
+    """Reciprocal-rank fusion of ranked candidate lists (hybrid
+    lexical+dense retrieval): rrf(d) = sum over lists of 1/(c + rank_d),
+    a missing entry contributing 0.  Runs on the driver over the
+    already-bounded top-k pools (never the corpus).  Contributions are
+    summed in LIST ORDER left-associatively — with exact-integer
+    denominators every double is IEEE-identical to the SQL mirror."""
+    fused: pd.DataFrame | None = None
+    for i, df in enumerate(lists):
+        part = df[[id_col, rank_col]].rename(columns={rank_col: f"_r{i}"})
+        fused = part if fused is None else fused.merge(part, on=id_col, how="outer")
+    rrf = np.zeros(len(fused), dtype=np.float64)
+    for i in range(len(lists)):
+        r = fused[f"_r{i}"].to_numpy(dtype=np.float64, na_value=np.nan)
+        rrf = rrf + np.where(np.isnan(r), 0.0, 1.0 / (c + r))
+    fused["rrf"] = _qround(rrf, round_digits)
+    fused = fused.sort_values(["rrf", id_col], ascending=[False, True],
+                              kind="mergesort").head(k)
+    fused["rank"] = np.arange(1, len(fused) + 1, dtype=np.int64)
+    out = fused[[id_col, "rrf", "rank"]].reset_index(drop=True)
+    out[id_col] = out[id_col].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hybrid_oracle_sql(
+    terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 20,
+    c: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_digits: int = 4,
+    rrf_digits: int = 6,
+) -> str:
+    """DuckDB mirror of BM25-pool + brute-force-cosine-pool + rrf_fuse
+    over (documents, embeddings) with vec_id = doc_id.  The BM25 CTEs
+    are generated from the SAME term list as the Ray side; the cosine
+    rank uses the ann_cosine_topk convention (quantized score DESC,
+    id ASC, query vector excluded)."""
+    ctes = _bm25_scored_ctes(
+        terms, k1, b, score_digits, "documents", "doc_id", "text"
+    )
+    sscale = int(10**score_digits)
+    rscale = int(10**rrf_digits)
+    return f"""
+WITH {ctes},
+brank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {pool}
+), qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+  WHERE vec_id = {query_vec_id}
+), ascored AS (
+  SELECT e.vec_id AS doc_id,
+         floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe))
+               * {sscale} + 0.5) / {sscale} AS s
+  FROM embeddings e, qv WHERE e.vec_id <> {query_vec_id}
+), arank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM ascored ORDER BY s DESC, doc_id LIMIT {pool}
+), fused AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         floor((coalesce(1.0 / ({c} + b.r), 0) + coalesce(1.0 / ({c} + a.r), 0))
+               * {rscale} + 0.5) / {rscale} AS rrf
+  FROM brank b FULL OUTER JOIN arank a ON b.doc_id = a.doc_id
+)
+SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT {k}
 """
