@@ -3784,6 +3784,268 @@ FROM toks t LEFT JOIN inv i USING (doc_id)
 """
 
 
+def doc_rarity_score(sf_dir: str) -> "rd.Dataset":
+    """Token-rarity quality score per document: the mean corpus document
+    frequency of the document's token INSTANCES, normalized by corpus
+    size — ``sum(tf * df) / n_tokens / n_docs``.  A low score means the
+    document is dominated by tokens few other documents use (junk,
+    boilerplate in another language, binary spill); a training-mix
+    curation signal next to doc_quality_filter / doc_oov_rate.
+
+    Exactness discipline: both factors of the score stay EXACT INTEGERS
+    (tf, df, their weighted sum) until two final double divisions whose
+    operand order the SQL mirrors literally, so the pre-quantization
+    double is IEEE-identical cross-engine — no log(), no float
+    accumulation order to diverge.
+
+    Scale shape (the doc_tfidf_topterms topology): one shared tokenize
+    pass materialized at O(doc x distinct-term) rows; document
+    frequencies via coarse token-fp partitions (df stays a Dataset,
+    never a driver broadcast); df joins back onto the term stream with
+    the task-based hash join; per-doc integer sums in one coarse
+    doc-hash sweep.  (Reference analog: the unmapped-code FREQUENCY
+    reports of python_etl — per-entity aggregation of a corpus-wide
+    dictionary statistic.)"""
+    from ..stages.join import hash_join as _hj
+    from ..stages.unpivot import unpivot_list
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        long = unpivot_list(pa.table({"doc_id": t["doc_id"], "token": toks}),
+                            "token")
+        g = (
+            long.select(["doc_id", "token_item"])
+            .rename_columns(["doc_id", "token"]).to_pandas()
+            .groupby(["doc_id", "token"], sort=False)
+            .size().rename("tf").reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    tf_mat = ds.map_batches(tf_batch, batch_format="pyarrow").materialize()
+
+    def add_tpart(t: pa.Table) -> pa.Table:
+        fp = fingerprint_column(t["token"]).to_numpy(zero_copy_only=False)
+        return t.append_column("tpart", pa.array((fp % 64).astype(np.int64)))
+
+    # tf rows are unique per (doc, token), so df(token) == row count
+    df_ds = (
+        tf_mat.map_batches(add_tpart, batch_format="pyarrow", batch_size=65536)
+        .groupby("tpart")
+        .map_groups(
+            lambda d: d.groupby("token", sort=False).size().rename("df")
+            .reset_index(),
+            batch_format="pandas",
+        )
+    )
+
+    joined = _hj(
+        tf_mat, df_ds, on="token",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.string()), ("tf", pa.int64())]
+        ),
+        right_schema=pa.schema([("token", pa.string()), ("df", pa.int64())]),
+    )
+
+    def add_dpart(t: pa.Table) -> pa.Table:
+        k = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("dpart", pa.array((k % 64).astype(np.int64)))
+
+    def score(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.assign(_w=d["tf"].astype("int64") * d["df"].astype("int64"))
+        g = d.groupby("doc_id", sort=False).agg(
+            n_tokens=("tf", "sum"), df_sum=("_w", "sum")
+        ).reset_index()
+        # operand order mirrored in SQL: (df_sum / n_tokens) / n_docs
+        rar = (g["df_sum"].astype("float64") / g["n_tokens"].astype("float64")
+               ) / float(n_docs)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"].astype("int64"),
+                "df_sum": g["df_sum"].astype("int64"),
+                "rarity": _qround(rar, 6),
+            }
+        )
+
+    parted = joined.map_batches(add_dpart, batch_format="pyarrow",
+                                batch_size=65536)
+    return parted.groupby("dpart").map_groups(score, batch_format="pandas")
+
+
+_SQL_RARITY = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), s AS (
+  SELECT tf.doc_id,
+         sum(tf.tf) AS n_tokens,
+         sum(tf.tf * df.df) AS df_sum
+  FROM tf JOIN df USING (token) GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(df_sum AS BIGINT) AS df_sum,
+       floor((CAST(df_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              / (SELECT count(*) FROM documents)) * 1000000 + 0.5) / 1000000
+         AS rarity
+FROM s
+"""
+
+
+def lang_token_drift(sf_dir: str) -> "rd.Dataset":
+    """Distribution drift per corpus slice: total-variation distance
+    between each language's token distribution and the whole corpus —
+    0.5 * sum_t |c_l(t)/N_l - c_g(t)/N_g|.  The domain-shift /
+    mix-imbalance detector of a pretraining pipeline (a slice whose TVD
+    spikes after an ingest got polluted or its sampling drifted).
+
+    Exactness discipline: the per-token contribution is computed as the
+    EXACT INTEGER |c_l * N_g - c_g * N_l| (common-denominator form) and
+    summed as integers; one final double division, operand order
+    mirrored in SQL.  (The int64 cross products hold while the corpus
+    has < 2^31 token instances — checked explicitly, since numpy wraps
+    silently; a 100 TB deployment lifts the partial to object/HUGEINT
+    arithmetic or pre-scales the common denominator.)
+
+    Scale shape: per-batch (lang, token) count partials (O(batch
+    distinct)); coarse token-fp partitions put every token's rows wholly
+    in one bucket, so each bucket computes exact slice counts c_l AND
+    corpus counts c_g locally; per-language totals N_l are
+    BOUNDED-cardinality and reduce via _final_agg to driver scalars
+    (#langs rows) broadcast into the bucket sweep.  Tokens a language
+    never uses contribute N_l * c_g WITHOUT materializing the lang x
+    vocab cross product: per bucket that mass is
+    N_l * (C_bucket - sum_{t present in l} c_g(t)) — one merge + two
+    vectorized sums per language."""
+    from ..functions.threads import single_threaded_kernels
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(
+            np.asarray(t["lang"].to_pylist(), dtype=object), dl
+        )
+        flat = pc.list_flatten(toks).to_pandas()
+        g = (
+            pd.DataFrame({"lang": lang, "token": flat})
+            .groupby(["lang", "token"], sort=False)
+            .size().rename("c").reset_index()
+        )
+        g["fp"] = fingerprint_column(
+            pa.array(g["token"], type=pa.string())
+        ).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    partials = ds.map_batches(count_batch, batch_format="pyarrow").materialize()
+
+    # per-language totals: bounded keys -> one coalesced reduce, then
+    # driver-side scalars (#langs rows)
+    totals = _final_agg(
+        partials,
+        lambda d: d.groupby("lang", sort=False)["c"].sum().reset_index(
+            name="n_l"),
+    ).to_pandas()
+    n_l = {r["lang"]: int(r["n_l"]) for _, r in totals.iterrows()}
+    n_g = sum(n_l.values())
+    if n_g >= 2**31:
+        raise NotImplementedError(
+            "lang_token_drift int64 cross products need corpus token count "
+            "< 2^31; lift the bucket partials to object/HUGEINT arithmetic"
+        )
+
+    def bucket_sweep(d: pd.DataFrame, *, _nl, _ng) -> pd.DataFrame:
+        d = d.groupby(["lang", "token"], sort=False)["c"].sum().reset_index()
+        cg = d.groupby("token", sort=False)["c"].sum().rename("cg").reset_index()
+        c_bucket = int(cg["cg"].sum())
+        m = d.merge(cg, on="token", how="left")
+        out_lang, out_sum = [], []
+        for lang, nl in _nl.items():
+            ml = m[m["lang"] == lang]
+            c = ml["c"].to_numpy(dtype=np.int64)
+            g = ml["cg"].to_numpy(dtype=np.int64)
+            present = int(np.abs(c * np.int64(_ng) - g * np.int64(nl)).sum())
+            missing = nl * (c_bucket - int(g.sum()))
+            out_lang.append(lang)
+            out_sum.append(present + missing)
+        return pd.DataFrame({"lang": out_lang, "part_sum": out_sum})
+
+    def add_tpart(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        return t.append_column("tpart", pa.array((fp % 64).astype(np.int64)))
+
+    sums = (
+        partials.map_batches(add_tpart, batch_format="pyarrow",
+                             batch_size=65536)
+        .groupby("tpart")
+        .map_groups(
+            lambda d, _nl=n_l, _ng=n_g: bucket_sweep(
+                d.drop(columns=["tpart", "fp"]), _nl=_nl, _ng=_ng),
+            batch_format="pandas",
+        )
+    )
+
+    def final(d: pd.DataFrame) -> pd.DataFrame:
+        g = d.groupby("lang", sort=False)["part_sum"].sum().reset_index()
+        nl = g["lang"].map(n_l).astype("int64")
+        # operand order mirrored in SQL: sum / ((2.0 * N_l) * N_g)
+        tvd = g["part_sum"].astype("float64") / (
+            (2.0 * nl.astype("float64")) * float(n_g)
+        )
+        return pd.DataFrame(
+            {
+                "lang": g["lang"],
+                "n_tokens": nl,
+                "tvd": _qround(tvd, 6),
+            }
+        )
+
+    return _final_agg(sums, final)
+
+
+_SQL_LANG_DRIFT = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), cnt AS (
+  SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+), cg AS (
+  SELECT token, sum(c) AS cg FROM cnt GROUP BY token
+), nl AS (
+  SELECT lang, sum(c) AS n_l FROM cnt GROUP BY lang
+), ng AS (
+  SELECT sum(c) AS n_g FROM cnt
+), pairs AS (
+  SELECT l.lang, g.token, coalesce(c.c, 0) AS c, g.cg
+  FROM (SELECT DISTINCT lang FROM cnt) l
+  CROSS JOIN cg g
+  LEFT JOIN cnt c ON c.lang = l.lang AND c.token = g.token
+), s AS (
+  SELECT p.lang,
+         sum(abs(p.c * (SELECT n_g FROM ng) - p.cg * n.n_l)) AS ssum,
+         any_value(n.n_l) AS n_l
+  FROM pairs p JOIN nl n ON n.lang = p.lang
+  GROUP BY p.lang
+)
+SELECT lang, CAST(n_l AS BIGINT) AS n_tokens,
+       floor((CAST(ssum AS DOUBLE)
+              / ((2.0 * CAST(n_l AS DOUBLE)) * (SELECT n_g FROM ng)))
+             * 1000000 + 0.5) / 1000000 AS tvd
+FROM s
+"""
+
+
 def hybrid_search_rrf(sf_dir: str) -> pa.Table:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     top-20 (documents) with the brute-force cosine top-20 around query
@@ -4769,6 +5031,8 @@ QUERIES = {
     "doc_lang_median_filter": doc_lang_median_filter,
     "user_funnel": user_funnel,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "doc_rarity_score": doc_rarity_score,
+    "lang_token_drift": lang_token_drift,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -4915,6 +5179,8 @@ ORACLE_SQL = {
     "doc_lang_median_filter": _SQL_LANG_MEDIAN_FILTER,
     "user_funnel": _SQL_FUNNEL,
     "hybrid_search_rrf": _sql_hybrid(),
+    "doc_rarity_score": _SQL_RARITY,
+    "lang_token_drift": _SQL_LANG_DRIFT,
     "cdc_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
