@@ -45,6 +45,8 @@ from .pipelines.history import (incremental_repo_stats, incremental_token_df,
                                 read_snapshot, repo_stats_snapshot,
                                 snapshot_diff, token_df_snapshot)
 from .pipelines.index import build_token_index, token_plan, token_search
+from .pipelines.projection import (build_projection, load_projection_meta,
+                                   projection_scan)
 from .pipelines.ingest import (eq_plan, eq_scan, ingest, ingest_with_retry,
                                lookup_plan, point_lookup, range_plan,
                                range_scan, read_lake, read_lake_table)
@@ -87,6 +89,7 @@ __all__ = [
     "point_lookup", "lookup_plan", "range_plan", "range_scan",
     "eq_plan", "eq_scan",
     "build_token_index", "token_plan", "token_search",
+    "build_projection", "projection_scan", "load_projection_meta",
     "decontaminate", "contaminated_ids", "shingle_rows",
     "exact_group_quantile",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",

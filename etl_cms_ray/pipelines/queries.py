@@ -1341,6 +1341,65 @@ def cdc_range_scan(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_projection_scan(sf_dir: str) -> "rd.Dataset":
+    """Sorted secondary projection (incremental MV,
+    pipelines/projection.py): ingest commit 1, build a size-sorted
+    projection, ingest commit 2 (updates + deletes land in many source
+    partitions), REFRESH the projection incrementally (O(changed
+    partitions + affected ranges); cut points fixed from the first
+    build), then serve ``200 <= size <= 500`` from the projection's
+    range files.  The oracle is the plain relational range filter over
+    the final state, so the result must be independent of the
+    projection machinery entirely — range pruning, src_part tracking
+    and the refresh rewrite decide READS, never the answer.  (Reference
+    analog: the post-load INDEX DDL, ``SQL/create_CDMv5_indices.sql`` —
+    a physical layout built after load to serve value predicates.)"""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from .projection import build_projection, projection_scan
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"pj_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    build_projection(lake_root, "by_size", "size",
+                     columns=["repo", "path", "lang", "content", "size"],
+                     num_ranges=16)
+    ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    build_projection(lake_root, "by_size", "size",
+                     columns=["repo", "path", "lang", "content", "size"],
+                     num_ranges=16)
+    ds = projection_scan(lake_root, "by_size", 200, 500)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_PROJECTION_SCAN = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS content_sha_hex,
+       CAST(octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) AS BIGINT) AS size
+FROM documents
+WHERE doc_id % 7 <> 0
+  AND octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) BETWEEN 200 AND 500
+"""
+
+
 def cdc_eq_scan(sf_dir: str) -> "rd.Dataset":
     """Dictionary-stat file skipping: the applier records the distinct
     value set of low-cardinality string columns (<= 8 short values —
@@ -5033,6 +5092,7 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "doc_rarity_score": doc_rarity_score,
     "lang_token_drift": lang_token_drift,
+    "cdc_projection_scan": cdc_projection_scan,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -5181,6 +5241,7 @@ ORACLE_SQL = {
     "hybrid_search_rrf": _sql_hybrid(),
     "doc_rarity_score": _SQL_RARITY,
     "lang_token_drift": _SQL_LANG_DRIFT,
+    "cdc_projection_scan": _SQL_PROJECTION_SCAN,
     "cdc_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     "lang_doc_stats": _SQL_LANG_DOC_STATS,
     "dedup_exact_docs": _SQL_DEDUP_EXACT,
