@@ -3843,6 +3843,50 @@ FROM toks t LEFT JOIN inv i USING (doc_id)
 """
 
 
+def embedding_kmeans(sf_dir: str) -> "rd.Dataset":
+    """Distributed spherical k-means over the embeddings table
+    (stages/ann.kmeans_fit): full-dataset Lloyd iterations with
+    per-batch (cluster, sum, count) partials, then per-cluster size +
+    mean assignment cosine.  The semantic-clustering primitive of a
+    SemDeDup-style curation stack.  No SQL oracle (iterative float
+    algorithm — avg order is engine-dependent); the driver records a
+    rows-only check and test_hard_checks pins exact recovery of
+    planted separated clusters."""
+    from ..stages.ann import kmeans_assign, kmeans_fit
+
+    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    C = kmeans_fit(ds, k=8, iters=3)
+    assigned = kmeans_assign(ds, C)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster", sort=False).agg(
+            _n=("cos_sim", "size"), _s=("cos_sim", "sum")).reset_index()
+        return g
+
+    partials = assigned.map_batches(partial, batch_format="pandas")
+    return _final_agg(
+        partials,
+        lambda d: d.groupby("cluster", sort=False)
+        .agg(size=("_n", "sum"), _s=("_s", "sum")).reset_index()
+        .assign(mean_cos=lambda g: _qround(g["_s"] / g["size"], 4))
+        .astype({"cluster": "int64", "size": "int64"})
+        [["cluster", "size", "mean_cos"]],
+    )
+
+
+def embedding_diversity_sample(sf_dir: str) -> "rd.Dataset":
+    """Cluster-stratified coreset: fit k-means on the full embeddings
+    table, then keep the 2 vectors nearest each centroid
+    (stages/ann.kmeans_diversity_sample) — per-batch bounded local
+    top-m, one bounded-key final; ties (cos DESC, vec_id ASC).
+    Rows-only driver check; determinism pinned in test_hard_checks."""
+    from ..stages.ann import kmeans_diversity_sample, kmeans_fit
+
+    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    C = kmeans_fit(ds, k=8, iters=3)
+    return kmeans_diversity_sample(ds, C, per_cluster=2)
+
+
 def doc_rarity_score(sf_dir: str) -> "rd.Dataset":
     """Token-rarity quality score per document: the mean corpus document
     frequency of the document's token INSTANCES, normalized by corpus
@@ -5093,6 +5137,8 @@ QUERIES = {
     "doc_rarity_score": doc_rarity_score,
     "lang_token_drift": lang_token_drift,
     "cdc_projection_scan": cdc_projection_scan,
+    "embedding_kmeans": embedding_kmeans,
+    "embedding_diversity_sample": embedding_diversity_sample,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,

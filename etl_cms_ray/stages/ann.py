@@ -690,3 +690,146 @@ def centroid_cosine_scores(
     return vectors.select_columns([id_col, group_col, emb_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means over the FULL dataset (vs train_centroids,
+# which Lloyd-iterates a bounded driver sample for IVF seeding)
+
+
+def kmeans_fit(
+    vectors: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 4,
+    emb_col: str = "embedding",
+    sample_size: int = 2048,
+) -> np.ndarray:
+    """Spherical k-means centroids fit on EVERY vector: per Lloyd
+    iteration one streaming assignment pass emits k (cluster,
+    sum-vector, count) partial rows per batch (a matmul + np.add.at —
+    vectors never leave their batch), combined on the driver into the
+    next (k, dim) centroid matrix.  The semantic-clustering primitive
+    under diversity sampling / cluster-balanced mixes (SemDeDup-style
+    pipelines).
+
+    Deterministic: init = ``train_centroids(iters=0)`` (canonical-order
+    first-k from a bounded sample prefix), argmax ties break to the
+    lowest cluster, empty clusters keep their previous centroid — a
+    fixed input yields fixed centroids on any cluster size or batch
+    split (summation grid: per-CLUSTER partial sums are combined in
+    cluster-id order, so float addition order is batch-count-dependent
+    only across batches of one cluster; the hard check pins exactness
+    on separated data, not bitwise floats).
+
+    Scale: the centroid matrix ships once per iteration via ``ray.put``
+    (k x dim x 8 B); driver combine materializes n_batches x k partial
+    rows — the group_centroids discipline, never vectors.  Each
+    iteration re-executes the input pipeline (streaming, nothing
+    pinned); pass a materialized/checkpointed Dataset when the source
+    read dominates.
+    """
+    C = train_centroids(vectors, n_cells=k, sample_size=sample_size,
+                        iters=0, emb_col=emb_col)
+    k = C.shape[0]  # may clamp to sample size
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partial(t: pa.Table, _ref=ref, _k=k) -> pa.Table:
+            from ..functions.threads import single_threaded_kernels
+
+            single_threaded_kernels()
+            Cm = ray.get(_ref)
+            m = _normalize(_to_matrix(t[emb_col]))
+            a = np.argmax(m @ Cm.T, axis=1)  # ties -> lowest cluster
+            sums = np.zeros((_k, m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=_k).astype(np.int64)
+            return pa.table({
+                "c": pa.array(np.arange(_k, dtype=np.int64)),
+                "s": pa.array(list(sums), type=pa.list_(pa.float64())),
+                "n": pa.array(cnt, type=pa.int64()),
+            })
+
+        rows = vectors.select_columns([emb_col]).map_batches(
+            partial, batch_format="pyarrow"
+        ).to_pandas()
+        newC = C.copy()
+        for c, sub in rows.groupby("c", sort=True):
+            n = int(sub["n"].sum())
+            if n:
+                newC[int(c)] = np.stack(sub["s"].to_numpy()).sum(axis=0) / n
+        C = _normalize(newC)
+    return C
+
+
+def kmeans_assign(
+    vectors: "ray.data.Dataset",
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 4,
+) -> "ray.data.Dataset":
+    """(id, cluster, cos_sim): nearest-centroid assignment, one
+    vectorized matmul per batch against the broadcast (k, dim) matrix."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    scale = float(10 ** round_digits)
+
+    def assign(t: pa.Table, _ref=ref) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        Cm = ray.get(_ref)
+        m = _normalize(_to_matrix(t[emb_col]))
+        sims = m @ Cm.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(a)), a]
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(a.astype(np.int64)),
+            "cos_sim": pa.array(np.floor(best * scale + 0.5) / scale,
+                                type=pa.float64()),
+        })
+
+    return vectors.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def kmeans_diversity_sample(
+    vectors: "ray.data.Dataset",
+    centroids: np.ndarray,
+    per_cluster: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_digits: int = 4,
+) -> "ray.data.Dataset":
+    """Cluster-stratified representatives: the ``per_cluster`` vectors
+    NEAREST their centroid, per cluster — the coreset/diversity picker
+    of a semantic-clustering curation stage (every region of embedding
+    space contributes, dominant regions can't flood the sample).
+
+    Scale shape: assignment batches keep only their local top
+    ``per_cluster`` per cluster (bounded k x m rows per batch), then one
+    bounded-key grouped final takes the global top — the
+    _global_topk_fn discipline keyed by cluster.  Ties break (cos DESC,
+    id ASC) deterministically."""
+    assigned = kmeans_assign(vectors, centroids, id_col=id_col,
+                             emb_col=emb_col, round_digits=round_digits)
+
+    def local_top(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["cluster", "cos_sim", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("cluster", sort=False).head(per_cluster)
+
+    def final_top(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = local_top(df)
+        out["rnk"] = out.groupby("cluster", sort=False).cumcount() + 1
+        return out[["cluster", "rnk", id_col, "cos_sim"]]
+
+    partials = assigned.map_batches(local_top, batch_format="pandas")
+    # cluster count is bounded (k), so the final is one coalesced task
+    # over <= n_batches x k x m tiny rows
+    return partials.repartition(1).map_batches(
+        final_top, batch_format="pandas", batch_size=None
+    )

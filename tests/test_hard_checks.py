@@ -174,3 +174,58 @@ def test_centroid_cosine_planted_outlier(ray_session):
     assert s[21] == 0.0
     assert s[20] == min(s.values()) and s[20] < -0.5
     assert all(s[i] > 0.95 for i in range(20))
+
+
+def test_kmeans_planted_clusters(ray_session):
+    """Three well-separated planted clusters: full-dataset Lloyd must
+    recover the partition EXACTLY (assignment equals the plant, every
+    planted group lands in one k-means cluster), deterministically
+    across two runs and across a different batch split."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_cms_ray.stages.ann import (kmeans_assign,
+                                        kmeans_diversity_sample, kmeans_fit)
+
+    rng = np.random.default_rng(11)
+    dirs = np.eye(8)[:3]  # orthogonal cluster directions
+    rows, plant = [], []
+    for c in range(3):
+        for _ in range(40):
+            rows.append(dirs[c] + rng.normal(scale=0.02, size=8))
+            plant.append(c)
+    t = pa.table({
+        "vec_id": pa.array(range(len(rows)), type=pa.int64()),
+        "plant": pa.array(plant, type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              type=pa.list_(pa.float32())),
+    })
+
+    def fit_assign(ds):
+        C = kmeans_fit(ds, k=3, iters=4)
+        out = kmeans_assign(ds, C).to_pandas().sort_values("vec_id")
+        return C, out
+
+    ds1 = rd.from_arrow(t)
+    C1, a1 = fit_assign(ds1)
+    # planted partition recovered exactly: each plant maps to ONE cluster
+    merged = a1.assign(plant=plant)
+    m = merged.groupby("plant")["cluster"].nunique()
+    assert (m == 1).all()
+    assert merged.groupby("cluster")["plant"].nunique().eq(1).all()
+    assert (merged["cos_sim"] > 0.99).all()
+
+    # determinism across a different batch split
+    ds2 = rd.from_arrow(t).repartition(7)
+    C2, a2 = fit_assign(ds2)
+    assert np.allclose(C1, C2, atol=1e-12)
+    assert (a1["cluster"].to_numpy() == a2["cluster"].to_numpy()).all()
+
+    # diversity sample: per_cluster rows per cluster, nearest-first,
+    # deterministic tie order
+    samp = kmeans_diversity_sample(ds1, C1, per_cluster=2).to_pandas()
+    assert len(samp) == 6
+    assert (samp.groupby("cluster")["rnk"].max() == 2).all()
+    best = samp[samp["rnk"] == 1].set_index("cluster")["cos_sim"]
+    second = samp[samp["rnk"] == 2].set_index("cluster")["cos_sim"]
+    assert (best >= second).all()
