@@ -153,6 +153,113 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF, uncompressed 'DIB ' 24-bit frames)
+#
+# The one video container simple enough to decode with header parsing +
+# np.frombuffer: RIFF('AVI ') -> LIST(hdrl){avih, LIST(strl){strh,strf}}
+# -> LIST(movi){'00db' raw BGR bottom-up frames, BMP row padding}.
+# mp4/h264 stays out of reach (needs an entropy/DCT codec library); this
+# closes the video decode path for the uncompressed codec the same way
+# BMP/PPM close images.
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Uncompressed AVI from a (T, H, W, 3) uint8 RGB array."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    t, h, w, c = frames.shape
+    assert c == 3 and t >= 1 and fps > 0
+    row = w * 3
+    pad = (-row) % 4
+    frame_size = (row + pad) * h
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def _list(kind: bytes, body: bytes) -> bytes:
+        return _chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10,  # AVIF_HASINDEX unset; 0x10=WASCAPTUREFILE irrelevant, keep simple flags
+        t, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIiI", 0, 0, 0, 0, 1, fps, 0,
+                                        t, frame_size, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
+                       2835, 2835, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi_body = b""
+    bgr = frames[:, :, :, ::-1]
+    for i in range(t):
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up, padded rows (DIB)
+            body += bgr[i, y].tobytes() + b"\x00" * pad
+        movi_body += _chunk(b"00db", bytes(body))
+    movi = _list(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """((T, H, W, 3) uint8 RGB frames, fps) from an uncompressed AVI
+    ('DIB '/raw 24-bit '00db'/'00dc' frames).  Compressed streams raise
+    ValueError (dead-letter upstream, same contract as the other
+    codecs)."""
+    if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    w = h = None
+    us_per_frame = 0
+    bits = compression = None
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, us_per_frame, bits, compression
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + clen)
+            elif cid == b"avih":
+                vals = struct.unpack_from("<IIIIIIIIII", payload, body_start)
+                us_per_frame = vals[0]
+                w, h = int(vals[8]), int(vals[9])
+            elif cid == b"strf":
+                _sz, bw, bh, _planes, bits, compression = struct.unpack_from(
+                    "<IiiHHI", payload, body_start
+                )
+            elif cid in (b"00db", b"00dc"):
+                frames_raw.append(payload[body_start : body_start + clen])
+            pos = body_start + clen + (clen & 1)
+
+    walk(12, len(payload))
+    if not frames_raw or not w or not h:
+        raise ValueError("missing avih/movi frames")
+    if bits != 24 or compression not in (0, None):
+        raise ValueError(
+            f"unsupported AVI stream: {bits}-bit compression={compression}"
+        )
+    row = w * 3
+    stride = row + ((-row) % 4)
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < stride * h:
+            raise ValueError("truncated AVI frame")
+        px = np.frombuffer(raw, dtype=np.uint8, count=stride * h)
+        px = px.reshape(h, stride)[:, :row].reshape(h, w, 3)
+        out[i] = px[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+    fps = 1_000_000 / us_per_frame if us_per_frame else 0.0
+    return out, float(fps)
+
+
+# ---------------------------------------------------------------------------
 # Image ops (pure numpy)
 
 
@@ -166,9 +273,12 @@ def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def sniff_kind(payload: bytes) -> str:
-    """Container sniffing by magic bytes: 'audio' | 'image' | 'unknown'."""
+    """Container sniffing by magic bytes:
+    'audio' | 'image' | 'video' | 'unknown'."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "video"
     if payload[:2] == b"BM" or payload[:2] == b"P6":
         return "image"
     return "unknown"

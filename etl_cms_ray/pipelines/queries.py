@@ -5093,6 +5093,33 @@ def multimodal_frames(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def multimodal_video_frames(sf_dir: str) -> "rd.Dataset":
+    """REAL video decode: uncompressed-AVI fixtures through the
+    VideoFrameFeatures actor pool (per-frame mean RGB / luma std /
+    motion energy from the actual RIFF bytes), then per-clip totals —
+    n_frames plus summed motion.  Rows-only driver check; the planted
+    constant-vs-alternating-clip exactness lives in test_codecs."""
+    from ..stages.multimodal import VideoFrameFeatures
+
+    media = rd.from_arrow(synth_media_table(n=96, video="avi"))
+    frames = media.map_batches(
+        VideoFrameFeatures, batch_format="pyarrow", batch_size=8,
+        concurrency=2, fn_constructor_kwargs={"strict": True},
+    )
+    partials = frames.map_batches(
+        lambda df: df.groupby("media_id", sort=False)
+        .agg(_n=("frame_idx", "size"), _m=("motion", "sum")).reset_index(),
+        batch_format="pandas",
+    )
+    return _final_agg(
+        partials,
+        lambda df: df.groupby("media_id", sort=False)
+        .agg(n_frames=("_n", "sum"), motion_total=("_m", "sum")).reset_index()
+        .assign(motion_total=lambda g: _qround(g["motion_total"], 4))
+        .astype({"media_id": "int64", "n_frames": "int64"}),
+    )
+
+
 # ===========================================================================
 # Catalog
 
@@ -5207,6 +5234,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
+    "multimodal_video_frames": multimodal_video_frames,
 }
 
 ORACLE_SQL = {

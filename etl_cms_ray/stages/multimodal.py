@@ -1,12 +1,15 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-Decode is REAL for audio (RIFF/WAVE PCM) and images (BMP 24-bit, PPM P6)
-via the pure-numpy codecs in ``functions/codecs.py`` — ``MediaDecoder``
-parses the actual container bytes and extracts numeric features /
-thumbnails.  VIDEO decode stays an honest stub (mp4/h264 needs a codec
-library this container does not have): ``MediaDecoder(strict=True)``
-raises for it (dead-letter upstream), strict=False falls back to the
-deterministic sha-derived vector of ``DecodeStub``.
+Decode is REAL for audio (RIFF/WAVE PCM), images (BMP 24-bit, PPM P6)
+and uncompressed video (RIFF/AVI 'DIB ' 24-bit frames) via the
+pure-numpy codecs in ``functions/codecs.py`` — ``MediaDecoder`` parses
+the actual container bytes and extracts numeric features / thumbnails,
+and ``VideoFrameFeatures`` emits real per-frame rows (flat-map shape)
+from AVI payloads.  COMPRESSED video (mp4/h264) stays an honest stub —
+it genuinely needs a codec library this container does not have:
+``MediaDecoder(strict=True)`` raises for it (dead-letter upstream),
+strict=False falls back to the deterministic sha-derived vector of
+``DecodeStub``.
 
 Design rules for 100 TB media: small ``batch_size`` (payloads dominate
 block size), ``batch_format="pyarrow"`` end-to-end (binary columns do not
@@ -35,12 +38,16 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+def synth_media_table(n: int = 64, seed: int = 5,
+                      video: str = "mp4") -> pa.Table:
     """Deterministic payloads for tests (no external data): REAL BMP
     images and REAL PCM WAVs (the metadata columns match the encoded
-    container exactly); video payloads stay opaque random bytes — the
-    decoder for them is the documented stub."""
-    from ..functions.codecs import encode_bmp, encode_wav
+    container exactly).  ``video="mp4"`` (default, the historical
+    fixture) keeps video payloads opaque random bytes — the compressed-
+    codec stub path; ``video="avi"`` encodes REAL uncompressed AVI
+    clips (duration_ms consistent with frame count x fps) for the real
+    video decode path."""
+    from ..functions.codecs import encode_avi, encode_bmp, encode_wav
 
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
@@ -62,6 +69,15 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
                 (0.5 * np.sin(2 * np.pi * f * t)).astype(np.float32), 8000
             )
             mime = "audio/wav"
+        elif video == "avi":
+            fps = 10
+            nframes = int(rng.randint(2, 9))
+            w, h = int(rng.randint(4, 24)), int(rng.randint(4, 24))
+            frames = rng.randint(0, 256, size=(nframes, h, w, 3),
+                                 dtype=np.uint8)
+            payload = encode_avi(frames, fps=fps)
+            dur = nframes * 1000 // fps
+            mime = "video/avi"
         else:
             dur = int(rng.randint(100, 60000))
             w, h = int(rng.randint(16, 256)), int(rng.randint(16, 256))
@@ -121,9 +137,14 @@ class MediaDecoder:
       edge_energy, aspect]`` — decoded from the actual BMP/PPM bytes;
     - audio: ``[duration_s, rms, zero_cross_rate, spectral_centroid_hz,
       peak, rate_khz, 0, 0]`` — decoded from the actual WAV bytes;
-    - video / unknown: ``strict=True`` raises NotImplementedError (no
-      video codec in this container — dead-letter upstream), else the
-      DecodeStub sha-derived deterministic vector.
+    - video (uncompressed AVI): ``[n_frames, width, height, fps,
+      mean_luma, motion_energy, duration_s, 0]`` — decoded from the
+      actual RIFF/AVI bytes (motion_energy = mean |frame delta| of the
+      luma plane);
+    - compressed video / unknown: ``strict=True`` raises
+      NotImplementedError (no mp4/h264 codec in this container —
+      dead-letter upstream), else the DecodeStub sha-derived
+      deterministic vector.
 
     ``resize_to=(w, h)`` additionally emits a ``thumb`` binary column
     (raw RGB bytes of the nearest-neighbor resize) for image rows —
@@ -155,6 +176,17 @@ class MediaDecoder:
                  float(gx + gy), w / h]
         return f
 
+    def _video_features(self, frames: np.ndarray, fps: float) -> np.ndarray:
+        t, h, w, _ = frames.shape
+        f = np.zeros(self.feature_dim, dtype=np.float32)
+        luma = frames.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                    dtype=np.float32)
+        motion = (float(np.abs(np.diff(luma, axis=0)).mean())
+                  if t > 1 else 0.0)
+        f[:8] = [t, w, h, fps, float(luma.mean()), motion,
+                 t / fps if fps > 0 else 0.0, 0.0]
+        return f
+
     def _audio_features(self, x: np.ndarray, rate: int) -> np.ndarray:
         f = np.zeros(self.feature_dim, dtype=np.float32)
         n = len(x)
@@ -171,8 +203,8 @@ class MediaDecoder:
         return f
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.codecs import (decode_bmp, decode_ppm, decode_wav,
-                                        resize_image)
+        from ..functions.codecs import (decode_avi, decode_bmp, decode_ppm,
+                                        decode_wav, resize_image)
 
         kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
@@ -191,12 +223,16 @@ class MediaDecoder:
                     x, rate = decode_wav(p)
                     feats[i] = self._audio_features(x, rate)
                     continue
+                if k == "video" and p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                    frames, fps = decode_avi(p)
+                    feats[i] = self._video_features(frames, fps)
+                    continue
             except ValueError:
                 if self.strict:
                     raise
                 feats[i] = self._stub._decode_one(k, p)
                 continue
-            if self.strict:  # video / unknown kinds
+            if self.strict:  # compressed video / unknown kinds
                 raise NotImplementedError(
                     f"no codec for kind={k!r} in this environment"
                 )
@@ -211,6 +247,79 @@ class MediaDecoder:
                 "thumb", pa.array(thumbs, type=pa.large_binary())
             )
         return out
+
+
+class VideoFrameFeatures:
+    """REAL per-frame extraction from uncompressed AVI payloads
+    (flat-map shape: one video row -> ``ceil(n_frames / stride)`` frame
+    rows).  Emits per sampled frame: mean R/G/B, luma std, and motion
+    energy vs the PREVIOUS sampled frame (0 for the first) — the
+    frame-sample + featurize stage of a video curation pipeline.
+    Non-AVI payloads raise in strict mode (dead-letter upstream) and
+    are silently skipped otherwise (metadata-only rows keep flowing
+    through FrameSampler).
+
+    Stage shape: actor pool (decode state per actor), SMALL batch_size
+    (decoded frames dominate heap: batch_size x frames x H x W x 3
+    bytes live at once), Arrow in/out."""
+
+    def __init__(self, stride: int = 1, strict: bool = False):
+        assert stride >= 1
+        self.stride = stride
+        self.strict = strict
+        self._luma = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_avi
+
+        out = {k: [] for k in ("media_id", "frame_idx", "frame_ts_ms",
+                               "mean_r", "mean_g", "mean_b", "luma_std",
+                               "motion")}
+        for mid, kind, p in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            try:
+                frames, fps = decode_avi(p)
+            except ValueError:
+                if self.strict:
+                    raise
+                continue
+            sampled = frames[:: self.stride].astype(np.float32)
+            luma = sampled @ self._luma
+            mean_rgb = sampled.mean(axis=(1, 2))  # (t, 3) one sweep
+            prev = None
+            for j in range(sampled.shape[0]):
+                idx = j * self.stride
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["frame_ts_ms"].append(
+                    int(idx * 1000 / fps) if fps > 0 else 0
+                )
+                out["mean_r"].append(float(mean_rgb[j, 0]))
+                out["mean_g"].append(float(mean_rgb[j, 1]))
+                out["mean_b"].append(float(mean_rgb[j, 2]))
+                out["luma_std"].append(float(luma[j].std()))
+                out["motion"].append(
+                    0.0 if prev is None
+                    else float(np.abs(luma[j] - prev).mean())
+                )
+                prev = luma[j]
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], type=pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], type=pa.int32()),
+                "frame_ts_ms": pa.array(out["frame_ts_ms"], type=pa.int32()),
+                "mean_r": pa.array(out["mean_r"], type=pa.float64()),
+                "mean_g": pa.array(out["mean_g"], type=pa.float64()),
+                "mean_b": pa.array(out["mean_b"], type=pa.float64()),
+                "luma_std": pa.array(out["luma_std"], type=pa.float64()),
+                "motion": pa.array(out["motion"], type=pa.float64()),
+            }
+        )
 
 
 class FrameSampler:

@@ -120,3 +120,87 @@ def test_media_decoder_resize_path(ray_session):
             assert len(tb) == 16 * 16 * 3
         else:
             assert tb is None
+
+
+def test_avi_roundtrip_and_sniff():
+    import numpy as np
+
+    from etl_cms_ray.functions.codecs import (decode_avi, encode_avi,
+                                              sniff_kind)
+
+    rng = np.random.RandomState(3)
+    for (t, h, w) in [(1, 4, 4), (5, 7, 9), (3, 16, 6)]:
+        fr = rng.randint(0, 256, size=(t, h, w, 3), dtype=np.uint8)
+        b = encode_avi(fr, fps=10)
+        out, fps = decode_avi(b)
+        assert out.shape == fr.shape and (out == fr).all()
+        assert abs(fps - 10) < 1e-9
+        assert sniff_kind(b) == "video"
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxAVI bad")
+    with pytest.raises(ValueError):
+        decode_avi(b"\x00" * 64)
+
+
+def test_media_decoder_real_video_features(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from etl_cms_ray.stages.multimodal import MediaDecoder, synth_media_table
+
+    t = synth_media_table(n=24, video="avi")
+    out = rd.from_arrow(t).map_batches(
+        MediaDecoder, batch_format="pyarrow", batch_size=8, concurrency=2,
+        fn_constructor_kwargs={"strict": True},  # every payload decodable
+    ).to_pandas().set_index("media_id")
+    vids = out[out["kind"] == "video"]
+    assert len(vids) == 8
+    for mid, row in vids.iterrows():
+        f = np.asarray(row["features"])
+        nfr, w, h, fps, _luma, motion, dur_s = f[:7]
+        assert fps == 10.0 and nfr >= 2
+        # metadata columns were encoded from the same frames
+        assert int(w) == row["width"] and int(h) == row["height"]
+        assert abs(dur_s * 1000 - row["duration_ms"]) < 101
+        assert motion > 0  # random frames genuinely differ
+
+
+def test_video_frame_features_real_frames(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from etl_cms_ray.functions.codecs import encode_avi
+    from etl_cms_ray.stages.multimodal import (MEDIA_SCHEMA,
+                                               VideoFrameFeatures)
+
+    # two planted clips: constant frames (motion 0) vs alternating
+    # black/white frames (motion 255 at every step)
+    const = np.full((4, 6, 6, 3), 7, dtype=np.uint8)
+    alt = np.zeros((4, 6, 6, 3), dtype=np.uint8)
+    alt[1::2] = 255
+    t = pa.table({
+        "media_id": pa.array([0, 1], type=pa.int64()),
+        "kind": pa.array(["video", "video"]),
+        "payload": pa.array([encode_avi(const), encode_avi(alt)],
+                            type=pa.large_binary()),
+        "mime": pa.array(["video/avi"] * 2),
+        "width": pa.array([6, 6], type=pa.int32()),
+        "height": pa.array([6, 6], type=pa.int32()),
+        "duration_ms": pa.array([400, 400], type=pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    out = rd.from_arrow(t).map_batches(
+        VideoFrameFeatures, batch_format="pyarrow", batch_size=2,
+        concurrency=1, fn_constructor_kwargs={"strict": True},
+    ).to_pandas()
+    assert len(out) == 8  # 4 frames x 2 clips
+    c0 = out[out["media_id"] == 0]
+    assert (c0["motion"] == 0).all() and (c0["luma_std"] == 0).all()
+    c1 = out[out["media_id"] == 1].sort_values("frame_idx")
+    assert (c1["motion"].iloc[1:] > 254).all()
+    assert list(c1["frame_ts_ms"]) == [0, 100, 200, 300]
+    # stride sampling
+    out2 = rd.from_arrow(t).map_batches(
+        VideoFrameFeatures, batch_format="pyarrow", batch_size=2,
+        concurrency=1, fn_constructor_kwargs={"stride": 2},
+    ).to_pandas()
+    assert len(out2) == 4 and set(out2["frame_idx"]) == {0, 2}
