@@ -5093,6 +5093,21 @@ def multimodal_frames(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def bpe_train_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training over the documents corpus
+    (stages/bpe.py): 10 byte-level, word-internal merge rounds, each one
+    streaming apply pass + one count pass with coarse pair-hash partial
+    reduction (the driver only ever sees <=64 candidate rows per round).
+    Deterministic (exact integer counts, count-DESC/pair-ASC ties), so
+    the merge table is a fixed function of the corpus — pinned against
+    a hand-computed sequence in test_bpe; rows-only driver check
+    (iterative algorithm, not SQL-expressible)."""
+    from ..stages.bpe import bpe_train
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_train(ds, n_merges=10)
+
+
 def multimodal_video_frames(sf_dir: str) -> "rd.Dataset":
     """REAL video decode: uncompressed-AVI fixtures through the
     VideoFrameFeatures actor pool (per-frame mean RGB / luma std /
@@ -5165,6 +5180,7 @@ QUERIES = {
     "lang_token_drift": lang_token_drift,
     "cdc_projection_scan": cdc_projection_scan,
     "embedding_kmeans": embedding_kmeans,
+    "bpe_train_merges": bpe_train_merges,
     "embedding_diversity_sample": embedding_diversity_sample,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,

@@ -11,6 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: mirror (test_queries_duckdb), property suites, cluster/selection and
 #: hard checks stay full-tier only.
 _FAST_MODULES = {
+    "test_bpe",
     "test_codecs",
     "test_index",
     "test_ingest_e2e",
