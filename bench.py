@@ -275,6 +275,9 @@ def run_bench() -> dict:
     timed("cdc_token_search", Q.cdc_token_search)
     timed("decontaminate_docs", Q.decontaminate_docs)
     timed("event_type_exact_median", Q.event_type_exact_median)
+    timed("doc_rarity_score", Q.doc_rarity_score)
+    timed("embedding_kmeans", Q.embedding_kmeans)
+    timed("cdc_projection_scan", Q.cdc_projection_scan)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

@@ -3854,7 +3854,11 @@ def embedding_kmeans(sf_dir: str) -> "rd.Dataset":
     planted separated clusters."""
     from ..stages.ann import kmeans_assign, kmeans_fit
 
-    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # materialize the two pruned columns once: every Lloyd iteration is
+    # a fresh pass, and re-decoding parquet per pass triples the wall
+    # (object-store blocks spill if the cluster is tight — fine)
+    ds = _rpc(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"]).materialize()
     C = kmeans_fit(ds, k=8, iters=3)
     assigned = kmeans_assign(ds, C)
 
@@ -3882,7 +3886,8 @@ def embedding_diversity_sample(sf_dir: str) -> "rd.Dataset":
     Rows-only driver check; determinism pinned in test_hard_checks."""
     from ..stages.ann import kmeans_diversity_sample, kmeans_fit
 
-    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _rpc(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding"]).materialize()
     C = kmeans_fit(ds, k=8, iters=3)
     return kmeans_diversity_sample(ds, C, per_cluster=2)
 
