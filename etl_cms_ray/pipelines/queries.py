@@ -5140,6 +5140,104 @@ def multimodal_video_frames(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def user_retention_cohorts(sf_dir: str) -> "rd.Dataset":
+    """Cohort retention matrix — the classic product-analytics rollup
+    (cohort = day of a user's first event; cell = #cohort users active on
+    each later day; the testdata spans one month, so daily buckets keep
+    the matrix discriminative).  Scale shape: per-batch DISTINCT
+    (user, day) partials shrink the stream to at most #users x #days
+    rows BEFORE the one coarse user-hash shuffle; the per-bucket sweep
+    derives each user's cohort with one vectorized transform('min') (no
+    per-user Python), and the surviving (cohort, day) matrix is bounded
+    (#days^2), so the last reduce is a single coalesced task."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        df = pd.DataFrame(
+            {"user_id": t["user_id"].to_numpy(zero_copy_only=False),
+             "day": day.to_pandas()}
+        )
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["user_id", "day"]), preserve_index=False
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id", sort=False)["day"].transform("min")
+        pairs = pd.DataFrame(
+            {"cohort_day": cohort, "activity_day": df["day"]}
+        )
+        return (
+            pairs.groupby(["cohort_day", "activity_day"], sort=False)
+            .size().rename("_n").reset_index()
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    cells = _coarse_final(partials, "user_id", per_bucket)
+    return _final_agg(
+        cells,
+        lambda df: df.groupby(["cohort_day", "activity_day"], sort=False)
+        ["_n"].sum().rename("n_users").reset_index()
+        .astype({"n_users": "int64"}),
+    )
+
+
+_SQL_RETENTION_COHORTS = """
+WITH a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS d FROM events),
+f AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1)
+SELECT f.cohort AS cohort_day, a.d AS activity_day, count(*) AS n_users
+FROM a JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
+def event_type_transitions(sf_dir: str) -> "rd.Dataset":
+    """First-order Markov transition counts over each user's ordered
+    event stream (the bigram statistic a sequence model or session-flow
+    analysis starts from).  Same topology as cdc_prev_event_gap: one
+    coarse user-hash shuffle, then ONE vectorized groupby-shift sweep
+    per bucket; the (prev, next) matrix is bounded (#types^2), so the
+    final sum is a single coalesced task."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["event_type"].shift(1)
+        m = prev.notna()
+        out = pd.DataFrame(
+            {"prev_type": prev[m], "next_type": g["event_type"][m]}
+        )
+        return (
+            out.groupby(["prev_type", "next_type"], sort=False)
+            .size().rename("_n").reset_index()
+        )
+
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
+    partials = parts.groupby("upart").map_groups(
+        lambda g: sweep(g.drop(columns=["upart"])), batch_format="pandas"
+    )
+    return _final_agg(
+        partials,
+        lambda df: df.groupby(["prev_type", "next_type"], sort=False)
+        ["_n"].sum().rename("n").reset_index().astype({"n": "int64"}),
+    )
+
+
+_SQL_EVENT_TRANSITIONS = """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+"""
+
+
 # ===========================================================================
 # Catalog
 
@@ -5187,6 +5285,8 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "bpe_train_merges": bpe_train_merges,
     "embedding_diversity_sample": embedding_diversity_sample,
+    "user_retention_cohorts": user_retention_cohorts,
+    "event_type_transitions": event_type_transitions,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -5352,4 +5452,6 @@ ORACLE_SQL = {
     "lang_id_pred": _lang_id_oracle_sql(),
     "dedup_cosine_pairs": _SQL_COSINE_PAIRS,
     "approx_distinct_sketch": _SQL_APPROX_DISTINCT,
+    "user_retention_cohorts": _SQL_RETENTION_COHORTS,
+    "event_type_transitions": _SQL_EVENT_TRANSITIONS,
 }
