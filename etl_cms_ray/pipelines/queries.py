@@ -5238,6 +5238,110 @@ FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
 """
 
 
+def cdc_running_total(sf_dir: str) -> "rd.Dataset":
+    """Per-user running cumulative sum (SUM ... OVER ROWS UNBOUNDED
+    PRECEDING) — the running-balance window the gap/top-k/rolling
+    entries don't cover.  Cross-engine exactness WITHOUT grid-ulp
+    worries: values quantize to integer cents (int64) before the
+    cumsum, both engines sum exact integers (order-independent by
+    construction, unlike double partials), and dividing identical
+    int64s by 100.0 yields identical IEEE doubles.  Topology: one
+    coarse user-hash shuffle, then a single vectorized groupby-cumsum
+    sweep per bucket — never a Python call per user (CLAUDE.md
+    rule 3)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        run = pd.Series(cents, index=g.index).groupby(
+            g["user_id"], sort=False).cumsum()
+        return g.assign(
+            run_total=run.to_numpy().astype(np.float64) / 100.0
+        )[["user_id", "event_id", "ts", "run_total"]]
+
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
+    return parts.groupby("upart").map_groups(
+        lambda g: sweep(g.drop(columns=["upart"])), batch_format="pandas"
+    )
+
+
+_SQL_RUNNING_TOTAL = """
+SELECT user_id, event_id, ts,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+         AS run_total
+FROM events
+"""
+
+
+def event_type_value_corr(sf_dir: str) -> "rd.Dataset":
+    """Grouped Pearson correlation from mergeable co-moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy²) — the bivariate member of the moments
+    family (event value vs hour-of-day: does value drift across the
+    day?).  Grid discipline (CLAUDE.md rule 4): x quantizes to the
+    0.01 grid, y (hour) is an exact small integer, and the covariance /
+    sqrt(varx·vary) expression is mirrored LITERALLY in the SQL so the
+    pre-quantization doubles agree; final quantized to 6 digits.  Keys
+    are bounded (#event_types), so the final reduce is one coalesced
+    task over per-block partials — same shape as
+    event_type_value_stats."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = _qround(df["value"], 2)
+        y = df["ts"].dt.hour.astype("float64")
+        d = pd.DataFrame({"event_type": df["event_type"], "_x": x, "_y": y,
+                          "_xy": x * y, "_xx": x * x, "_yy": y * y})
+        return (
+            d.groupby("event_type", sort=False)
+            .agg(_n=("_x", "size"), _sx=("_x", "sum"), _sy=("_y", "sum"),
+                 _sxy=("_xy", "sum"), _sxx=("_xx", "sum"), _syy=("_yy", "sum"))
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("event_type", sort=False)
+            .agg(_n=("_n", "sum"), _sx=("_sx", "sum"), _sy=("_sy", "sum"),
+                 _sxy=("_sxy", "sum"), _sxx=("_sxx", "sum"),
+                 _syy=("_syy", "sum"))
+            .reset_index()
+        )
+        n = g["_n"].astype("float64")
+        cov = g["_sxy"] - g["_sx"] * g["_sy"] / n
+        vx = g["_sxx"] - g["_sx"] * g["_sx"] / n
+        vy = g["_syy"] - g["_sy"] * g["_sy"] / n
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_events": g["_n"].astype("int64"),
+                "corr_value_hour": _qround(cov / np.sqrt(vx * vy), 6),
+            }
+        )
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_VALUE_CORR = """
+WITH q AS (
+  SELECT event_type, floor((value) * 100 + 0.5) / 100 AS x,
+         CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS y
+  FROM events
+), a AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM q GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       floor(((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))) * 1000000 + 0.5) / 1000000 AS corr_value_hour
+FROM a
+"""
+
+
 # ===========================================================================
 # Catalog
 
@@ -5287,6 +5391,8 @@ QUERIES = {
     "embedding_diversity_sample": embedding_diversity_sample,
     "user_retention_cohorts": user_retention_cohorts,
     "event_type_transitions": event_type_transitions,
+    "cdc_running_total": cdc_running_total,
+    "event_type_value_corr": event_type_value_corr,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -5454,4 +5560,6 @@ ORACLE_SQL = {
     "approx_distinct_sketch": _SQL_APPROX_DISTINCT,
     "user_retention_cohorts": _SQL_RETENTION_COHORTS,
     "event_type_transitions": _SQL_EVENT_TRANSITIONS,
+    "cdc_running_total": _SQL_RUNNING_TOTAL,
+    "event_type_value_corr": _SQL_VALUE_CORR,
 }
