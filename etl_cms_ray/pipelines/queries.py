@@ -1400,6 +1400,62 @@ WHERE doc_id % 7 <> 0
 """
 
 
+def cdc_zorder_scan(sf_dir: str) -> "rd.Dataset":
+    """Z-order clustered rewrite + multi-column zone-map pruned scan
+    (pipelines/zorder.py — the Delta OPTIMIZE ZORDER analog): ingest
+    both commits, cluster the live lake by bit-interleaved
+    (lang, size) rank codes into range files whose zone maps are tight
+    on BOTH columns, then serve the 2-D predicate ``lang = 'fr' AND
+    150 <= size <= 450`` from the pruned files.  The oracle is the
+    plain relational filter over the final state — clustering and
+    pruning decide READS, never the answer (staleness fallback and
+    pruning subsets are pytest-checked in tests/test_zorder.py).
+    (Reference analog: the several single-column post-load indices of
+    ``SQL/create_CDMv5_indices.sql``, served here by ONE layout.)"""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from .zorder import build_zorder, zorder_scan
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"zo_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    build_zorder(lake_root, "by_lang_size", ["lang", "size"],
+                 columns=["repo", "path", "lang", "content", "size"],
+                 num_files=16)
+    ds = zorder_scan(lake_root, "by_lang_size",
+                     {"lang": ("fr", "fr"), "size": (150, 450)})
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_ZORDER_SCAN = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS content_sha_hex,
+       CAST(octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) AS BIGINT) AS size
+FROM documents
+WHERE doc_id % 7 <> 0 AND lang = 'fr'
+  AND octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) BETWEEN 150 AND 450
+"""
+
+
 def cdc_eq_scan(sf_dir: str) -> "rd.Dataset":
     """Dictionary-stat file skipping: the applier records the distinct
     value set of low-cardinality string columns (<= 8 short values —
@@ -5393,6 +5449,7 @@ QUERIES = {
     "event_type_transitions": event_type_transitions,
     "cdc_running_total": cdc_running_total,
     "event_type_value_corr": event_type_value_corr,
+    "cdc_zorder_scan": cdc_zorder_scan,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -5562,4 +5619,5 @@ ORACLE_SQL = {
     "event_type_transitions": _SQL_EVENT_TRANSITIONS,
     "cdc_running_total": _SQL_RUNNING_TOTAL,
     "event_type_value_corr": _SQL_VALUE_CORR,
+    "cdc_zorder_scan": _SQL_ZORDER_SCAN,
 }
