@@ -278,6 +278,7 @@ def run_bench() -> dict:
     timed("doc_rarity_score", Q.doc_rarity_score)
     timed("embedding_kmeans", Q.embedding_kmeans)
     timed("cdc_projection_scan", Q.cdc_projection_scan)
+    timed("cdc_zorder_scan", Q.cdc_zorder_scan)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

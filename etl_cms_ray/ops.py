@@ -47,6 +47,7 @@ from .pipelines.history import (incremental_repo_stats, incremental_token_df,
 from .pipelines.index import build_token_index, token_plan, token_search
 from .pipelines.projection import (build_projection, load_projection_meta,
                                    projection_scan)
+from .pipelines.zorder import build_zorder, load_zorder_meta, zorder_scan
 from .stages.bpe import bpe_encode_counts, bpe_train
 from .pipelines.ingest import (eq_plan, eq_scan, ingest, ingest_with_retry,
                                lookup_plan, point_lookup, range_plan,
@@ -91,6 +92,7 @@ __all__ = [
     "eq_plan", "eq_scan",
     "build_token_index", "token_plan", "token_search",
     "build_projection", "projection_scan", "load_projection_meta",
+    "build_zorder", "zorder_scan", "load_zorder_meta",
     "bpe_train", "bpe_encode_counts",
     "decontaminate", "contaminated_ids", "shingle_rows",
     "exact_group_quantile",

@@ -165,7 +165,11 @@ def _codes_for(t: pa.Table, zcols: list[str], domains: dict) -> np.ndarray:
         if d["kind"] == "numeric":
             v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
             v = np.nan_to_num(v, nan=-np.inf)  # nulls/NaN -> lowest code
-            code = np.searchsorted(np.asarray(d["cuts"]), v, side="right")
+            idx = np.searchsorted(np.asarray(d["cuts"]), v, side="right")
+            # duplicate quantiles collapse the cut list on low-cardinality
+            # data; rescale so codes still span the full range (otherwise
+            # the high interleave bits are constant and buckets collapse)
+            code = (idx * ((1 << _CODE_BITS) - 1)) // max(len(d["cuts"]), 1)
         else:
             cats = d["values"]
             ncat = max(len(cats), 1)
@@ -184,11 +188,20 @@ def build_zorder(
     zcols: list[str],
     columns: list[str] | None = None,
     num_files: int = 16,
+    incremental: bool = True,
 ) -> dict:
-    """Build (full rebuild — clustering is a layout decision, refreshed
-    wholesale like Delta's OPTIMIZE; per-partition staleness at SCAN
-    time keeps results exact between rebuilds) the z-ordered clustered
-    copy ``name`` over ``zcols``.  Returns {"files", "rows"}."""
+    """Build or refresh the z-ordered clustered copy ``name`` over
+    ``zcols``.  First build picks the rank-code domains ONCE (fixed
+    thereafter, like the projection's cut points, so refreshes stay
+    incremental); a refresh costs O(changed source partitions +
+    affected z-buckets): a source partition whose (base, delta-chain)
+    state_id is unchanged is already correctly clustered, and only
+    buckets that hold its rows or receive new rows are rewritten.
+    Domains fixed at first build can drift from the data — per-file
+    row counts in meta make the skew observable, and a full rebuild
+    (``incremental=False``) re-derives them (Delta's periodic full
+    OPTIMIZE ZORDER).  Returns {"files", "rows", "rebuilt_files",
+    "changed_parts"}."""
     import ray
 
     if not 2 <= len(zcols) * _CODE_BITS <= 64:
@@ -207,12 +220,41 @@ def build_zorder(
     live = {pid: ps for pid, ps in sorted(manifest.partitions.items())
             if ps.file or ps.deltas}
     cur_state = {pid: _state_id(ps) for pid, ps in live.items()}
+
+    old = load_zorder_meta(lake_root, name) if incremental else None
+    if old is not None and (
+        old["zcols"] != list(zcols)
+        or old["columns"] != cols
+        or old["num_files"] != num_files
+    ):
+        old = None  # config changed: full rebuild
+
+    if old is None:
+        full_plan = [
+            {"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)}
+            for pid, ps in live.items()
+        ]
+        domains = _domains(full_plan, lake_root, reg_json, latest, zcols,
+                           schema) if full_plan else \
+            {c: {"kind": "numeric", "cuts": []} for c in zcols}
+        changed = set(live)
+        old_files: dict[str, dict] = {}
+        old_state: dict[str, str] = {}
+    else:
+        domains = old["domains"]
+        old_files = old["files"]
+        old_state = old["src_state"]
+        changed = {
+            pid for pid, sid in cur_state.items()
+            if old_state.get(str(pid)) != sid
+        }
+        changed |= {int(p) for p in old_state if int(p) not in cur_state}
+
     plan = [
-        {"part_id": pid, "file": ps.file, "deltas": list(ps.deltas)}
-        for pid, ps in live.items()
+        {"part_id": pid, "file": live[pid].file, "deltas": list(live[pid].deltas)}
+        for pid in sorted(changed)
+        if pid in live
     ]
-    domains = _domains(plan, lake_root, reg_json, latest, zcols, schema) \
-        if plan else {c: {"kind": "numeric", "cuts": []} for c in zcols}
 
     zbits = len(zcols) * _CODE_BITS
 
@@ -264,25 +306,86 @@ def build_zorder(
                  type=pa.list_(pa.int32()))}
         )
 
+    rebuilt: dict[str, dict] = {}
+    if plan or changed:
+        ds_new = None
+        hit_buckets: set[int] = set()
+        if plan:
+            ds_new = (
+                ray.data.from_items(plan)
+                .map_batches(fetch, batch_format="pyarrow", batch_size=1)
+                .materialize()  # O(changed data); consumed twice below
+            )
+            hits = ds_new.map_batches(
+                lambda t: pa.table({"z_bucket": pc.unique(t["z_bucket"])}),
+                batch_format="pyarrow",
+            ).take_all()
+            hit_buckets = {int(r["z_bucket"]) for r in hits}
+
+        affected = set(hit_buckets)
+        for bid_s, entry in old_files.items():
+            if set(entry["src_parts"]) & changed:
+                affected.add(int(bid_s))
+
+        # surviving rows of affected buckets: re-read, drop changed
+        # partitions' rows, re-derive the z-key for the in-file sort
+        old_plan = [
+            {"z_bucket": int(b), "file": old_files[str(b)]["file"]}
+            for b in sorted(affected)
+            if str(b) in old_files
+        ]
+        changed_arr = pa.array(sorted(changed), type=pa.int32())
+
+        def fetch_old(batch: pa.Table) -> pa.Table:
+            from ..functions.threads import single_threaded_kernels
+
+            single_threaded_kernels()
+            out = []
+            for bid, f in zip(batch["z_bucket"].to_pylist(),
+                              batch["file"].to_pylist()):
+                t = pq.read_table(os.path.join(lake_root, f))
+                keep = pc.invert(pc.is_in(t["src_part"], value_set=changed_arr))
+                t = t.filter(keep)
+                z = _codes_for(t, zcols, domains)
+                t = t.append_column("_zkey", pa.array(z.astype(np.int64)))
+                out.append(t.append_column(
+                    "z_bucket", pa.array([bid] * t.num_rows, type=pa.int64())
+                ))
+            return pa.concat_tables(out)
+
+        parts_ds = []
+        if ds_new is not None:
+            parts_ds.append(ds_new)
+        if old_plan:
+            parts_ds.append(
+                ray.data.from_items(old_plan).map_batches(
+                    fetch_old, batch_format="pyarrow", batch_size=4
+                )
+            )
+        if parts_ds:
+            union = parts_ds[0]
+            for d in parts_ds[1:]:
+                union = union.union(d)
+            out_rows = (
+                union.groupby("z_bucket")
+                .map_groups(write_bucket, batch_format="pyarrow")
+                .take_all()
+            )
+            rebuilt = {str(int(r["z_bucket"])): r for r in out_rows}
+
     files: dict[str, dict] = {}
-    total_rows = 0
-    if plan:
-        out_rows = (
-            ray.data.from_items(plan)
-            .map_batches(fetch, batch_format="pyarrow", batch_size=1)
-            .groupby("z_bucket")
-            .map_groups(write_bucket, batch_format="pyarrow")
-            .take_all()
-        )
-        for r in out_rows:
-            if int(r["rows"]):
-                files[str(int(r["z_bucket"]))] = {
-                    "file": r["file"], "rows": int(r["rows"]),
-                    "mins": json.loads(r["mins"]),
-                    "maxs": json.loads(r["maxs"]),
-                    "src_parts": [int(p) for p in r["src_parts"]],
-                }
-                total_rows += int(r["rows"])
+    for bid_s, entry in old_files.items():
+        if bid_s not in rebuilt and not (set(entry["src_parts"]) & changed):
+            files[bid_s] = entry
+    for bid_s, r in rebuilt.items():
+        if int(r["rows"]):
+            files[bid_s] = {
+                "file": r["file"], "rows": int(r["rows"]),
+                "mins": json.loads(r["mins"]),
+                "maxs": json.loads(r["maxs"]),
+                "src_parts": [int(p) for p in r["src_parts"]],
+            }
+    total_rows = sum(e["rows"] for e in files.values())
 
     meta = {
         "name": name,
@@ -303,7 +406,8 @@ def build_zorder(
     for fn in os.listdir(_zo_dir(lake_root, name)):
         if fn.endswith(".parquet") and fn not in referenced:
             os.unlink(os.path.join(_zo_dir(lake_root, name), fn))
-    return {"files": len(files), "rows": total_rows}
+    return {"files": len(files), "rows": total_rows,
+            "rebuilt_files": len(rebuilt), "changed_parts": len(changed)}
 
 
 def zorder_scan(

@@ -109,6 +109,33 @@ def test_rebuild_refreshes(lake):
     assert got.equals(exp)
 
 
+def test_incremental_refresh(lake):
+    lake_root, ev, cfg = lake
+    _build(lake_root)
+    before = load_zorder_meta(lake_root, "by_lang_size")
+    # a NARROW commit (one repo) so most source partitions keep their
+    # state_id — the refresh must reuse their untouched bucket files
+    late = ev.filter(pc.and_(pc.greater(ev["epoch"], 1),
+                             pc.equal(ev["repo"], ev["repo"][0])))
+    assert late.num_rows > 0
+    ingest(rd.from_arrow(late), cfg)
+    rep = _build(lake_root)
+    after = load_zorder_meta(lake_root, "by_lang_size")
+    assert rep["changed_parts"] > 0
+    assert after["domains"] == before["domains"]  # codes stay fixed
+    reused = [
+        bid for bid, e in before["files"].items()
+        if bid in after["files"] and after["files"][bid]["file"] == e["file"]
+    ]
+    assert rep["rebuilt_files"] < len(before["files"]) or reused, \
+        "refresh rewrote every bucket — not incremental"
+    info = {}
+    got, exp = _got(lake_root, info=info), _expected(lake_root)
+    assert info["stale_parts"] == 0
+    assert got.equals(exp)
+    assert rep["rows"] == read_lake_table(lake_root).num_rows
+
+
 def test_guards(lake):
     lake_root, _ev, _cfg = lake
     _build(lake_root)
