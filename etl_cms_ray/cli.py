@@ -125,6 +125,25 @@ def main(argv: list[str] | None = None) -> int:
     psrch.add_argument("--token", required=True)
     psrch.add_argument("--out", default=None, help="optional parquet output path")
 
+    pzo = sub.add_parser("zorder", help="build/refresh a z-order clustered "
+                         "layout over the live lake")
+    pzo.add_argument("--lake", required=True)
+    pzo.add_argument("--name", required=True)
+    pzo.add_argument("--by", required=True,
+                     help="comma-separated clustering columns, e.g. lang,size")
+    pzo.add_argument("--files", type=int, default=16)
+    pzo.add_argument("--full", action="store_true",
+                     help="force a full rebuild (re-derive code domains)")
+
+    pzs = sub.add_parser("zscan", help="multi-predicate scan served from a "
+                         "z-order layout (zone-map pruned)")
+    pzs.add_argument("--lake", required=True)
+    pzs.add_argument("--name", required=True)
+    pzs.add_argument("--where", required=True, action="append",
+                     help="col:lo:hi (repeatable; strings use lo==hi for "
+                          "equality, e.g. --where lang:fr:fr)")
+    pzs.add_argument("--out", default=None, help="optional parquet output path")
+
     args = p.parse_args(argv)
     ray = _ray_session(args.num_cpus)
     try:
@@ -213,6 +232,33 @@ def main(argv: list[str] | None = None) -> int:
 
             plan, info = token_plan(args.lake, args.token)
             ds = token_search(args.lake, args.token, plan=plan)
+            if args.out:
+                ds.write_parquet(args.out)
+                import pyarrow.dataset as pds
+
+                rows = sum(f.count_rows()
+                           for f in pds.dataset(args.out).get_fragments())
+            else:
+                rows = ds.count()
+            print(json.dumps({"rows": int(rows), **info}))
+        elif args.cmd == "zorder":
+            from .pipelines.zorder import build_zorder
+
+            print(json.dumps(build_zorder(
+                args.lake, args.name, args.by.split(","),
+                num_files=args.files, incremental=not args.full)))
+        elif args.cmd == "zscan":
+            from .pipelines.zorder import zorder_scan
+
+            preds = {}
+            for w in args.where:
+                col, lo, hi = w.split(":", 2)
+                try:
+                    preds[col] = (float(lo), float(hi))
+                except ValueError:
+                    preds[col] = (lo, hi)
+            info: dict = {}
+            ds = zorder_scan(args.lake, args.name, preds, info=info)
             if args.out:
                 ds.write_parquet(args.out)
                 import pyarrow.dataset as pds
