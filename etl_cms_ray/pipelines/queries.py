@@ -1400,6 +1400,54 @@ WHERE doc_id % 7 <> 0
 """
 
 
+def user_value_window_ranks(sf_dir: str) -> "rd.Dataset":
+    """NTILE(4) + percent_rank per user — the rank-window members the
+    gap/top-k/running-total entries don't cover.  Scale shape: ranks
+    need all rows of a key co-located, which is only scale-safe for
+    UNBOUNDED small groups (users), never for bounded-cardinality giants
+    (a per-event_type rank at 100 TB would put one group on one task) —
+    so this partitions by user hash and does ONE vectorized sweep per
+    coarse bucket.  Exactness: ntile is integer arithmetic on the fully
+    deterministic (value, event_id) order; percent_rank is
+    (min-rank-1)/(n-1), a division of identical small ints on both
+    engines, hence IEEE-identical doubles."""
+    ds = _events(sf_dir, ["user_id", "event_id", "value"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        r = grp.cumcount().to_numpy()          # 0-based deterministic pos
+        c = grp["event_id"].transform("size").to_numpy()
+        q, m = c // 4, c % 4
+        thr = m * (q + 1)
+        nt = np.where(r < thr, r // (q + 1),
+                      m + (r - thr) // np.maximum(q, 1)) + 1
+        rank = grp["value"].rank(method="min").to_numpy()  # ties share
+        pr = np.where(c > 1, (rank - 1.0) / np.maximum(c - 1.0, 1.0), 0.0)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(),
+                "event_id": g["event_id"].to_numpy(),
+                "ntile4": nt.astype("int64"),
+                "pct_rank": pr,
+            }
+        )
+
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
+    return parts.groupby("upart").map_groups(
+        lambda g: sweep(g.drop(columns=["upart"])), batch_format="pandas"
+    )
+
+
+_SQL_WINDOW_RANKS = """
+SELECT user_id, event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS ntile4,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank
+FROM events
+"""
+
+
 def cdc_zorder_scan(sf_dir: str) -> "rd.Dataset":
     """Z-order clustered rewrite + multi-column zone-map pruned scan
     (pipelines/zorder.py — the Delta OPTIMIZE ZORDER analog): ingest
@@ -5450,6 +5498,7 @@ QUERIES = {
     "cdc_running_total": cdc_running_total,
     "event_type_value_corr": event_type_value_corr,
     "cdc_zorder_scan": cdc_zorder_scan,
+    "user_value_window_ranks": user_value_window_ranks,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -5620,4 +5669,5 @@ ORACLE_SQL = {
     "cdc_running_total": _SQL_RUNNING_TOTAL,
     "event_type_value_corr": _SQL_VALUE_CORR,
     "cdc_zorder_scan": _SQL_ZORDER_SCAN,
+    "user_value_window_ranks": _SQL_WINDOW_RANKS,
 }
