@@ -1448,6 +1448,67 @@ FROM events
 """
 
 
+def user_event_type_pivot(sf_dir: str) -> "rd.Dataset":
+    """Long→wide PIVOT — the inverse of the unpivot family (M2/M3):
+    one row per user with per-event-type counts and value sums as
+    COLUMNS.  Scale shape: the pivoted column set must be BOUNDED
+    (#event_types; an unbounded pivot is a schema explosion, not an
+    operator), so each batch crosstabs locally into the fixed wide
+    schema and the coarse user-hash final just SUMS the wide partials —
+    the shuffle carries ~#users × #types numbers, never the events.
+    Value sums ride the 0.01 grid (rule 4)."""
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = _qround(df["value"], 2)
+        g = pd.DataFrame({"user_id": df["user_id"],
+                          "event_type": df["event_type"], "_v": v})
+        ct = (g.groupby(["user_id", "event_type"], sort=False)["_v"]
+              .agg(["size", "sum"]).reset_index())
+        wide = pd.DataFrame({"user_id": ct["user_id"].unique()})
+        wide = wide.set_index("user_id")
+        for ty in TYPES:
+            sel = ct[ct["event_type"] == ty].set_index("user_id")
+            wide[f"n_{ty}"] = sel["size"].reindex(wide.index).fillna(0)
+            wide[f"sum_{ty}"] = sel["sum"].reindex(wide.index).fillna(0.0)
+        return wide.reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).sum().reset_index()
+        out = {"user_id": g["user_id"].astype("int64")}
+        for ty in TYPES:
+            out[f"n_{ty}"] = g[f"n_{ty}"].astype("int64")
+            out[f"sum_{ty}"] = _qround(g[f"sum_{ty}"], 2)
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return _coarse_final(partials, "user_id", final)
+
+
+_SQL_TYPE_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+       {q_click} AS sum_click,
+       count(*) FILTER (WHERE event_type = 'error') AS n_error,
+       {q_error} AS sum_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       {q_purchase} AS sum_purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       {q_signup} AS sum_signup,
+       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+       {q_view} AS sum_view
+FROM (SELECT user_id, event_type, floor(value * 100 + 0.5) / 100 AS v
+      FROM events)
+GROUP BY user_id
+""".format(**{
+    f"q_{ty}": _sql_q(
+        f"coalesce(sum(v) FILTER (WHERE event_type = '{ty}'), 0)", 2
+    )
+    for ty in ("click", "error", "purchase", "signup", "view")
+})
+
+
 def cdc_zorder_scan(sf_dir: str) -> "rd.Dataset":
     """Z-order clustered rewrite + multi-column zone-map pruned scan
     (pipelines/zorder.py — the Delta OPTIMIZE ZORDER analog): ingest
@@ -5499,6 +5560,7 @@ QUERIES = {
     "event_type_value_corr": event_type_value_corr,
     "cdc_zorder_scan": cdc_zorder_scan,
     "user_value_window_ranks": user_value_window_ranks,
+    "user_event_type_pivot": user_event_type_pivot,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -5670,4 +5732,5 @@ ORACLE_SQL = {
     "event_type_value_corr": _SQL_VALUE_CORR,
     "cdc_zorder_scan": _SQL_ZORDER_SCAN,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
+    "user_event_type_pivot": _SQL_TYPE_PIVOT,
 }
