@@ -2159,6 +2159,80 @@ FROM events GROUP BY event_type
 """
 
 
+def event_value_outliers(sf_dir: str) -> "rd.Dataset":
+    """Robust per-group outlier gate (Hampel / 3×MAD rule — the
+    median-based quality filter a training pipeline uses where mean/σ
+    would be dragged by the outliers themselves): per event_type, the
+    EXACT median, then the EXACT median absolute deviation, then the
+    rows with |v − med| > 3·MAD.  Composes the sketch-guided exact
+    grouped quantile (stages/selection.py) twice — the second pass runs
+    over a DERIVED column that never materializes, and the flag pass is
+    a streaming filter with the bounded (type → med, mad) table in the
+    task closure.  Exactness: v is grid-quantized identically on both
+    engines, quantile_disc returns an exact data element, so med / dev /
+    MAD / the 3·MAD comparison are all identical IEEE doubles — no
+    rounding anywhere downstream."""
+    from ..stages.selection import exact_group_quantile
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = _qround(t["value"].to_numpy(zero_copy_only=False), 2)
+        return pa.table(
+            {"event_id": t["event_id"], "event_type": t["event_type"],
+             "value_q": pa.array(v, type=pa.float64())}
+        )
+
+    dsq = ds.map_batches(quant, batch_format="pyarrow")
+    med = exact_group_quantile(dsq, "event_type", "value_q", q=0.5,
+                               cap=65536)
+    types = sorted(med)
+    keys = pa.array(types, type=pa.string())
+    med_arr = np.array([med[k] for k in types], dtype=np.float64)
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=keys) \
+            .to_numpy(zero_copy_only=False)
+        dev = np.abs(
+            t["value_q"].to_numpy(zero_copy_only=False) - med_arr[idx]
+        )
+        return t.append_column("deviation",
+                               pa.array(dev, type=pa.float64()))
+
+    dsd = dsq.map_batches(add_dev, batch_format="pyarrow")
+    mad = exact_group_quantile(dsd, "event_type", "deviation", q=0.5,
+                               cap=65536)
+    mad_arr = np.array([mad[k] for k in types], dtype=np.float64)
+
+    def flag(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["event_type"], value_set=keys) \
+            .to_numpy(zero_copy_only=False)
+        keep = t["deviation"].to_numpy(zero_copy_only=False) \
+            > 3.0 * mad_arr[idx]
+        return t.filter(pa.array(keep))
+
+    return dsd.map_batches(flag, batch_format="pyarrow")
+
+
+_SQL_VALUE_OUTLIERS = """
+WITH q AS (
+  SELECT event_id, event_type, floor(value * 100 + 0.5) / 100 AS value_q
+  FROM events
+), m AS (
+  SELECT event_type, quantile_disc(value_q, 0.5) AS med FROM q GROUP BY 1
+), d AS (
+  SELECT q.event_id, q.event_type, q.value_q,
+         abs(q.value_q - m.med) AS deviation
+  FROM q JOIN m USING (event_type)
+), s AS (
+  SELECT event_type, quantile_disc(deviation, 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value_q, d.deviation
+FROM d JOIN s USING (event_type)
+WHERE d.deviation > 3 * s.mad
+"""
+
+
 def event_type_value_stats(sf_dir: str) -> "rd.Dataset":
     """Grouped statistical moments (population variance / stddev) from
     mergeable (n, sum, sumsq) partials — the moments family the flat
@@ -5561,6 +5635,7 @@ QUERIES = {
     "cdc_zorder_scan": cdc_zorder_scan,
     "user_value_window_ranks": user_value_window_ranks,
     "user_event_type_pivot": user_event_type_pivot,
+    "event_value_outliers": event_value_outliers,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -5733,4 +5808,5 @@ ORACLE_SQL = {
     "cdc_zorder_scan": _SQL_ZORDER_SCAN,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
+    "event_value_outliers": _SQL_VALUE_OUTLIERS,
 }
