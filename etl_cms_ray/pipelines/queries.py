@@ -1448,6 +1448,79 @@ FROM events
 """
 
 
+def doc_token_cooccurrence(sf_dir: str) -> "rd.Dataset":
+    """Top-20 token co-occurrence pairs (distinct-doc counts — the
+    collocation/PMI-prep statistic): pair (a, b), a < b, counted once
+    per document in which BOTH tokens appear.  Scale shape: pair
+    generation is per-document (distinct tokens per doc are small, so
+    the within-doc pair blowup is bounded and batch-local); per-batch
+    pair-count partials shrink the stream to distinct pairs before ONE
+    coarse pair-hash shuffle; each bucket sums and keeps only its local
+    top-k (a pair lives in exactly one bucket, so the global top-k is a
+    subset of the union), and the final merge is one coalesced task
+    over 64×k rows.  Fully deterministic: integer counts with a total
+    (count DESC, tok_a, tok_b) tie-break."""
+    K = 20
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        df = pd.DataFrame(
+            {"d": doc_of,
+             "tok": flat.to_pandas().to_numpy()}
+        ).drop_duplicates()
+        pairs = df.merge(df, on="d", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["tok_a"] < pairs["tok_b"]]
+        cnt = (pairs.groupby(["tok_a", "tok_b"], sort=False)
+               .size().rename("_n").reset_index())
+        key = fingerprint_column(
+            pa.array((cnt["tok_a"] + "\x00" + cnt["tok_b"]).to_numpy(),
+                     type=pa.string())
+        ).to_numpy(zero_copy_only=False).view(np.uint64)
+        cnt["ppart"] = (key % np.uint64(64)).astype(np.int64)
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["tok_a", "tok_b"], sort=False)["_n"]
+             .sum().reset_index())
+        g = g.sort_values(["_n", "tok_a", "tok_b"],
+                          ascending=[False, True, True], kind="mergesort")
+        return g.head(K)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_n", "tok_a", "tok_b"],
+                            ascending=[False, True, True], kind="mergesort")
+        out = df.head(K).rename(columns={"_n": "n_docs"})
+        return out.assign(n_docs=out["n_docs"].astype("int64"))
+
+    partials = ds.map_batches(pair_counts, batch_format="pyarrow")
+    buckets = partials.groupby("ppart").map_groups(
+        lambda g: bucket_topk(g.drop(columns=["ppart"])),
+        batch_format="pandas",
+    )
+    return _final_agg(buckets, final)
+
+
+_SQL_TOKEN_COOCCUR = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(tok)
+), p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, n_docs
+FROM p ORDER BY n_docs DESC, tok_a, tok_b LIMIT 20
+"""
+
+
 def user_event_type_pivot(sf_dir: str) -> "rd.Dataset":
     """Long→wide PIVOT — the inverse of the unpivot family (M2/M3):
     one row per user with per-event-type counts and value sums as
@@ -5636,6 +5709,7 @@ QUERIES = {
     "user_value_window_ranks": user_value_window_ranks,
     "user_event_type_pivot": user_event_type_pivot,
     "event_value_outliers": event_value_outliers,
+    "doc_token_cooccurrence": doc_token_cooccurrence,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -5809,4 +5883,5 @@ ORACLE_SQL = {
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
+    "doc_token_cooccurrence": _SQL_TOKEN_COOCCUR,
 }
