@@ -1638,6 +1638,50 @@ WHERE doc_id % 7 <> 0 AND lang = 'fr'
 """
 
 
+def cdc_smart_scan(sf_dir: str) -> "rd.Dataset":
+    """Unified scan planner end-to-end (pipelines/planner.py): a lake
+    with BOTH physical layouts built — a size-sorted projection and a
+    (lang, size) z-order cluster — serves the 2-D predicate
+    ``lang = 'fr' AND 150 <= size <= 450`` through ``smart_scan``,
+    which costs every candidate path from METADATA ONLY (manifest zone
+    maps, projection range files, z-order per-file zone maps) and
+    executes the cheapest.  Whatever plan wins, the exact predicate is
+    re-applied to the rows that come back, so the answer is identical
+    to filtering the lake — the oracle is the same relational filter
+    as cdc_zorder_scan, which is the point: the planner may only
+    change READS.  (Reference analog: the database planner choosing
+    among the 59 post-load indices of
+    ``SQL/create_CDMv5_indices.sql``; a lake engine brings its own.)"""
+    from .planner import smart_scan
+    from .projection import build_projection
+    from .zorder import build_zorder
+
+    lake_root, _r1, _r2 = _two_commit_lake(sf_dir, "plan_lake")
+    cols = ["repo", "path", "lang", "content", "size"]
+    build_projection(lake_root, "by_size", "size", columns=cols,
+                     num_ranges=16)
+    build_zorder(lake_root, "by_lang_size", ["lang", "size"],
+                 columns=cols, num_files=16)
+    ds = smart_scan(lake_root, {"lang": ("fr", "fr"), "size": (150, 450)},
+                    columns=cols)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_SMART_SCAN = _SQL_ZORDER_SCAN
+
+
 def cdc_eq_scan(sf_dir: str) -> "rd.Dataset":
     """Dictionary-stat file skipping: the applier records the distinct
     value set of low-cardinality string columns (<= 8 short values —
@@ -5706,6 +5750,7 @@ QUERIES = {
     "cdc_running_total": cdc_running_total,
     "event_type_value_corr": event_type_value_corr,
     "cdc_zorder_scan": cdc_zorder_scan,
+    "cdc_smart_scan": cdc_smart_scan,
     "user_value_window_ranks": user_value_window_ranks,
     "user_event_type_pivot": user_event_type_pivot,
     "event_value_outliers": event_value_outliers,
@@ -5880,6 +5925,7 @@ ORACLE_SQL = {
     "cdc_running_total": _SQL_RUNNING_TOTAL,
     "event_type_value_corr": _SQL_VALUE_CORR,
     "cdc_zorder_scan": _SQL_ZORDER_SCAN,
+    "cdc_smart_scan": _SQL_SMART_SCAN,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
