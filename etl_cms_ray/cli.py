@@ -104,8 +104,17 @@ def main(argv: list[str] | None = None) -> int:
 
     psn = sub.add_parser("snapshot", help="time-travel read at a manifest version")
     psn.add_argument("--lake", required=True)
-    psn.add_argument("--version", type=int, default=None)
+    psn.add_argument("--version", default=None,
+                     help="manifest version number or tag name")
     psn.add_argument("--out", required=True, help="parquet output path")
+
+    ptag = sub.add_parser("tag", help="pin/list/delete named snapshot refs "
+                                      "(tagged versions survive expire)")
+    ptag.add_argument("--lake", required=True)
+    ptag.add_argument("--set", default=None, metavar="NAME")
+    ptag.add_argument("--version", type=int, default=None,
+                      help="version to tag (default: current)")
+    ptag.add_argument("--delete", default=None, metavar="NAME")
 
     pd_ = sub.add_parser("diff", help="changelog between two manifest versions")
     pd_.add_argument("--lake", required=True)
@@ -206,6 +215,18 @@ def main(argv: list[str] | None = None) -> int:
 
             rows = sum(f.count_rows() for f in pds.dataset(args.out).get_fragments())
             print(json.dumps({"rows": int(rows), "out": args.out}))
+        elif args.cmd == "tag":
+            from .state.manifest import LakeStore
+
+            store = LakeStore(args.lake)
+            if args.set:
+                entry = store.set_tag(args.set, version=args.version)
+                print(json.dumps({"tag": args.set, **entry}))
+            elif args.delete:
+                store.delete_tag(args.delete)
+                print(json.dumps({"deleted": args.delete}))
+            else:
+                print(json.dumps(store.tags()))
         elif args.cmd == "diff":
             from .pipelines.history import snapshot_diff
 

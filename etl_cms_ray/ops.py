@@ -56,6 +56,8 @@ from .pipelines.maintenance import (audit_lake, compact_lake, delete_where,
                                     expire_snapshots, repartition_lake,
                                     update_where)
 from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
+from .state.manifest import LakeStore
+from .pipelines.planner import scan_plans, smart_scan
 
 # training-batch layout
 from .stages.packing import pack_token_chunks, weighted_corpus_mix
@@ -99,6 +101,7 @@ __all__ = [
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where",
+    "LakeStore", "scan_plans", "smart_scan",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
     "approx_quantiles",
     "BloomFilter", "build_bloom", "bloom_prune",

@@ -34,9 +34,13 @@ from ..state.manifest import LakeStore
 
 
 def read_snapshot(
-    lake_root: str, version: int | None = None, columns: list[str] | None = None
+    lake_root: str, version: "int | str | None" = None,
+    columns: list[str] | None = None
 ) -> "ray.data.Dataset":
-    """Lake state AS OF manifest ``version`` (default: current).
+    """Lake state AS OF manifest ``version`` (default: current) — an int
+    version number or a tag name (``LakeStore.set_tag``; a tag whose
+    target was rewritten by rollback + roll-forward raises rather than
+    reading different data under the old name).
 
     Schema: rows are promoted to the NEWEST schema version any partition
     of that snapshot had committed — the snapshot's own schema, not
@@ -44,6 +48,8 @@ def read_snapshot(
     historical read).
     """
     store = LakeStore(lake_root)
+    if version is not None:
+        version = store.resolve_ref(version)
     manifest = store.load_manifest(version=version)
     registry = store.load_registry()
     snap_v = max(

@@ -372,8 +372,11 @@ def expire_snapshots(lake_root: str, keep_last: int = 2) -> dict:
     )
     horizon = cur - keep_last + 1
     # versions NEWER than current (roll-forward manifests left by a
-    # rollback) are kept too — expiry only trims the past
-    keep = [v for v in existing if v >= horizon]
+    # rollback) are kept too — expiry only trims the past; TAGGED
+    # versions are pinned regardless of age (a tag is a promise that
+    # the snapshot stays readable — Iceberg tag-retention semantics)
+    tagged = {int(e["version"]) for e in store.tags().values()}
+    keep = [v for v in existing if v >= horizon or v in tagged]
     referenced: set[str] = set()
     kept_shards: set[str] = set()
     for v in keep:

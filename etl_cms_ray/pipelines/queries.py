@@ -1682,6 +1682,65 @@ def cdc_smart_scan(sf_dir: str) -> "rd.Dataset":
 _SQL_SMART_SCAN = _SQL_ZORDER_SCAN
 
 
+def cdc_tag_read(sf_dir: str) -> "rd.Dataset":
+    """Named snapshot refs (Iceberg tag semantics): after the epoch-0
+    commit the version is tagged ``baseline``; epoch 1 then
+    updates/deletes on top, and ``expire_snapshots(keep_last=1)`` —
+    which WOULD reclaim every version but the head — must keep the
+    tagged manifest and its data files alive.  The pipeline asserts the
+    expiry actually ran against a shorter history than it kept (the tag
+    did the pinning) and returns ``read_snapshot(lake, 'baseline')``,
+    whose oracle is the pristine epoch-0 insert state: all documents,
+    original content.  Tag targets are sha-guarded against manifest
+    version reuse after rollback + roll-forward
+    (state/manifest.py resolve_ref)."""
+    from ..state.manifest import LakeStore
+    from .history import read_snapshot
+    from .maintenance import expire_snapshots
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"tag_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    r1 = ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    store = LakeStore(lake_root)
+    store.set_tag("baseline", version=r1.manifest_version)
+    ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    rep = expire_snapshots(lake_root, keep_last=1)
+    if r1.manifest_version not in rep["kept_versions"]:
+        raise AssertionError(f"tag failed to pin v{r1.manifest_version}: {rep}")
+    snap = read_snapshot(lake_root, version="baseline")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return snap.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_TAG_READ = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       text AS content,
+       sha256(text) AS content_sha_hex,
+       CAST(octet_length(encode(text)) AS BIGINT) AS size
+FROM documents
+"""
+
+
 def cdc_eq_scan(sf_dir: str) -> "rd.Dataset":
     """Dictionary-stat file skipping: the applier records the distinct
     value set of low-cardinality string columns (<= 8 short values —
@@ -5751,6 +5810,7 @@ QUERIES = {
     "event_type_value_corr": event_type_value_corr,
     "cdc_zorder_scan": cdc_zorder_scan,
     "cdc_smart_scan": cdc_smart_scan,
+    "cdc_tag_read": cdc_tag_read,
     "user_value_window_ranks": user_value_window_ranks,
     "user_event_type_pivot": user_event_type_pivot,
     "event_value_outliers": event_value_outliers,
@@ -5926,6 +5986,7 @@ ORACLE_SQL = {
     "event_type_value_corr": _SQL_VALUE_CORR,
     "cdc_zorder_scan": _SQL_ZORDER_SCAN,
     "cdc_smart_scan": _SQL_SMART_SCAN,
+    "cdc_tag_read": _SQL_TAG_READ,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,

@@ -228,6 +228,81 @@ class LakeStore:
                     os.unlink(os.path.join(claims_dir, f))
         self.append_lineage({"op": "rollback", "manifest_version": to_version})
 
+    # -- tags: named snapshot refs ------------------------------------
+    # A tag pins a manifest version under a stable name: time travel by
+    # name, and `expire_snapshots` never reclaims a tagged version (the
+    # Iceberg tag/retention analog).  Manifest version NUMBERS are
+    # reused after rollback + roll-forward (see `rollback`), so a tag
+    # also records the manifest file's content sha and `resolve_ref`
+    # refuses a tag whose target was rewritten — the same
+    # state-identity discipline the token index and projections use.
+    # Tag writes are operator-level metadata ops (read-modify-write of
+    # one small refs.json, atomic rename), not racing the data path.
+
+    def _refs_path(self) -> str:
+        return os.path.join(self.manifest_dir, "refs.json")
+
+    def _manifest_sha(self, version: int) -> str:
+        import hashlib
+
+        path = os.path.join(self.manifest_dir, f"manifest-{version:06d}.json")
+        with open(path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    def tags(self) -> dict:
+        """{name: {"version": int, "sha": str}} for every tag."""
+        try:
+            with open(self._refs_path()) as f:
+                return json.loads(f.read())
+        except FileNotFoundError:
+            return {}
+
+    def set_tag(self, name: str, version: int | None = None) -> dict:
+        """Tag ``version`` (default: current) as ``name``.  Tags are
+        immutable — re-tagging an existing name raises; delete first."""
+        v = self.current_version() if version is None else int(version)
+        if v < 1:
+            raise ValueError("cannot tag the empty version 0")
+        refs = self.tags()
+        if name in refs:
+            raise ValueError(f"tag {name!r} already exists (tags are "
+                             "immutable; delete_tag first)")
+        refs[name] = {"version": v, "sha": self._manifest_sha(v)}
+        _atomic_write(self._refs_path(), json.dumps(refs, sort_keys=True))
+        self.append_lineage({"op": "set_tag", "tag": name,
+                             "manifest_version": v})
+        return refs[name]
+
+    def delete_tag(self, name: str) -> None:
+        refs = self.tags()
+        if name not in refs:
+            raise KeyError(name)
+        del refs[name]
+        _atomic_write(self._refs_path(), json.dumps(refs, sort_keys=True))
+        self.append_lineage({"op": "delete_tag", "tag": name})
+
+    def resolve_ref(self, ref: "int | str") -> int:
+        """Version number for a ref: an int / digit-string IS a version;
+        anything else is a tag name.  A tag whose target manifest was
+        rewritten (version reuse after rollback + roll-forward) raises
+        instead of silently reading different data."""
+        if isinstance(ref, int):
+            return ref
+        if isinstance(ref, str) and ref.isdigit():
+            return int(ref)
+        refs = self.tags()
+        if ref not in refs:
+            raise KeyError(f"unknown tag {ref!r}")
+        entry = refs[ref]
+        v = int(entry["version"])
+        if self._manifest_sha(v) != entry["sha"]:
+            raise RuntimeError(
+                f"tag {ref!r} points at manifest v{v} whose content was "
+                "rewritten (rollback + roll-forward reused the version); "
+                "refusing to read a different snapshot under the old name"
+            )
+        return v
+
     #: shard fan-out of the partition map: shard_size = ceil(P / SHARD_FAN);
     #: at the 64Ki-partition target that is 64 shards of 1024 entries, and a
     #: commit touching K partitions rewrites <= K shard files + one index
