@@ -3142,6 +3142,167 @@ FROM r WHERE rnk <= 3
 """
 
 
+def doc_bigram_fluency(sf_dir: str) -> "rd.Dataset":
+    """Statistical-LM quality scoring: train a bigram model ON the
+    corpus (maximum-likelihood transition probabilities), then score
+    every document by its mean transition probability — the classic
+    model-based fluency filter of large-scale pretraining pipelines,
+    implemented log-free so the doubles are mirror-exact in SQL
+    (p = c(w1,w2)/c(w1) over exact integer counts, quantized to the
+    1e-9 grid per CLAUDE.md rule 4; per-doc mean re-quantized at 1e-6).
+
+    Scale shape (the doc_tfidf_topterms discipline end-to-end): ONE
+    vectorized offset-masked bigram sweep per batch compresses
+    instances to (doc_id, bigram, k) partials, materialized once and
+    shared by the model and scoring branches; bigram counts and
+    context counts reduce inside coarse fingerprint-hash partitions
+    (the model stays a DATASET, never a driver broadcast — at 100 TB
+    the bigram table is itself huge); probabilities attach back to the
+    instance stream via two task-based hash joins; one coarse doc-hash
+    sweep emits the means.  No stage ever materializes the corpus or
+    the model on the driver."""
+    from ..stages.join import hash_join
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    SEP = "\x1f"
+
+    def inst_batch(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ").combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        base = off[0]
+        flat = toks.values
+        n_tok = np.diff(off)
+        # w1 positions: every token index except each doc's last
+        valid = np.ones(int(off[-1] - base), dtype=bool)
+        last = off[1:] - 1 - base
+        valid[last[n_tok > 0]] = False
+        i1 = np.nonzero(valid)[0] + base
+        w1 = flat.take(pa.array(i1))
+        w2 = flat.take(pa.array(i1 + 1))
+        doc_rep = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            np.maximum(n_tok - 1, 0),
+        )
+        big = pc.binary_join_element_wise(w1, SEP, w2)
+        g = (
+            pd.DataFrame({
+                "doc_id": doc_rep,
+                "w1": w1.to_pandas(),
+                "big": big.to_pandas(),
+            })
+            .groupby(["doc_id", "w1", "big"], sort=False)
+            .size().rename("k").reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    inst = ds.map_batches(inst_batch, batch_format="pyarrow").materialize()
+
+    def add_bpart(t: pa.Table) -> pa.Table:
+        fp = fingerprint_column(t["big"]).to_numpy(zero_copy_only=False)
+        return t.append_column("bpart", pa.array((fp % 64).astype(np.int64)))
+
+    # bigram counts c(w1,w2): coarse bigram-hash partitions
+    bc = (
+        inst.map_batches(add_bpart, batch_format="pyarrow", batch_size=65536)
+        .groupby("bpart")
+        .map_groups(
+            lambda d: d.groupby(["w1", "big"], sort=False)["k"].sum()
+            .rename("c").reset_index(),
+            batch_format="pandas",
+        )
+    ).materialize()  # model table: O(distinct bigrams), shared below
+
+    def add_wpart(t: pa.Table) -> pa.Table:
+        fp = fingerprint_column(t["w1"]).to_numpy(zero_copy_only=False)
+        return t.append_column("wpart", pa.array((fp % 64).astype(np.int64)))
+
+    # context counts c(w1) = sum of bigram counts, from the SMALL model
+    cc = (
+        bc.map_batches(add_wpart, batch_format="pyarrow", batch_size=65536)
+        .groupby("wpart")
+        .map_groups(
+            lambda d: d.groupby("w1", sort=False)["c"].sum()
+            .rename("n").reset_index(),
+            batch_format="pandas",
+        )
+    )
+
+    model = hash_join(
+        bc, cc, on="w1",
+        left_schema=pa.schema(
+            [("w1", pa.string()), ("big", pa.string()), ("c", pa.int64())]
+        ),
+        right_schema=pa.schema([("w1", pa.string()), ("n", pa.int64())]),
+    )
+
+    def add_p(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = np.floor((c * 1.0 / n) * 1e9 + 0.5) / 1e9
+        return pa.table({"big": t["big"], "p": pa.array(p)})
+
+    probs = model.map_batches(add_p, batch_format="pyarrow")
+
+    scored = hash_join(
+        inst.map_batches(lambda t: t.select(["doc_id", "big", "k"]),
+                         batch_format="pyarrow"),
+        probs, on="big",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("big", pa.string()), ("k", pa.int64())]
+        ),
+        right_schema=pa.schema([("big", pa.string()), ("p", pa.float64())]),
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        term = df["k"].astype("float64") * df["p"]
+        g = pd.DataFrame({"doc_id": df["doc_id"], "term": term, "k": df["k"]})
+        agg = g.groupby("doc_id", sort=False).agg(
+            s=("term", "sum"), n_bigrams=("k", "sum")
+        ).reset_index()
+        return pd.DataFrame({
+            "doc_id": agg["doc_id"].astype("int64"),
+            "n_bigrams": agg["n_bigrams"].astype("int64"),
+            "fluency": _qround(agg["s"] / agg["n_bigrams"].astype("float64"), 6),
+        })
+
+    return _coarse_final(scored, "doc_id", final)
+
+
+_SQL_BIGRAM_FLUENCY = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, array_length(string_split(text, ' ')))) AS pos
+  FROM documents
+), bg AS (
+  SELECT doc_id, w AS w1, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY w2 IS NOT NULL
+), dk AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS k FROM bg GROUP BY 1, 2, 3
+), bc AS (
+  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c FROM dk GROUP BY 1, 2
+), cc AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS n FROM bc GROUP BY 1
+), p AS (
+  SELECT bc.w1, bc.w2,
+         floor((CAST(bc.c AS DOUBLE) * 1.0 / CAST(cc.n AS DOUBLE)) * 1000000000 + 0.5)
+           / 1000000000 AS p
+  FROM bc JOIN cc USING (w1)
+), terms AS (
+  SELECT dk.doc_id, CAST(dk.k AS DOUBLE) * p.p AS term, dk.k
+  FROM dk JOIN p ON dk.w1 = p.w1 AND dk.w2 = p.w2
+)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_bigrams,
+       floor((sum(term) / CAST(sum(k) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS fluency
+FROM terms GROUP BY doc_id
+"""
+
+
 def lineitem_bloom_semi_join(sf_dir: str) -> "rd.Dataset":
     """Semi join with Bloom pre-pruning (stages/bloom.py): revenue of
     lineitems whose order is 1-URGENT.  The Bloom filter over the
@@ -5811,6 +5972,7 @@ QUERIES = {
     "cdc_zorder_scan": cdc_zorder_scan,
     "cdc_smart_scan": cdc_smart_scan,
     "cdc_tag_read": cdc_tag_read,
+    "doc_bigram_fluency": doc_bigram_fluency,
     "user_value_window_ranks": user_value_window_ranks,
     "user_event_type_pivot": user_event_type_pivot,
     "event_value_outliers": event_value_outliers,
@@ -5987,6 +6149,7 @@ ORACLE_SQL = {
     "cdc_zorder_scan": _SQL_ZORDER_SCAN,
     "cdc_smart_scan": _SQL_SMART_SCAN,
     "cdc_tag_read": _SQL_TAG_READ,
+    "doc_bigram_fluency": _SQL_BIGRAM_FLUENCY,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
