@@ -2031,22 +2031,13 @@ FROM stream GROUP BY repo, path
 """
 
 
-def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
-    """Benchmark decontamination (stages/decontam.py): the corpus is
-    documents plus PLANTED contaminated copies (each benchmark doc
-    doc_id%97==1 re-appears at id+10M with a prefix), the benchmark set
-    is the original %97 docs, and the output is the pool with every
-    document sharing >=1 exact 5-token shingle with the benchmark
-    dropped.  Two task-based hash joins (shingle semi, id anti) — no
-    broadcast of either side; runs the DEFAULT 64-bit hashed-gram key
-    (the scale path — the oracle compares on shingle STRINGS, exact up
-    to a 2^-64 gram collision, the n-gram-Jaccard precedent); the
-    oracle recomputes contamination from the shingle definition itself,
-    so organic (non-planted) collisions are adjudicated identically."""
-    from ..stages.decontam import decontaminate
-
-    cols = ["doc_id", "text"]
-    docs = _rpc(f"{sf_dir}/documents.parquet", columns=cols)
+def _contam_corpus(sf_dir: str):
+    """(corpus, bench) shared by the decontamination-family oracles:
+    pool = documents minus the benchmark (doc_id%97==1) plus PLANTED
+    contaminated copies of every benchmark doc (id+10M, prefixed);
+    bench = the original %97 docs.  One definition so every oracle
+    adjudicates the same planted overlap."""
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def _bench_mask(t: pa.Table) -> pa.Array:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -2073,6 +2064,24 @@ def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
         docs.map_batches(planted, batch_format="pyarrow")
     )
     bench = docs.map_batches(bench_only, batch_format="pyarrow")
+    return corpus, bench
+
+
+def decontaminate_docs(sf_dir: str) -> "rd.Dataset":
+    """Benchmark decontamination (stages/decontam.py): the corpus is
+    documents plus PLANTED contaminated copies (each benchmark doc
+    doc_id%97==1 re-appears at id+10M with a prefix), the benchmark set
+    is the original %97 docs, and the output is the pool with every
+    document sharing >=1 exact 5-token shingle with the benchmark
+    dropped.  Two task-based hash joins (shingle semi, id anti) — no
+    broadcast of either side; runs the DEFAULT 64-bit hashed-gram key
+    (the scale path — the oracle compares on shingle STRINGS, exact up
+    to a 2^-64 gram collision, the n-gram-Jaccard precedent); the
+    oracle recomputes contamination from the shingle definition itself,
+    so organic (non-planted) collisions are adjudicated identically."""
+    from ..stages.decontam import decontaminate
+
+    corpus, bench = _contam_corpus(sf_dir)
     clean = decontaminate(
         corpus, bench, n=5,
         pool_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
@@ -2126,6 +2135,110 @@ WITH corpus AS (
 SELECT c.doc_id, sha256(c.text) AS content_sha_hex
 FROM corpus c
 WHERE c.doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+
+def doc_ngram_overlap_frac(sf_dir: str) -> "rd.Dataset":
+    """Graded contamination measurement: for every corpus document the
+    FRACTION of its distinct 5-token shingles that appear anywhere in
+    the benchmark set (decontaminate_docs's boolean gate, upgraded to
+    the score thresholded pipelines actually tune on).  Same planted
+    corpus as decontaminate_docs, same 64-bit hashed-gram scale path
+    (oracle on shingle strings, exact up to a 2^-64 collision).
+
+    Scale shape: per-doc-distinct gram hashes from the one vectorized
+    shingle sweep; the benchmark side dedupes INSIDE coarse gram-hash
+    partitions (stays a Dataset); one task-based LEFT join marks hits;
+    one coarse doc-hash sweep counts hit/total and emits the ratio —
+    neither corpus nor benchmark grams ever leave the task space."""
+    from ..stages.decontam import shingle_hash_rows
+    from ..stages.join import hash_join
+
+    corpus, bench = _contam_corpus(sf_dir)
+    sh_schema = pa.schema([("doc_id", pa.int64()), ("gh", pa.int64())])
+    pool_sh = corpus.map_batches(shingle_hash_rows, batch_format="pyarrow",
+                                 fn_kwargs=dict(n=5))
+
+    def add_gpart(t: pa.Table) -> pa.Table:
+        g = t["gh"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "gpart", pa.array(((g % 64) + 64) % 64)
+        )
+
+    bench_u = (
+        bench.map_batches(shingle_hash_rows, batch_format="pyarrow",
+                          fn_kwargs=dict(n=5))
+        .map_batches(lambda t: t.select(["gh"]), batch_format="pyarrow")
+        .map_batches(add_gpart, batch_format="pyarrow", batch_size=65536)
+        .groupby("gpart")
+        .map_groups(
+            lambda d: d[["gh"]].drop_duplicates().assign(hit=np.int64(1)),
+            batch_format="pandas",
+        )
+    )
+
+    marked = hash_join(
+        pool_sh, bench_u, on="gh", how="left",
+        left_schema=sh_schema,
+        right_schema=pa.schema([("gh", pa.int64()), ("hit", pa.int64())]),
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).agg(
+            n_grams=("gh", "size"), n_hit=("hit", "count")
+        ).reset_index()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_grams": g["n_grams"].astype("int64"),
+            "n_hit": g["n_hit"].astype("int64"),
+            "overlap_frac": _qround(
+                g["n_hit"].astype("float64") * 1.0
+                / g["n_grams"].astype("float64"), 6
+            ),
+        })
+
+    return _coarse_final(marked, "doc_id", final)
+
+
+_SQL_NGRAM_OVERLAP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 1
+  UNION ALL
+  SELECT doc_id + 10000000, 'benchmark passage copied verbatim ' || text
+  FROM documents WHERE doc_id % 97 = 1
+), tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(generate_series(1, array_length(string_split(text, ' ')))) AS pos
+  FROM corpus
+), sh AS (
+  SELECT DISTINCT doc_id,
+         token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+               || ' ' || lead(token, 3) OVER w || ' ' || lead(token, 4) OVER w
+           AS shingle
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(token, 4) OVER w IS NOT NULL
+), btok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(generate_series(1, array_length(string_split(text, ' ')))) AS pos
+  FROM documents WHERE doc_id % 97 = 1
+), bench AS (
+  SELECT DISTINCT token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+               || ' ' || lead(token, 3) OVER w || ' ' || lead(token, 4) OVER w
+           AS shingle
+  FROM btok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(token, 4) OVER w IS NOT NULL
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(b.shingle) AS BIGINT) AS n_hit,
+       floor((CAST(count(b.shingle) AS DOUBLE) * 1.0 / CAST(count(*) AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS overlap_frac
+FROM sh s LEFT JOIN bench b USING (shingle)
+GROUP BY s.doc_id
 """
 
 
@@ -3300,6 +3413,74 @@ SELECT doc_id,
        CAST(sum(k) AS BIGINT) AS n_bigrams,
        floor((sum(term) / CAST(sum(k) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS fluency
 FROM terms GROUP BY doc_id
+"""
+
+
+def user_active_streak(sf_dir: str) -> "rd.Dataset":
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    calendar days (plus total active days) — the classic engagement /
+    retention window shape that needs per-key ordered reasoning, not
+    just an aggregate.
+
+    Scale shape: per-batch distinct (user, day) compresses the event
+    stream to at most #users x #days rows BEFORE any exchange; one
+    coarse user-hash shuffle then one vectorized sweep per bucket
+    (cross-batch re-distinct -> single sort -> day_num minus per-user
+    rank is constant within a run -> groupby(run).size -> max/sum per
+    user).  Runs never span buckets because a user never does."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def days_partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        day = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        g = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "day_num": day.astype(np.int64),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates().sort_values(["user_id", "day_num"],
+                                             kind="mergesort")
+        u = d["user_id"].to_numpy()
+        dn = d["day_num"].to_numpy()
+        new_run = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            new_run[1:] = (u[1:] != u[:-1]) | (dn[1:] != dn[:-1] + 1)
+        run_id = np.cumsum(new_run)
+        runs = pd.DataFrame({"user_id": u, "run": run_id}).groupby(
+            ["user_id", "run"], sort=False
+        ).size().rename("len").reset_index()
+        agg = runs.groupby("user_id", sort=False)["len"].agg(
+            ["max", "sum"]
+        ).reset_index()
+        return pd.DataFrame({
+            "user_id": agg["user_id"].astype("int64"),
+            "longest_streak": agg["max"].astype("int64"),
+            "n_active_days": agg["sum"].astype("int64"),
+        })
+
+    partials = ds.map_batches(days_partial, batch_format="pyarrow")
+    return _coarse_final(partials, "user_id", final)
+
+
+_SQL_ACTIVE_STREAK = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM d
+), runs AS (
+  SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS n_active_days
+FROM runs GROUP BY user_id
 """
 
 
@@ -5930,15 +6111,12 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_cluster_docs": dedup_cluster_docs,
     "dedup_apply_docs": dedup_apply_docs,
-    "dedup_cosine_pairs": dedup_cosine_pairs,
     "events_asof_join": events_asof_join,
     "events_value_bands": events_value_bands,
     "doc_token_unpivot": doc_token_unpivot,
     "doc_tfidf_topterms": doc_tfidf_topterms,
     "doc_token_heavy_hitters": doc_token_heavy_hitters,
     "approx_quantiles_sketch": approx_quantiles_sketch,
-    "approx_distinct_sketch": approx_distinct_sketch,
-    "lang_id_pred": lang_id_pred,
     "doc_bpe_token_stats": doc_bpe_token_stats,
     "doc_pii_redact": doc_pii_redact,
     "doc_repetition_stats": doc_repetition_stats,
@@ -5973,10 +6151,17 @@ QUERIES = {
     "cdc_smart_scan": cdc_smart_scan,
     "cdc_tag_read": cdc_tag_read,
     "doc_bigram_fluency": doc_bigram_fluency,
+    "user_active_streak": user_active_streak,
+    "doc_ngram_overlap_frac": doc_ngram_overlap_frac,
     "user_value_window_ranks": user_value_window_ranks,
     "user_event_type_pivot": user_event_type_pivot,
     "event_value_outliers": event_value_outliers,
     "doc_token_cooccurrence": doc_token_cooccurrence,
+    # r01-green entries displaced below the <=50 gate to make room for
+    # the round-3 additions above (driver evidence routing)
+    "dedup_cosine_pairs": dedup_cosine_pairs,
+    "approx_distinct_sketch": approx_distinct_sketch,
+    "lang_id_pred": lang_id_pred,
     # CDC core semantics
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
@@ -6150,6 +6335,8 @@ ORACLE_SQL = {
     "cdc_smart_scan": _SQL_SMART_SCAN,
     "cdc_tag_read": _SQL_TAG_READ,
     "doc_bigram_fluency": _SQL_BIGRAM_FLUENCY,
+    "user_active_streak": _SQL_ACTIVE_STREAK,
+    "doc_ngram_overlap_frac": _SQL_NGRAM_OVERLAP,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
