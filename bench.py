@@ -279,6 +279,11 @@ def run_bench() -> dict:
     timed("embedding_kmeans", Q.embedding_kmeans)
     timed("cdc_projection_scan", Q.cdc_projection_scan)
     timed("cdc_zorder_scan", Q.cdc_zorder_scan)
+    timed("cdc_smart_scan", Q.cdc_smart_scan)
+    timed("cdc_tag_read", Q.cdc_tag_read)
+    timed("doc_bigram_fluency", Q.doc_bigram_fluency)
+    timed("user_active_streak", Q.user_active_streak)
+    timed("doc_ngram_overlap_frac", Q.doc_ngram_overlap_frac)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

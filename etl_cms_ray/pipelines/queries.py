@@ -2242,6 +2242,80 @@ GROUP BY s.doc_id
 """
 
 
+def doc_chunk_windows(sf_dir: str) -> "rd.Dataset":
+    """Sliding-window document chunking — the RAG / long-context prep
+    operator: 64-token windows at stride 48 (16-token overlap), the
+    last window stretching to the document end, no window fully
+    contained in its predecessor (start positions
+    1, 49, ... <= max(len-16, 1)).
+
+    Scale shape: embarrassingly parallel — ONE vectorized sweep per
+    batch (ragged-range index arithmetic over the flat token buffer ->
+    ListArray reassembly -> pc.binary_join), zero shuffles, streams
+    straight to the sink.  Emits (doc_id, chunk_id, n_tokens,
+    chunk_sha_hex) so the oracle compares content identity without
+    shipping the duplicated window text."""
+    N, STRIDE, OVERLAP = 64, 48, 16
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunks(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ").combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        base = off[0]
+        flat = toks.values
+        doc_len = np.diff(off)
+        n_chunks = 1 + (np.maximum(doc_len - OVERLAP, 1) - 1) // STRIDE
+        total_chunks = int(n_chunks.sum())
+        # per-chunk: owning doc, k-th window, global start, clipped length
+        doc_idx = np.repeat(np.arange(len(doc_len)), n_chunks)
+        cum = np.concatenate(([0], np.cumsum(n_chunks)))
+        k = np.arange(total_chunks) - cum[doc_idx]
+        start_local = k * STRIDE
+        chunk_len = np.minimum(N, doc_len[doc_idx] - start_local)
+        start_global = (off[:-1] - base)[doc_idx] + start_local
+        # ragged ranges: flat token index of every chunk member
+        coff = np.concatenate(([0], np.cumsum(chunk_len)))
+        ar = np.arange(int(coff[-1]))
+        idx = ar - np.repeat(coff[:-1], chunk_len) + np.repeat(
+            start_global, chunk_len
+        )
+        values = flat.take(pa.array(idx + base))
+        lists = pa.ListArray.from_arrays(pa.array(coff, type=pa.int32()),
+                                         values)
+        text = pc.binary_join(lists, " ")
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)[doc_idx]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "chunk_id": pa.array(k + 1, type=pa.int64()),
+            "n_tokens": pa.array(chunk_len, type=pa.int64()),
+            "chunk_sha_hex": sha256_hex_column(text),
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+_SQL_CHUNK_WINDOWS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         array_length(string_split(text, ' ')) AS len
+  FROM documents
+), s AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len - 16, 1), 48)) AS st
+  FROM t
+)
+SELECT s.doc_id,
+       CAST(row_number() OVER (PARTITION BY s.doc_id ORDER BY st) AS BIGINT)
+         AS chunk_id,
+       CAST(least(st + 63, t.len) - st + 1 AS BIGINT) AS n_tokens,
+       sha256(array_to_string(t.toks[st:least(st + 63, t.len)], ' '))
+         AS chunk_sha_hex
+FROM s JOIN t USING (doc_id)
+"""
+
+
 def user_customer_full_outer(sf_dir: str) -> "rd.Dataset":
     """FULL OUTER hash join (stages/join.py how='outer'): per-user event
     counts x a customer key range chosen so BOTH unmatched sides are
@@ -6157,6 +6231,9 @@ QUERIES = {
     "user_event_type_pivot": user_event_type_pivot,
     "event_value_outliers": event_value_outliers,
     "doc_token_cooccurrence": doc_token_cooccurrence,
+    # entries below the <=50 gate: green in the local mirror; driver
+    # rows arrive when earlier entries go green and these rotate up
+    "doc_chunk_windows": doc_chunk_windows,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6337,6 +6414,7 @@ ORACLE_SQL = {
     "doc_bigram_fluency": _SQL_BIGRAM_FLUENCY,
     "user_active_streak": _SQL_ACTIVE_STREAK,
     "doc_ngram_overlap_frac": _SQL_NGRAM_OVERLAP,
+    "doc_chunk_windows": _SQL_CHUNK_WINDOWS,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
