@@ -51,7 +51,9 @@ from .pipelines.zorder import build_zorder, load_zorder_meta, zorder_scan
 from .stages.bpe import bpe_encode_counts, bpe_train
 from .pipelines.ingest import (eq_plan, eq_scan, ingest, ingest_with_retry,
                                lookup_plan, point_lookup, range_plan,
-                               range_scan, read_lake, read_lake_table)
+                               range_scan, read_dead_letter, read_lake,
+                               read_lake_table)
+from .stages.expectations import Expectation
 from .pipelines.maintenance import (audit_lake, compact_lake, delete_where,
                                     expire_snapshots, repartition_lake,
                                     update_where)
@@ -102,6 +104,7 @@ __all__ = [
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where",
     "LakeStore", "scan_plans", "smart_scan",
+    "Expectation", "read_dead_letter",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
     "approx_quantiles",
     "BloomFilter", "build_bloom", "bloom_prune",

@@ -22,6 +22,7 @@ per-beneficiary main loop + append sinks + control-file resume
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from dataclasses import dataclass
@@ -48,6 +49,10 @@ class IngestResult:
     dead_rows: int
     lake_rows: int
     partitions_touched: int
+    #: {reason: count} over this commit's dead-letter rows (built-in
+    #: well-formedness checks + declared expectations, comma-joined on
+    #: multi-violation rows)
+    dead_reasons: dict = dataclasses.field(default_factory=dict)
 
 
 def _combiner(batch: pa.Table) -> pa.Table:
@@ -99,6 +104,7 @@ def ingest(
     schema_changes: list[SchemaChange] | None = None,
     count_input: bool = True,
     stage: bool = False,
+    expectations=None,
 ) -> IngestResult:
     """Apply one batch of change events to the lake, exactly once.
 
@@ -174,6 +180,7 @@ def ingest(
             "fence_vec": fence_vector(
                 cfg.num_partitions, {pid: f for pid, (f, _) in fences.items()}
             ),
+            "expectations": tuple(expectations or ()),
         },
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
@@ -212,6 +219,7 @@ def ingest(
         partitions=dict(manifest.partitions),
     )
     applied = dead = shuffled = 0
+    dead_reasons: dict = {}
     for r in rows:
         pid = int(r["part_id"])
         new_manifest.partitions[pid] = PartitionState(
@@ -227,6 +235,8 @@ def ingest(
         shuffled += int(r["events_shuffled"])
         applied += int(r["events_applied"])
         dead += int(r["dead_rows"])
+        for reason, cnt in json.loads(r["dead_reasons"] or "{}").items():
+            dead_reasons[reason] = dead_reasons.get(reason, 0) + int(cnt)
     known = [p.rows for p in new_manifest.partitions.values() if p.rows >= 0]
     lake_rows = sum(known) if len(known) == len(new_manifest.partitions) else -1
     new_manifest.metrics = {
@@ -234,6 +244,7 @@ def ingest(
         "events_shuffled": shuffled,
         "events_applied": applied,
         "dead_rows": dead,
+        "dead_reasons": dead_reasons,
         "lake_rows": lake_rows,
         "schema_version": target_version,
         "commit_mode": cfg.commit_mode,
@@ -261,6 +272,7 @@ def ingest(
         dead_rows=dead,
         lake_rows=lake_rows,
         partitions_touched=len(rows),
+        dead_reasons=dead_reasons,
     )
 
 
@@ -339,6 +351,26 @@ def load_partition_live(
     return live.take(
         pc.sort_indices(live, sort_keys=[("repo", "ascending"), ("path", "ascending")])
     )
+
+
+def read_dead_letter(lake_root: str) -> "ray.data.Dataset":
+    """Every dead-letter row the lake has accumulated, with the original
+    event columns plus ``dead_reason`` (comma-joined failed checks —
+    built-in well-formedness and declared ``Expectation``s).  Streams the
+    ``deadletter/part=*/`` parquet files; empty lake -> empty Dataset
+    with just the reason column (the event schema is stream-defined)."""
+    import glob as _glob
+
+    from ..functions.rayutil import read_parquet_clean
+
+    files = sorted(_glob.glob(
+        os.path.join(lake_root, "deadletter", "part=*", "*.parquet")
+    ))
+    if not files:
+        return ray.data.from_arrow(
+            pa.table({"dead_reason": pa.array([], type=pa.string())})
+        )
+    return read_parquet_clean(files)
 
 
 def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dataset":

@@ -1741,6 +1741,68 @@ FROM documents
 """
 
 
+def cdc_expectations(sf_dir: str) -> "rd.Dataset":
+    """Ingest-time expectations (stages/expectations.py — the
+    write-side constraint gate; reference analog: the 170 post-load
+    constraint ALTERs of ``SQL/create_CDMv5_constraints.sql`` enforced
+    BEFORE the row can enter the lake): the documents change stream is
+    ingested under two declared constraints (content <= 400 bytes,
+    lang within the supported set); violating events divert to the
+    dead-letter sink carrying a comma-joined reason.  Output is the
+    dead-letter reason census read back from the lake's deadletter/
+    parquet — the oracle recomputes which events violate which checks
+    from the stream definition (deletes skip expectations by design)."""
+    from ..stages.expectations import Expectation
+    from .ingest import read_dead_letter
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"exp_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    exps = [
+        Expectation("size_cap", "content", "max_bytes", 400),
+        Expectation("lang_known", "lang", "in_set", ("en", "fr", "de", "es")),
+    ]
+    ingest(events.filter(expr="epoch == 0"), cfg, count_input=False,
+           expectations=exps)
+    ingest(events.filter(expr="epoch == 1"), cfg, count_input=False,
+           expectations=exps)
+    dead = read_dead_letter(lake_root)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("dead_reason", sort=False).size()
+                .rename("_n").reset_index())
+
+    return _final_agg(
+        dead.map_batches(partial, batch_format="pandas"),
+        lambda df: df.groupby("dead_reason", sort=False)["_n"].sum()
+        .rename("n").reset_index().astype({"n": "int64"}),
+    )
+
+
+_SQL_EXPECTATIONS = """
+WITH ev AS (
+  SELECT lang, text AS content FROM documents
+  UNION ALL
+  SELECT lang, text || ' v2' FROM documents WHERE doc_id % 3 = 0
+), f AS (
+  SELECT (octet_length(encode(content)) > 400) AS v_size,
+         (lang NOT IN ('en', 'fr', 'de', 'es')) AS v_lang
+  FROM ev
+)
+SELECT CASE WHEN v_size AND v_lang THEN 'size_cap,lang_known'
+            WHEN v_size THEN 'size_cap'
+            ELSE 'lang_known' END AS dead_reason,
+       count(*) AS n
+FROM f WHERE v_size OR v_lang
+GROUP BY 1
+"""
+
+
 def cdc_eq_scan(sf_dir: str) -> "rd.Dataset":
     """Dictionary-stat file skipping: the applier records the distinct
     value set of low-cardinality string columns (<= 8 short values —
@@ -6234,6 +6296,7 @@ QUERIES = {
     # entries below the <=50 gate: green in the local mirror; driver
     # rows arrive when earlier entries go green and these rotate up
     "doc_chunk_windows": doc_chunk_windows,
+    "cdc_expectations": cdc_expectations,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6415,6 +6478,7 @@ ORACLE_SQL = {
     "user_active_streak": _SQL_ACTIVE_STREAK,
     "doc_ngram_overlap_frac": _SQL_NGRAM_OVERLAP,
     "doc_chunk_windows": _SQL_CHUNK_WINDOWS,
+    "cdc_expectations": _SQL_EXPECTATIONS,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,

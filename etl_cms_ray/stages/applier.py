@@ -46,6 +46,7 @@ RESULT_SCHEMA = pa.schema(
         ("schema_version", pa.int64()),
         ("dead_file", pa.string()),
         ("dead_rows", pa.int64()),
+        ("dead_reasons", pa.string()),  # JSON {reason: count}
         ("events_shuffled", pa.int64()),
         ("events_applied", pa.int64()),
         ("delta_files", pa.list_(pa.string())),
@@ -200,8 +201,15 @@ class MergeApplier:
 
         valid, dead = split_dead_letter(group)
 
-        dead_file, dead_rows = None, dead.num_rows
+        dead_file, dead_rows, dead_reasons = None, dead.num_rows, "{}"
         if dead_rows:
+            if "dead_reason" in dead.column_names:
+                vc = pc.value_counts(pc.fill_null(dead["dead_reason"],
+                                                  "unknown"))
+                dead_reasons = json.dumps(
+                    {d["values"]: d["counts"] for d in vc.to_pylist()},
+                    sort_keys=True,
+                )
             # dead rows may have null epoch (that can be WHY they are dead)
             max_dead_epoch = pc.max(dead["epoch"]).as_py()
             stem_epoch = max_dead_epoch if max_dead_epoch is not None else 0
@@ -238,6 +246,7 @@ class MergeApplier:
                     ),
                     "dead_file": [dead_file],
                     "dead_rows": pa.array([dead_rows], type=pa.int64()),
+                    "dead_reasons": [dead_reasons],
                     "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
                     "events_applied": pa.array([0], type=pa.int64()),
                     "delta_files": [self._prior_deltas.get(part_id, [])],
@@ -282,6 +291,7 @@ class MergeApplier:
                     "schema_version": pa.array([self.target_version], type=pa.int64()),
                     "dead_file": [dead_file],
                     "dead_rows": pa.array([dead_rows], type=pa.int64()),
+                    "dead_reasons": [dead_reasons],
                     "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
                     "events_applied": pa.array([applied], type=pa.int64()),
                     "delta_files": [prior_deltas + [os.path.relpath(fname, self.lake_root)]],
@@ -327,6 +337,7 @@ class MergeApplier:
                 "schema_version": pa.array([self.target_version], type=pa.int64()),
                 "dead_file": [dead_file],
                 "dead_rows": pa.array([dead_rows], type=pa.int64()),
+                    "dead_reasons": [dead_reasons],
                 "events_shuffled": pa.array([events_shuffled], type=pa.int64()),
                 "events_applied": pa.array([applied], type=pa.int64()),
                 "delta_files": [[]],  # base rewrite folds all deltas

@@ -35,7 +35,8 @@ def fence_vector(num_partitions: int, fences: dict | None):
     return vec
 
 
-def normalize_batch(batch: pa.Table, *, cfg: EngineConfig, fence_vec) -> pa.Table:
+def normalize_batch(batch: pa.Table, *, cfg: EngineConfig, fence_vec,
+                    expectations=()) -> pa.Table:
     """Task-form normalize (ingest hot path).
 
     Deliberately a FUNCTION, not a callable class: its per-task state (a
@@ -48,26 +49,31 @@ def normalize_batch(batch: pa.Table, *, cfg: EngineConfig, fence_vec) -> pa.Tabl
     from ..functions.threads import single_threaded_kernels
 
     single_threaded_kernels()
-    return _normalize(batch, cfg, pa.array(list(OPS)), fence_vec)
+    return _normalize(batch, cfg, pa.array(list(OPS)), fence_vec,
+                      expectations)
 
 
 class Normalizer:
     """Actor-pool form of the normalize stage (used when the per-actor
     state is worth amortizing — e.g. very large fence maps)."""
 
-    def __init__(self, cfg: EngineConfig, fences: dict | None = None):
+    def __init__(self, cfg: EngineConfig, fences: dict | None = None,
+                 expectations=()):
         from ..functions.threads import single_threaded_kernels
 
         single_threaded_kernels()
         self.cfg = cfg
         self.valid_ops = pa.array(list(OPS))
         self.fence_vec = fence_vector(cfg.num_partitions, fences)
+        self.expectations = tuple(expectations)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _normalize(batch, self.cfg, self.valid_ops, self.fence_vec)
+        return _normalize(batch, self.cfg, self.valid_ops, self.fence_vec,
+                          self.expectations)
 
 
-def _normalize(batch: pa.Table, cfg: EngineConfig, valid_ops, fence_vec) -> pa.Table:
+def _normalize(batch: pa.Table, cfg: EngineConfig, valid_ops, fence_vec,
+               expectations=()) -> pa.Table:
     n = batch.num_rows
     content = batch["content"]
     sha = sha256_column(content)
@@ -86,13 +92,31 @@ def _normalize(batch: pa.Table, cfg: EngineConfig, valid_ops, fence_vec) -> pa.T
     is_del = pc.equal(batch["op"], pa.scalar("delete"))
     content_ok = pc.if_else(is_del, pa.scalar(True), pc.is_valid(content))
     size_ok = pc.less_equal(size, pa.scalar(cfg.max_content_bytes, type=pa.int32()))
-    valid = pc.and_(pc.and_(op_ok, key_ok), pc.and_(content_ok, size_ok))
-    valid = pc.fill_null(valid, False)
+
+    # built-in well-formedness + declared expectations share one reason
+    # bitmask, so every dead row records every check it failed
+    from .expectations import reason_strings, violation_masks
+
+    import numpy as np
+
+    def _viol(ok) -> "np.ndarray":
+        return pc.fill_null(pc.invert(ok), True).to_numpy(
+            zero_copy_only=False
+        ).astype(bool)
+
+    names = ["bad_op", "null_key", "content_op_mismatch", "oversize"]
+    masks = [_viol(op_ok), _viol(key_ok), _viol(content_ok), _viol(size_ok)]
+    if expectations:
+        names += [e.name for e in expectations]
+        masks += violation_masks(batch, expectations)
+    valid_np, reason = reason_strings(masks, names, n)
+    valid = pa.array(valid_np)
 
     out = batch.append_column("content_sha", sha)
     out = out.append_column("size", size)
     out = out.append_column("part_id", part)
     out = out.append_column("valid", valid)
+    out = out.append_column("dead_reason", reason)
     assert out.num_rows == n
 
     import numpy as np
@@ -109,7 +133,10 @@ def _normalize(batch: pa.Table, cfg: EngineConfig, valid_ops, fence_vec) -> pa.T
 
 def split_dead_letter(t: pa.Table) -> tuple[pa.Table, pa.Table]:
     """(valid, dead) — side-output routing (multi-sink fan-out analog of
-    the reference's domain->destination dispatch, ``CMS:212-229``)."""
-    good = t.filter(t["valid"]).drop_columns(["valid"])
+    the reference's domain->destination dispatch, ``CMS:212-229``).
+    The dead side keeps ``dead_reason`` (every failed check, for
+    triage); the good side sheds both routing columns."""
+    drop_good = [c for c in ("valid", "dead_reason") if c in t.column_names]
+    good = t.filter(t["valid"]).drop_columns(drop_good)
     dead = t.filter(pc.invert(t["valid"])).drop_columns(["valid"])
     return good, dead
