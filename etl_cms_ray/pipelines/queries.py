@@ -2584,6 +2584,67 @@ FROM events GROUP BY event_type
 """
 
 
+def lineitem_price_p25_cont(sf_dir: str) -> pa.Table:
+    """EXACT percentile_cont (interpolated percentile) per group with
+    streaming passes only: two exact order statistics per group —
+    rank floor((n-1)p) and ceil((n-1)p) via the sketch-guided rank
+    selector (stages/selection.py rank_fn) — then
+    ``vl + (h - floor(h)) * (vh - vl)``.  p = 0.25 is exactly
+    representable in binary and the inputs ride the cents grid, so
+    every interpolation double is IEEE-identical to the SQL mirror,
+    which computes the SAME expression from row_number order
+    statistics (not DuckDB's quantile_cont, whose internal expression
+    is not pinned)."""
+    from ..stages.selection import exact_group_percentile_cont
+
+    ds = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_returnflag", "l_extendedprice"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        v = _qround(t["l_extendedprice"].to_numpy(zero_copy_only=False), 2)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "price_q": pa.array(v, type=pa.float64())})
+
+    dsq = ds.map_batches(quant, batch_format="pyarrow")
+    p25 = exact_group_percentile_cont(dsq, "l_returnflag", "price_q",
+                                      p=0.25, cap=65536)
+    rows = sorted(p25.items())
+    return pa.table(
+        {
+            "l_returnflag": pa.array([g for g, _ in rows], type=pa.string()),
+            "price_p25": pa.array([v for _, v in rows], type=pa.float64()),
+        }
+    )
+
+
+_SQL_P25_CONT = """
+WITH v AS (
+  SELECT l_returnflag, floor(l_extendedprice * 100 + 0.5) / 100 AS x
+  FROM lineitem
+), r AS (
+  SELECT l_returnflag, x,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY x) - 1 AS rk,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM v
+), h AS (
+  SELECT l_returnflag,
+         (CAST(n AS DOUBLE) - 1) * 0.25 AS hh,
+         CAST(floor((CAST(n AS DOUBLE) - 1) * 0.25) AS BIGINT) AS rl,
+         CAST(ceil((CAST(n AS DOUBLE) - 1) * 0.25) AS BIGINT) AS rh
+  FROM (SELECT DISTINCT l_returnflag, n FROM r)
+), sel AS (
+  SELECT r.l_returnflag,
+         max(CASE WHEN r.rk = h.rl THEN r.x END) AS vl,
+         max(CASE WHEN r.rk = h.rh THEN r.x END) AS vh,
+         any_value(h.hh) AS hh, any_value(h.rl) AS rl
+  FROM r JOIN h USING (l_returnflag)
+  GROUP BY r.l_returnflag
+)
+SELECT l_returnflag, vl + (hh - CAST(rl AS DOUBLE)) * (vh - vl) AS price_p25
+FROM sel
+"""
+
+
 def event_value_outliers(sf_dir: str) -> "rd.Dataset":
     """Robust per-group outlier gate (Hampel / 3×MAD rule — the
     median-based quality filter a training pipeline uses where mean/σ
@@ -3159,6 +3220,67 @@ def order_priority_counts(sf_dir: str) -> "rd.Dataset":
 
 _SQL_PRIORITY = """
 SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q4_late_orders(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q4 shape — correlated EXISTS with a CROSS-TABLE predicate:
+    orders having at least one lineitem shipped more than 60 days after
+    the order date, counted per priority.  A plain semi join can't
+    carry the l_shipdate > o_orderdate + 60 comparison, so the shape
+    is: one task-based inner hash join ships only the 2+3 key/predicate
+    columns, the date predicate filters vectorized, matching orderkeys
+    dedupe inside coarse orderkey-hash partitions (EXISTS semantics:
+    one vote per order however many late lines), and a bounded final
+    counts the 5 priorities."""
+    from ..stages.join import hash_join
+
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_shipdate"])
+    ords = _rpc(f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = hash_join(
+        li, ords, on="l_orderkey", right_on="o_orderkey",
+        left_schema=_pq_cols_schema(sf_dir, "lineitem",
+                                    ["l_orderkey", "l_shipdate"]),
+        right_schema=_pq_cols_schema(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ),
+    )
+
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ship = df["l_shipdate"].values.astype("datetime64[D]")
+        odate = df["o_orderdate"].values.astype("datetime64[D]")
+        late = df[ship > odate + np.timedelta64(60, "D")]
+        return late[["l_orderkey", "o_orderpriority"]].drop_duplicates()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    hits = _coarse_final(
+        j.map_batches(late_partial, batch_format="pandas"),
+        "l_orderkey", final,
+    )
+    return _final_agg(
+        hits.map_batches(
+            lambda d: d.groupby("o_orderpriority", sort=False).size()
+            .rename("_n").reset_index(),
+            batch_format="pandas",
+        ),
+        lambda d: d.groupby("o_orderpriority", sort=False)["_n"].sum()
+        .rename("order_count").reset_index().astype({"order_count": "int64"}),
+    )
+
+
+_SQL_Q4_LATE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
 """
 
 
@@ -6297,6 +6419,8 @@ QUERIES = {
     # rows arrive when earlier entries go green and these rotate up
     "doc_chunk_windows": doc_chunk_windows,
     "cdc_expectations": cdc_expectations,
+    "q4_late_orders": q4_late_orders,
+    "lineitem_price_p25_cont": lineitem_price_p25_cont,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6479,6 +6603,8 @@ ORACLE_SQL = {
     "doc_ngram_overlap_frac": _SQL_NGRAM_OVERLAP,
     "doc_chunk_windows": _SQL_CHUNK_WINDOWS,
     "cdc_expectations": _SQL_EXPECTATIONS,
+    "q4_late_orders": _SQL_Q4_LATE,
+    "lineitem_price_p25_cont": _SQL_P25_CONT,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,

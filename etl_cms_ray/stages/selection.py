@@ -58,6 +58,7 @@ def exact_group_quantile(
     k: int = 200,
     guard: float = 0.02,
     max_rounds: int = 8,
+    rank_fn=None,
 ) -> dict:
     """Exact per-group quantile_disc element. Returns {group: value}.
 
@@ -67,6 +68,11 @@ def exact_group_quantile(
     ignored, matching SQL aggregate semantics.  Groups must be
     bounded-cardinality (statuses, types): per-pass partial output is
     O(groups x blocks).
+
+    ``rank_fn``: optional ``n -> 0-based rank`` override of the
+    quantile_disc rank convention (clamped to [0, n-1]) — the exact
+    ORDER-STATISTIC selector.  percentile_cont composes two of these
+    (floor/ceil of ``(n-1)*p``) and interpolates.
     """
 
     ds = ds.select_columns([group_col, value_col])
@@ -104,7 +110,10 @@ def exact_group_quantile(
         n = kll.n
         # quantile_disc rank: 1-based ceil(q*n), clamped; the epsilon
         # keeps exact products (q=0.5, n=4 -> 2.0) from ceiling upward
-        r = max(0, int(math.ceil(q * n - 1e-9)) - 1) if n > 0 else 0
+        if rank_fn is not None:
+            r = max(0, min(n - 1, int(rank_fn(n)))) if n > 0 else 0
+        else:
+            r = max(0, int(math.ceil(q * n - 1e-9)) - 1) if n > 0 else 0
         state[g] = {"r": r, "offset": 0, "lo": -_INF, "hi": _INF,
                     "live": n, "sk": kll, "done": n == 0}
     result = {g: float("nan") for g in state}
@@ -245,3 +254,52 @@ def exact_group_quantile(
     if undone:
         raise RuntimeError(f"quantile refinement did not converge for {undone}")
     return result
+
+
+def exact_group_percentile_cont(
+    ds,
+    group_col: str,
+    value_col: str,
+    p: float,
+    **kw,
+) -> dict:
+    """Exact INTERPOLATED percentile per group (SQL percentile_cont):
+    ``h = (n-1)*p``, ``v = vl + (h - floor(h)) * (vh - vl)`` over the two
+    neighboring exact order statistics, each found by the multi-pass
+    rank selector (``rank_fn``).  Returns {group: value}.
+
+    Cross-engine exactness: pass a ``p`` exactly representable in
+    binary (0.25, 0.5, 0.375, ...) and mirror the SAME interpolation
+    expression in SQL — then every intermediate double is IEEE-identical
+    on both engines (CLAUDE.md rule 4 applies to the inputs).
+    """
+    import math
+
+    def cnt_batch(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        import pandas as pd
+
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({"g": t[group_col].to_pandas()})[~np.isnan(v)]
+        g = df.groupby("g", sort=False).size().rename("c").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    counts: dict = {}
+    sub = ds.select_columns([group_col, value_col])
+    for row in _group_pass(sub, group_col, value_col, cnt_batch):
+        counts[row["g"]] = counts.get(row["g"], 0) + int(row["c"])
+
+    vl = exact_group_quantile(
+        ds, group_col, value_col,
+        rank_fn=lambda n: math.floor((n - 1) * p), **kw,
+    )
+    vh = exact_group_quantile(
+        ds, group_col, value_col,
+        rank_fn=lambda n: math.ceil((n - 1) * p), **kw,
+    )
+    out = {}
+    for g, n in counts.items():
+        h = (n - 1) * p
+        frac = h - math.floor(h)
+        out[g] = vl[g] + frac * (vh[g] - vl[g])
+    return out

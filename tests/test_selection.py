@@ -97,3 +97,27 @@ def test_massive_ties_collapse_bracket_without_gather():
     ds = _make_ds({"t": vals})
     got = exact_group_quantile(ds, "g", "v", q=0.5, cap=64)
     assert got["t"] == 3.25
+
+
+def test_rank_fn_order_statistic_and_percentile_cont():
+    import math
+
+    from etl_cms_ray.stages.selection import exact_group_percentile_cont
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.lognormal(1.0, 1.0, 30_000), 2)
+    ds = _make_ds({"g0": vals})
+    srt = np.sort(vals)
+    # explicit order statistics via rank_fn (multi-round: tiny cap/sketch)
+    for r0 in (0, 17, 14_999, len(vals) - 1):
+        got = exact_group_quantile(
+            ds, "g", "v", rank_fn=lambda n, r=r0: r, cap=256, k=16
+        )
+        assert got["g0"] == srt[r0], r0
+    # interpolated percentile matches the explicit expression
+    p = 0.25
+    h = (len(vals) - 1) * p
+    rl, rh = math.floor(h), math.ceil(h)
+    expect = srt[rl] + (h - rl) * (srt[rh] - srt[rl])
+    got = exact_group_percentile_cont(ds, "g", "v", p=p, cap=256, k=16)
+    assert got["g0"] == expect
