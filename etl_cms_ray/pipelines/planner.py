@@ -14,9 +14,11 @@ The engine has four ways to serve ``{col: (lo, hi)}`` predicates:
    are clustered;
 4. a full lake scan (always available).
 
-``scan_plans`` costs each candidate as the FRACTION of its scan units
-(partitions or layout files) that survive pruning — metadata-only, so
-planning is O(partitions + layout files) on the driver.  ``smart_scan``
+``scan_plans`` costs each candidate as the FRACTION of estimated ROWS
+scanned (manifest partition rows / per-file layout rows — still
+metadata-only), falling back to unit counts when any row count is
+unknown (MOR partitions awaiting compaction report -1), so planning is
+O(partitions + layout files) on the driver.  ``smart_scan``
 executes the cheapest plan and re-applies the EXACT full predicate on
 whatever comes back (the projection/z-order/token-index discipline:
 the planner decides READS, never the answer — a wrong cost estimate can
@@ -71,9 +73,22 @@ def scan_plans(
     n_live = max(len(live), 1)
     needed = set(columns or schema.names) | set(preds)
 
+    # row-weighted costing when every live partition reports rows (MOR
+    # partitions awaiting compaction report -1 = unknown -> unit counts)
+    part_rows = {pid: ps.rows for pid, ps in live.items()}
+    rows_known = all(r >= 0 for r in part_rows.values())
+    total_rows = sum(part_rows.values()) if rows_known else None
+
+    def _frac(scan_units: int, total_units: int,
+              scan_rows: "int | None", tot_rows: "int | None") -> float:
+        if scan_rows is not None and tot_rows:
+            return scan_rows / tot_rows
+        return scan_units / max(total_units, 1)
+
     plans: list[dict] = [{
         "strategy": "full_scan", "layout": None,
-        "units_scanned": len(live), "units_total": n_live, "frac": 1.0,
+        "units_scanned": len(live), "units_total": n_live,
+        "est_rows": total_rows, "frac": 1.0,
     }]
 
     # --- lake zone maps, intersected across every predicate column ---
@@ -87,11 +102,21 @@ def scan_plans(
             ids = {p["part_id"] for p in range_plan(manifest, c, lo, hi)}
         keep = ids if keep is None else (keep & ids)
     if keep is not None:
+        krows = sum(part_rows[p] for p in keep) if rows_known else None
         plans.append({
             "strategy": "lake_zonemap", "layout": None,
             "units_scanned": len(keep), "units_total": n_live,
-            "frac": len(keep) / n_live, "_part_ids": keep,
+            "est_rows": krows,
+            "frac": _frac(len(keep), n_live, krows, total_rows),
+            "_part_ids": keep,
         })
+
+    def _stale_cost(meta: dict) -> tuple[int, "int | None"]:
+        stale_pids = [pid for pid, ps in live.items()
+                      if meta["src_state"].get(str(pid)) != _state_id(ps)]
+        srows = (sum(part_rows[p] for p in stale_pids)
+                 if rows_known else None)
+        return len(stale_pids), srows
 
     # --- sorted projections: sort_col must carry a predicate ---
     for name in _layout_names(lake_root, "_projections"):
@@ -101,19 +126,20 @@ def scan_plans(
         if not needed <= set(meta["columns"]):
             continue
         lo, hi = preds[meta["sort_col"]]
-        stale = sum(
-            1 for pid, ps in live.items()
-            if meta["src_state"].get(str(pid)) != _state_id(ps)
-        )
+        stale, stale_rows = _stale_cost(meta)
         total = max(len(meta["files"]), 1)
-        hit = sum(
-            1 for e in meta["files"].values()
-            if not (e["max"] < lo or e["min"] > hi)
-        )
+        hits = [e for e in meta["files"].values()
+                if not (e["max"] < lo or e["min"] > hi)]
+        layout_rows = sum(e["rows"] for e in meta["files"].values())
+        hrows = (sum(e["rows"] for e in hits) + stale_rows
+                 if stale_rows is not None else None)
         plans.append({
             "strategy": "projection", "layout": name,
-            "units_scanned": hit + stale, "units_total": total,
-            "frac": (hit + stale) / (total + stale or 1),
+            "units_scanned": len(hits) + stale, "units_total": total,
+            "est_rows": hrows,
+            "frac": _frac(len(hits) + stale, total + stale,
+                          hrows, (layout_rows + stale_rows)
+                          if stale_rows is not None else None),
         })
 
     # --- z-order layouts: any covered predicate column prunes ---
@@ -124,24 +150,27 @@ def scan_plans(
         covered = {c: b for c, b in preds.items() if c in meta["zcols"]}
         if not covered or not needed <= set(meta["columns"]):
             continue
-        stale = sum(
-            1 for pid, ps in live.items()
-            if meta["src_state"].get(str(pid)) != _state_id(ps)
-        )
+        stale, stale_rows = _stale_cost(meta)
         total = max(len(meta["files"]), 1)
 
-        def _hits(entry: dict) -> bool:
+        def _hit(entry: dict) -> bool:
             for c, (lo, hi) in covered.items():
                 mn, mx = entry["mins"].get(c), entry["maxs"].get(c)
                 if mn is not None and mx is not None and (mx < lo or mn > hi):
                     return False
             return True
 
-        hit = sum(1 for e in meta["files"].values() if _hits(e))
+        hits = [e for e in meta["files"].values() if _hit(e)]
+        layout_rows = sum(e["rows"] for e in meta["files"].values())
+        hrows = (sum(e["rows"] for e in hits) + stale_rows
+                 if stale_rows is not None else None)
         plans.append({
             "strategy": "zorder", "layout": name,
-            "units_scanned": hit + stale, "units_total": total,
-            "frac": (hit + stale) / (total + stale or 1),
+            "units_scanned": len(hits) + stale, "units_total": total,
+            "est_rows": hrows,
+            "frac": _frac(len(hits) + stale, total + stale,
+                          hrows, (layout_rows + stale_rows)
+                          if stale_rows is not None else None),
             "_covered": covered,
         })
 

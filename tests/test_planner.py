@@ -101,3 +101,9 @@ def test_plans_are_metadata_only(lake):
     plans = scan_plans(lake_root, PREDS, columns=COLS)
     assert plans[0]["frac"] <= plans[-1]["frac"]
     assert all("units_scanned" in p and "units_total" in p for p in plans)
+    # cow lake: every partition reports rows, so costing is row-weighted
+    full = next(p for p in plans if p["strategy"] == "full_scan")
+    assert full["est_rows"] is not None and full["est_rows"] > 0
+    for p in plans:
+        if p["est_rows"] is not None and full["est_rows"]:
+            assert p["frac"] <= 1.0 + 1e-9
