@@ -31,6 +31,37 @@ def _ray_session(num_cpus: int | None):
     return ray
 
 
+def _parse_expectations(specs: list[str]):
+    """``NAME:COL:OP[:VALUE[:VALUE2]]`` -> Expectation list.  VALUEs
+    parse as int, then float, else string; in_set splits on commas."""
+    from .stages.expectations import Expectation
+
+    def _coerce(s: str):
+        for cast in (int, float):
+            try:
+                return cast(s)
+            except ValueError:
+                continue
+        return s
+
+    out = []
+    for spec in specs:
+        parts = spec.split(":")
+        if len(parts) < 3:
+            raise SystemExit(f"bad --expect spec {spec!r} "
+                             "(NAME:COL:OP[:VALUE[:VALUE2]])")
+        name, col, op = parts[:3]
+        value = value2 = None
+        if len(parts) > 3:
+            raw = parts[3]
+            value = (tuple(v.strip() for v in raw.split(","))
+                     if op == "in_set" else _coerce(raw))
+        if len(parts) > 4:
+            value2 = _coerce(parts[4])
+        out.append(Expectation(name, col, op, value, value2))
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_cms_ray")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -47,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
     pi.add_argument("--stage", action="store_true",
                     help="write-audit-publish: write everything but do not "
                          "move CURRENT (then: audit --version, publish/abort)")
+    pi.add_argument("--expect", action="append", default=[],
+                    metavar="NAME:COL:OP[:VALUE[:VALUE2]]",
+                    help="ingest-time expectation (repeatable); OP one of "
+                         "not_null/ge/le/gt/lt/between/in_set/matches/"
+                         "min_bytes/max_bytes; in_set VALUE is "
+                         "comma-separated; violating rows dead-letter "
+                         "with this NAME as the reason")
 
     pr = sub.add_parser("replay", help="re-apply a stream (fenced no-op when already applied)")
     pr.add_argument("--events", nargs="+", required=True)
@@ -174,7 +212,9 @@ def main(argv: list[str] | None = None) -> int:
                 commit_mode=getattr(args, "mode", "cow"),
             )
             res = ingest(read_events_parquet(args.events), cfg,
-                         stage=getattr(args, "stage", False))
+                         stage=getattr(args, "stage", False),
+                         expectations=_parse_expectations(
+                             getattr(args, "expect", [])))
             print(json.dumps(res.__dict__))
         elif args.cmd == "audit":
             from .pipelines.maintenance import audit_lake

@@ -2869,6 +2869,133 @@ FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """
 
 
+def orders_cube(sf_dir: str) -> "rd.Dataset":
+    """Full CUBE over (priority, status) — ROLLUP's sibling grouping-sets
+    shape: all FOUR aggregation levels derive from ONE pass of fine-grain
+    partials (the (status)-only level that ROLLUP lacks is just another
+    re-aggregation of the bounded fine-cell table; the input never
+    re-reads and nothing beyond #fine_cells x #blocks rows shuffles)."""
+    ds = _rpc(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_t=_qround(df["o_totalprice"], 2))
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+            .agg(_n=("_t", "size"), _s=("_t", "sum"))
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        fine = (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False)
+            .agg(_n=("_n", "sum"), _s=("_s", "sum"))
+            .reset_index()
+        )
+        by_prio = (
+            fine.groupby("o_orderpriority", sort=False)
+            .agg(_n=("_n", "sum"), _s=("_s", "sum")).reset_index()
+        )
+        by_prio["o_orderstatus"] = None
+        by_status = (
+            fine.groupby("o_orderstatus", sort=False)
+            .agg(_n=("_n", "sum"), _s=("_s", "sum")).reset_index()
+        )
+        by_status["o_orderpriority"] = None
+        top = pd.DataFrame(
+            {
+                "o_orderpriority": [None],
+                "o_orderstatus": [None],
+                "_n": [fine["_n"].sum()],
+                "_s": [fine["_s"].sum()],
+            }
+        )
+        out = pd.concat(
+            [fine, by_prio[fine.columns], by_status[fine.columns],
+             top[fine.columns]],
+            ignore_index=True,
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": out["o_orderpriority"],
+                "o_orderstatus": out["o_orderstatus"],
+                "n_orders": out["_n"].astype("int64"),
+                "sum_total": _qround(out["_s"], 2),
+            }
+        )
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_ORDERS_CUBE = f"""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       {_sql_q("sum(floor((o_totalprice) * 100 + 0.5) / 100)", 2)} AS sum_total
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+def events_props_extract(sf_dir: str) -> "rd.Dataset":
+    """Schema-on-read JSON payload extraction (the semi-structured
+    source-decode family member — events carry a JSON ``props`` string
+    the relational catalog otherwise never touches): pull the integer
+    ``k`` field out of every payload and aggregate it per event type.
+
+    Scale shape: extraction is ONE vectorized RE2 kernel per batch
+    (``pc.extract_regex``) — schema-on-read for a known scalar field
+    needs no parser object per row; per-batch partials then a bounded
+    final.  The oracle extracts with DuckDB's real JSON parser
+    (``json_extract``), so the regex path is checked against a strict
+    parse, not against itself."""
+    ds = _events(sf_dir, ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ext = pc.extract_regex(t["props"], r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        g = (
+            pd.DataFrame({
+                "event_type": t["event_type"].to_pandas(),
+                "k": k.to_pandas(),
+            })
+            .groupby("event_type", sort=False)["k"]
+            .agg(_n="size", _s="sum").reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False).agg(
+            n=("_n", "sum"), sum_k=("_s", "sum")
+        ).reset_index()
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n": g["n"].astype("int64"),
+            "sum_k": g["sum_k"].astype("int64"),
+            "avg_k": _qround(
+                g["sum_k"].astype("float64") / g["n"].astype("float64"), 6
+            ),
+        })
+
+    return _final_agg(ds.map_batches(partial, batch_format="pyarrow"), final)
+
+
+_SQL_PROPS_EXTRACT = """
+WITH e AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       floor((CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1000000
+             + 0.5) / 1000000 AS avg_k
+FROM e GROUP BY event_type
+"""
+
+
 # ===========================================================================
 # TPC-H-style relational operators
 
@@ -6421,6 +6548,8 @@ QUERIES = {
     "cdc_expectations": cdc_expectations,
     "q4_late_orders": q4_late_orders,
     "lineitem_price_p25_cont": lineitem_price_p25_cont,
+    "orders_cube": orders_cube,
+    "events_props_extract": events_props_extract,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6605,6 +6734,8 @@ ORACLE_SQL = {
     "cdc_expectations": _SQL_EXPECTATIONS,
     "q4_late_orders": _SQL_Q4_LATE,
     "lineitem_price_p25_cont": _SQL_P25_CONT,
+    "orders_cube": _SQL_ORDERS_CUBE,
+    "events_props_extract": _SQL_PROPS_EXTRACT,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,

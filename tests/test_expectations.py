@@ -108,3 +108,22 @@ def test_null_fails_and_on_delete_opts_in():
 def test_unknown_op_rejected():
     with pytest.raises(ValueError):
         Expectation("x", "lang", "no_such_op")
+
+
+def test_cli_expect_spec_parsing():
+    from etl_cms_ray.cli import _parse_expectations
+
+    exps = _parse_expectations([
+        "cap:content:max_bytes:400",
+        "langs:lang:in_set:py,rs,go",
+        "band:size:between:10:99.5",
+        "nn:repo:not_null",
+    ])
+    assert [e.op for e in exps] == ["max_bytes", "in_set", "between",
+                                    "not_null"]
+    assert exps[0].value == 400 and isinstance(exps[0].value, int)
+    assert exps[1].value == ("py", "rs", "go")
+    assert exps[2].value == 10 and exps[2].value2 == 99.5
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        _parse_expectations(["malformed"])
