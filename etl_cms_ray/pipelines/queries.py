@@ -2996,6 +2996,58 @@ FROM e GROUP BY event_type
 """
 
 
+def doc_lang_temperature_weights(sf_dir: str) -> "rd.Dataset":
+    """Temperature-based multilingual resampling weights (the mC4/XLM
+    alpha-smoothing recipe): p_l ∝ (n_l/N)^α with α=0.5, normalized —
+    low-resource languages up-weighted relative to their share.  α=0.5
+    makes the power a SQRT, which IEEE 754 rounds correctly in both
+    engines (a general pow() is not pinned cross-libm), and each term
+    rides the 1e-9 grid before the 5-term normalization (bounded key
+    space: one tiny partial per batch, one driver-side final)."""
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["lang"])
+    n_total = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("lang", sort=False).size()
+                .rename("_n").reset_index())
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", sort=False)["_n"].sum().rename("n_docs") \
+            .reset_index().sort_values("lang", kind="mergesort")
+        term = np.floor(
+            np.sqrt(g["n_docs"].to_numpy(np.float64) / float(n_total))
+            * 1e9 + 0.5
+        ) / 1e9
+        # 5 grid-quantized terms; the 1e-6 output grid has 1000x headroom
+        # over any summation-order ulp (the corr/variance precedent)
+        denom = float(term.sum())
+        return pd.DataFrame({
+            "lang": g["lang"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "weight": np.floor(term / denom * 1e6 + 0.5) / 1e6,
+        })
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), final)
+
+
+_SQL_LANG_TEMPERATURE = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, n_docs,
+         floor(sqrt(CAST(n_docs AS DOUBLE)
+                    / (SELECT CAST(count(*) AS DOUBLE) FROM documents))
+               * 1000000000 + 0.5) / 1000000000 AS term
+  FROM c
+), d AS (
+  SELECT sum(term) AS denom FROM t
+)
+SELECT lang, n_docs,
+       floor(term / (SELECT denom FROM d) * 1000000 + 0.5) / 1000000 AS weight
+FROM t
+"""
+
+
 # ===========================================================================
 # TPC-H-style relational operators
 
@@ -6550,6 +6602,7 @@ QUERIES = {
     "lineitem_price_p25_cont": lineitem_price_p25_cont,
     "orders_cube": orders_cube,
     "events_props_extract": events_props_extract,
+    "doc_lang_temperature_weights": doc_lang_temperature_weights,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6736,6 +6789,7 @@ ORACLE_SQL = {
     "lineitem_price_p25_cont": _SQL_P25_CONT,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
+    "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
