@@ -135,3 +135,60 @@ def test_shingle_hash_rows_equivalent_to_string_shingles(token_lists):
     hg = sorted(h.groupby("gh")["doc_id"].apply(frozenset).tolist(),
                 key=lambda x: sorted(x))
     assert sg == hg
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "update", "delete"]),
+            st.one_of(st.none(), st.integers(-100, 100)),
+            st.one_of(st.none(), st.sampled_from(["py", "rs", "go", "zz"])),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.booleans(),
+)
+def test_expectation_reasons_match_bruteforce(rows, on_delete):
+    """The vectorized bitmask reason builder equals a per-row reference:
+    nulls violate, deletes skip unless on_delete, reasons comma-join in
+    declaration order, clean rows get null reasons."""
+    from etl_cms_ray.stages.expectations import (Expectation, reason_strings,
+                                                 violation_masks)
+
+    t = pa.table({
+        "op": pa.array([r[0] for r in rows], type=pa.string()),
+        "n": pa.array([r[1] for r in rows], type=pa.int64()),
+        "lang": pa.array([r[2] for r in rows], type=pa.string()),
+    })
+    exps = [
+        Expectation("n_nonneg", "n", "ge", 0, on_delete=on_delete),
+        Expectation("n_band", "n", "between", -50, 50, on_delete=on_delete),
+        Expectation("lang_known", "lang", "in_set", ("py", "rs", "go"),
+                    on_delete=on_delete),
+        Expectation("lang_nn", "lang", "not_null", on_delete=on_delete),
+    ]
+    valid, reasons = reason_strings(
+        violation_masks(t, exps), [e.name for e in exps], t.num_rows
+    )
+
+    def ref_row(op, n, lang):
+        if op == "delete" and not on_delete:
+            return []
+        fails = []
+        if n is None or n < 0:
+            fails.append("n_nonneg")
+        if n is None or not (-50 <= n <= 50):
+            fails.append("n_band")
+        if lang is None or lang not in ("py", "rs", "go"):
+            fails.append("lang_known")
+        if lang is None:
+            fails.append("lang_nn")
+        return fails
+
+    for i, (op, n, lang) in enumerate(rows):
+        fails = ref_row(op, n, lang)
+        assert bool(valid[i]) == (not fails), (i, rows[i])
+        expect = ",".join(fails) if fails else None
+        assert reasons[i].as_py() == expect, (i, rows[i])
