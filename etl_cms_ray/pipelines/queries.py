@@ -2378,6 +2378,73 @@ FROM s JOIN t USING (doc_id)
 """
 
 
+def chunk_exact_dups(sf_dir: str) -> "rd.Dataset":
+    """Chunk-level cross-document duplication census — the dedup signal
+    at the granularity training pipelines actually pack (composes the
+    sliding-window chunker with the exact-dedup family): every 64-token
+    window content (by sha256) that appears in MORE THAN ONE document,
+    with its distinct-document and total-occurrence counts.
+
+    Scale shape: the chunker is map-only; per-batch (sha, doc)
+    occurrence partials compress before the ONE coarse sha-hash
+    shuffle; each bucket counts distinct docs + occurrences and keeps
+    only cross-doc duplicates, so the output is the (small) duplicated
+    subset, never the chunk universe."""
+    ds = doc_chunk_windows(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["chunk_sha_hex", "doc_id"], sort=False)
+             .size().rename("_occ").reset_index())
+        return g
+
+    def add_spart(t: pa.Table) -> pa.Table:
+        fp = fingerprint_column(t["chunk_sha_hex"]).to_numpy(zero_copy_only=False)
+        return t.append_column("spart", pa.array((fp % 64).astype(np.int64)))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["spart"])
+        # re-merge cross-batch (sha, doc) partials, then census per sha
+        pair = (df.groupby(["chunk_sha_hex", "doc_id"], sort=False)["_occ"]
+                .sum().reset_index())
+        g = pair.groupby("chunk_sha_hex", sort=False).agg(
+            n_docs=("doc_id", "size"), n_occurrences=("_occ", "sum")
+        ).reset_index()
+        g = g[g["n_docs"] > 1]
+        return pd.DataFrame({
+            "chunk_sha_hex": g["chunk_sha_hex"],
+            "n_docs": g["n_docs"].astype("int64"),
+            "n_occurrences": g["n_occurrences"].astype("int64"),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    parted = partials.map_batches(add_spart, batch_format="pyarrow",
+                                  batch_size=65536)
+    return parted.groupby("spart").map_groups(final, batch_format="pandas")
+
+
+_SQL_CHUNK_DUPS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         array_length(string_split(text, ' ')) AS len
+  FROM documents
+), s AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len - 16, 1), 48)) AS st
+  FROM t
+), ch AS (
+  SELECT s.doc_id,
+         sha256(array_to_string(t.toks[st:least(st + 63, t.len)], ' '))
+           AS chunk_sha_hex
+  FROM s JOIN t USING (doc_id)
+)
+SELECT chunk_sha_hex,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM ch
+GROUP BY chunk_sha_hex
+HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 def user_customer_full_outer(sf_dir: str) -> "rd.Dataset":
     """FULL OUTER hash join (stages/join.py how='outer'): per-user event
     counts x a customer key range chosen so BOTH unmatched sides are
@@ -6603,6 +6670,7 @@ QUERIES = {
     "orders_cube": orders_cube,
     "events_props_extract": events_props_extract,
     "doc_lang_temperature_weights": doc_lang_temperature_weights,
+    "chunk_exact_dups": chunk_exact_dups,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6790,6 +6858,7 @@ ORACLE_SQL = {
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
+    "chunk_exact_dups": _SQL_CHUNK_DUPS,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
