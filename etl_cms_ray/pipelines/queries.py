@@ -3813,7 +3813,17 @@ def doc_bigram_fluency(sf_dir: str) -> "rd.Dataset":
             .groupby(["doc_id", "w1", "big"], sort=False)
             .size().rename("k").reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        # explicit schema: a batch of only <2-token docs yields an empty
+        # frame whose pandas->Arrow dtypes would be null-typed and break
+        # the union's schema
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(np.int64, copy=False),
+                               type=pa.int64()),
+            "w1": pa.array(g["w1"], type=pa.string()),
+            "big": pa.array(g["big"], type=pa.string()),
+            "k": pa.array(g["k"].to_numpy(np.int64, copy=False),
+                          type=pa.int64()),
+        })
 
     inst = ds.map_batches(inst_batch, batch_format="pyarrow").materialize()
 
