@@ -4154,6 +4154,69 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def events_asof_forward(sf_dir: str) -> "rd.Dataset":
+    """FORWARD as-of join (the other direction of stages/asof.py —
+    time-to-convert attribution): every click picks up the EARLIEST
+    purchase of the same user at or after its timestamp.  Same
+    per-(user, ts) right-side dedup discipline as the backward entry;
+    oracle = DuckDB's native ASOF LEFT JOIN with the inequality
+    flipped."""
+    from ..stages.asof import asof_join
+
+    clicks = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+                ["event_id", "user_id", "ts"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def purchase_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        df = df.assign(purchase_value=_qround(df["value"], 2))
+        return df.groupby(["user_id", "ts"], sort=False)["purchase_value"] \
+            .max().reset_index()
+
+    purchases = _coarse_final(
+        _events(sf_dir, ["user_id", "ts", "event_type", "value"]).map_batches(
+            purchase_partial, batch_format="pandas"
+        ),
+        "user_id",
+        lambda df: df.groupby(["user_id", "ts"], sort=False)["purchase_value"]
+        .max()
+        .reset_index(),
+    )
+    ev_schema = _pq_cols_schema(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = asof_join(
+        clicks, purchases, on="ts", by="user_id", direction="forward",
+        left_schema=ev_schema,
+        right_schema=pa.schema(
+            [("user_id", ev_schema.field("user_id").type),
+             ("ts", ev_schema.field("ts").type),
+             ("purchase_value", pa.float64())]
+        ),
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            [("purchase_ts" if c == "ts_r" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_ASOF_FORWARD = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, max(floor(value * 100 + 0.5) / 100) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
 def events_value_bands(sf_dir: str) -> "rd.Dataset":
     """Broadcast interval (range) join (stages/rangejoin.py): every event
     matched to the [lo, hi) value band containing it — one vectorized
@@ -6681,6 +6744,7 @@ QUERIES = {
     "events_props_extract": events_props_extract,
     "doc_lang_temperature_weights": doc_lang_temperature_weights,
     "chunk_exact_dups": chunk_exact_dups,
+    "events_asof_forward": events_asof_forward,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6869,6 +6933,7 @@ ORACLE_SQL = {
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
     "chunk_exact_dups": _SQL_CHUNK_DUPS,
+    "events_asof_forward": _SQL_ASOF_FORWARD,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
