@@ -2445,6 +2445,72 @@ HAVING count(DISTINCT doc_id) > 1
 """
 
 
+def training_token_budget_sample(sf_dir: str) -> "rd.Dataset":
+    """Token-budget-constrained corpus selection: per source, documents
+    enter the training mix in the deterministic content-sha order
+    (unbiased by position or length) until the source's running token
+    total exceeds a fixed budget — the per-source cap step of corpus
+    assembly (the epochs/budget knob next to the weighted mix).
+
+    Scale shape: one map-only pass computes (source, sha, n_tokens) —
+    the text itself never shuffles; one coarse source-hash exchange,
+    then a single vectorized sweep per bucket (sort, segmented cumsum,
+    gate).  The gate is <= BUDGET on the INCLUSIVE prefix sum, so the
+    first over-budget document is excluded — mirrored exactly by the
+    SQL window frame."""
+    BUDGET = 800
+    ds = _rpc(f"{sf_dir}/documents.parquet",
+              columns=["doc_id", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "sha": sha256_hex_column(t["text"]),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    def add_srcpart(t: pa.Table) -> pa.Table:
+        fp = fingerprint_column(t["source"]).to_numpy(zero_copy_only=False)
+        return t.append_column("spart", pa.array((fp % 64).astype(np.int64)))
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["spart"]).sort_values(
+            ["source", "sha", "doc_id"], kind="mergesort"
+        )
+        cum = df.groupby("source", sort=False)["n_tokens"].cumsum()
+        keep = df[cum <= BUDGET]
+        return pd.DataFrame({
+            "doc_id": keep["doc_id"].astype("int64"),
+            "source": keep["source"],
+            "n_tokens": keep["n_tokens"].astype("int64"),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        add_srcpart, batch_format="pyarrow", batch_size=65536
+    )
+    return parts.groupby("spart").map_groups(sweep, batch_format="pandas")
+
+
+_SQL_TOKEN_BUDGET = """
+WITH d AS (
+  SELECT doc_id, source, sha256(text) AS sha,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY sha, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800
+"""
+
+
 def user_customer_full_outer(sf_dir: str) -> "rd.Dataset":
     """FULL OUTER hash join (stages/join.py how='outer'): per-user event
     counts x a customer key range chosen so BOTH unmatched sides are
@@ -6745,6 +6811,7 @@ QUERIES = {
     "doc_lang_temperature_weights": doc_lang_temperature_weights,
     "chunk_exact_dups": chunk_exact_dups,
     "events_asof_forward": events_asof_forward,
+    "training_token_budget_sample": training_token_budget_sample,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6934,6 +7001,7 @@ ORACLE_SQL = {
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
     "chunk_exact_dups": _SQL_CHUNK_DUPS,
     "events_asof_forward": _SQL_ASOF_FORWARD,
+    "training_token_budget_sample": _SQL_TOKEN_BUDGET,
     "user_value_window_ranks": _SQL_WINDOW_RANKS,
     "user_event_type_pivot": _SQL_TYPE_PIVOT,
     "event_value_outliers": _SQL_VALUE_OUTLIERS,
