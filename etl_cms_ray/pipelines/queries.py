@@ -3596,6 +3596,241 @@ GROUP BY o_orderpriority
 """
 
 
+def q14_promo_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q14 shape — conditional-aggregate ratio over a fact⨝dim
+    join: the share of one month's revenue that came from PROMO parts.
+    part grows with scale, so it streams through the task-based hash
+    join like lineitem (never a driver collect); the month filter
+    prunes lineitem BEFORE the exchange.  Float discipline is the
+    strictest tier (integer-cents): per-row revenue quantizes to the
+    cent grid and accumulates as EXACT int64 cents, so the two final
+    sums are bit-identical across engines and the single division
+    100*promo/total is one IEEE op on identical operands (int64 cents
+    caps at ~9e16 dollars — far past 100 TB of lineitem; the mirror
+    casts identically).  Reference analog: conditional per-claim
+    revenue splits (lib/etl/claims.py money-line handling)."""
+    lo, hi = pd.Timestamp("1997-09-01"), pd.Timestamp("1997-10-01")
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)),
+                )
+            ).select(["l_partkey", "l_extendedprice", "l_discount"])
+        ),
+        batch_format="pyarrow",
+    )
+    part = _rpc(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    j = hash_join(
+        li, part, on="l_partkey", right_on="p_partkey",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]),
+        right_schema=_pq_cols_schema(sf_dir, "part", ["p_partkey", "p_type"]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
+            * 100 + 0.5
+        ).astype(np.int64)
+        promo = (df["p_type"].to_numpy() == "PROMO")
+        return pd.DataFrame(
+            {"_promo": [int(cents[promo].sum())], "_total": [int(cents.sum())]}
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        promo, total = float(df["_promo"].sum()), float(df["_total"].sum())
+        return pd.DataFrame({"promo_revenue_pct": [_qround(
+            np.float64(100.0) * promo / total, 6)]})
+
+    return _final_agg(j.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_Q14_PROMO = """
+WITH j AS (
+  SELECT CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) AS BIGINT) AS cents,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+)
+SELECT floor((100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE)
+              / CAST(sum(cents) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS promo_revenue_pct
+FROM j
+"""
+
+
+def q16_supplier_cnt(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q16 shape — anti-join + grouped count(DISTINCT): how many
+    distinct suppliers ship each (brand, type, size) part family,
+    excluding blacklisted suppliers (negative balance stands in for the
+    reference's comment-pattern complaint filter; no partsupp table in
+    this corpus, so lineitem supplies the part⨝supplier incidence).
+    Topology: the blacklist is a FILTERED SUPPLIER TABLE — it grows
+    with scale, so it anti-joins through the task-based exchange
+    rather than broadcasting; part prunes on its predicate before its
+    join; the 4-tuple distinct dedupes inside coarse suppkey-hash
+    partitions (all rows of one suppkey share a partition, so local
+    drop_duplicates is globally exact); the final count per family is
+    a bounded-key coalesced reduce (#brands x #types x #sizes)."""
+    sizes = [1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49]
+    bad = _rpc(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.less(t["s_acctbal"], 0.0)).select(["s_suppkey"])),
+        batch_format="pyarrow",
+    )
+    li = _rpc(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    li_ok = hash_join(
+        li, bad, on="l_suppkey", right_on="s_suppkey", how="anti",
+        left_schema=_pq_cols_schema(sf_dir, "lineitem",
+                                    ["l_partkey", "l_suppkey"]),
+        right_schema=_pq_cols_schema(sf_dir, "supplier", ["s_suppkey"]),
+    )
+    part = _rpc(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(
+                pc.and_(
+                    pc.and_(
+                        pc.not_equal(t["p_brand"], "Brand#1"),
+                        pc.not_equal(t["p_type"], "PROMO"),
+                    ),
+                    pc.is_in(t["p_size"], value_set=pa.array(sizes)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        li_ok, part, on="l_partkey", right_on="p_partkey",
+        right_schema=_pq_cols_schema(
+            sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]),
+    )
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["p_brand", "p_type", "p_size", "l_suppkey"]].drop_duplicates()
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates()
+        return (
+            d.groupby(["p_brand", "p_type", "p_size"], sort=False)
+            .size().rename("_n").reset_index()
+        )
+
+    partials = _coarse_final(
+        j.map_batches(distinct_partial, batch_format="pandas"),
+        "l_suppkey", per_bucket,
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["p_brand", "p_type", "p_size"], sort=False)["_n"]
+            .sum().rename("supplier_cnt").reset_index()
+        )
+        return g.astype({"supplier_cnt": "int64", "p_size": "int64"})
+
+    return _final_agg(partials, finalize)
+
+
+_SQL_Q16_SUPPLIER_CNT = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1,5,9,13,17,21,25,29,33,37,41,45,49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q18_large_orders(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q18 shape — grouped HAVING as a semi-join driver: orders
+    whose total lineitem quantity exceeds 250, reported with customer
+    identity, top 100 by o_totalprice.  The quantity sum per orderkey
+    finalizes inside coarse orderkey-hash partitions (exact int64
+    centi-units, so the HAVING comparison has no float dust on either
+    engine); only the SURVIVORS (a tiny HAVING-selected set) flow into
+    the orders join, and customer joins after — both task-based
+    exchanges, no driver collect of any scale-growing side.  Top-100
+    is local-per-bucket then one bounded global pass (q3 pattern)."""
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        centi = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"], "_c": centi})
+            .groupby("l_orderkey", sort=False)["_c"].sum().reset_index()
+        )
+
+    def qty_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False)["_c"].sum().reset_index()
+        return g[g["_c"] > 250 * 100]
+
+    big = _coarse_final(
+        li.map_batches(qty_partial, batch_format="pandas"),
+        "l_orderkey", qty_final,
+    )
+    ords = _rpc(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    jo = hash_join(
+        big, ords, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("_c", pa.int64())]),
+    )
+    cust = _rpc(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    jc = hash_join(
+        jo, cust, on="o_custkey", right_on="c_custkey",
+        right_schema=_pq_cols_schema(sf_dir, "customer",
+                                     ["c_custkey", "c_name"]),
+    )
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.assign(
+            sum_qty=df["_c"].to_numpy().astype(np.float64) / 100.0,
+            o_totalprice=_qround(df["o_totalprice"], 2),
+        )[["c_name", "o_custkey", "l_orderkey", "o_orderdate",
+           "o_totalprice", "sum_qty"]]
+        return d.sort_values(
+            ["o_totalprice", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(100)
+
+    candidates = _coarse_final(jc, "l_orderkey", local_topk)
+
+    def global_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(100)
+
+    return _final_agg(candidates, global_topk)
+
+
+_SQL_Q18_LARGE = """
+WITH s AS (
+  SELECT l_orderkey, sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS c
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) > 25000
+)
+SELECT c_name, o_custkey, l_orderkey, o_orderdate,
+       floor((o_totalprice) * 100 + 0.5) / 100 AS o_totalprice,
+       CAST(c AS DOUBLE) / 100.0 AS sum_qty
+FROM s JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY floor((o_totalprice) * 100 + 0.5) / 100 DESC, o_orderdate, l_orderkey
+LIMIT 100
+"""
+
+
 def orders_by_month(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
 
@@ -6812,6 +7047,9 @@ QUERIES = {
     "chunk_exact_dups": chunk_exact_dups,
     "events_asof_forward": events_asof_forward,
     "training_token_budget_sample": training_token_budget_sample,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_supplier_cnt": q16_supplier_cnt,
+    "q18_large_orders": q18_large_orders,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -6996,6 +7234,9 @@ ORACLE_SQL = {
     "cdc_expectations": _SQL_EXPECTATIONS,
     "q4_late_orders": _SQL_Q4_LATE,
     "lineitem_price_p25_cont": _SQL_P25_CONT,
+    "q14_promo_revenue": _SQL_Q14_PROMO,
+    "q16_supplier_cnt": _SQL_Q16_SUPPLIER_CNT,
+    "q18_large_orders": _SQL_Q18_LARGE,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
