@@ -3831,6 +3831,333 @@ LIMIT 100
 """
 
 
+def q17_small_qty_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q17 shape — correlated per-key aggregate joined back to the
+    same fact: average yearly revenue lost if small-quantity lines of
+    Brand#3 STANDARD parts were not shipped (qty below 20% of that
+    part's average).  The correlated avg and the per-row comparison both
+    happen INSIDE one coarse partkey-hash partition — every lineitem of
+    a part shares a bucket, so a local groupby-transform is globally
+    exact and the fact shuffles ONCE.  The threshold comparison is pure
+    int64 arithmetic (qty < avg/5  <=>  5*qty_centi*cnt < sum_centi), so
+    there is no float dust in row selection on either engine; the single
+    final division happens on identical int64 operands.  Reference
+    analog: per-person claim screens against that person's own history
+    (lib/etl/claims.py)."""
+    part = _rpc(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(
+                pc.and_(
+                    pc.equal(t["p_brand"], "Brand#3"),
+                    pc.equal(t["p_type"], "STANDARD"),
+                )
+            ).select(["p_partkey"])
+        ),
+        batch_format="pyarrow",
+    )
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    j = hash_join(
+        li, part, on="l_partkey", right_on="p_partkey", how="semi",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        qc = np.floor(df["l_quantity"].to_numpy() * 100 + 0.5).astype(np.int64)
+        pc_ = np.floor(
+            df["l_extendedprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        d = pd.DataFrame({"k": df["l_partkey"].to_numpy(), "qc": qc, "pc": pc_})
+        gg = d.groupby("k", sort=False)["qc"]
+        ssum = gg.transform("sum").to_numpy()
+        cnt = gg.transform("size").to_numpy().astype(np.int64)
+        mask = 5 * qc * cnt < ssum
+        return pd.DataFrame({"_cents": [int(pc_[mask].sum())]})
+
+    partials = _coarse_final(j, "l_partkey", per_bucket)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        total = np.int64(df["_cents"].sum())
+        return pd.DataFrame({"avg_yearly": [_qround(
+            np.float64(total) / 100.0 / 7.0, 6)]})
+
+    return _final_agg(partials, finalize)
+
+
+_SQL_Q17_SMALL_QTY = """
+WITH j AS (
+  SELECT l_partkey AS k,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pcents
+  FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_type = 'STANDARD')
+), s AS (
+  SELECT k, qc, pcents,
+         sum(qc) OVER (PARTITION BY k) AS ssum,
+         count(*) OVER (PARTITION BY k) AS cnt
+  FROM j
+)
+SELECT floor((CAST(sum(pcents) AS DOUBLE) / 100.0 / 7.0) * 1000000 + 0.5) / 1000000
+       AS avg_yearly
+FROM s WHERE 5 * qc * cnt < ssum
+"""
+
+
+def q13_order_count_distribution(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q13 shape — outer-join count distribution: how many
+    customers placed exactly N non-urgent orders, INCLUDING the
+    zero-order customers only an outer join can see.  Per-customer
+    counts finalize inside coarse custkey-hash partitions; customer then
+    LEFT-joins onto the counts through the task-based exchange (both
+    sides scale, neither broadcasts); missing matches become zero; the
+    (order-count -> customer-count) distribution is a bounded-key
+    coalesced reduce (max orders per customer).  Reference analog:
+    per-beneficiary claim counts where zero-claim beneficiaries still
+    emit an OMOP person row."""
+    ords = _rpc(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(
+                pc.not_equal(t["o_orderpriority"], "1-URGENT")
+            ).select(["o_custkey"])
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("o_custkey", sort=False).size()
+            .rename("_n").reset_index()
+        )
+
+    def cnt_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", sort=False)["_n"].sum().reset_index()
+
+    counts = _coarse_final(
+        ords.map_batches(cnt_partial, batch_format="pandas"),
+        "o_custkey", cnt_final,
+    )
+    cust = _rpc(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    j = hash_join(
+        cust, counts, on="c_custkey", right_on="o_custkey", how="left",
+        right_schema=pa.schema([("o_custkey", pa.int64()), ("_n", pa.int64())]),
+    )
+
+    def dist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["_n"].fillna(0).astype("int64")
+        return n.value_counts().rename("custdist").rename_axis(
+            "c_count").reset_index()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_count", sort=False)["custdist"].sum().reset_index()
+        return g.astype({"c_count": "int64", "custdist": "int64"})
+
+    return _final_agg(j.map_batches(dist_partial, batch_format="pandas"),
+                      finalize)
+
+
+_SQL_Q13_CUSTDIST = """
+WITH c AS (
+  SELECT c_custkey, count(o_custkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c GROUP BY c_count
+"""
+
+
+def q15_top_supplier(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q15 shape — max-of-aggregates with self-comparison: the
+    supplier(s) whose Q3-1997 discounted revenue equals the global
+    maximum.  Per-supplier revenue accumulates as exact int64 cents
+    inside coarse suppkey-hash partitions, so the max and the equality
+    filter compare identical integers on both engines (genuine ties
+    survive identically — no epsilon games).  Each coarse bucket emits
+    only its local max row(s); the global max + filter is a bounded
+    final (<= parts x ties rows).  Supplier identity attaches AFTER
+    selection — the join input is the tiny winner set."""
+    lo, hi = pd.Timestamp("1997-07-01"), pd.Timestamp("1997-10-01")
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)),
+                )
+            ).select(["l_suppkey", "l_extendedprice", "l_discount"])
+        ),
+        batch_format="pyarrow",
+    )
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy()
+            * (1 - df["l_discount"].to_numpy()) * 100 + 0.5
+        ).astype(np.int64)
+        return (
+            pd.DataFrame({"l_suppkey": df["l_suppkey"], "_c": cents})
+            .groupby("l_suppkey", sort=False)["_c"].sum().reset_index()
+        )
+
+    def local_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", sort=False)["_c"].sum().reset_index()
+        return g[g["_c"] == g["_c"].max()]
+
+    candidates = _coarse_final(
+        li.map_batches(rev_partial, batch_format="pandas"),
+        "l_suppkey", local_max,
+    )
+
+    def global_max(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["_c"] == df["_c"].max()]
+        return pd.DataFrame({
+            "s_suppkey": w["l_suppkey"].astype("int64"),
+            "total_revenue": w["_c"].to_numpy().astype(np.float64) / 100.0,
+        })
+
+    winners = _final_agg(candidates, global_max)
+    sup = _rpc(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    out = hash_join(
+        winners, sup, on="s_suppkey",
+        left_schema=pa.schema(
+            [("s_suppkey", pa.int64()), ("total_revenue", pa.float64())]),
+        right_schema=_pq_cols_schema(sf_dir, "supplier",
+                                     ["s_suppkey", "s_name"]),
+    )
+    return out.map_batches(
+        lambda t: _nometa(t.select(["s_suppkey", "s_name", "total_revenue"])),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_Q15_TOP_SUPPLIER = """
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                  AS BIGINT)) AS c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+    AND l_shipdate < TIMESTAMP '1997-10-01'
+  GROUP BY l_suppkey
+)
+SELECT r.s_suppkey, s_name, CAST(c AS DOUBLE) / 100.0 AS total_revenue
+FROM r JOIN supplier ON r.s_suppkey = supplier.s_suppkey
+WHERE c = (SELECT max(c) FROM r)
+"""
+
+
+def q22_dormant_customers(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q22 shape — global-scalar filter + anti-join: per market
+    segment, the count and total balance of customers whose balance
+    exceeds the average POSITIVE balance and who placed no order since
+    2000-01-01 (the dormancy window — Q22's "no orders in N years").
+    The global average is a two-int64 scalar (sum cents, count) reduced
+    from per-batch partials — the one legitimate driver materialization
+    (two numbers, any scale); the per-row comparison is exact integer
+    cross-multiplication (bal_cents * cnt > sum_cents), so no float
+    boundary dust.  The order anti-join runs through the task-based
+    exchange — orders scales, so it is never collected or broadcast.
+    Segment totals are a bounded-key coalesced reduce."""
+    cust_all = _rpc(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+        pos = cents > 0
+        return pd.DataFrame({"_s": [int(cents[pos].sum())],
+                             "_n": [int(pos.sum())]})
+
+    stat = _final_agg(
+        cust_all.map_batches(bal_partial, batch_format="pandas"),
+        lambda df: pd.DataFrame({"_s": [int(df["_s"].sum())],
+                                 "_n": [int(df["_n"].sum())]}),
+    ).to_pandas()
+    ssum, cnt = int(stat["_s"].iloc[0]), int(stat["_n"].iloc[0])
+
+    rich = cust_all.map_batches(
+        lambda t, s, n: _nometa(
+            t.filter(
+                pc.greater(
+                    pc.multiply(
+                        pc.cast(
+                            pc.floor(pc.add(pc.multiply(
+                                t["c_acctbal"], pa.scalar(100.0)),
+                                pa.scalar(0.5))),
+                            pa.int64(),
+                        ),
+                        pa.scalar(n, pa.int64()),
+                    ),
+                    pa.scalar(s, pa.int64()),
+                )
+            )
+        ),
+        batch_format="pyarrow", fn_kwargs={"s": ssum, "n": cnt},
+    )
+    ords = _rpc(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(
+                pc.greater_equal(
+                    t["o_orderdate"], pa.scalar(pd.Timestamp("2000-01-01")))
+            ).select(["o_custkey"])
+        ),
+        batch_format="pyarrow",
+    )
+    dormant = hash_join(
+        rich, ords, on="c_custkey", right_on="o_custkey", how="anti",
+        left_schema=_pq_cols_schema(
+            sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"]),
+        right_schema=pa.schema([("o_custkey", pa.int64())]),
+    )
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["c_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+        d = pd.DataFrame({"c_mktsegment": df["c_mktsegment"], "_c": cents})
+        g = d.groupby("c_mktsegment", sort=False)["_c"]
+        return pd.DataFrame({"numcust": g.size(), "_c": g.sum()}).reset_index()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_mktsegment", sort=False).agg(
+            numcust=("numcust", "sum"), _c=("_c", "sum")).reset_index()
+        g["totacctbal"] = g.pop("_c").to_numpy().astype(np.float64) / 100.0
+        return g.astype({"numcust": "int64"})
+
+    return _final_agg(dormant.map_batches(seg_partial, batch_format="pandas"),
+                      finalize)
+
+
+_SQL_Q22_DORMANT = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer
+), s AS (
+  SELECT sum(CASE WHEN cents > 0 THEN cents ELSE 0 END) AS ssum,
+         sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS cnt
+  FROM c
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS totacctbal
+FROM c, s
+WHERE cents * cnt > ssum
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 def orders_by_month(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
 
@@ -7050,6 +7377,10 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q16_supplier_cnt": q16_supplier_cnt,
     "q18_large_orders": q18_large_orders,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q22_dormant_customers": q22_dormant_customers,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -7237,6 +7568,10 @@ ORACLE_SQL = {
     "q14_promo_revenue": _SQL_Q14_PROMO,
     "q16_supplier_cnt": _SQL_Q16_SUPPLIER_CNT,
     "q18_large_orders": _SQL_Q18_LARGE,
+    "q17_small_qty_revenue": _SQL_Q17_SMALL_QTY,
+    "q13_order_count_distribution": _SQL_Q13_CUSTDIST,
+    "q15_top_supplier": _SQL_Q15_TOP_SUPPLIER,
+    "q22_dormant_customers": _SQL_Q22_DORMANT,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
