@@ -4558,6 +4558,311 @@ FROM terms GROUP BY doc_id
 """
 
 
+def doc_pmi_collocations(sf_dir: str) -> "rd.Dataset":
+    """Top-20 collocations by pointwise mutual information over
+    document co-occurrence — the association-strength upgrade of
+    doc_token_cooccurrence (raw counts rank stopword pairs first; PMI
+    ranks genuinely associated pairs).  Log-free: the PMI ordering is
+    monotone in the lift ratio p(a,b)/(p(a)p(b)) = n_ab*N/(n_a*n_b),
+    an exact rational of int64 counts, so both engines quantize the
+    SAME double (identical operand tree) and ties break lexically.
+
+    Scale shape: pair counts reuse the cooccurrence topology (per-doc
+    distinct pairs -> per-batch partials -> coarse pair-hash buckets);
+    a min-count gate (n_ab >= 4) prunes the long tail BEFORE any join;
+    per-token document frequencies reduce in coarse token-hash buckets
+    and stay a Dataset; frequencies attach to the surviving pairs via
+    two task-based hash joins (string keys); N is the one legitimate
+    driver scalar (a single int64).  Top-20 = per-bucket local top-k
+    (a pair lives in one bucket) + bounded final merge."""
+    from ..stages.join import hash_join
+
+    K, MINC = 20, 4
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_tokens(t: pa.Table) -> pd.DataFrame:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        return pd.DataFrame(
+            {"d": doc_of, "tok": flat.to_pandas().to_numpy()}
+        ).drop_duplicates()
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        df = doc_tokens(t)
+        pairs = df.merge(df, on="d", suffixes=("_a", "_b"))
+        pairs = pairs[pairs["tok_a"] < pairs["tok_b"]]
+        cnt = (pairs.groupby(["tok_a", "tok_b"], sort=False)
+               .size().rename("n_ab").reset_index())
+        key = fingerprint_column(
+            pa.array((cnt["tok_a"] + "\x00" + cnt["tok_b"]).to_numpy(),
+                     type=pa.string())
+        ).to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({
+            "tok_a": pa.array(cnt["tok_a"], type=pa.string()),
+            "tok_b": pa.array(cnt["tok_b"], type=pa.string()),
+            "n_ab": pa.array(cnt["n_ab"].to_numpy(np.int64, copy=False)),
+            "ppart": pa.array((key % np.uint64(64)).astype(np.int64)),
+        })
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("ppart")
+        .map_groups(
+            lambda d: (lambda g: g[g["n_ab"] >= MINC])(
+                d.groupby(["tok_a", "tok_b"], sort=False)["n_ab"]
+                .sum().reset_index()),
+            batch_format="pandas",
+        )
+    )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        df = doc_tokens(t)
+        cnt = df.groupby("tok", sort=False).size().rename("n").reset_index()
+        fp = fingerprint_column(
+            pa.array(cnt["tok"], type=pa.string())
+        ).to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({
+            "tok": pa.array(cnt["tok"], type=pa.string()),
+            "n": pa.array(cnt["n"].to_numpy(np.int64, copy=False)),
+            "tpart": pa.array((fp % np.uint64(64)).astype(np.int64)),
+        })
+
+    tok_df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tpart")
+        .map_groups(
+            lambda d: d.groupby("tok", sort=False)["n"].sum().reset_index(),
+            batch_format="pandas",
+        )
+    )
+    n_docs = float(_final_agg(
+        ds.map_batches(
+            lambda t: pd.DataFrame({"_n": [len(t)]}), batch_format="pandas"),
+        lambda df: pd.DataFrame({"_n": [int(df["_n"].sum())]}),
+    ).to_pandas()["_n"].iloc[0])
+
+    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
+                             ("n_ab", pa.int64())])
+    df_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
+    ja = hash_join(pairs, tok_df, on="tok_a", right_on="tok",
+                   left_schema=pair_schema, right_schema=df_schema)
+    jb = hash_join(
+        ja, tok_df, on="tok_b", right_on="tok",
+        left_schema=pa.schema(list(pair_schema) + [("n", pa.int64())]),
+        right_schema=df_schema, suffix="_b",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        n_ab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_b = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lift = np.floor((n_ab * n_docs) / (n_a * n_b) * 1e6 + 0.5) / 1e6
+        key = fingerprint_column(
+            pc.binary_join_element_wise(t["tok_a"], "\x00", t["tok_b"])
+        ).to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({
+            "tok_a": t["tok_a"], "tok_b": t["tok_b"], "n_ab": t["n_ab"],
+            "pmi_lift": pa.array(lift),
+            "spart": pa.array((key % np.uint64(64)).astype(np.int64)),
+        })
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["pmi_lift", "tok_a", "tok_b"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(K)
+
+    buckets = (
+        jb.map_batches(score, batch_format="pyarrow")
+        .groupby("spart")
+        .map_groups(lambda d: topk(d.drop(columns=["spart"])),
+                    batch_format="pandas")
+    )
+    return _final_agg(buckets, topk)
+
+
+_SQL_PMI_COLLOCATIONS = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(tok)
+), p AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 4
+), tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY tok
+), nd AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+)
+SELECT tok_a, tok_b, n_ab,
+       floor(((CAST(n_ab AS DOUBLE) * n_docs)
+              / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE))) * 1000000 + 0.5)
+         / 1000000 AS pmi_lift
+FROM p JOIN tc a ON tok_a = a.tok JOIN tc b ON tok_b = b.tok, nd
+ORDER BY pmi_lift DESC, tok_a, tok_b
+LIMIT 20
+"""
+
+
+def doc_winnow_fingerprints(sf_dir: str) -> "rd.Dataset":
+    """Robust winnowing (the MOSS document-fingerprint selection,
+    Schleimer et al. 2003): slide a window of W consecutive token
+    4-grams over each document and keep each window's MINIMUM gram; the
+    distinct selected grams are the document's fingerprint sketch, with
+    the winnowing guarantee that any match of >= W+3 consecutive tokens
+    between two documents shares a fingerprint.  Selection happens on
+    the gram STRING's lexicographic order — identically computable in
+    both engines, so the oracle is exact (no hash-order divergence).
+
+    Scale shape: zero shuffles — grams, the W-way vectorized
+    elementwise-min sweep (W-1 Arrow min_element_wise passes over
+    shifted gram columns, never a Python loop over rows), and the
+    per-doc distinct count all stay inside the row's batch; the output
+    is one row per document."""
+    W, N = 4, 4
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def winnow(t: pa.Table) -> pd.DataFrame:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        toks = pc.split_pattern(t["text"], pattern=" ").combine_chunks()
+        off = toks.offsets.to_numpy().astype(np.int64)
+        base = off[0]
+        flat = toks.values
+        n_tok = np.diff(off)
+        n_gram = np.maximum(n_tok - (N - 1), 0)
+        # gram i of doc d = tokens[i .. i+N-1]; valid starts exclude the
+        # last N-1 positions of each doc
+        total = int(off[-1] - base)
+        valid = np.ones(total, dtype=bool)
+        for k in range(1, N):
+            end = off[1:] - k - base
+            valid[end[n_tok >= k]] = False
+        i0 = np.nonzero(valid)[0] + base
+        parts = [flat.take(pa.array(i0 + k)) for k in range(N)]
+        # last arg is the SEPARATOR (Arrow binary_join_element_wise
+        # signature) — produces "t0 t1 t2 t3", byte-identical to the
+        # SQL mirror's `token || ' ' || ...`
+        grams = pc.binary_join_element_wise(*parts, " ")
+        # window min over W consecutive grams WITHIN each doc: shift and
+        # elementwise-min; windows are gram starts 0 .. n_gram-W per doc
+        n_win = np.maximum(n_gram - (W - 1), 0)
+        goff = np.concatenate(([0], np.cumsum(n_gram)))
+        wvalid = np.ones(int(goff[-1]), dtype=bool)
+        for k in range(1, W):
+            end = goff[1:] - k
+            wvalid[end[n_gram >= k]] = False
+        j0 = np.nonzero(wvalid)[0]
+        m = grams.take(pa.array(j0))
+        for k in range(1, W):
+            m = pc.min_element_wise(m, grams.take(pa.array(j0 + k)))
+        doc_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n_win)
+        sel = pd.DataFrame({"doc_id": doc_rep,
+                            "fp": m.to_pandas().to_numpy()}).drop_duplicates()
+        g = sel.groupby("doc_id", sort=False).size().rename(
+            "n_fingerprints").reset_index()
+        out = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(
+            zero_copy_only=False), "n_windows": n_win.astype(np.int64)})
+        out = out.merge(g, on="doc_id", how="left")
+        out["n_fingerprints"] = out["n_fingerprints"].fillna(0).astype("int64")
+        return out
+
+    return ds.map_batches(winnow, batch_format="pyarrow")
+
+
+_SQL_WINNOW = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(generate_series(1, array_length(string_split(text, ' ')))) AS pos
+  FROM documents
+), gr AS (
+  SELECT doc_id, pos,
+         token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w
+               || ' ' || lead(token, 3) OVER w AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(token, 3) OVER w IS NOT NULL
+), wm AS (
+  SELECT doc_id, pos,
+         min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS span
+  FROM gr
+), sel AS (
+  SELECT doc_id, fp FROM wm WHERE span = 4
+)
+SELECT d.doc_id,
+       CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(f.n_fingerprints, 0) AS BIGINT) AS n_fingerprints
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n_windows FROM sel GROUP BY doc_id) w
+  ON d.doc_id = w.doc_id
+LEFT JOIN (SELECT doc_id, count(DISTINCT fp) AS n_fingerprints
+           FROM sel GROUP BY doc_id) f
+  ON d.doc_id = f.doc_id
+"""
+
+
+def cdc_hopping_window(sf_dir: str) -> "rd.Dataset":
+    """Hopping (sliding) window aggregate — 1-hour windows every 15
+    minutes, so each event contributes to exactly 4 overlapping
+    windows: the streaming-analytics counterpart of cdc_tumbling_window
+    (tumbling = hop == size).  Window replication is pure vectorized
+    index arithmetic (np.repeat + tiled hop offsets), the per-window
+    partials shrink each batch to (window, n, cents) before the only
+    shuffle, and window starts hash into coarse buckets (windows are
+    unbounded over event time — never a driver-bounded final).  Value
+    sums ride the exact integer-cent grid."""
+    HOP_US = 15 * 60 * 1_000_000
+    K = 4  # size / hop
+    ds = _events(sf_dir, ["ts", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view(np.int64)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        bucket = (ts // HOP_US) * HOP_US
+        ws = np.repeat(bucket, K) - np.tile(
+            np.arange(K, dtype=np.int64) * HOP_US, len(ts))
+        d = pd.DataFrame({"w_start": ws, "_c": np.repeat(cents, K)})
+        g = d.groupby("w_start", sort=False)["_c"].agg(["size", "sum"])
+        return g.rename(columns={"size": "_n", "sum": "_s"}).reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w_start", sort=False).agg(
+            n_events=("_n", "sum"), _s=("_s", "sum")).reset_index()
+        return pd.DataFrame({
+            "w_start": pd.to_datetime(g["w_start"], unit="us"),
+            "n_events": g["n_events"].astype("int64"),
+            "sum_value": g["_s"].to_numpy().astype(np.float64) / 100.0,
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _coarse_final(partials, "w_start", final)
+
+
+_SQL_HOPPING_WINDOW = """
+WITH r AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k.k * INTERVAL '15 minutes' AS w_start,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events, LATERAL unnest(generate_series(0, 3)) AS k(k)
+)
+SELECT w_start, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+FROM r GROUP BY w_start
+"""
+
+
 def user_active_streak(sf_dir: str) -> "rd.Dataset":
     """Gaps-and-islands: each user's LONGEST run of consecutive active
     calendar days (plus total active days) — the classic engagement /
@@ -7381,6 +7686,9 @@ QUERIES = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q22_dormant_customers": q22_dormant_customers,
+    "doc_pmi_collocations": doc_pmi_collocations,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "cdc_hopping_window": cdc_hopping_window,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -7572,6 +7880,9 @@ ORACLE_SQL = {
     "q13_order_count_distribution": _SQL_Q13_CUSTDIST,
     "q15_top_supplier": _SQL_Q15_TOP_SUPPLIER,
     "q22_dormant_customers": _SQL_Q22_DORMANT,
+    "doc_pmi_collocations": _SQL_PMI_COLLOCATIONS,
+    "doc_winnow_fingerprints": _SQL_WINNOW,
+    "cdc_hopping_window": _SQL_HOPPING_WINDOW,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
