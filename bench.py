@@ -284,6 +284,11 @@ def run_bench() -> dict:
     timed("doc_bigram_fluency", Q.doc_bigram_fluency)
     timed("user_active_streak", Q.user_active_streak)
     timed("doc_ngram_overlap_frac", Q.doc_ngram_overlap_frac)
+    timed("q13_order_count_distribution", Q.q13_order_count_distribution)
+    timed("q17_small_qty_revenue", Q.q17_small_qty_revenue)
+    timed("doc_pmi_collocations", Q.doc_pmi_collocations)
+    timed("doc_winnow_fingerprints", Q.doc_winnow_fingerprints)
+    timed("cdc_hopping_window", Q.cdc_hopping_window)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

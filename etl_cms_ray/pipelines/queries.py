@@ -1448,6 +1448,52 @@ FROM events
 """
 
 
+def _doc_distinct_pairs(t: pa.Table, text_col: str = "text"):
+    """Vectorized per-batch (distinct-token-pair -> doc count) partials.
+
+    Replaces the pandas string self-merge (O(u^2) object-dtype join per
+    doc) with integer-code index arithmetic: factorize tokens ONCE with
+    lexicographically sorted codes (so code order == the SQL mirrors'
+    tok_a < tok_b string order), dedup (doc, code) via one np.unique on
+    a packed int64 key, then materialize each doc's within-group pairs
+    by the repeat/cumsum partner-index construction — every step a numpy
+    kernel, no Python per row and no string comparisons until the final
+    code->string gather.  Returns (tok_a, tok_b, n_ab) numpy arrays;
+    token-DF partials reuse _doc_token_codes directly."""
+    d, c, uarr = _doc_token_codes(t, text_col)
+    V = np.int64(len(uarr))
+    # within-doc all-pairs: element at global idx i pairs with the next
+    # rep[i] elements of its own (contiguous, code-sorted) group
+    _, starts, sizes = np.unique(d, return_index=True, return_counts=True)
+    ends = starts + sizes
+    pos = np.arange(len(d), dtype=np.int64)
+    rep = np.repeat(ends, sizes) - pos - 1
+    L = np.repeat(pos, rep)
+    R = np.arange(rep.sum(), dtype=np.int64) - np.repeat(
+        np.cumsum(rep) - rep, rep) + L + 1
+    pair_key, n_ab = np.unique(c[L] * V + c[R], return_counts=True)
+    ca, cb = pair_key // V, pair_key % V
+    return uarr[ca], uarr[cb], n_ab.astype(np.int64)
+
+
+def _doc_token_codes(t: pa.Table, text_col: str = "text"):
+    """Distinct (doc, token-code) incidence for one batch, sorted by
+    (doc, code), with codes in LEXICOGRAPHIC token order (so code
+    comparisons mirror the SQL oracles' string comparisons).  One
+    factorize + one np.unique on a packed int64 key — no string dedup."""
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
+    toks = pc.split_pattern(t[text_col], pattern=" ")
+    n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+    codes, uniq = pd.factorize(flat.to_pandas(), sort=True)
+    V = np.int64(len(uniq))
+    dedup = np.unique(doc_of * V + codes)
+    return dedup // V, dedup % V, np.asarray(uniq, dtype=object)
+
+
 def doc_token_cooccurrence(sf_dir: str) -> "rd.Dataset":
     """Top-20 token co-occurrence pairs (distinct-doc counts — the
     collocation/PMI-prep statistic): pair (a, b), a < b, counted once
@@ -1464,27 +1510,16 @@ def doc_token_cooccurrence(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pair_counts(t: pa.Table) -> pa.Table:
-        from ..functions.threads import single_threaded_kernels
-
-        single_threaded_kernels()
-        toks = pc.split_pattern(t["text"], pattern=" ")
-        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
-        df = pd.DataFrame(
-            {"d": doc_of,
-             "tok": flat.to_pandas().to_numpy()}
-        ).drop_duplicates()
-        pairs = df.merge(df, on="d", suffixes=("_a", "_b"))
-        pairs = pairs[pairs["tok_a"] < pairs["tok_b"]]
-        cnt = (pairs.groupby(["tok_a", "tok_b"], sort=False)
-               .size().rename("_n").reset_index())
+        tok_a, tok_b, n_ab = _doc_distinct_pairs(t)
+        a = pa.array(tok_a, type=pa.string())
+        b = pa.array(tok_b, type=pa.string())
         key = fingerprint_column(
-            pa.array((cnt["tok_a"] + "\x00" + cnt["tok_b"]).to_numpy(),
-                     type=pa.string())
+            pc.binary_join_element_wise(a, b, "\x00")
         ).to_numpy(zero_copy_only=False).view(np.uint64)
-        cnt["ppart"] = (key % np.uint64(64)).astype(np.int64)
-        return pa.Table.from_pandas(cnt, preserve_index=False)
+        return pa.table({
+            "tok_a": a, "tok_b": b, "_n": pa.array(n_ab),
+            "ppart": pa.array((key % np.uint64(64)).astype(np.int64)),
+        })
 
     def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby(["tok_a", "tok_b"], sort=False)["_n"]
@@ -4580,32 +4615,15 @@ def doc_pmi_collocations(sf_dir: str) -> "rd.Dataset":
     K, MINC = 20, 4
     ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def doc_tokens(t: pa.Table) -> pd.DataFrame:
-        from ..functions.threads import single_threaded_kernels
-
-        single_threaded_kernels()
-        toks = pc.split_pattern(t["text"], pattern=" ")
-        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
-        return pd.DataFrame(
-            {"d": doc_of, "tok": flat.to_pandas().to_numpy()}
-        ).drop_duplicates()
-
     def pair_partial(t: pa.Table) -> pa.Table:
-        df = doc_tokens(t)
-        pairs = df.merge(df, on="d", suffixes=("_a", "_b"))
-        pairs = pairs[pairs["tok_a"] < pairs["tok_b"]]
-        cnt = (pairs.groupby(["tok_a", "tok_b"], sort=False)
-               .size().rename("n_ab").reset_index())
+        tok_a, tok_b, n_ab = _doc_distinct_pairs(t)
+        a = pa.array(tok_a, type=pa.string())
+        b = pa.array(tok_b, type=pa.string())
         key = fingerprint_column(
-            pa.array((cnt["tok_a"] + "\x00" + cnt["tok_b"]).to_numpy(),
-                     type=pa.string())
+            pc.binary_join_element_wise(a, b, "\x00")
         ).to_numpy(zero_copy_only=False).view(np.uint64)
         return pa.table({
-            "tok_a": pa.array(cnt["tok_a"], type=pa.string()),
-            "tok_b": pa.array(cnt["tok_b"], type=pa.string()),
-            "n_ab": pa.array(cnt["n_ab"].to_numpy(np.int64, copy=False)),
+            "tok_a": a, "tok_b": b, "n_ab": pa.array(n_ab),
             "ppart": pa.array((key % np.uint64(64)).astype(np.int64)),
         })
 
@@ -4621,14 +4639,14 @@ def doc_pmi_collocations(sf_dir: str) -> "rd.Dataset":
     )
 
     def df_partial(t: pa.Table) -> pa.Table:
-        df = doc_tokens(t)
-        cnt = df.groupby("tok", sort=False).size().rename("n").reset_index()
-        fp = fingerprint_column(
-            pa.array(cnt["tok"], type=pa.string())
-        ).to_numpy(zero_copy_only=False).view(np.uint64)
+        _, c, uarr = _doc_token_codes(t)
+        code, n = np.unique(c, return_counts=True)
+        tok = pa.array(uarr[code], type=pa.string())
+        fp = fingerprint_column(tok).to_numpy(
+            zero_copy_only=False).view(np.uint64)
         return pa.table({
-            "tok": pa.array(cnt["tok"], type=pa.string()),
-            "n": pa.array(cnt["n"].to_numpy(np.int64, copy=False)),
+            "tok": tok,
+            "n": pa.array(n.astype(np.int64)),
             "tpart": pa.array((fp % np.uint64(64)).astype(np.int64)),
         })
 
