@@ -4193,6 +4193,211 @@ GROUP BY c_mktsegment
 """
 
 
+def q8_market_share(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q8 shape — per-year market share: among STANDARD-part
+    revenue sold to customers of region AMERICA in 1996-1997, the
+    fraction supplied by NATION_6.  Four scale-growing sides (lineitem,
+    part, orders, customer, supplier) all stream through task-based
+    hash joins; only region/nation (25 rows at any scale) resolve on
+    the driver.  Revenue accumulates as exact int64 cents split into
+    (target, total) per year, so the one share division per year runs
+    on identical operands in both engines."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    am_rk = region.filter(
+        pc.equal(region["r_name"], "AMERICA"))["r_regionkey"][0].as_py()
+    am_keys = pa.array(
+        nation.filter(pc.equal(nation["n_regionkey"], am_rk))
+        ["n_nationkey"].to_pylist(), type=pa.int32())
+    target_nk = nation.filter(
+        pc.equal(nation["n_name"], "NATION_6"))["n_nationkey"][0].as_py()
+
+    part_f = _rpc(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.equal(t["p_type"], "STANDARD")).select(["p_partkey"])),
+        batch_format="pyarrow",
+    )
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(_nometa, batch_format="pyarrow")
+    li_p = hash_join(
+        li, part_f, on="l_partkey", right_on="p_partkey", how="semi",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+    )
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi)),
+        ))
+        return _nometa(pa.table({
+            "o_orderkey": f["o_orderkey"],
+            "o_custkey": f["o_custkey"],
+            "o_year": pc.cast(pc.year(f["o_orderdate"]), pa.int64()),
+        }))
+
+    orders = _rpc(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_prep, batch_format="pyarrow")
+    cust = _rpc(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.is_in(t["c_nationkey"], value_set=am_keys))
+            .select(["c_custkey"])),
+        batch_format="pyarrow",
+    )
+    orders_am = hash_join(
+        orders, cust, on="o_custkey", right_on="c_custkey", how="semi",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_year", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+    j1 = hash_join(
+        li_p, orders_am, on="l_orderkey", right_on="o_orderkey",
+    )
+    supp = _rpc(f"{sf_dir}/supplier.parquet",
+                columns=["s_suppkey", "s_nationkey"]
+                ).map_batches(_nometa, batch_format="pyarrow")
+    j2 = hash_join(
+        j1, supp, on="l_suppkey", right_on="s_suppkey",
+        right_schema=_pq_cols_schema(sf_dir, "supplier",
+                                     ["s_suppkey", "s_nationkey"]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy()
+            * (1 - df["l_discount"].to_numpy()) * 100 + 0.5
+        ).astype(np.int64)
+        tgt = np.where(
+            df["s_nationkey"].to_numpy() == target_nk, cents, np.int64(0))
+        d = pd.DataFrame({"o_year": df["o_year"], "_t": tgt, "_a": cents})
+        return d.groupby("o_year", sort=False).sum().reset_index()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_year", sort=False).sum().reset_index()
+        share = _qround(
+            g["_t"].to_numpy().astype(np.float64)
+            / g["_a"].to_numpy().astype(np.float64), 6)
+        return pd.DataFrame({"o_year": g["o_year"].astype("int64"),
+                             "mkt_share": share})
+
+    return _final_agg(j2.map_batches(partial, batch_format="pandas"),
+                      finalize)
+
+
+_SQL_Q8_MARKET_SHARE = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+              AS BIGINT) AS cents,
+         s_nationkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'STANDARD')
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation JOIN region
+          ON n_regionkey = r_regionkey WHERE r_name = 'AMERICA'))
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       floor((CAST(sum(CASE WHEN s_nationkey = (
+                SELECT n_nationkey FROM nation WHERE n_name = 'NATION_6')
+              THEN cents ELSE 0 END) AS DOUBLE)
+              / CAST(sum(cents) AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS mkt_share
+FROM j GROUP BY o_year
+"""
+
+
+def embedding_sq8_error(sf_dir: str) -> "rd.Dataset":
+    """Scalar int8 quantization of the embedding table with exact
+    per-vector reconstruction error — the compression/recall trade
+    measurement that precedes shipping a quantized ANN index (PQ's
+    simpler sibling; stages/ann.py:431 holds the PQ variant).  Two
+    passes: (1) per-dimension global min/max from per-batch partials
+    (DIMS is bounded, so partials are DIMS rows/batch and the final is
+    one coalesced task); (2) quantize q = floor((x-mn)*255/(mx-mn)+.5),
+    dequantize, and score — all arithmetic on float64 with the operand
+    tree mirrored literally in SQL, and the per-dim squared error
+    quantized to an integer picounit grid so the 64-term sum is exact
+    int64 (float summation order can never diverge).  The broadcast is
+    2xDIMS doubles — bounded at any corpus scale."""
+    from ..stages.ann import _to_matrix
+
+    DIMS = 64
+    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def stat_partial(t: pa.Table) -> pd.DataFrame:
+        x = _to_matrix(t["embedding"])
+        return pd.DataFrame({"dim": np.arange(x.shape[1], dtype=np.int64),
+                             "mn": x.min(axis=0), "mx": x.max(axis=0)})
+
+    stats = _final_agg(
+        ds.map_batches(stat_partial, batch_format="pyarrow"),
+        lambda df: df.groupby("dim", sort=False).agg(
+            mn=("mn", "min"), mx=("mx", "max")).reset_index(),
+    ).to_pandas().sort_values("dim")
+    mn = stats["mn"].to_numpy()
+    mx = stats["mx"].to_numpy()
+
+    def score(t: pa.Table, mn, mx) -> pd.DataFrame:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        x = _to_matrix(t["embedding"])
+        q = np.floor((x - mn) * 255.0 / (mx - mn) + 0.5)
+        dq = mn + q * (mx - mn) / 255.0
+        d = x - dq
+        pico = np.floor(d * d * 1e12 + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "vec_id": t["vec_id"].to_numpy(zero_copy_only=False),
+            "mse": pico.sum(axis=1).astype(np.float64) / 64.0 / 1e12,
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          fn_kwargs={"mn": mn, "mx": mx})
+
+
+_SQL_SQ8_ERROR = """
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(generate_series(1, array_length(embedding))) AS dim
+  FROM embeddings
+), s AS (
+  SELECT dim, min(val) AS mn, max(val) AS mx FROM e GROUP BY dim
+), q AS (
+  SELECT vec_id,
+         CAST(floor(
+           (val - dq) * (val - dq) * 1000000000000.0 + 0.5) AS BIGINT) AS pico
+  FROM (
+    SELECT vec_id, val,
+           mn + floor((val - mn) * 255.0 / (mx - mn) + 0.5)
+                * (mx - mn) / 255.0 AS dq
+    FROM e JOIN s USING (dim))
+)
+SELECT vec_id, CAST(sum(pico) AS DOUBLE) / 64.0 / 1000000000000.0 AS mse
+FROM q GROUP BY vec_id
+"""
+
+
 def orders_by_month(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
 
@@ -7707,6 +7912,8 @@ QUERIES = {
     "doc_pmi_collocations": doc_pmi_collocations,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "cdc_hopping_window": cdc_hopping_window,
+    "q8_market_share": q8_market_share,
+    "embedding_sq8_error": embedding_sq8_error,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -7901,6 +8108,8 @@ ORACLE_SQL = {
     "doc_pmi_collocations": _SQL_PMI_COLLOCATIONS,
     "doc_winnow_fingerprints": _SQL_WINNOW,
     "cdc_hopping_window": _SQL_HOPPING_WINDOW,
+    "q8_market_share": _SQL_Q8_MARKET_SHARE,
+    "embedding_sq8_error": _SQL_SQ8_ERROR,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
