@@ -16,7 +16,8 @@ from .stages.rangejoin import interval_join
 from .stages.dimjoin import BroadcastJoiner, put_dim
 
 # dedup family
-from .stages.dedup import (exact_dedup_groups, incremental_exact_dedup,
+from .stages.dedup import (build_minhash_band_index, exact_dedup_groups,
+                           incremental_exact_dedup, incremental_minhash_pairs,
                            minhash_lsh_pairs, ngram_jaccard_pairs,
                            simhash_pairs, substring_dup_stats)
 
@@ -80,6 +81,7 @@ __all__ = [
     "asof_join", "hash_join", "interval_join", "BroadcastJoiner", "put_dim",
     "exact_dedup_groups", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "substring_dup_stats", "incremental_exact_dedup",
+    "build_minhash_band_index", "incremental_minhash_pairs",
     "simhash_pairs",
     "brute_force_topk", "cosine_pairs", "ivf_topk", "lsh_topk",
     "train_centroids", "train_pq", "pq_encode", "pq_topk",

@@ -6103,6 +6103,57 @@ def cdc_incremental_dedup(sf_dir: str) -> "rd.Dataset":
     return incremental_exact_dedup(newb, lake_root)
 
 
+def cdc_incremental_minhash(sf_dir: str) -> "rd.Dataset":
+    """Ingest-time NEAR-dup detection against a committed corpus — the
+    similarity tier above cdc_incremental_dedup: the even-id half of
+    `documents` is the committed corpus whose LSH band index was
+    persisted once (stages/dedup.build_minhash_band_index); the crawl
+    increment is the odd-id half plus near-dup copies of committed
+    docs (even ids < 40, re-keyed +700000, one appended token — high
+    but non-1.0 Jaccard).  Signature compute is O(increment); the
+    corpus contributes only its narrow band-index read and the texts
+    of candidate partners.  Result: (a, b, jaccard) pairs with at
+    least one new side.  No SQL oracle by nature (LSH banding); the
+    hard check pins incremental == full-recompute restricted to
+    new-involving pairs plus planted recall
+    (tests/test_incremental_minhash.py)."""
+    import hashlib as _hl
+
+    from ..stages.dedup import build_minhash_band_index, incremental_minhash_pairs
+
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def evens(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return _nometa(t.filter(pa.array(ids % 2 == 0)))
+
+    def increment(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        odd = t.filter(pa.array(ids % 2 == 1))
+        near = t.filter(pa.array((ids % 2 == 0) & (ids < 40)))
+        return pa.concat_tables([
+            pa.table({"doc_id": odd["doc_id"], "text": odd["text"]}),
+            pa.table({
+                "doc_id": pc.add(near["doc_id"], 700_000),
+                "text": pc.binary_join_element_wise(
+                    near["text"], " zqxnear", ""),
+            }),
+        ])
+
+    corpus = docs.map_batches(evens, batch_format="pyarrow")
+    tag = _hl.sha1(f"incminhash:{sf_dir}".encode()).hexdigest()[:10]
+    index_dir = os.path.join(tempfile.gettempdir(), f"incmh_index_{tag}")
+    build_minhash_band_index(corpus, index_dir)
+    new = docs.map_batches(increment, batch_format="pyarrow")
+    all_docs = docs.map_batches(evens, batch_format="pyarrow").union(
+        docs.map_batches(increment, batch_format="pyarrow"))
+    return incremental_minhash_pairs(
+        new, index_dir, all_docs, text_type=pa.string())
+
+
 _SQL_INCREMENTAL_DEDUP = """
 WITH lake AS (
   SELECT DISTINCT sha256(text) AS sha FROM documents WHERE doc_id % 2 = 0
@@ -7914,6 +7965,7 @@ QUERIES = {
     "cdc_hopping_window": cdc_hopping_window,
     "q8_market_share": q8_market_share,
     "embedding_sq8_error": embedding_sq8_error,
+    "cdc_incremental_minhash": cdc_incremental_minhash,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,

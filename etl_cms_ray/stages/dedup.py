@@ -418,6 +418,121 @@ def minhash_lsh_pairs(
     return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
 
+def build_minhash_band_index(
+    docs: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Persist a corpus's LSH band index as narrow parquet
+    (band_id int32, band_key int64, doc_id int64) — the state that makes
+    near-dup detection INCREMENTAL: signatures are computed once per
+    committed doc, and every later crawl increment probes this table
+    instead of re-shingling the corpus.  3 int columns/doc/band
+    (~1.3 KB/doc at 32 bands) — a small fixed fraction of corpus bytes
+    at any scale.  Streaming write; never materialized on the driver."""
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    bds = docs.map_batches(
+        minhash_band_batch,
+        fn_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                       id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", batch_size=1024,
+    )
+    bds.write_parquet(index_dir)
+    return index_dir
+
+
+def incremental_minhash_pairs(
+    new_docs: "ray.data.Dataset",
+    index_dir: str,
+    all_docs: "ray.data.Dataset",
+    *,
+    threshold: float = 0.8,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    join_partitions: int | None = None,
+    metrics=None,
+    text_type: pa.DataType | None = None,
+) -> "ray.data.Dataset":
+    """Near-dup pairs INVOLVING at least one new document, against a
+    corpus whose band index was persisted by build_minhash_band_index —
+    the crawl-increment analog of ``incremental_exact_dedup`` (see
+    pipelines/queries.cdc_incremental_dedup) one similarity tier up.
+
+    Cost shape: signature/banding compute is O(|new batch|) only; the
+    corpus contributes one streaming read of its NARROW band index (3
+    int columns — no re-shingling, no text read) plus the text of
+    candidate PARTNERS via the one-pass payload join.  Candidate
+    generation reuses the bucketed self-merge with its skew cap (capped
+    buckets counted into ``metrics`` under inc_lsh_*); old×old pairs
+    are dropped by the side filter, so committed-corpus pairs are never
+    recomputed.  Equals the full-batch ``minhash_lsh_pairs`` restricted
+    to new-involving pairs (test-pinned: identical bucket contents →
+    identical caps → identical candidates → same verify kernel).
+
+    ``all_docs`` must cover the texts of both sides (corpus ∪ new,
+    disjoint ``doc_id`` spaces — a re-crawled doc gets a NEW id and is
+    handled by exact dedup first, matching the reference's emit-once
+    registry discipline at SURVEY.md §2 T2/T5)."""
+    import pyarrow.compute as _pc
+
+    from ..functions.rayutil import read_parquet_clean
+
+    if join_partitions is None:
+        join_partitions = _TEXT_JOIN_PARTS
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return f
+
+    new_bands = new_docs.map_batches(
+        minhash_band_batch,
+        fn_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+        batch_format="pyarrow", batch_size=1024,
+    ).map_batches(tag(1), batch_format="pyarrow")
+    stored = read_parquet_clean(index_dir).map_batches(
+        tag(0), batch_format="pyarrow")
+    both = stored.union(new_bands).map_batches(
+        _add_bucket_part, batch_format="pyarrow", batch_size=65536)
+
+    def gen(g: pd.DataFrame) -> pd.DataFrame:
+        out = _partition_pairs(g, extra_cols=("side",), metrics=metrics,
+                               metric_prefix="inc_lsh")
+        out = out[(out["side_a"].to_numpy(dtype=np.int64)
+                   + out["side_b"].to_numpy(dtype=np.int64)) >= 1]
+        return out[["a", "b"]]
+
+    pairs = both.groupby("ph").map_groups(gen, batch_format="pandas")
+    pairs = _dedup_pairs(pairs, ["a", "b"])
+    with_ab = _attach_pair_texts(pairs, all_docs, "doc_id", "text",
+                                 join_partitions, text_type=text_type)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        sims = _pair_jaccard(batch, shingle_k, fallback_whole_text=True,
+                             empty_is_one=True)
+        out = pa.table({
+            "a": batch["a"],
+            "b": batch["b"],
+            "jaccard": pa.array(sims, type=pa.float64()),
+        })
+        return out.filter(_pc.greater_equal(out["jaccard"], threshold))
+
+    return with_ab.map_batches(verify, batch_format="pyarrow",
+                               batch_size=4096)
+
+
 def _attach_pair_texts(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
