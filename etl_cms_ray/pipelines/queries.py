@@ -4863,11 +4863,9 @@ def doc_pmi_collocations(sf_dir: str) -> "rd.Dataset":
             batch_format="pandas",
         )
     )
-    n_docs = float(_final_agg(
-        ds.map_batches(
-            lambda t: pd.DataFrame({"_n": [len(t)]}), batch_format="pandas"),
-        lambda df: pd.DataFrame({"_n": [int(df["_n"].sum())]}),
-    ).to_pandas()["_n"].iloc[0])
+    # corpus size from the parquet footer — zero-compute exact scalar
+    # (mirrors SQL count(*); a metadata read, not a pipeline pass)
+    n_docs = float(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
 
     pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
                              ("n_ab", pa.int64())])
