@@ -23,8 +23,9 @@ from .stages.dedup import (build_minhash_band_index, exact_dedup_groups,
 
 # similarity search
 from .stages.ann import (brute_force_topk, centroid_cosine_scores,
-                         cosine_pairs, group_centroids, ivf_topk, lsh_topk,
-                         pq_encode, pq_topk, train_centroids, train_pq)
+                         cosine_pairs, group_centroids, hard_negative_topk,
+                         ivf_topk, lsh_topk, pq_encode, pq_topk,
+                         train_centroids, train_pq)
 
 # lexical retrieval
 from .stages.retrieval import bm25_topk, rrf_fuse
@@ -83,7 +84,8 @@ __all__ = [
     "substring_dup_stats", "incremental_exact_dedup",
     "build_minhash_band_index", "incremental_minhash_pairs",
     "simhash_pairs",
-    "brute_force_topk", "cosine_pairs", "ivf_topk", "lsh_topk",
+    "brute_force_topk", "cosine_pairs", "hard_negative_topk",
+    "ivf_topk", "lsh_topk",
     "train_centroids", "train_pq", "pq_encode", "pq_topk",
     "group_centroids", "centroid_cosine_scores",
     "bm25_topk", "rrf_fuse",

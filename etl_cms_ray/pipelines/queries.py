@@ -4326,6 +4326,117 @@ FROM j GROUP BY o_year
 """
 
 
+def embedding_hard_negatives(sf_dir: str) -> "rd.Dataset":
+    """Hard-negative mining (contrastive-training prep): for query
+    vectors vec_id<3, the exact cosine top-5 among DIFFERENT-label
+    vectors — the highest-similarity wrong-class examples a retrieval
+    trainer wants as negatives.  Scale shape = ann_cosine_topk's
+    (broadcast query matrix, one streaming corpus pass, vectorized
+    label mask via the BatchScorer hook, bounded per-query final)."""
+    from ..stages.ann import hard_negative_topk
+
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "<", 3)],
+    )
+    q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
+    q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+    q_labels = np.array(q["label"].to_pylist(), dtype=np.int64)
+    ds = _rpc(f"{sf_dir}/embeddings.parquet",
+              columns=["vec_id", "embedding", "label"])
+    out = hard_negative_topk(ds, q_ids, q_vecs, q_labels, k=5,
+                             concurrency=2, round_digits=4)
+    return out.map_batches(
+        lambda df: df[["query_id", "neighbor_id", "score", "rank"]].astype(
+            {"query_id": "int64", "neighbor_id": "int64", "rank": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
+_SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel,
+         CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         floor((list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe))
+               * 10000 + 0.5) / 10000 AS score
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+)
+SELECT query_id, neighbor_id, score,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, neighbor_id) <= 5
+"""
+
+
+def q21_sole_supplier(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q21 essence — EXISTS + NOT EXISTS over the SAME fact table:
+    count, per supplier, the multi-line orders where that supplier
+    supplied EVERY line (exists another line of the same order from the
+    same supplier; not exists a line from a different supplier), top 10
+    by count.  Both quantifiers resolve inside one coarse orderkey-hash
+    partition — every line of an order shares a bucket, so per-order
+    distinct-supplier and per-(order, supplier) line counts are
+    locally exact and the fact shuffles ONCE.  The per-supplier count
+    final is a second coarse reduce (suppkey space is unbounded); top-10
+    = per-bucket local top-k + bounded merge with a total
+    (count DESC, suppkey) tie-break."""
+    li = _rpc(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "l_suppkey"], sort=False).size()
+        d = g.rename("n_lines").reset_index()
+        per_ord = d.groupby("l_orderkey", sort=False)["l_suppkey"].transform("size")
+        sole = d[(per_ord == 1) & (d["n_lines"] > 1)]
+        return (sole.groupby("l_suppkey", sort=False).size()
+                .rename("_n").reset_index())
+
+    per_supp = _coarse_final(li, "l_orderkey", per_order)
+
+    def supp_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_suppkey", sort=False)["_n"].sum().reset_index()
+        return g.sort_values(["_n", "l_suppkey"],
+                             ascending=[False, True], kind="mergesort").head(10)
+
+    candidates = _coarse_final(per_supp, "l_suppkey", supp_final)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["_n", "l_suppkey"],
+                             ascending=[False, True], kind="mergesort").head(10)
+        return pd.DataFrame({
+            "l_suppkey": out["l_suppkey"].astype("int64"),
+            "sole_orders": out["_n"].astype("int64"),
+        })
+
+    return _final_agg(candidates, topk)
+
+
+_SQL_Q21_SOLE_SUPPLIER = """
+WITH d AS (
+  SELECT l_orderkey, l_suppkey, count(*) AS n_lines
+  FROM lineitem GROUP BY 1, 2
+), sole AS (
+  SELECT l_orderkey, l_suppkey
+  FROM d
+  WHERE n_lines > 1
+    AND NOT EXISTS (
+      SELECT 1 FROM d o
+      WHERE o.l_orderkey = d.l_orderkey AND o.l_suppkey <> d.l_suppkey)
+)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS sole_orders
+FROM sole GROUP BY l_suppkey
+ORDER BY sole_orders DESC, l_suppkey
+LIMIT 10
+"""
+
+
 def embedding_sq8_error(sf_dir: str) -> "rd.Dataset":
     """Scalar int8 quantization of the embedding table with exact
     per-vector reconstruction error — the compression/recall trade
@@ -7964,6 +8075,8 @@ QUERIES = {
     "q8_market_share": q8_market_share,
     "embedding_sq8_error": embedding_sq8_error,
     "cdc_incremental_minhash": cdc_incremental_minhash,
+    "q21_sole_supplier": q21_sole_supplier,
+    "embedding_hard_negatives": embedding_hard_negatives,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -8160,6 +8273,8 @@ ORACLE_SQL = {
     "cdc_hopping_window": _SQL_HOPPING_WINDOW,
     "q8_market_share": _SQL_Q8_MARKET_SHARE,
     "embedding_sq8_error": _SQL_SQ8_ERROR,
+    "q21_sole_supplier": _SQL_Q21_SOLE_SUPPLIER,
+    "embedding_hard_negatives": _SQL_HARD_NEGATIVES,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,

@@ -57,6 +57,12 @@ class BatchScorer:
         self.exclude_self = exclude_self
         self.round_digits = round_digits
 
+    def _extra_mask(self, batch: pa.Table):
+        """Optional (n_rows, n_queries) bool mask of EXCLUDED candidates;
+        subclass hook (e.g. hard-negative label masking).  None = no
+        extra exclusions."""
+        return None
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
@@ -72,6 +78,9 @@ class BatchScorer:
         if self.exclude_self:
             self_mask = ids[:, None] == self.query_ids[None, :]
             scores = np.where(self_mask, -np.inf, scores)
+        extra = self._extra_mask(batch)
+        if extra is not None:
+            scores = np.where(extra, -np.inf, scores)
         k = min(self.k, scores.shape[0])
         out_q, out_n, out_s = [], [], []
         for j, qid in enumerate(self.query_ids):
@@ -146,6 +155,58 @@ def brute_force_topk(
         concurrency=(1, concurrency),
     )
 
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k, round_digits), batch_format="pandas"
+    )
+
+
+def hard_negative_topk(
+    vectors: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    query_labels: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    concurrency: int = 4,
+    round_digits: int | None = 4,
+) -> "ray.data.Dataset":
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query, the exact cosine top-k among vectors whose ``label_col``
+    DIFFERS from the query's — the highest-similarity wrong-class
+    examples.  Same two-level scale shape as brute_force_topk (broadcast
+    query matrix, per-batch vectorized matmul + local top-k, bounded
+    per-query final); the label exclusion is one vectorized (n, q) mask
+    through the BatchScorer hook, so the corpus still streams in a
+    single pass."""
+    queries_ref = ray.put({
+        "ids": np.asarray(query_ids), "vecs": np.asarray(query_vecs),
+        "labels": np.asarray(query_labels),
+    })
+
+    class LabelMaskScorer(BatchScorer):
+        def __init__(self, queries_ref, k, id_col, emb_col, label_col,
+                     round_digits):
+            q = ray.get(queries_ref)
+            super().__init__({"ids": q["ids"], "vecs": q["vecs"]}, k,
+                             id_col, emb_col, round_digits=round_digits)
+            self.q_labels = np.asarray(q["labels"])
+            self.label_col = label_col
+
+        def _extra_mask(self, batch: pa.Table):
+            labels = batch[self.label_col].to_numpy(zero_copy_only=False)
+            return labels[:, None] == self.q_labels[None, :]
+
+    partials = vectors.map_batches(
+        LabelMaskScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=queries_ref, k=k, id_col=id_col, emb_col=emb_col,
+            label_col=label_col, round_digits=round_digits),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
     return partials.groupby("query_id").map_groups(
         _global_topk_fn(k, round_digits), batch_format="pandas"
     )
