@@ -4452,10 +4452,14 @@ def embedding_sq8_error(sf_dir: str) -> "rd.Dataset":
     2xDIMS doubles — bounded at any corpus scale."""
     from ..stages.ann import _to_matrix
 
-    DIMS = 64
+    # 64 must equal the SQL mirror's `/ 64.0` literal (embedding width)
+    DIMS = 64.0
     ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def stat_partial(t: pa.Table) -> pd.DataFrame:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         x = _to_matrix(t["embedding"])
         return pd.DataFrame({"dim": np.arange(x.shape[1], dtype=np.int64),
                              "mn": x.min(axis=0), "mx": x.max(axis=0)})
@@ -4467,6 +4471,11 @@ def embedding_sq8_error(sf_dir: str) -> "rd.Dataset":
     ).to_pandas().sort_values("dim")
     mn = stats["mn"].to_numpy()
     mx = stats["mx"].to_numpy()
+    if not (mx > mn).all():
+        # a constant dimension makes (x-mn)/(mx-mn) NaN and
+        # floor(NaN).astype(int64) undefined — fail loudly rather than
+        # diverge silently from the SQL mirror
+        raise ValueError("embedding_sq8_error: constant embedding dimension")
 
     def score(t: pa.Table, mn, mx) -> pd.DataFrame:
         from ..functions.threads import single_threaded_kernels
@@ -4479,7 +4488,7 @@ def embedding_sq8_error(sf_dir: str) -> "rd.Dataset":
         pico = np.floor(d * d * 1e12 + 0.5).astype(np.int64)
         return pd.DataFrame({
             "vec_id": t["vec_id"].to_numpy(zero_copy_only=False),
-            "mse": pico.sum(axis=1).astype(np.float64) / 64.0 / 1e12,
+            "mse": pico.sum(axis=1).astype(np.float64) / DIMS / 1e12,
         })
 
     return ds.map_batches(score, batch_format="pyarrow",
@@ -4990,12 +4999,16 @@ def doc_pmi_collocations(sf_dir: str) -> "rd.Dataset":
     )
 
     def score(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         n_ab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
         n_a = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
         n_b = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
         lift = np.floor((n_ab * n_docs) / (n_a * n_b) * 1e6 + 0.5) / 1e6
+        # last arg is the SEPARATOR: tok_a + "\x00" + tok_b (injective)
         key = fingerprint_column(
-            pc.binary_join_element_wise(t["tok_a"], "\x00", t["tok_b"])
+            pc.binary_join_element_wise(t["tok_a"], t["tok_b"], "\x00")
         ).to_numpy(zero_copy_only=False).view(np.uint64)
         return pa.table({
             "tok_a": t["tok_a"], "tok_b": t["tok_b"], "n_ab": t["n_ab"],
@@ -5157,6 +5170,9 @@ def cdc_hopping_window(sf_dir: str) -> "rd.Dataset":
     ds = _events(sf_dir, ["ts", "value"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         ts = t["ts"].to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").view(np.int64)
         cents = np.floor(
@@ -6218,8 +6234,8 @@ def cdc_incremental_minhash(sf_dir: str) -> "rd.Dataset":
     `documents` is the committed corpus whose LSH band index was
     persisted once (stages/dedup.build_minhash_band_index); the crawl
     increment is the odd-id half plus near-dup copies of committed
-    docs (even ids < 40, re-keyed +700000, one appended token — high
-    but non-1.0 Jaccard).  Signature compute is O(increment); the
+    docs (even ids < 40, re-keyed past the table's footer-max id, one
+    appended token — high but non-1.0 Jaccard).  Signature compute is O(increment); the
     corpus contributes only its narrow band-index read and the texts
     of candidate partners.  Result: (a, b, jaccard) pairs with at
     least one new side.  No SQL oracle by nature (LSH banding); the
@@ -6231,6 +6247,16 @@ def cdc_incremental_minhash(sf_dir: str) -> "rd.Dataset":
     from ..stages.dedup import build_minhash_band_index, incremental_minhash_pairs
 
     docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # re-key offset ABOVE the table's real id space (parquet footer max),
+    # preserving incremental_minhash_pairs' disjoint-id precondition at
+    # any scale — a fixed +700000 would collide once the table grows
+    # past it
+    _md = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    _max_id = max(
+        _md.metadata.row_group(i).column(0).statistics.max
+        for i in range(_md.metadata.num_row_groups)
+    )
+    rekey_off = int(_max_id) + 1_000_000
 
     def evens(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -6246,7 +6272,7 @@ def cdc_incremental_minhash(sf_dir: str) -> "rd.Dataset":
         return pa.concat_tables([
             pa.table({"doc_id": odd["doc_id"], "text": odd["text"]}),
             pa.table({
-                "doc_id": pc.add(near["doc_id"], 700_000),
+                "doc_id": pc.add(near["doc_id"], rekey_off),
                 "text": pc.binary_join_element_wise(
                     near["text"], " zqxnear", ""),
             }),

@@ -397,6 +397,17 @@ def minhash_lsh_pairs(
 
     with_ab = _attach_pair_texts(pairs, docs, id_col, text_col,
                                  join_partitions, text_type=text_type)
+    return _verify_jaccard_pairs(with_ab, shingle_k, threshold)
+
+
+def _verify_jaccard_pairs(
+    with_ab: "ray.data.Dataset", shingle_k: int, threshold: float
+) -> "ray.data.Dataset":
+    """Shared exact-Jaccard verify for (a, b, text_a, text_b) candidate
+    streams — ONE copy of the kernel flags (fallback_whole_text,
+    empty_is_one) and the >= threshold filter, so the batch and
+    incremental near-dup paths can never drift apart (the
+    incremental == full-recompute test contract depends on it)."""
 
     def verify(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -457,6 +468,8 @@ def incremental_minhash_pairs(
     num_perm: int = 128,
     bands: int = 32,
     shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     join_partitions: int | None = None,
     metrics=None,
     text_type: pa.DataType | None = None,
@@ -481,8 +494,6 @@ def incremental_minhash_pairs(
     disjoint ``doc_id`` spaces — a re-crawled doc gets a NEW id and is
     handled by exact dedup first, matching the reference's emit-once
     registry discipline at SURVEY.md §2 T2/T5)."""
-    import pyarrow.compute as _pc
-
     from ..functions.rayutil import read_parquet_clean
 
     if join_partitions is None:
@@ -496,7 +507,8 @@ def incremental_minhash_pairs(
 
     new_bands = new_docs.map_batches(
         minhash_band_batch,
-        fn_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+        fn_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                       id_col=id_col, text_col=text_col),
         batch_format="pyarrow", batch_size=1024,
     ).map_batches(tag(1), batch_format="pyarrow")
     stored = read_parquet_clean(index_dir).map_batches(
@@ -512,25 +524,12 @@ def incremental_minhash_pairs(
         return out[["a", "b"]]
 
     pairs = both.groupby("ph").map_groups(gen, batch_format="pandas")
-    pairs = _dedup_pairs(pairs, ["a", "b"])
-    with_ab = _attach_pair_texts(pairs, all_docs, "doc_id", "text",
+    # no _dedup_pairs exchange: _attach_pair_payload.zip_sides performs
+    # the global (a, b) dedup in-line (same reasoning the full-batch join
+    # path used to drop this whole extra groupby)
+    with_ab = _attach_pair_texts(pairs, all_docs, id_col, text_col,
                                  join_partitions, text_type=text_type)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        from ..functions.threads import single_threaded_kernels
-
-        single_threaded_kernels()
-        sims = _pair_jaccard(batch, shingle_k, fallback_whole_text=True,
-                             empty_is_one=True)
-        out = pa.table({
-            "a": batch["a"],
-            "b": batch["b"],
-            "jaccard": pa.array(sims, type=pa.float64()),
-        })
-        return out.filter(_pc.greater_equal(out["jaccard"], threshold))
-
-    return with_ab.map_batches(verify, batch_format="pyarrow",
-                               batch_size=4096)
+    return _verify_jaccard_pairs(with_ab, shingle_k, threshold)
 
 
 def _attach_pair_texts(
