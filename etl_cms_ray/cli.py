@@ -144,6 +144,10 @@ def main(argv: list[str] | None = None) -> int:
     psn.add_argument("--lake", required=True)
     psn.add_argument("--version", default=None,
                      help="manifest version number or tag name")
+    psn.add_argument("--as-of", type=float, default=None, dest="as_of",
+                     help="epoch-seconds timestamp: read the version that "
+                          "was CURRENT at that moment (exclusive with "
+                          "--version)")
     psn.add_argument("--out", required=True, help="parquet output path")
 
     ptag = sub.add_parser("tag", help="pin/list/delete named snapshot refs "
@@ -249,7 +253,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "snapshot":
             from .pipelines.history import read_snapshot
 
-            ds = read_snapshot(args.lake, version=args.version)
+            ds = read_snapshot(args.lake, version=args.version,
+                               as_of=args.as_of)
             ds.write_parquet(args.out)  # streams; no driver materialization
             import pyarrow.dataset as pds
 

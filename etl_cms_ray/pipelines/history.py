@@ -35,12 +35,16 @@ from ..state.manifest import LakeStore
 
 def read_snapshot(
     lake_root: str, version: "int | str | None" = None,
-    columns: list[str] | None = None
+    columns: list[str] | None = None,
+    as_of: "float | None" = None,
 ) -> "ray.data.Dataset":
     """Lake state AS OF manifest ``version`` (default: current) — an int
     version number or a tag name (``LakeStore.set_tag``; a tag whose
     target was rewritten by rollback + roll-forward raises rather than
-    reading different data under the old name).
+    reading different data under the old name).  ``as_of`` (a wall-clock
+    epoch-seconds timestamp, exclusive with ``version``) resolves to
+    the version that was CURRENT at that moment via the lineage log
+    (``LakeStore.resolve_as_of``).
 
     Schema: rows are promoted to the NEWEST schema version any partition
     of that snapshot had committed — the snapshot's own schema, not
@@ -48,7 +52,11 @@ def read_snapshot(
     historical read).
     """
     store = LakeStore(lake_root)
-    if version is not None:
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = store.resolve_as_of(as_of)
+    elif version is not None:
         version = store.resolve_ref(version)
     manifest = store.load_manifest(version=version)
     registry = store.load_registry()

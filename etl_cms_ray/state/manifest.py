@@ -303,6 +303,33 @@ class LakeStore:
             )
         return v
 
+    def resolve_as_of(self, ts: float) -> int:
+        """Manifest version that was CURRENT at wall-clock time ``ts``
+        (Iceberg's snapshot-as-of-timestamp): the last lineage entry at
+        or before ``ts`` that moved CURRENT — ingest/maintenance
+        publishes AND rollbacks (so a rollback window resolves to the
+        rolled-back-to version, exactly what a reader at that moment
+        saw).  expire_snapshots entries don't move CURRENT and are
+        skipped.  Raises if ``ts`` predates the first commit or if the
+        resolved manifest has since been expired."""
+        best_v, best_ts = None, None
+        for rec in self.read_lineage():
+            if rec.get("op") == "expire_snapshots":
+                continue
+            if "manifest_version" not in rec:
+                continue
+            rts = float(rec.get("ts", 0.0))
+            if rts <= ts and (best_ts is None or rts >= best_ts):
+                best_ts, best_v = rts, int(rec["manifest_version"])
+        if best_v is None:
+            raise KeyError(
+                f"no snapshot existed at ts={ts} (first commit is later)")
+        if not os.path.exists(os.path.join(
+                self.manifest_dir, f"manifest-{best_v:06d}.json")):
+            raise RuntimeError(
+                f"snapshot v{best_v} (as of ts={ts}) has been expired")
+        return best_v
+
     #: shard fan-out of the partition map: shard_size = ceil(P / SHARD_FAN);
     #: at the 64Ki-partition target that is 64 shards of 1024 entries, and a
     #: commit touching K partitions rewrites <= K shard files + one index

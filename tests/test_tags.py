@@ -92,3 +92,43 @@ def test_sha_guard_on_version_reuse(lake):
     assert store.current_version() == r2.manifest_version
     with pytest.raises(RuntimeError, match="rewritten"):
         store.resolve_ref("at_v2")
+
+
+# -- as-of-timestamp resolution (Iceberg snapshot-as-of analog) ----------
+
+
+def test_resolve_as_of_between_commits(lake):
+    lake_root, _ev, _cfg, (r1, r2, r3) = lake
+    store = LakeStore(lake_root)
+    lin = [r for r in store.read_lineage() if "manifest_version" in r]
+    ts_by_v = {r["manifest_version"]: r["ts"] for r in lin}
+    t1, t2, t3 = (ts_by_v[r.manifest_version] for r in (r1, r2, r3))
+    assert store.resolve_as_of(t1) == r1.manifest_version
+    assert store.resolve_as_of((t1 + t2) / 2) == r1.manifest_version
+    assert store.resolve_as_of((t2 + t3) / 2) == r2.manifest_version
+    assert store.resolve_as_of(t3 + 10.0) == r3.manifest_version
+    with pytest.raises(KeyError):
+        store.resolve_as_of(t1 - 10.0)
+
+    # read_snapshot(as_of=...) == read_snapshot(version=...)
+    a = read_snapshot(lake_root, as_of=(t1 + t2) / 2).to_pandas()
+    b = read_snapshot(lake_root, version=r1.manifest_version).to_pandas()
+    cols = sorted(a.columns)
+    assert a[cols].sort_values(cols).reset_index(drop=True).equals(
+        b[cols].sort_values(cols).reset_index(drop=True))
+    with pytest.raises(ValueError):
+        read_snapshot(lake_root, version=1, as_of=t1)
+
+
+def test_resolve_as_of_rollback_window(lake):
+    lake_root, _ev, _cfg, (r1, _r2, r3) = lake
+    store = LakeStore(lake_root)
+    store.rollback(r1.manifest_version)
+    lin = store.read_lineage()
+    t_rb = [r for r in lin if r.get("op") == "rollback"][-1]["ts"]
+    # a reader at rollback time saw v1, not v3
+    assert store.resolve_as_of(t_rb) == r1.manifest_version
+    # just before the rollback, CURRENT was still v3
+    t3 = [r for r in lin if r.get("manifest_version") == r3.manifest_version
+          and "op" not in r][-1]["ts"]
+    assert store.resolve_as_of((t3 + t_rb) / 2) == r3.manifest_version
