@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -341,7 +342,8 @@ def audit_lake(lake_root: str, version: int | None = None) -> dict:
     }
 
 
-def expire_snapshots(lake_root: str, keep_last: int = 2) -> dict:
+def expire_snapshots(lake_root: str, keep_last: int = 2,
+                     grace_sec: float = 0.0) -> dict:
     """Retention / vacuum: delete manifest versions older than the newest
     ``keep_last`` and every data file no kept manifest references — the
     Delta/Iceberg VACUUM analog that bounds the lake's disk growth
@@ -354,6 +356,13 @@ def expire_snapshots(lake_root: str, keep_last: int = 2) -> dict:
     files — a crash in between leaves re-collectable orphans, never a
     broken snapshot.  Returns counts + bytes reclaimed and logs a
     lineage entry.
+
+    ``grace_sec``: skip unreferenced data files younger than this (by
+    mtime).  0 (default) collects every orphan immediately — correct
+    under the engine's single-writer discipline; set a retention window
+    (e.g. 3600) when an operator cannot rule out an in-flight ingest
+    whose just-written files are not yet referenced by any manifest —
+    the Delta VACUUM retention-period analog.
     """
     import glob
 
@@ -400,12 +409,15 @@ def expire_snapshots(lake_root: str, keep_last: int = 2) -> dict:
 
     files_deleted = 0
     bytes_reclaimed = 0
+    now = time.time()
     data_root = os.path.join(lake_root, "data")
     for dirpath, _dirs, files in os.walk(data_root):
         for f in files:
             abspath = os.path.join(dirpath, f)
             rel = os.path.relpath(abspath, lake_root)
             if rel not in referenced:
+                if grace_sec > 0 and now - os.path.getmtime(abspath) < grace_sec:
+                    continue  # possibly an in-flight writer's file
                 bytes_reclaimed += os.path.getsize(abspath)
                 os.unlink(abspath)
                 files_deleted += 1

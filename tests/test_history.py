@@ -194,3 +194,22 @@ def test_expire_keep_last_zero_rejected(lake):
     root, _snaps = lake
     with pytest.raises(ValueError):
         expire_snapshots(root, keep_last=0)
+
+
+def test_expire_grace_period_spares_young_orphans(lake):
+    """grace_sec spares unreferenced files younger than the window (the
+    in-flight-writer guard), and a later graceless pass collects them."""
+    import os
+
+    from etl_cms_ray.pipelines.maintenance import expire_snapshots
+
+    root, _snaps = lake
+    orphan = os.path.join(root, "data", "part=00000", "orphan_young.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"not-yet-committed")
+    rep = expire_snapshots(root, keep_last=1, grace_sec=3600)
+    assert os.path.exists(orphan), "young orphan must survive the grace window"
+    rep2 = expire_snapshots(root, keep_last=1)
+    assert not os.path.exists(orphan), "graceless pass collects the orphan"
+    assert rep2["files_deleted"] >= 1
