@@ -289,6 +289,11 @@ def run_bench() -> dict:
     timed("doc_pmi_collocations", Q.doc_pmi_collocations)
     timed("doc_winnow_fingerprints", Q.doc_winnow_fingerprints)
     timed("cdc_hopping_window", Q.cdc_hopping_window)
+    timed("q8_market_share", Q.q8_market_share)
+    timed("q21_sole_supplier", Q.q21_sole_supplier)
+    timed("embedding_sq8_error", Q.embedding_sq8_error)
+    timed("embedding_hard_negatives", Q.embedding_hard_negatives)
+    timed("cdc_incremental_minhash", Q.cdc_incremental_minhash)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

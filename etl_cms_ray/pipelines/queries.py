@@ -5069,56 +5069,58 @@ def doc_winnow_fingerprints(sf_dir: str) -> "rd.Dataset":
     shifted gram columns, never a Python loop over rows), and the
     per-doc distinct count all stay inside the row's batch; the output
     is one row per document."""
-    W, N = 4, 4
     ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_winnow_batch, batch_format="pyarrow")
 
-    def winnow(t: pa.Table) -> pd.DataFrame:
-        from ..functions.threads import single_threaded_kernels
 
-        single_threaded_kernels()
-        toks = pc.split_pattern(t["text"], pattern=" ").combine_chunks()
-        off = toks.offsets.to_numpy().astype(np.int64)
-        base = off[0]
-        flat = toks.values
-        n_tok = np.diff(off)
-        n_gram = np.maximum(n_tok - (N - 1), 0)
-        # gram i of doc d = tokens[i .. i+N-1]; valid starts exclude the
-        # last N-1 positions of each doc
-        total = int(off[-1] - base)
-        valid = np.ones(total, dtype=bool)
-        for k in range(1, N):
-            end = off[1:] - k - base
-            valid[end[n_tok >= k]] = False
-        i0 = np.nonzero(valid)[0] + base
-        parts = [flat.take(pa.array(i0 + k)) for k in range(N)]
-        # last arg is the SEPARATOR (Arrow binary_join_element_wise
-        # signature) — produces "t0 t1 t2 t3", byte-identical to the
-        # SQL mirror's `token || ' ' || ...`
-        grams = pc.binary_join_element_wise(*parts, " ")
-        # window min over W consecutive grams WITHIN each doc: shift and
-        # elementwise-min; windows are gram starts 0 .. n_gram-W per doc
-        n_win = np.maximum(n_gram - (W - 1), 0)
-        goff = np.concatenate(([0], np.cumsum(n_gram)))
-        wvalid = np.ones(int(goff[-1]), dtype=bool)
-        for k in range(1, W):
-            end = goff[1:] - k
-            wvalid[end[n_gram >= k]] = False
-        j0 = np.nonzero(wvalid)[0]
-        m = grams.take(pa.array(j0))
-        for k in range(1, W):
-            m = pc.min_element_wise(m, grams.take(pa.array(j0 + k)))
-        doc_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n_win)
-        sel = pd.DataFrame({"doc_id": doc_rep,
-                            "fp": m.to_pandas().to_numpy()}).drop_duplicates()
-        g = sel.groupby("doc_id", sort=False).size().rename(
-            "n_fingerprints").reset_index()
-        out = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(
-            zero_copy_only=False), "n_windows": n_win.astype(np.int64)})
-        out = out.merge(g, on="doc_id", how="left")
-        out["n_fingerprints"] = out["n_fingerprints"].fillna(0).astype("int64")
-        return out
+def _winnow_batch(t: pa.Table, W: int = 4, N: int = 4) -> pd.DataFrame:
+    """Batch kernel of doc_winnow_fingerprints (module-level so the
+    property suite can pin it against a per-doc Python reference)."""
+    from ..functions.threads import single_threaded_kernels
 
-    return ds.map_batches(winnow, batch_format="pyarrow")
+    single_threaded_kernels()
+    toks = pc.split_pattern(t["text"], pattern=" ").combine_chunks()
+    off = toks.offsets.to_numpy().astype(np.int64)
+    base = off[0]
+    flat = toks.values
+    n_tok = np.diff(off)
+    n_gram = np.maximum(n_tok - (N - 1), 0)
+    # gram i of doc d = tokens[i .. i+N-1]; valid starts exclude the
+    # last N-1 positions of each doc
+    total = int(off[-1] - base)
+    valid = np.ones(total, dtype=bool)
+    for k in range(1, N):
+        end = off[1:] - k - base
+        valid[end[n_tok >= k]] = False
+    i0 = np.nonzero(valid)[0] + base
+    parts = [flat.take(pa.array(i0 + k)) for k in range(N)]
+    # last arg is the SEPARATOR (Arrow binary_join_element_wise
+    # signature) — produces "t0 t1 t2 t3", byte-identical to the
+    # SQL mirror's `token || ' ' || ...`
+    grams = pc.binary_join_element_wise(*parts, " ")
+    # window min over W consecutive grams WITHIN each doc: shift and
+    # elementwise-min; windows are gram starts 0 .. n_gram-W per doc
+    n_win = np.maximum(n_gram - (W - 1), 0)
+    goff = np.concatenate(([0], np.cumsum(n_gram)))
+    wvalid = np.ones(int(goff[-1]), dtype=bool)
+    for k in range(1, W):
+        end = goff[1:] - k
+        wvalid[end[n_gram >= k]] = False
+    j0 = np.nonzero(wvalid)[0]
+    m = grams.take(pa.array(j0))
+    for k in range(1, W):
+        m = pc.min_element_wise(m, grams.take(pa.array(j0 + k)))
+    doc_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), n_win)
+    sel = pd.DataFrame({"doc_id": doc_rep,
+                        "fp": m.to_pandas().to_numpy()}).drop_duplicates()
+    g = sel.groupby("doc_id", sort=False).size().rename(
+        "n_fingerprints").reset_index()
+    out = pd.DataFrame({"doc_id": t["doc_id"].to_numpy(
+        zero_copy_only=False), "n_windows": n_win.astype(np.int64)})
+    out = out.merge(g, on="doc_id", how="left")
+    out["n_fingerprints"] = out["n_fingerprints"].fillna(0).astype("int64")
+    return out
+
 
 
 _SQL_WINNOW = """
