@@ -4376,6 +4376,92 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 """
 
 
+def events_touch_attribution(sf_dir: str) -> "rd.Dataset":
+    """Multi-touch LINEAR attribution — the time-band self-join the
+    nearest-only asof family can't express: every purchase splits its
+    value EQUALLY across all of that user's clicks in the preceding
+    24 h, and each click reports its total earned credit.  The band
+    join realizes inside coarse user-hash partitions (one pandas merge
+    per bucket + a vectorized band filter; every event of a user shares
+    a bucket, so per-purchase touch counts are locally exact and the
+    events shuffle ONCE; per-user volume bounds the pair blow-up — a
+    pathological hot user is the hash_join hot_keys salting case).
+    Credit rides an exact integer micro-dollar grid
+    (floor(cents*10000/n + 0.5)), so per-click sums are int64 and the
+    engines can never drift in float summation order."""
+    W_US = 24 * 3600 * 1_000_000
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def narrow(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        keep = t.filter(pc.is_in(
+            t["event_type"], value_set=pa.array(["click", "purchase"])))
+        is_p = pc.equal(keep["event_type"], "purchase")
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            keep["value"], pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        return pa.table({
+            "user_id": keep["user_id"],
+            "event_id": keep["event_id"],
+            "ts_us": pc.cast(keep["ts"], pa.int64()),
+            "side": pc.cast(is_p, pa.int8()),
+            "cents": pc.if_else(is_p, cents, pa.scalar(0, pa.int64())),
+        })
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[df["side"] == 0][["user_id", "event_id", "ts_us"]].rename(
+            columns={"event_id": "cid", "ts_us": "cts"})
+        p = df[df["side"] == 1][["user_id", "event_id", "ts_us", "cents"]].rename(
+            columns={"event_id": "pid", "ts_us": "pts"})
+        m = c.merge(p, on="user_id")
+        d = m["pts"].to_numpy() - m["cts"].to_numpy()
+        m = m[(d > 0) & (d <= W_US)]
+        if m.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "click_event_id": pd.Series(dtype="int64"),
+                                 "credit": pd.Series(dtype="float64")})
+        n = m.groupby("pid")["cid"].transform("size").to_numpy()
+        micro = np.floor(
+            m["cents"].to_numpy().astype(np.float64) * 10000.0 / n + 0.5
+        ).astype(np.int64)
+        g = (pd.DataFrame({"user_id": m["user_id"].to_numpy(),
+                           "click_event_id": m["cid"].to_numpy(),
+                           "_m": micro})
+             .groupby(["user_id", "click_event_id"], sort=False)["_m"]
+             .sum().reset_index())
+        g["credit"] = g.pop("_m").to_numpy().astype(np.float64) / 1000000.0
+        return g
+
+    partials = ds.map_batches(narrow, batch_format="pyarrow")
+    return _coarse_final(partials, "user_id", per_bucket)
+
+
+_SQL_TOUCH_ATTRIBUTION = """
+WITH c AS (
+  SELECT user_id, event_id AS cid, ts AS cts FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS pid, ts AS pts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.user_id, cid, pid, cents,
+         count(*) OVER (PARTITION BY pid) AS n
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND cts < pts AND cts >= pts - INTERVAL 24 HOURS
+), cr AS (
+  SELECT user_id, cid,
+         CAST(floor(CAST(cents AS DOUBLE) * 10000.0 / n + 0.5) AS BIGINT)
+           AS micro
+  FROM j
+)
+SELECT user_id, cid AS click_event_id,
+       CAST(sum(micro) AS DOUBLE) / 1000000.0 AS credit
+FROM cr GROUP BY 1, 2
+"""
+
+
 def q21_sole_supplier(sf_dir: str) -> "rd.Dataset":
     """TPC-H Q21 essence — EXISTS + NOT EXISTS over the SAME fact table:
     count, per supplier, the multi-line orders where that supplier
@@ -8105,6 +8191,7 @@ QUERIES = {
     "cdc_incremental_minhash": cdc_incremental_minhash,
     "q21_sole_supplier": q21_sole_supplier,
     "embedding_hard_negatives": embedding_hard_negatives,
+    "events_touch_attribution": events_touch_attribution,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -8303,6 +8390,7 @@ ORACLE_SQL = {
     "embedding_sq8_error": _SQL_SQ8_ERROR,
     "q21_sole_supplier": _SQL_Q21_SOLE_SUPPLIER,
     "embedding_hard_negatives": _SQL_HARD_NEGATIVES,
+    "events_touch_attribution": _SQL_TOUCH_ATTRIBUTION,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
