@@ -5073,34 +5073,45 @@ def doc_pmi_collocations(sf_dir: str) -> "rd.Dataset":
     # (mirrors SQL count(*); a metadata read, not a pipeline pass)
     n_docs = float(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
 
-    pair_schema = pa.schema([("tok_a", pa.string()), ("tok_b", pa.string()),
-                             ("n_ab", pa.int64())])
+    # one-pass frequency attach (the _attach_pair_payload shape, string
+    # keys): each pair expands to two token-keyed rows carrying a pair
+    # fingerprint + the partner string; ONE hash join ships tok_df
+    # across the exchange ONCE (the two-chained-joins shape shipped the
+    # corpus vocabulary twice); a coarse pair-fingerprint bucket then
+    # re-zips, scores and local-top-ks in a single sweep.  The re-zip
+    # merges on the 64-bit fingerprint with an EXACT string guard
+    # (tok==other crosswise), so a 2^-64 collision produces no wrong
+    # pair — only two extra filtered rows.
     df_schema = pa.schema([("tok", pa.string()), ("n", pa.int64())])
-    ja = hash_join(pairs, tok_df, on="tok_a", right_on="tok",
-                   left_schema=pair_schema, right_schema=df_schema)
-    jb = hash_join(
-        ja, tok_df, on="tok_b", right_on="tok",
-        left_schema=pa.schema(list(pair_schema) + [("n", pa.int64())]),
-        right_schema=df_schema, suffix="_b",
-    )
 
-    def score(t: pa.Table) -> pa.Table:
+    def expand(t: pa.Table) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
 
         single_threaded_kernels()
-        n_ab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n_a = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n_b = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
-        lift = np.floor((n_ab * n_docs) / (n_a * n_b) * 1e6 + 0.5) / 1e6
-        # last arg is the SEPARATOR: tok_a + "\x00" + tok_b (injective)
-        key = fingerprint_column(
+        pk = fingerprint_column(
             pc.binary_join_element_wise(t["tok_a"], t["tok_b"], "\x00")
-        ).to_numpy(zero_copy_only=False).view(np.uint64)
-        return pa.table({
-            "tok_a": t["tok_a"], "tok_b": t["tok_b"], "n_ab": t["n_ab"],
-            "pmi_lift": pa.array(lift),
-            "spart": pa.array((key % np.uint64(64)).astype(np.int64)),
-        })
+        )  # already int64
+        zeros = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int8))
+        return pa.concat_tables([
+            pa.table({"pk": pk, "tok": t["tok_a"], "other": t["tok_b"],
+                      "n_ab": t["n_ab"], "side": zeros}),
+            pa.table({"pk": pk, "tok": t["tok_b"], "other": t["tok_a"],
+                      "n_ab": t["n_ab"], "side": ones}),
+        ])
+
+    exp_schema = pa.schema([
+        ("pk", pa.int64()), ("tok", pa.string()), ("other", pa.string()),
+        ("n_ab", pa.int64()), ("side", pa.int8()),
+    ])
+    joined = hash_join(
+        pairs.map_batches(expand, batch_format="pyarrow"), tok_df,
+        on="tok", left_schema=exp_schema, right_schema=df_schema,
+    )
+
+    def add_zpart(t: pa.Table) -> pa.Table:
+        k = t["pk"].to_numpy(zero_copy_only=False)
+        return t.append_column("zpart", pa.array(((k % 64) + 64) % 64))
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values(
@@ -5108,10 +5119,29 @@ def doc_pmi_collocations(sf_dir: str) -> "rd.Dataset":
             kind="mergesort",
         ).head(K)
 
+    def zip_score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        m = a.merge(b, on="pk", suffixes=("_a", "_b"))
+        m = m[(m["tok_a"] == m["other_b"]) & (m["tok_b"] == m["other_a"])]
+        lift = np.floor(
+            (m["n_ab_a"].to_numpy().astype(np.float64) * n_docs)
+            / (m["n_a"].to_numpy().astype(np.float64)
+               * m["n_b"].to_numpy().astype(np.float64)) * 1e6 + 0.5
+        ) / 1e6
+        out = pd.DataFrame({
+            "tok_a": m["tok_a"].to_numpy(),
+            "tok_b": m["tok_b"].to_numpy(),
+            "n_ab": m["n_ab_a"].to_numpy(),
+            "pmi_lift": lift,
+        })
+        return topk(out)
+
     buckets = (
-        jb.map_batches(score, batch_format="pyarrow")
-        .groupby("spart")
-        .map_groups(lambda d: topk(d.drop(columns=["spart"])),
+        joined.map_batches(add_zpart, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby("zpart")
+        .map_groups(lambda d: zip_score_topk(d.drop(columns=["zpart"])),
                     batch_format="pandas")
     )
     return _final_agg(buckets, topk)
