@@ -4901,51 +4901,30 @@ def doc_bigram_fluency(sf_dir: str) -> "rd.Dataset":
 
     inst = ds.map_batches(inst_batch, batch_format="pyarrow").materialize()
 
-    def add_bpart(t: pa.Table) -> pa.Table:
-        fp = fingerprint_column(t["big"]).to_numpy(zero_copy_only=False)
-        return t.append_column("bpart", pa.array((fp % 64).astype(np.int64)))
-
-    # bigram counts c(w1,w2): coarse bigram-hash partitions
-    bc = (
-        inst.map_batches(add_bpart, batch_format="pyarrow", batch_size=65536)
-        .groupby("bpart")
-        .map_groups(
-            lambda d: d.groupby(["w1", "big"], sort=False)["k"].sum()
-            .rename("c").reset_index(),
-            batch_format="pandas",
-        )
-    ).materialize()  # model table: O(distinct bigrams), shared below
-
     def add_wpart(t: pa.Table) -> pa.Table:
         fp = fingerprint_column(t["w1"]).to_numpy(zero_copy_only=False)
         return t.append_column("wpart", pa.array((fp % 64).astype(np.int64)))
 
-    # context counts c(w1) = sum of bigram counts, from the SMALL model
-    cc = (
-        bc.map_batches(add_wpart, batch_format="pyarrow", batch_size=65536)
+    # model in ONE sweep: bucket instance partials by fingerprint(w1) —
+    # every bigram of a context word shares the bucket, so c(w1,w2) AND
+    # its denominator c(w1) both finalize locally and the probability
+    # emits without any model-side join (the previous shape paid a
+    # second bucketing pass over the bigram table plus a bc⨝cc hash
+    # join for exactly this division)
+    def bucket_probs(d: pd.DataFrame) -> pd.DataFrame:
+        g = (d.groupby(["w1", "big"], sort=False)["k"].sum()
+             .rename("c").reset_index())
+        n = g.groupby("w1", sort=False)["c"].transform("sum")
+        p = np.floor(
+            (g["c"].to_numpy().astype(np.float64) * 1.0
+             / n.to_numpy().astype(np.float64)) * 1e9 + 0.5) / 1e9
+        return pd.DataFrame({"big": g["big"], "p": p})
+
+    probs = (
+        inst.map_batches(add_wpart, batch_format="pyarrow", batch_size=65536)
         .groupby("wpart")
-        .map_groups(
-            lambda d: d.groupby("w1", sort=False)["c"].sum()
-            .rename("n").reset_index(),
-            batch_format="pandas",
-        )
+        .map_groups(bucket_probs, batch_format="pandas")
     )
-
-    model = hash_join(
-        bc, cc, on="w1",
-        left_schema=pa.schema(
-            [("w1", pa.string()), ("big", pa.string()), ("c", pa.int64())]
-        ),
-        right_schema=pa.schema([("w1", pa.string()), ("n", pa.int64())]),
-    )
-
-    def add_p(t: pa.Table) -> pa.Table:
-        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-        p = np.floor((c * 1.0 / n) * 1e9 + 0.5) / 1e9
-        return pa.table({"big": t["big"], "p": pa.array(p)})
-
-    probs = model.map_batches(add_p, batch_format="pyarrow")
 
     scored = hash_join(
         inst.map_batches(lambda t: t.select(["doc_id", "big", "k"]),
