@@ -44,8 +44,10 @@ from .stages.unpivot import unpivot_list
 
 # lake lifecycle
 from .pipelines.history import (incremental_repo_stats, incremental_token_df,
-                                read_snapshot, repo_stats_snapshot,
-                                snapshot_diff, token_df_snapshot)
+                                keyed_join_view, keyed_join_view_refresh,
+                                keyed_join_view_snapshot, read_snapshot,
+                                repo_stats_snapshot, snapshot_diff,
+                                token_df_snapshot)
 from .pipelines.index import build_token_index, token_plan, token_search
 from .pipelines.projection import (build_projection, load_projection_meta,
                                    projection_scan)
@@ -93,6 +95,7 @@ __all__ = [
     "unpivot_list",
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",
     "incremental_repo_stats", "incremental_token_df", "token_df_snapshot",
+    "keyed_join_view_snapshot", "keyed_join_view_refresh", "keyed_join_view",
     "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "ingest", "ingest_with_retry", "read_lake",
     "read_lake_table",

@@ -451,3 +451,227 @@ def incremental_token_df(
         batch_format="pyarrow",
     )
     return _token_df_final(prev_arrow.union(delta_ds))
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance of a KEYED JOIN between two lakes
+
+
+_KEYS = ["repo", "path"]
+
+
+def _lake_value_types(lake_root: str, cols) -> dict:
+    reg = LakeStore(lake_root).load_registry()
+    sch = reg.schema_for(reg.latest_version)
+    return {c: sch.field(c).type for c in cols}
+
+
+def _state_schema(types_a: dict, types_b: dict, suffix: str) -> pa.Schema:
+    return pa.schema(
+        [(k, pa.string()) for k in _KEYS]
+        + [(c, t) for c, t in types_a.items()]
+        + [("a_live", pa.bool_())]
+        + [(f"{c}{suffix}", t) for c, t in types_b.items()]
+        + [("b_live", pa.bool_())]
+    )
+
+
+def keyed_join_view_snapshot(
+    lake_a: str,
+    lake_b: str,
+    columns_a=("content",),
+    columns_b=("content",),
+    version_a: int | None = None,
+    version_b: int | None = None,
+    suffix: str = "_b",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Full recompute of the stored state of a join view between two
+    lakes KEYED BY the lake key (repo, path) — e.g. documents ⨝ sidecar
+    annotations/features, the training-view join.
+
+    The stored state is the FULL OUTER join (one row per key live in
+    either lake, ``a_live``/``b_live`` presence flags, B's value columns
+    under ``{col}{suffix}``): classic join-IVM maintains the outer form
+    so a later insert on one side finds the other side's row in the
+    state itself, never by rescanning the base lake.  The user-facing
+    INNER view is the ``keyed_join_view`` projection.  Equal keys means
+    1:1 (each lake is LWW-keyed), so outer-state rows are unique by key.
+    """
+    from ..stages.join import hash_join
+
+    ta = _lake_value_types(lake_a, columns_a)
+    tb = _lake_value_types(lake_b, columns_b)
+    a = read_snapshot(lake_a, version=version_a,
+                      columns=_KEYS + list(columns_a))
+    b = read_snapshot(lake_b, version=version_b,
+                      columns=_KEYS + list(columns_b))
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        return t.append_column("a_live", pa.array([True] * t.num_rows))
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            [c if c in _KEYS else f"{c}{suffix}" for c in t.column_names]
+        )
+        return t.append_column("b_live", pa.array([True] * t.num_rows))
+
+    sa = pa.schema([(k, pa.string()) for k in _KEYS]
+                   + [(c, ta[c]) for c in columns_a]
+                   + [("a_live", pa.bool_())])
+    sb = pa.schema([(k, pa.string()) for k in _KEYS]
+                   + [(f"{c}{suffix}", tb[c]) for c in columns_b]
+                   + [("b_live", pa.bool_())])
+    joined = hash_join(
+        a.map_batches(tag_a, batch_format="pyarrow"),
+        b.map_batches(tag_b, batch_format="pyarrow"),
+        on=_KEYS, how="outer",
+        left_schema=sa, right_schema=sb, num_partitions=num_partitions,
+    )
+    out_schema = _state_schema(ta, tb, suffix)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {}
+        for f in out_schema:
+            if f.name in ("a_live", "b_live"):
+                cols[f.name] = pc.fill_null(t[f.name], False)
+            else:
+                cols[f.name] = t[f.name].cast(f.type)
+        return pa.table(cols)
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+    out._cogroup_schema = out_schema
+    return out
+
+
+def keyed_join_view_refresh(
+    lake_a: str,
+    lake_b: str,
+    prev_state: "ray.data.Dataset",
+    from_version_a: int,
+    from_version_b: int,
+    to_version_a: int | None = None,
+    to_version_b: int | None = None,
+    columns_a=("content",),
+    columns_b=("content",),
+    suffix: str = "_b",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Roll the stored join-view state forward from the two lakes'
+    CHANGELOGS — never recomputing the join from the lakes.
+
+    Delta-join IVM, partial-recompute-by-touched-key form: the two
+    ``snapshot_diff`` changelogs (each O(changed partitions)) carry the
+    NEW value of every touched key per side (null on delete), so the
+    refresh is one outer join of the two changelogs (O(changed keys))
+    plus ONE exchange of the stored state against that delta: untouched
+    keys pass through, touched keys take the changed side's new values
+    and keep the stored values of the unchanged side.  No base-lake
+    read happens at all — the outer-form state supplies the unchanged
+    side even when the other side's row is a brand-new insert.
+
+    Cost at scale: O(changed keys) compute + one hash exchange of the
+    state Dataset.  If the state is itself materialized as a lake
+    partitioned by the same key hash, that exchange prunes to the
+    partitions containing touched keys (O(changed partitions)); the
+    Dataset-in/Dataset-out form here streams the state once per
+    refresh, which is the honest floor for an unmaterialized view.
+
+    Exactness: refresh(state(v1), diff(v1->v2)) == snapshot(v2), pinned
+    by the `cdc_ivm_join` oracle and the property test.  Changes are
+    content-keyed (a row rewritten with identical content is not a
+    change), matching ``snapshot_diff`` semantics.
+    """
+    from ..stages.join import hash_join
+
+    ta = _lake_value_types(lake_a, columns_a)
+    tb = _lake_value_types(lake_b, columns_b)
+    da = snapshot_diff(lake_a, from_version_a, to_version_a,
+                       value_cols=tuple(columns_a))
+    db = snapshot_diff(lake_b, from_version_b, to_version_b,
+                       value_cols=tuple(columns_b))
+
+    def proj(change_name: str, cols, pre: str):
+        def _p(t: pa.Table) -> pa.Table:
+            out = {k: t[k] for k in _KEYS}
+            out[change_name] = t["change"]
+            for c in cols:
+                out[f"{pre}{c}"] = t[c]  # new value; null on delete rows
+            return pa.table(out)
+        return _p
+
+    da_s = pa.schema([(k, pa.string()) for k in _KEYS]
+                     + [("a_change", pa.string())]
+                     + [(f"__na_{c}", ta[c]) for c in columns_a])
+    db_s = pa.schema([(k, pa.string()) for k in _KEYS]
+                     + [("b_change", pa.string())]
+                     + [(f"__nb_{c}", tb[c]) for c in columns_b])
+    delta = hash_join(
+        da.map_batches(proj("a_change", columns_a, "__na_"),
+                       batch_format="pyarrow"),
+        db.map_batches(proj("b_change", columns_b, "__nb_"),
+                       batch_format="pyarrow"),
+        on=_KEYS, how="outer",
+        left_schema=da_s, right_schema=db_s, num_partitions=num_partitions,
+    )
+
+    out_schema = _state_schema(ta, tb, suffix)
+    d_schema = pa.schema(list(da_s) + [f for f in db_s
+                                       if f.name not in _KEYS])
+    merged = hash_join(
+        prev_state, delta, on=_KEYS, how="outer",
+        left_schema=out_schema, right_schema=d_schema,
+        num_partitions=num_partitions,
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        touched_a = pc.is_valid(t["a_change"])
+        touched_b = pc.is_valid(t["b_change"])
+        a_live = pc.if_else(
+            touched_a,
+            pc.not_equal(t["a_change"], "delete"),
+            pc.fill_null(t["a_live"], False),
+        )
+        b_live = pc.if_else(
+            touched_b,
+            pc.not_equal(t["b_change"], "delete"),
+            pc.fill_null(t["b_live"], False),
+        )
+        cols = {k: t[k] for k in _KEYS}
+        for c in columns_a:
+            cols[c] = pc.if_else(touched_a, t[f"__na_{c}"],
+                                 t[c]).cast(ta[c])
+        cols["a_live"] = a_live
+        for c in columns_b:
+            cols[f"{c}{suffix}"] = pc.if_else(
+                touched_b, t[f"__nb_{c}"], t[f"{c}{suffix}"]).cast(tb[c])
+        cols["b_live"] = b_live
+        out = pa.table(cols)
+        # a key deleted from BOTH sides leaves the state entirely
+        return out.filter(pc.or_(out["a_live"], out["b_live"]))
+
+    out = merged.map_batches(merge, batch_format="pyarrow")
+    out._cogroup_schema = out_schema
+    return out
+
+
+def keyed_join_view(state: "ray.data.Dataset") -> "ray.data.Dataset":
+    """INNER-join projection of a stored join-view state: keys live on
+    both sides, presence flags dropped."""
+    def inner(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.and_(t["a_live"], t["b_live"]))
+        return t.drop_columns(["a_live", "b_live"])
+
+    out = state.map_batches(inner, batch_format="pyarrow")
+    sch = getattr(state, "_cogroup_schema", None)
+    if sch is not None:
+        out._cogroup_schema = pa.schema(
+            [f for f in sch if f.name not in ("a_live", "b_live")]
+        )
+    return out

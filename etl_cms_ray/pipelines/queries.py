@@ -1064,6 +1064,117 @@ GROUP BY token
 """
 
 
+def _annot_change_events(sf_dir: str) -> "rd.Dataset":
+    """Deterministic SIDECAR-annotation change stream keyed like the
+    docs lake ((source, doc_<id>)): epoch 0 inserts annotations for even
+    doc_ids only; epoch 1 inserts the odd half (brand-new keys), updates
+    doc_id%10==0 (content||' r2') and deletes doc_id%11==0.  Paired with
+    `_docs_change_events` so a join view between the two lakes sees
+    inserts/updates/deletes arriving on BOTH sides of the join."""
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def to_events(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids = batch["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        path = pc.binary_join_element_wise("doc_", pc.cast(ids, pa.string()), "")
+        score = pc.binary_join_element_wise(
+            "score=", pc.cast(pa.array(ids_np % 97), pa.string()), "")
+        n = batch.num_rows
+
+        def mk(op, commit, epoch, seq, content, mask):
+            t = pa.table({
+                "repo": batch["source"], "path": path,
+                "op": pa.array([op] * n), "commit": pa.array([commit] * n),
+                "epoch": pa.array([epoch] * n, type=pa.int64()), "seq": seq,
+                "lang": pa.array(["meta"] * n), "content": content,
+            })
+            return t.filter(mask)
+
+        seq0 = pc.cast(ids, pa.int64())
+        parts = [
+            mk("insert", "a0", 0, seq0, score, pa.array(ids_np % 2 == 0)),
+            mk("insert", "a1", 1, seq0, score, pa.array(ids_np % 2 == 1)),
+            mk("update", "a1", 1,
+               pc.add(seq0, pa.scalar(1_000_000, type=pa.int64())),
+               pc.binary_join_element_wise(score, " r2", ""),
+               pa.array(ids_np % 10 == 0)),
+            mk("delete", "a1", 1,
+               pc.add(seq0, pa.scalar(2_000_000, type=pa.int64())),
+               pa.nulls(n, type=pa.string()), pa.array(ids_np % 11 == 0)),
+        ]
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(to_events, batch_format="pyarrow")
+
+
+def cdc_ivm_join(sf_dir: str) -> "rd.Dataset":
+    """Incremental view maintenance of a JOIN between two lakes: a docs
+    lake and a sidecar-annotations lake (both (repo, path)-keyed) each
+    ingest two commits; the join view's stored state is computed ONCE at
+    (v1_a, v1_b), then rolled forward from the two changelogs alone
+    (`history.keyed_join_view_refresh` — delta-join IVM, no base-lake
+    rescan), and the INNER projection is returned.  The oracle computes
+    the plain join over both final states relationally, so refresh ==
+    full recompute exactly.  Exercises every delta case: A-only change,
+    B-only change, both-change, delete-one-side, and a brand-new B key
+    whose A row is supplied by the stored outer state."""
+    from .history import (keyed_join_view, keyed_join_view_refresh,
+                          keyed_join_view_snapshot)
+
+    lake_a, a1, a2 = _two_commit_lake(sf_dir, "ivmj_a")
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_b = os.path.join(tempfile.gettempdir(), f"ivmj_b_{tag}")
+    _sh.rmtree(lake_b, ignore_errors=True)
+    annots = _annot_change_events(sf_dir)
+    cfg_b = EngineConfig(lake_root=lake_b, num_partitions=16)
+    b1 = ingest(annots.filter(expr="epoch == 0"), cfg_b, count_input=False)
+    b2 = ingest(annots.filter(expr="epoch == 1"), cfg_b, count_input=False)
+
+    state0 = keyed_join_view_snapshot(
+        lake_a, lake_b,
+        version_a=a1.manifest_version, version_b=b1.manifest_version,
+    )
+    state1 = keyed_join_view_refresh(
+        lake_a, lake_b, state0,
+        from_version_a=a1.manifest_version,
+        from_version_b=b1.manifest_version,
+        to_version_a=a2.manifest_version,
+        to_version_b=b2.manifest_version,
+    )
+    view = keyed_join_view(state1)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"], "path": t["path"],
+            "content": t["content"].cast(pa.string()),
+            "annot": t["content_b"].cast(pa.string()),
+        })
+
+    return view.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_IVM_JOIN = """
+WITH a AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS content
+  FROM documents WHERE doc_id % 7 <> 0
+), b AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         'score=' || CAST(doc_id % 97 AS VARCHAR)
+           || CASE WHEN doc_id % 10 = 0 THEN ' r2' ELSE '' END AS annot
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT a.repo, a.path, a.content, b.annot
+FROM a JOIN b ON a.repo = b.repo AND a.path = b.path
+"""
+
+
 def cdc_point_lookup(sf_dir: str) -> pa.Table:
     """Hash-pruned random access: ingest the _docs_change_events stream
     into a fresh lake, then ``point_lookup`` a fixed key set — only the
@@ -8180,6 +8291,7 @@ QUERIES = {
     "q4_late_orders": q4_late_orders,
     "lineitem_price_p25_cont": lineitem_price_p25_cont,
     "orders_cube": orders_cube,
+    "cdc_ivm_join": cdc_ivm_join,
     "events_props_extract": events_props_extract,
     "doc_lang_temperature_weights": doc_lang_temperature_weights,
     "chunk_exact_dups": chunk_exact_dups,
@@ -8310,6 +8422,7 @@ ORACLE_SQL = {
     "cdc_time_travel_diff": _SQL_TIME_TRAVEL_DIFF,
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "cdc_incremental_token_df": _SQL_INCREMENTAL_TOKEN_DF,
+    "cdc_ivm_join": _SQL_IVM_JOIN,
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "cdc_range_scan": _SQL_RANGE_SCAN,
     "cdc_eq_scan": _SQL_EQ_SCAN,

@@ -213,3 +213,99 @@ def test_expire_grace_period_spares_young_orphans(lake):
     rep2 = expire_snapshots(root, keep_last=1)
     assert not os.path.exists(orphan), "graceless pass collects the orphan"
     assert rep2["files_deleted"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# keyed join-view IVM (delta join, outer stored state)
+
+
+@pytest.fixture()
+def join_lakes(ray_session, tmp_path):
+    """Two (repo, path)-keyed lakes over the SAME key space, each
+    ingested in two commits with independent tombstone-heavy edit
+    scripts; returns (root_a, root_b, (va1, va2), (vb1, vb2))."""
+    from etl_cms_ray.state.manifest import LakeStore
+
+    repos = make_repos(n_repos=6, files_per_repo=6)
+    versions = []
+    roots = []
+    for name, seed in (("a", 43), ("b", 99)):
+        root = str(tmp_path / f"jl_{name}")
+        cfg = EngineConfig(lake_root=root, num_partitions=8)
+        ev = make_events(repos, n_epochs=3, events_per_epoch=90,
+                         seed=seed, scenario="tombstone")
+        store = LakeStore(root)
+        vs = []
+        for lo, hi in ((0, 1), (2, 3)):
+            part = rd.from_arrow(ev.filter(pa.compute.and_(
+                pa.compute.greater_equal(ev["epoch"], lo),
+                pa.compute.less_equal(ev["epoch"], hi))))
+            ingest(part, cfg)
+            vs.append(store.current_version())
+        roots.append(root)
+        versions.append(tuple(vs))
+    return roots[0], roots[1], versions[0], versions[1]
+
+
+def _state_df(state) -> pd.DataFrame:
+    df = state.to_pandas()
+    cols = sorted(df.columns)
+    return (df[cols].sort_values(["repo", "path"])
+            .reset_index(drop=True))
+
+
+def test_join_view_refresh_equals_full_recompute(join_lakes):
+    from etl_cms_ray.pipelines.history import (
+        keyed_join_view, keyed_join_view_refresh, keyed_join_view_snapshot)
+
+    root_a, root_b, (va1, va2), (vb1, vb2) = join_lakes
+    state1 = keyed_join_view_snapshot(root_a, root_b,
+                                      version_a=va1, version_b=vb1)
+    refreshed = keyed_join_view_refresh(
+        root_a, root_b, state1,
+        from_version_a=va1, from_version_b=vb1,
+        to_version_a=va2, to_version_b=vb2)
+    full = keyed_join_view_snapshot(root_a, root_b,
+                                    version_a=va2, version_b=vb2)
+    got, exp = _state_df(refreshed), _state_df(full)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(exp) > 0
+
+    # the inner projection equals a plain relational join of the two
+    # final lake dumps (the expected-output-dump oracle style)
+    inner = _state_df(keyed_join_view(refreshed))
+    da = read_lake_table(root_a).to_pandas()[["repo", "path", "content"]]
+    db = read_lake_table(root_b).to_pandas()[["repo", "path", "content"]]
+    exp_inner = da.merge(db.rename(columns={"content": "content_b"}),
+                         on=["repo", "path"], how="inner")
+    cols = sorted(exp_inner.columns)
+    exp_inner = (exp_inner[cols].sort_values(["repo", "path"])
+                 .reset_index(drop=True))
+    pd.testing.assert_frame_equal(inner, exp_inner)
+    # both sides must have contributed deletes/updates for the pin to
+    # mean anything; outer state must also be strictly larger than inner
+    assert len(inner) < len(got)
+
+
+def test_join_view_refresh_one_side_only_and_noop(join_lakes):
+    from etl_cms_ray.pipelines.history import (
+        keyed_join_view_refresh, keyed_join_view_snapshot)
+
+    root_a, root_b, (va1, va2), (vb1, vb2) = join_lakes
+    # only lake A advances; B stays at vb1 (empty B changelog path)
+    state1 = keyed_join_view_snapshot(root_a, root_b,
+                                      version_a=va1, version_b=vb1)
+    refreshed = keyed_join_view_refresh(
+        root_a, root_b, state1,
+        from_version_a=va1, from_version_b=vb1,
+        to_version_a=va2, to_version_b=vb1)
+    full = keyed_join_view_snapshot(root_a, root_b,
+                                    version_a=va2, version_b=vb1)
+    pd.testing.assert_frame_equal(_state_df(refreshed), _state_df(full))
+
+    # no-op refresh (both changelogs empty) is an identity
+    noop = keyed_join_view_refresh(
+        root_a, root_b, full,
+        from_version_a=va2, from_version_b=vb1,
+        to_version_a=va2, to_version_b=vb1)
+    pd.testing.assert_frame_equal(_state_df(noop), _state_df(full))
