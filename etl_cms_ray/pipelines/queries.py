@@ -8229,6 +8229,810 @@ FROM a
 # ===========================================================================
 # Catalog
 
+# ---------------------------------------------------------------------------
+# TPC-H shape battery completion: Q2/Q6/Q7/Q9/Q10/Q11/Q12/Q19/Q20.  This
+# corpus has no partsupp / shipmode / container / comment columns, so those
+# shapes substitute lineitem incidence (Q2/Q11/Q20), l_returnflag (Q12) and
+# brand+size predicates (Q19) while keeping each query's distinctive plan
+# topology.  Float discipline: integer cents/centi-qty grids end-to-end
+# (CLAUDE.md rule 4).
+
+
+def _nation_names(sf_dir: str) -> dict:
+    """nationkey -> n_name (25 rows at any scale: bounded driver dim)."""
+    n = pq.read_table(f"{sf_dir}/nation.parquet",
+                      columns=["n_nationkey", "n_name"])
+    return dict(zip(n["n_nationkey"].to_pylist(), n["n_name"].to_pylist()))
+
+
+def _region_nation_keys(sf_dir: str, r_name: str) -> list:
+    """nationkeys of one region (bounded driver dims, as in q5/q8)."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = region.filter(pc.equal(region["r_name"], r_name))["r_regionkey"][0].as_py()
+    return nation.filter(
+        pc.equal(nation["n_regionkey"], rk))["n_nationkey"].to_pylist()
+
+
+def _cents64(arr) -> np.ndarray:
+    """floor(x*100+0.5) on the exact cent grid, as int64 (rule 4).
+    Accepts a pandas Series, numpy array or Arrow array."""
+    if hasattr(arr, "to_numpy"):
+        try:
+            arr = arr.to_numpy(zero_copy_only=False)  # Arrow
+        except TypeError:
+            arr = arr.to_numpy()  # pandas
+    return np.floor(np.asarray(arr, dtype=np.float64) * 100 + 0.5).astype(np.int64)
+
+
+def q6_forecast_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q6 shape — pure scan-filter-sum, zero shuffles: 1997
+    shipments with discount in the 5-7% band and quantity < 24; revenue
+    = sum(extendedprice x discount).  The discount band compares on the
+    exact centi-grid int (stored doubles re-quantized identically in
+    both engines); the sum accumulates int64 cents per batch and one
+    coalesced final adds the partials.  The scan prunes to 4 columns at
+    the read.  Reference analog: the single-pass money-line totals of
+    the claims ETL."""
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        dc = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["l_discount"], pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(dc, pa.scalar(5, pa.int64())),
+                        pc.less_equal(dc, pa.scalar(7, pa.int64()))),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        sel = t.filter(mask)
+        cents = np.floor(
+            sel["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * sel["l_discount"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({"_c": pa.array([int(cents.sum())], type=pa.int64())})
+
+    return _final_agg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        lambda df: pd.DataFrame({"revenue": [df["_c"].sum() / 100.0]}),
+    )
+
+
+_SQL_Q6_FORECAST = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q12_priority_by_flag(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q12 shape — join + dual conditional counts per bounded
+    group (no l_shipmode in this corpus; l_returnflag stands in): for
+    1997 shipments, per return flag, how many lines belong to
+    critical-priority orders (1-URGENT / 2-HIGH) vs the rest.  The
+    shipdate filter prunes lineitem BEFORE the one task-based exchange;
+    the flag x 2-counter aggregate is a bounded-key coalesced final."""
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )).select(["l_orderkey", "l_returnflag"])
+        ),
+        batch_format="pyarrow",
+    )
+    ords = _rpc(f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_orderpriority"])
+    j = hash_join(
+        li, ords, on="l_orderkey", right_on="o_orderkey",
+        left_schema=_pq_cols_schema(sf_dir, "lineitem",
+                                    ["l_orderkey", "l_returnflag"]),
+        right_schema=_pq_cols_schema(sf_dir, "orders",
+                                     ["o_orderkey", "o_orderpriority"]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        d = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "_h": high.astype("int64"),
+                          "_l": (~high).astype("int64")})
+        return d.groupby("l_returnflag", sort=False).sum().reset_index()
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        g = g.rename(columns={"_h": "high_line_count", "_l": "low_line_count"})
+        return g.sort_values("l_returnflag").reset_index(drop=True).astype(
+            {"high_line_count": "int64", "low_line_count": "int64"})
+
+    return _final_agg(j.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_Q12_PRIORITY = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q7_volume_shipping(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q7 shape — two-nation trade volume by year: revenue of
+    1996-1997 shipments where the supplier sits in one nation and the
+    ordering customer in the other (both directions).  All four
+    scale-growing sides (lineitem, supplier, orders, customer) stream
+    through task-based hash joins; nation resolves to two driver ints.
+    Lineitem pre-computes (year, cents) BEFORE its exchange so only 4
+    narrow columns move; the (supp_nation x cust_nation x year) final
+    is bounded (2x2x2)."""
+    names = _nation_names(sf_dir)
+    inv = {v: k for k, v in names.items()}
+    k1, k2 = inv["NATION_12"], inv["NATION_11"]
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1 - d) * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "l_year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+            "cents": pa.array(cents),
+        })
+
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_suppkey", pa.int64()),
+                           ("l_year", pa.int64()), ("cents", pa.int64())])
+    sup = _rpc(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: _nometa(t.filter(pc.is_in(
+            t["s_nationkey"], value_set=pa.array([k1, k2], pa.int32())))),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(
+        li, sup, on="l_suppkey", right_on="s_suppkey",
+        left_schema=li_schema,
+        right_schema=_pq_cols_schema(sf_dir, "supplier",
+                                     ["s_suppkey", "s_nationkey"]),
+    )
+    cust = _rpc(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: _nometa(t.filter(pc.is_in(
+            t["c_nationkey"], value_set=pa.array([k1, k2], pa.int32())))),
+        batch_format="pyarrow",
+    )
+    ords = _rpc(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j2 = hash_join(
+        ords, cust, on="o_custkey", right_on="c_custkey",
+        left_schema=_pq_cols_schema(sf_dir, "orders",
+                                    ["o_orderkey", "o_custkey"]),
+        right_schema=_pq_cols_schema(sf_dir, "customer",
+                                     ["c_custkey", "c_nationkey"]),
+    )
+    j3 = hash_join(j1, j2, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sn = df["s_nationkey"].to_numpy()
+        cn = df["c_nationkey"].to_numpy()
+        keep = ((sn == k1) & (cn == k2)) | ((sn == k2) & (cn == k1))
+        d = df.loc[keep, ["s_nationkey", "c_nationkey", "l_year", "cents"]]
+        return (d.groupby(["s_nationkey", "c_nationkey", "l_year"], sort=False)
+                ["cents"].sum().reset_index())
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["s_nationkey", "c_nationkey", "l_year"], sort=False)
+             ["cents"].sum().reset_index())
+        g["supp_nation"] = g.pop("s_nationkey").map(names)
+        g["cust_nation"] = g.pop("c_nationkey").map(names)
+        g["revenue"] = g.pop("cents").to_numpy().astype(np.float64) / 100.0
+        return (g[["supp_nation", "cust_nation", "l_year", "revenue"]]
+                .sort_values(["supp_nation", "cust_nation", "l_year"])
+                .reset_index(drop=True))
+
+    return _final_agg(j3.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_Q7_VOLUME = """
+WITH j AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((ns.n_name = 'NATION_12' AND nc.n_name = 'NATION_11')
+      OR (ns.n_name = 'NATION_11' AND nc.n_name = 'NATION_12'))
+)
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+FROM j GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q9_product_profit(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q9 shape — product-type profit by nation and year (no
+    partsupp here: p_retailprice x quantity stands in for the supply
+    cost).  Three scale-growing joins (part-pruned lineitem, supplier,
+    orders) all task-based; the profit amount collapses to one int64
+    cents column BEFORE the supplier/orders exchanges so the wide money
+    columns never travel twice.  (nation x year) final is bounded."""
+    names = _nation_names(sf_dir)
+    part_f = _rpc(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.match_substring(t["p_name"], "red"))
+            .select(["p_partkey", "p_retailprice"])),
+        batch_format="pyarrow",
+    )
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    j1 = hash_join(
+        li, part_f, on="l_partkey", right_on="p_partkey",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"]),
+        right_schema=_pq_cols_schema(sf_dir, "part",
+                                     ["p_partkey", "p_retailprice"]),
+    )
+
+    def amount(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        rp = t["p_retailprice"].to_numpy(zero_copy_only=False)
+        amt = (np.floor(ep * (1 - d) * 100 + 0.5).astype(np.int64)
+               - np.floor(rp * q * 100 + 0.5).astype(np.int64))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "amt": pa.array(amt)})
+
+    slim = j1.map_batches(amount, batch_format="pyarrow")
+    slim_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("l_suppkey", pa.int64()), ("amt", pa.int64())])
+    sup = _rpc(f"{sf_dir}/supplier.parquet",
+               columns=["s_suppkey", "s_nationkey"])
+    j2 = hash_join(
+        slim, sup, on="l_suppkey", right_on="s_suppkey",
+        left_schema=slim_schema,
+        right_schema=_pq_cols_schema(sf_dir, "supplier",
+                                     ["s_suppkey", "s_nationkey"]),
+    )
+    ords = _rpc(f"{sf_dir}/orders.parquet",
+                columns=["o_orderkey", "o_orderdate"])
+    j3 = hash_join(
+        j2, ords, on="l_orderkey", right_on="o_orderkey",
+        right_schema=_pq_cols_schema(sf_dir, "orders",
+                                     ["o_orderkey", "o_orderdate"]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "s_nationkey": df["s_nationkey"],
+            "o_year": df["o_orderdate"].dt.year.astype("int64"),
+            "amt": df["amt"],
+        })
+        return (d.groupby(["s_nationkey", "o_year"], sort=False)["amt"]
+                .sum().reset_index())
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["s_nationkey", "o_year"], sort=False)["amt"]
+             .sum().reset_index())
+        g["nation"] = g.pop("s_nationkey").map(names)
+        g["sum_profit"] = g.pop("amt").to_numpy().astype(np.float64) / 100.0
+        return (g[["nation", "o_year", "sum_profit"]]
+                .sort_values(["nation", "o_year"],
+                             ascending=[True, False]).reset_index(drop=True))
+
+    return _final_agg(j3.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_Q9_PROFIT = """
+WITH j AS (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+         - CAST(floor(p_retailprice * l_quantity * 100 + 0.5) AS BIGINT) AS amt
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT nation, o_year, CAST(sum(amt) AS DOUBLE) / 100.0 AS sum_profit
+FROM j GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q10_returned_items(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q10 shape — top 20 customers by revenue lost to returns in
+    one quarter: returned lineitems join their quarter's orders, revenue
+    sums per customer inside coarse custkey-hash partitions with a
+    per-bucket top-20 (global top-20 is exact: every custkey's rows
+    share a bucket), and only the 20 winners join customer identity and
+    the 25-row nation map.  Total order (revenue DESC, custkey ASC)
+    makes the LIMIT deterministic."""
+    names = _nation_names(sf_dir)
+    lo, hi = pd.Timestamp("1997-10-01"), pd.Timestamp("1998-01-01")
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: _nometa(_q10_li_prep(t)), batch_format="pyarrow",
+    )
+    ords = _rpc(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )).select(["o_orderkey", "o_custkey"])),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        li, ords, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=_pq_cols_schema(sf_dir, "orders",
+                                     ["o_orderkey", "o_custkey"]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("o_custkey", sort=False)["cents"]
+                .sum().reset_index())
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False)["cents"].sum().reset_index()
+        return g.sort_values(["cents", "o_custkey"],
+                             ascending=[False, True],
+                             kind="mergesort").head(20)
+
+    cand = _coarse_final(j.map_batches(partial, batch_format="pandas"),
+                         "o_custkey", local_top)
+    top20 = _final_agg(
+        cand,
+        lambda df: df.sort_values(["cents", "o_custkey"],
+                                  ascending=[False, True],
+                                  kind="mergesort").head(20),
+    )
+    cust = _rpc(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    joined = hash_join(
+        top20, cust, on="o_custkey", right_on="c_custkey", num_partitions=8,
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("cents", pa.int64())]),
+        right_schema=_pq_cols_schema(
+            sf_dir, "customer",
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]),
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "c_custkey": df["o_custkey"].astype("int64"),
+            "c_name": df["c_name"],
+            "revenue": df["cents"].to_numpy().astype(np.float64) / 100.0,
+            "c_acctbal": df["c_acctbal"],
+            "n_name": df["c_nationkey"].map(names),
+        })
+        return out.sort_values(["revenue", "c_custkey"],
+                               ascending=[False, True],
+                               kind="mergesort").reset_index(drop=True)
+
+    return _final_agg(joined, finalize)
+
+
+def _q10_li_prep(t: pa.Table) -> pa.Table:
+    t = t.filter(pc.equal(t["l_returnflag"], "R"))
+    ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+    d = t["l_discount"].to_numpy(zero_copy_only=False)
+    cents = np.floor(ep * (1 - d) * 100 + 0.5).astype(np.int64)
+    return pa.table({"l_orderkey": t["l_orderkey"], "cents": pa.array(cents)})
+
+
+_SQL_Q10_RETURNED = """
+WITH j AS (
+  SELECT o_custkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-10-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+), g AS (
+  SELECT o_custkey, sum(cents) AS cents FROM j GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, CAST(g.cents AS DOUBLE) / 100.0 AS revenue,
+       c_acctbal, n_name
+FROM g JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q19 shape — disjunction of three conjunctive brand/size/
+    quantity bands (no container column; p_size bands stand in).  The
+    part side prunes to the three brands BEFORE the one task-based
+    exchange and lineitem prunes to the overall quantity envelope
+    [1, 30]; the residual OR evaluates vectorized after the join.
+    Revenue is exact int64 cents; the global sum is one coalesced
+    final."""
+    brands = ["Brand#2", "Brand#3", "Brand#4"]
+    part_f = _rpc(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).map_batches(
+        lambda t: _nometa(t.filter(
+            pc.is_in(t["p_brand"], value_set=pa.array(brands)))),
+        batch_format="pyarrow",
+    )
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: _nometa(t.filter(pc.and_(
+            pc.greater_equal(t["l_quantity"], pa.scalar(1.0)),
+            pc.less_equal(t["l_quantity"], pa.scalar(30.0))))),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        li, part_f, on="l_partkey", right_on="p_partkey",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]),
+        right_schema=_pq_cols_schema(sf_dir, "part",
+                                     ["p_partkey", "p_brand", "p_size"]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = df["p_brand"].to_numpy()
+        s = df["p_size"].to_numpy()
+        q = df["l_quantity"].to_numpy()
+        keep = (
+            ((b == "Brand#2") & (s >= 1) & (s <= 15) & (q >= 1) & (q <= 11))
+            | ((b == "Brand#3") & (s >= 1) & (s <= 25) & (q >= 10) & (q <= 20))
+            | ((b == "Brand#4") & (s >= 1) & (s <= 35) & (q >= 20) & (q <= 30))
+        )
+        d = df.loc[keep]
+        cents = np.floor(
+            d["l_extendedprice"].to_numpy()
+            * (1 - d["l_discount"].to_numpy()) * 100 + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame({"_c": [int(cents.sum())]})
+
+    return _final_agg(
+        j.map_batches(partial, batch_format="pandas"),
+        lambda df: pd.DataFrame({"revenue": [df["_c"].sum() / 100.0]}),
+    )
+
+
+_SQL_Q19_DISJUNCT = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q2_min_acctbal_supplier(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q2 shape — correlated per-group MIN with join-back (no
+    partsupp: the (part, supplier) incidence comes from lineitem and
+    s_acctbal stands in for ps_supplycost): among EUROPE suppliers
+    shipping STANDARD parts of size <= 10, the minimum-balance
+    supplier(s) per part.  One coarse partkey-hash sweep dedupes the
+    incidence pairs, computes the per-part min AND selects the argmin
+    rows (all rows of a part share the bucket, so min + join-back is
+    one vectorized transform, not a second exchange).  Total order +
+    LIMIT 100 mirrors Q2's output discipline."""
+    names = _nation_names(sf_dir)
+    eu = _region_nation_keys(sf_dir, "EUROPE")
+    part_f = _rpc(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_type", "p_size"],
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.and_(pc.equal(t["p_type"], "STANDARD"),
+                             pc.less_equal(t["p_size"], 10)))
+            .select(["p_partkey", "p_name"])),
+        batch_format="pyarrow",
+    )
+    li = _rpc(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    j1 = hash_join(
+        li, part_f, on="l_partkey", right_on="p_partkey",
+        left_schema=_pq_cols_schema(sf_dir, "lineitem",
+                                    ["l_partkey", "l_suppkey"]),
+        right_schema=_pq_cols_schema(sf_dir, "part", ["p_partkey", "p_name"]),
+    )
+    sup_f = _rpc(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    ).map_batches(
+        lambda t: _nometa(t.filter(pc.is_in(
+            t["s_nationkey"], value_set=pa.array(eu, pa.int32())))),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(
+        j1, sup_f, on="l_suppkey", right_on="s_suppkey",
+        right_schema=_pq_cols_schema(
+            sf_dir, "supplier",
+            ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
+    )
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(subset=["l_partkey", "l_suppkey"]).copy()
+        d["_cents"] = np.floor(
+            d["s_acctbal"].to_numpy() * 100 + 0.5).astype(np.int64)
+        mn = d.groupby("l_partkey", sort=False)["_cents"].transform("min")
+        return d.loc[d["_cents"] == mn]
+
+    cand = _coarse_final(j2, "l_partkey", winners)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "s_acctbal": df["_cents"].to_numpy().astype(np.float64) / 100.0,
+            "s_name": df["s_name"],
+            "n_name": df["s_nationkey"].map(names),
+            "p_partkey": df["l_partkey"].astype("int64"),
+            "p_name": df["p_name"],
+            "s_suppkey": df["l_suppkey"].astype("int64"),
+        })
+        return out.sort_values(
+            ["s_acctbal", "p_partkey", "s_suppkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).head(100).reset_index(drop=True)
+
+    return _final_agg(cand, finalize)
+
+
+_SQL_Q2_MIN_SUPP = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), eu AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), j AS (
+  SELECT p.p_partkey, p.p_name, eu.*
+  FROM pairs
+  JOIN part p ON l_partkey = p_partkey
+    AND p_type = 'STANDARD' AND p_size <= 10
+  JOIN eu ON l_suppkey = eu.s_suppkey
+), m AS (
+  SELECT *, min(cents) OVER (PARTITION BY p_partkey) AS mn FROM j
+)
+SELECT CAST(cents AS DOUBLE) / 100.0 AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, s_suppkey
+FROM m WHERE cents = mn
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q11 shape — grouped value vs a global-total threshold (no
+    partsupp: one nation's suppliers' shipped extendedprice stands in
+    for supplycost x availqty): parts whose NATION_7-supplied value
+    exceeds 0.1% of that nation's total.  The per-part values
+    materialize ONCE (an O(#parts) aggregate — the view, not the fact
+    table), the grand total reduces from it as two driver ints, and the
+    threshold filter is exact integer cross-multiplication
+    (value_cents * 1000 > total_cents).  At most 1000 rows can pass by
+    construction, so the ordered final is bounded at any scale."""
+    inv = {v: k for k, v in _nation_names(sf_dir).items()}
+    k7 = inv["NATION_12"]
+    sup_f = _rpc(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.equal(t["s_nationkey"],
+                              pa.scalar(k7, pa.int32())))
+            .select(["s_suppkey"])),
+        batch_format="pyarrow",
+    )
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    j = hash_join(
+        li, sup_f, on="l_suppkey", right_on="s_suppkey", how="semi",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]),
+        right_schema=pa.schema([("s_suppkey", pa.int64())]),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"l_partkey": df["l_partkey"],
+                          "_c": _cents64(df["l_extendedprice"])})
+        return d.groupby("l_partkey", sort=False)["_c"].sum().reset_index()
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", sort=False)["_c"].sum().reset_index()
+
+    vals = _coarse_final(
+        j.map_batches(partial, batch_format="pandas"), "l_partkey", per_part
+    ).materialize()  # O(#parts) rows: the aggregate view, reused twice
+    total = int(_final_agg(
+        vals, lambda df: pd.DataFrame({"_t": [int(df["_c"].sum())]})
+    ).to_pandas()["_t"].iloc[0])
+
+    hot = vals.map_batches(
+        lambda t, tot: _nometa(t.filter(pc.greater(
+            pc.multiply(t["_c"], pa.scalar(1000, pa.int64())),
+            pa.scalar(tot, pa.int64())))),
+        batch_format="pyarrow", fn_kwargs={"tot": total},
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "p_partkey": df["l_partkey"].astype("int64"),
+            "value": df["_c"].to_numpy().astype(np.float64) / 100.0,
+        })
+        return out.sort_values(["value", "p_partkey"],
+                               ascending=[False, True],
+                               kind="mergesort").reset_index(drop=True)
+
+    return _final_agg(hot, finalize)
+
+
+_SQL_Q11_IMPORTANT = """
+WITH g AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_12')
+), v AS (
+  SELECT l_partkey, sum(cents) AS val FROM g GROUP BY l_partkey
+), t AS (
+  SELECT sum(val) AS total FROM v
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) / 100.0 AS value
+FROM v, t WHERE val * 1000 > total
+ORDER BY value DESC, p_partkey
+"""
+
+
+def q20_excess_shippers(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q20 shape — nested semi-joins with a correlated
+    two-granularity threshold (no partsupp: 'supplied the MAJORITY of a
+    red part's 1997 volume' stands in for availqty > half of a year's
+    demand): per-(part, supplier) 1997 quantities aggregate against the
+    per-part 1997 total in the SAME coarse partkey space (one sweep
+    computes both granularities and applies the threshold — all rows of
+    a part share the bucket), on the exact centi-quantity grid
+    (2 x q_supp > q_part); the surviving supplier keys then semi-join
+    the supplier roster for identity."""
+    part_f = _rpc(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda t: _nometa(
+            t.filter(pc.match_substring(t["p_name"], "red"))
+            .select(["p_partkey"])),
+        batch_format="pyarrow",
+    )
+    li = _rpc(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(
+        lambda t: _nometa(t.filter(pc.equal(
+            pc.year(t["l_shipdate"]), pa.scalar(1997, pa.int64())))
+            .select(["l_partkey", "l_suppkey", "l_quantity"])),
+        batch_format="pyarrow",
+    )
+    li_red = hash_join(
+        li, part_f, on="l_partkey", right_on="p_partkey", how="semi",
+        left_schema=_pq_cols_schema(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]),
+        right_schema=pa.schema([("p_partkey", pa.int64())]),
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"l_partkey": df["l_partkey"],
+                          "l_suppkey": df["l_suppkey"],
+                          "_q": _cents64(df["l_quantity"])})
+        return (d.groupby(["l_partkey", "l_suppkey"], sort=False)["_q"]
+                .sum().reset_index())
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["l_partkey", "l_suppkey"], sort=False)["_q"]
+             .sum().reset_index())
+        tot = g.groupby("l_partkey", sort=False)["_q"].transform("sum")
+        win = g.loc[2 * g["_q"].to_numpy() > tot.to_numpy()]
+        return win[["l_suppkey"]].drop_duplicates()
+
+    excess = _coarse_final(
+        li_red.map_batches(partials, batch_format="pandas"),
+        "l_partkey", per_part,
+    )
+    sup = _rpc(f"{sf_dir}/supplier.parquet",
+               columns=["s_suppkey", "s_name"])
+    winners = hash_join(
+        sup, excess, on="s_suppkey", right_on="l_suppkey", how="semi",
+        left_schema=_pq_cols_schema(sf_dir, "supplier",
+                                    ["s_suppkey", "s_name"]),
+        right_schema=pa.schema([("l_suppkey", pa.int64())]),
+    )
+    return _final_agg(
+        winners,
+        lambda df: df.drop_duplicates(subset=["s_suppkey"])
+        .sort_values("s_suppkey").reset_index(drop=True)
+        .astype({"s_suppkey": "int64"}),
+    )
+
+
+_SQL_Q20_EXCESS = """
+WITH red AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc
+  FROM lineitem
+  WHERE year(l_shipdate) = 1997
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+), ps AS (
+  SELECT l_partkey, l_suppkey, sum(qc) AS q97
+  FROM red GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, sum(q97) AS total FROM ps GROUP BY l_partkey
+), ex AS (
+  SELECT DISTINCT ps.l_suppkey
+  FROM ps JOIN tot ON ps.l_partkey = tot.l_partkey
+  WHERE 2 * ps.q97 > tot.total
+)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
+ORDER BY s_suppkey
+"""
+
 QUERIES = {
     # --- entries WITHOUT a driver-green CORRECTNESS row in r01∪r02 come
     # FIRST (VERDICT r2 next-round #2): the driver checks <=50 entries
@@ -8292,6 +9096,15 @@ QUERIES = {
     "lineitem_price_p25_cont": lineitem_price_p25_cont,
     "orders_cube": orders_cube,
     "cdc_ivm_join": cdc_ivm_join,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_priority_by_flag": q12_priority_by_flag,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
+    "q10_returned_items": q10_returned_items,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q2_min_acctbal_supplier": q2_min_acctbal_supplier,
+    "q11_important_parts": q11_important_parts,
+    "q20_excess_shippers": q20_excess_shippers,
     "events_props_extract": events_props_extract,
     "doc_lang_temperature_weights": doc_lang_temperature_weights,
     "chunk_exact_dups": chunk_exact_dups,
@@ -8423,6 +9236,15 @@ ORACLE_SQL = {
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "cdc_incremental_token_df": _SQL_INCREMENTAL_TOKEN_DF,
     "cdc_ivm_join": _SQL_IVM_JOIN,
+    "q6_forecast_revenue": _SQL_Q6_FORECAST,
+    "q12_priority_by_flag": _SQL_Q12_PRIORITY,
+    "q7_volume_shipping": _SQL_Q7_VOLUME,
+    "q9_product_profit": _SQL_Q9_PROFIT,
+    "q10_returned_items": _SQL_Q10_RETURNED,
+    "q19_disjunctive_revenue": _SQL_Q19_DISJUNCT,
+    "q2_min_acctbal_supplier": _SQL_Q2_MIN_SUPP,
+    "q11_important_parts": _SQL_Q11_IMPORTANT,
+    "q20_excess_shippers": _SQL_Q20_EXCESS,
     "cdc_point_lookup": _SQL_POINT_LOOKUP,
     "cdc_range_scan": _SQL_RANGE_SCAN,
     "cdc_eq_scan": _SQL_EQ_SCAN,
