@@ -294,6 +294,9 @@ def run_bench() -> dict:
     timed("embedding_sq8_error", Q.embedding_sq8_error)
     timed("embedding_hard_negatives", Q.embedding_hard_negatives)
     timed("cdc_incremental_minhash", Q.cdc_incremental_minhash)
+    timed("cdc_ivm_join", Q.cdc_ivm_join)
+    timed("q9_product_profit", Q.q9_product_profit)
+    timed("q10_returned_items", Q.q10_returned_items)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

@@ -98,6 +98,10 @@ def _coarse_final(
     """
 
     def add_part(t: pa.Table) -> pa.Table:
+        # pandas-format partials arrive with a pandas metadata dict on the
+        # schema, which is unhashable and defeats Ray's schema-dedup early
+        # exit in the sort shuffle ("Failed to hash the schemas" spam)
+        t = t.replace_schema_metadata(None)
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column("fpart", pa.array((k % parts).astype(np.int64)))
 
