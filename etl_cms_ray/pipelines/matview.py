@@ -1,0 +1,298 @@
+"""Materialized join views: the keyed join view stored AS A LAKE.
+
+``history.keyed_join_view_*`` maintains the join-view state as an
+in-flight Dataset; this module persists that state into a normal engine
+lake, which upgrades every scale property at once:
+
+- **O(changed partitions) refresh.** The refresh reads ONLY the view
+  partitions that touched keys hash to (a bounded set of partition ids,
+  never the key list, crosses the driver) and the applier rewrites only
+  partitions that receive events — the Dataset form had to stream the
+  whole state through one exchange per refresh.
+- **Exactly-once refresh.** View updates ride the engine's epoch fences
+  (epoch = version_a + version_b, strictly increasing whenever either
+  base advances), so a replayed refresh is a fenced no-op.
+- **Time travel / audit / WAP for free.** The view is a lake: manifest
+  history, content hashes, `audit_lake`, tags and snapshot reads all
+  apply unchanged.
+
+Presence encoding: the stored state is the FULL OUTER join (delta-join
+IVM needs the unchanged side's values when the other side inserts), so
+each state row carries ``a_live``/``b_live`` int8 flags plus the B-side
+payload in an evolved ``b_content`` column.  The engine requires insert
+events to carry non-null ``content``, so a dead A side stores ``""`` —
+never observable: ``read_join_view`` filters to inner rows, where
+``a_live == 1`` by definition.  A key dead on BOTH sides leaves the view
+via a normal tombstone event.
+
+Reference analog: the reference materializes joined claim+beneficiary
+outputs as physical CDM tables rebuilt per run
+(``CMS_SynPuf_ETL_CDM_v5.py`` main loop); this view rebuilds only what
+changed, with commit semantics the reference lacks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..config import EngineConfig
+from ..schema import SchemaChange, SchemaRegistry
+from ..state.manifest import LakeStore
+from .history import read_snapshot, snapshot_diff
+
+_KEYS = ["repo", "path"]
+
+#: schema evolution installing the view's payload columns (epoch 0 so
+#: every view event version sees them)
+VIEW_SCHEMA_CHANGES = [
+    SchemaChange(epoch=0, change="add_column", column="b_content",
+                 type_name="large_string", default=None),
+    SchemaChange(epoch=0, change="add_column", column="a_live",
+                 type_name="int8", default=0),
+    SchemaChange(epoch=0, change="add_column", column="b_live",
+                 type_name="int8", default=0),
+]
+
+
+def _state_to_events(t: pa.Table, epoch: int) -> pa.Table:
+    """(repo, path, content, b_content, a_live, b_live) state rows ->
+    engine change events: upserts for rows live on either side,
+    tombstones for rows dead on both."""
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
+    a_live = pc.fill_null(t["a_live"], False)
+    b_live = pc.fill_null(t["b_live"], False)
+    any_live = pc.or_(a_live, b_live)
+    n = t.num_rows
+    content = pc.if_else(
+        a_live, pc.fill_null(t["content"].cast(pa.large_string()), ""),
+        pa.scalar("", pa.large_string()))
+    content = pc.if_else(any_live, content,
+                         pa.nulls(n, type=pa.large_string()))
+    b_content = pc.if_else(
+        b_live, pc.fill_null(t["b_content"].cast(pa.large_string()), ""),
+        pa.scalar("", pa.large_string()))
+    return pa.table({
+        "repo": t["repo"],
+        "path": t["path"],
+        "op": pc.if_else(any_live, pa.scalar("insert"), pa.scalar("delete")),
+        "commit": pa.array([f"mv-e{epoch}"] * n),
+        "epoch": pa.array([epoch] * n, type=pa.int64()),
+        "seq": pa.array([0] * n, type=pa.int64()),
+        "lang": pa.array(["view"] * n),
+        "content": content,
+        "b_content": b_content,
+        "a_live": pc.cast(a_live, pa.int8()),
+        "b_live": pc.cast(b_live, pa.int8()),
+    })
+
+
+def _view_epoch(store_a: LakeStore, store_b: LakeStore,
+                version_a: int | None, version_b: int | None) -> tuple:
+    va = store_a.current_version() if version_a is None else version_a
+    vb = store_b.current_version() if version_b is None else version_b
+    return va, vb, va + vb
+
+
+def materialize_join_view(
+    lake_a: str,
+    lake_b: str,
+    view_cfg: EngineConfig,
+    version_a: int | None = None,
+    version_b: int | None = None,
+):
+    """Initial build: full outer join of the two base snapshots, written
+    as insert events at epoch = version_a + version_b.  Returns the
+    IngestResult of the view commit."""
+    from ..stages.join import hash_join
+    from .ingest import ingest
+
+    va, vb, epoch = _view_epoch(LakeStore(lake_a), LakeStore(lake_b),
+                                version_a, version_b)
+    a = read_snapshot(lake_a, version=va, columns=_KEYS + ["content"])
+    b = read_snapshot(lake_b, version=vb, columns=_KEYS + ["content"])
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        return t.append_column("a_live", pa.array([True] * t.num_rows))
+
+    def tag_b(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(
+            [c if c in _KEYS else "b_content" for c in t.column_names])
+        return t.append_column("b_live", pa.array([True] * t.num_rows))
+
+    key_fields = [(k, pa.string()) for k in _KEYS]
+    joined = hash_join(
+        a.map_batches(tag_a, batch_format="pyarrow"),
+        b.map_batches(tag_b, batch_format="pyarrow"),
+        on=_KEYS, how="outer",
+        left_schema=pa.schema(key_fields + [("content", pa.large_string()),
+                                            ("a_live", pa.bool_())]),
+        right_schema=pa.schema(key_fields + [("b_content", pa.large_string()),
+                                             ("b_live", pa.bool_())]),
+        num_partitions=view_cfg.num_partitions,
+    )
+    events = joined.map_batches(_state_to_events, batch_format="pyarrow",
+                                fn_kwargs={"epoch": epoch})
+    return ingest(events, view_cfg, schema_changes=VIEW_SCHEMA_CHANGES,
+                  count_input=False)
+
+
+def refresh_join_view(
+    lake_a: str,
+    lake_b: str,
+    view_cfg: EngineConfig,
+    from_version_a: int,
+    from_version_b: int,
+    to_version_a: int | None = None,
+    to_version_b: int | None = None,
+):
+    """Incremental refresh from the two base changelogs.
+
+    Topology (everything O(changed), never O(view)):
+
+    1. two ``snapshot_diff`` changelogs — O(changed base partitions);
+    2. one outer join of the changelogs — O(touched keys);
+    3. touched VIEW partition ids (the engine partitioner over touched
+       keys, deduped per batch; at most ``num_partitions`` ints reach
+       the driver — a partition PLAN, not data);
+    4. stored state read of ONLY those partitions, LEFT-joined under
+       the touched keys (untouched keys in the same partitions drop out
+       in the join);
+    5. merge -> upsert/tombstone events at epoch va+vb -> ``ingest``,
+       which rewrites only the partitions receiving events and fences a
+       replay of the same refresh into a no-op.
+    """
+    from ..functions.hashing import part_id_for
+    from ..stages.join import hash_join
+    from .ingest import ingest, load_partition_live
+
+    va, vb, epoch = _view_epoch(LakeStore(lake_a), LakeStore(lake_b),
+                                to_version_a, to_version_b)
+    da = snapshot_diff(lake_a, from_version_a, va, value_cols=("content",))
+    db = snapshot_diff(lake_b, from_version_b, vb, value_cols=("content",))
+
+    def proj(change_name: str, pre: str):
+        def _p(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "repo": t["repo"], "path": t["path"],
+                change_name: t["change"], f"{pre}content": t["content"],
+            })
+        return _p
+
+    key_fields = [(k, pa.string()) for k in _KEYS]
+    da_s = pa.schema(key_fields + [("a_change", pa.string()),
+                                   ("__na_content", pa.large_string())])
+    db_s = pa.schema(key_fields + [("b_change", pa.string()),
+                                   ("__nb_content", pa.large_string())])
+    delta = hash_join(
+        da.map_batches(proj("a_change", "__na_"), batch_format="pyarrow"),
+        db.map_batches(proj("b_change", "__nb_"), batch_format="pyarrow"),
+        on=_KEYS, how="outer", left_schema=da_s, right_schema=db_s,
+        num_partitions=view_cfg.num_partitions,
+    )
+
+    # --- touched view partitions: a bounded partition PLAN ---------------
+    P = view_cfg.num_partitions
+
+    def pids(t: pa.Table) -> pa.Table:
+        ids = part_id_for(t["repo"], t["path"], P)
+        return pa.table({"pid": pc.unique(ids)})
+
+    touched = sorted({
+        r["pid"] for r in delta.map_batches(
+            pids, batch_format="pyarrow").take_all()
+    })
+    store = LakeStore(view_cfg.lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    latest = registry.latest_version
+    reg_json = registry.to_json()
+    view_cols = _KEYS + ["content", "b_content", "a_live", "b_live"]
+    parts = [
+        {"file": ps.file, "deltas": list(ps.deltas)}
+        for pid, ps in manifest.partitions.items()
+        if pid in set(touched) and (ps.file or ps.deltas)
+    ]
+
+    def load_part(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        reg = SchemaRegistry.from_json(reg_json)
+        out = []
+        for f0, ds_ in zip(batch["file"].to_pylist(),
+                           batch["deltas"].to_pylist()):
+            t = load_partition_live(view_cfg.lake_root, f0,
+                                    list(ds_ or []), reg, latest)
+            out.append(t.select(view_cols))
+        return pa.concat_tables(out)
+
+    if parts:
+        stored = ray.data.from_items(parts).map_batches(
+            load_part, batch_format="pyarrow", batch_size=1)
+    else:
+        stored = ray.data.from_arrow(pa.table({
+            "repo": pa.array([], pa.string()),
+            "path": pa.array([], pa.string()),
+            "content": pa.array([], pa.large_string()),
+            "b_content": pa.array([], pa.large_string()),
+            "a_live": pa.array([], pa.int8()),
+            "b_live": pa.array([], pa.int8()),
+        }))
+    stored_schema = pa.schema(key_fields + [
+        ("content", pa.large_string()), ("b_content", pa.large_string()),
+        ("a_live", pa.int8()), ("b_live", pa.int8())])
+    merged = hash_join(
+        delta, stored, on=_KEYS, how="left",
+        left_schema=pa.schema(list(da_s) + [f for f in db_s
+                                            if f.name not in _KEYS]),
+        right_schema=stored_schema,
+        num_partitions=max(8, len(touched) or 8),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        touched_a = pc.is_valid(t["a_change"])
+        touched_b = pc.is_valid(t["b_change"])
+        stored_a = pc.equal(pc.fill_null(t["a_live"], 0),
+                            pa.scalar(1, pa.int8()))
+        stored_b = pc.equal(pc.fill_null(t["b_live"], 0),
+                            pa.scalar(1, pa.int8()))
+        a_live = pc.if_else(touched_a,
+                            pc.not_equal(t["a_change"], "delete"), stored_a)
+        b_live = pc.if_else(touched_b,
+                            pc.not_equal(t["b_change"], "delete"), stored_b)
+        content = pc.if_else(touched_a, t["__na_content"], t["content"])
+        b_content = pc.if_else(touched_b, t["__nb_content"], t["b_content"])
+        return pa.table({
+            "repo": t["repo"], "path": t["path"],
+            "content": content, "b_content": b_content,
+            "a_live": a_live, "b_live": b_live,
+        })
+
+    events = merged.map_batches(merge, batch_format="pyarrow").map_batches(
+        _state_to_events, batch_format="pyarrow", fn_kwargs={"epoch": epoch})
+    return ingest(events, view_cfg, count_input=False)
+
+
+def read_join_view(view_root: str) -> "ray.data.Dataset":
+    """INNER rows of the materialized view: (repo, path, content,
+    b_content) where both sides are live."""
+    from .ingest import read_lake
+
+    ds = read_lake(view_root,
+                   columns=_KEYS + ["content", "b_content", "a_live", "b_live"])
+
+    def inner(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["a_live"], pa.scalar(1, pa.int8())),
+                    pc.equal(t["b_live"], pa.scalar(1, pa.int8())))
+        return t.filter(m).select(_KEYS + ["content", "b_content"])
+
+    return ds.map_batches(inner, batch_format="pyarrow")

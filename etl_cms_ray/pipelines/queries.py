@@ -1163,6 +1163,53 @@ def cdc_ivm_join(sf_dir: str) -> "rd.Dataset":
     return view.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_materialized_view(sf_dir: str) -> "rd.Dataset":
+    """The keyed join view MATERIALIZED AS A LAKE
+    (`pipelines/matview.py`): the docs lake and the sidecar-annotation
+    lake each ingest two commits; the view lake materializes at
+    (v1_a, v1_b) and then REFRESHES from the two changelogs — reading
+    only the view partitions that touched keys hash to and rewriting
+    only partitions that receive events, with epoch fences making a
+    replayed refresh a no-op.  The oracle is the plain relational join
+    over both final states, so the refreshed lake == full recompute.
+    Same stream pair as `cdc_ivm_join`, which keeps the state as a
+    Dataset instead."""
+    from .matview import (materialize_join_view, read_join_view,
+                          refresh_join_view)
+
+    lake_a, a1, a2 = _two_commit_lake(sf_dir, "mvj_a")
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_b = os.path.join(tempfile.gettempdir(), f"mvj_b_{tag}")
+    _sh.rmtree(lake_b, ignore_errors=True)
+    annots = _annot_change_events(sf_dir)
+    cfg_b = EngineConfig(lake_root=lake_b, num_partitions=16)
+    b1 = ingest(annots.filter(expr="epoch == 0"), cfg_b, count_input=False)
+    ingest(annots.filter(expr="epoch == 1"), cfg_b, count_input=False)
+
+    view_root = os.path.join(tempfile.gettempdir(), f"mvj_view_{tag}")
+    _sh.rmtree(view_root, ignore_errors=True)
+    view_cfg = EngineConfig(lake_root=view_root, num_partitions=16)
+    materialize_join_view(lake_a, lake_b, view_cfg,
+                          version_a=a1.manifest_version,
+                          version_b=b1.manifest_version)
+    refresh_join_view(lake_a, lake_b, view_cfg,
+                      from_version_a=a1.manifest_version,
+                      from_version_b=b1.manifest_version)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"], "path": t["path"],
+            "content": t["content"].cast(pa.string()),
+            "annot": t["b_content"].cast(pa.string()),
+        })
+
+    return read_join_view(view_root).map_batches(project,
+                                                 batch_format="pyarrow")
+
+
 _SQL_IVM_JOIN = """
 WITH a AS (
   SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
@@ -9100,6 +9147,7 @@ QUERIES = {
     "lineitem_price_p25_cont": lineitem_price_p25_cont,
     "orders_cube": orders_cube,
     "cdc_ivm_join": cdc_ivm_join,
+    "cdc_materialized_view": cdc_materialized_view,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_priority_by_flag": q12_priority_by_flag,
     "q7_volume_shipping": q7_volume_shipping,
@@ -9240,6 +9288,7 @@ ORACLE_SQL = {
     "cdc_incremental_stats": _SQL_INCREMENTAL_STATS,
     "cdc_incremental_token_df": _SQL_INCREMENTAL_TOKEN_DF,
     "cdc_ivm_join": _SQL_IVM_JOIN,
+    "cdc_materialized_view": _SQL_IVM_JOIN,
     "q6_forecast_revenue": _SQL_Q6_FORECAST,
     "q12_priority_by_flag": _SQL_Q12_PRIORITY,
     "q7_volume_shipping": _SQL_Q7_VOLUME,
