@@ -195,6 +195,17 @@ def main(argv: list[str] | None = None) -> int:
                           "equality, e.g. --where lang:fr:fr)")
     pzs.add_argument("--out", default=None, help="optional parquet output path")
 
+    pmv = sub.add_parser("matview", help="materialize or refresh a keyed "
+                         "join view between two lakes, stored as a lake")
+    pmv.add_argument("action", choices=["materialize", "refresh"])
+    pmv.add_argument("--lake-a", required=True)
+    pmv.add_argument("--lake-b", required=True)
+    pmv.add_argument("--view", required=True, help="view lake root")
+    pmv.add_argument("--partitions", type=int, default=16)
+    pmv.add_argument("--from-version-a", type=int, default=None,
+                     help="refresh: base-A version the view was last built at")
+    pmv.add_argument("--from-version-b", type=int, default=None)
+
     args = p.parse_args(argv)
     ray = _ray_session(args.num_cpus)
     try:
@@ -307,6 +318,27 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 rows = ds.count()
             print(json.dumps({"rows": int(rows), **info}))
+        elif args.cmd == "matview":
+            from .config import EngineConfig
+            from .pipelines.matview import (materialize_join_view,
+                                            refresh_join_view)
+            from .state.manifest import LakeStore as _LS
+
+            manifest = _LS(args.view).load_manifest()
+            partitions = (manifest.num_partitions if manifest.partitions
+                          else args.partitions)
+            vcfg = EngineConfig(lake_root=args.view,
+                                num_partitions=partitions)
+            if args.action == "materialize":
+                res = materialize_join_view(args.lake_a, args.lake_b, vcfg)
+            else:
+                if args.from_version_a is None or args.from_version_b is None:
+                    raise SystemExit("refresh requires --from-version-a/-b")
+                res = refresh_join_view(
+                    args.lake_a, args.lake_b, vcfg,
+                    from_version_a=args.from_version_a,
+                    from_version_b=args.from_version_b)
+            print(json.dumps(res.__dict__))
         elif args.cmd == "zorder":
             from .pipelines.zorder import build_zorder
 
