@@ -49,8 +49,9 @@ from .pipelines.history import (incremental_repo_stats, incremental_token_df,
                                 repo_stats_snapshot, snapshot_diff,
                                 token_df_snapshot)
 from .pipelines.index import build_token_index, token_plan, token_search
-from .pipelines.matview import (materialize_join_view, read_join_view,
-                                refresh_join_view)
+from .pipelines.matview import (materialize_join_view, materialize_stats_view,
+                                read_join_view, read_stats_view,
+                                refresh_join_view, refresh_stats_view)
 from .pipelines.projection import (build_projection, load_projection_meta,
                                    projection_scan)
 from .pipelines.zorder import build_zorder, load_zorder_meta, zorder_scan
@@ -99,6 +100,7 @@ __all__ = [
     "incremental_repo_stats", "incremental_token_df", "token_df_snapshot",
     "keyed_join_view_snapshot", "keyed_join_view_refresh", "keyed_join_view",
     "materialize_join_view", "refresh_join_view", "read_join_view",
+    "materialize_stats_view", "refresh_stats_view", "read_stats_view",
     "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "ingest", "ingest_with_retry", "read_lake",
     "read_lake_table",

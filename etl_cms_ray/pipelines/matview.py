@@ -296,3 +296,220 @@ def read_join_view(view_root: str) -> "ray.data.Dataset":
         return t.filter(m).select(_KEYS + ["content", "b_content"])
 
     return ds.map_batches(inner, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Aggregate (per-repo stats) view materialized as a lake
+
+
+#: the aggregate view's payload columns (count/sum are abelian, so the
+#: refresh is stored + delta per touched key)
+STATS_SCHEMA_CHANGES = [
+    SchemaChange(epoch=0, change="add_column", column="n_files",
+                 type_name="int64", default=0),
+    SchemaChange(epoch=0, change="add_column", column="total_size",
+                 type_name="int64", default=0),
+]
+
+_DELTA_PARTS = 64
+
+
+def _stats_rows_to_events(t: pa.Table, epoch: int) -> pa.Table:
+    """(repo, n_files, total_size) -> one upsert per live repo, one
+    tombstone per repo whose file count dropped to zero."""
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
+    live = pc.greater(t["n_files"], 0)
+    n = t.num_rows
+    return pa.table({
+        "repo": t["repo"],
+        "path": pa.array([""] * n),
+        "op": pc.if_else(live, pa.scalar("insert"), pa.scalar("delete")),
+        "commit": pa.array([f"sv-e{epoch}"] * n),
+        "epoch": pa.array([epoch] * n, type=pa.int64()),
+        "seq": pa.array([0] * n, type=pa.int64()),
+        "lang": pa.array(["stats"] * n),
+        "content": pc.if_else(live, pa.scalar("", pa.large_string()),
+                              pa.nulls(n, type=pa.large_string())),
+        "n_files": t["n_files"].cast(pa.int64()),
+        "total_size": t["total_size"].cast(pa.int64()),
+    })
+
+
+def _coarse_repo_sum(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Sum (repo, n_files, total_size) rows per repo inside coarse
+    repo-hash partitions, KEEPING net-zero-file rows (a size-only delta
+    is still a delta — unlike history._stats_final, which drops
+    fully-deleted repos from a final state)."""
+    from ..functions.text import fingerprint_column
+
+    def add_part(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        t = t.replace_schema_metadata(None)
+        h = (fingerprint_column(t["repo"]).to_numpy(zero_copy_only=False)
+             .view(np.uint64))
+        return t.append_column(
+            "sp", pa.array((h % np.uint64(_DELTA_PARTS)).astype(np.int64)))
+
+    def final(df):
+        out = df.groupby("repo", sort=False).agg(
+            n_files=("n_files", "sum"), total_size=("total_size", "sum")
+        ).reset_index()
+        return out.astype({"n_files": "int64", "total_size": "int64"})
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("sp").map_groups(final, batch_format="pandas"))
+
+
+def materialize_stats_view(
+    base_lake: str,
+    view_cfg: EngineConfig,
+    version: int | None = None,
+    key: str = "repo",
+    size_col: str = "size",
+):
+    """Initial build of the per-repo aggregate view lake from a base
+    snapshot.  Returns the IngestResult of the view commit."""
+    from .history import repo_stats_snapshot
+    from .ingest import ingest
+
+    v = (LakeStore(base_lake).current_version()
+         if version is None else version)
+    stats = repo_stats_snapshot(base_lake, version=v, key=key,
+                                size_col=size_col)
+    events = stats.map_batches(
+        lambda t: _stats_rows_to_events(
+            t.replace_schema_metadata(None), epoch=v),
+        batch_format="pyarrow")
+    return ingest(events, view_cfg, schema_changes=STATS_SCHEMA_CHANGES,
+                  count_input=False)
+
+
+def refresh_stats_view(
+    base_lake: str,
+    view_cfg: EngineConfig,
+    from_version: int,
+    to_version: int | None = None,
+    key: str = "repo",
+    size_col: str = "size",
+):
+    """Incremental refresh of the aggregate view lake from the base
+    changelog: per-repo abelian deltas (O(changed rows)) sum in coarse
+    repo-hash partitions, the touched VIEW partitions resolve as a
+    bounded partition plan, and stored + delta upserts (or tombstones at
+    zero files) ingest at epoch = base version — fenced, so a replayed
+    refresh is a no-op.  Never reads the base lake or untouched view
+    partitions."""
+    import pandas as pd
+
+    from ..functions.hashing import part_id_for
+    from ..stages.join import hash_join
+    from .ingest import ingest, load_partition_live
+
+    v = (LakeStore(base_lake).current_version()
+         if to_version is None else to_version)
+    diff = snapshot_diff(base_lake, from_version, v, value_cols=(size_col,))
+
+    def deltas(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        df = t.to_pandas()
+        ins = (df["change"] != "delete").astype("int64")
+        rem = (df["change"] != "insert").astype("int64")
+        d = pd.DataFrame({
+            "repo": df[key],
+            "n_files": ins - rem,
+            "total_size": (df[size_col].fillna(0).astype("int64") * ins
+                           - df[f"old_{size_col}"].fillna(0).astype("int64")
+                           * rem),
+        }).groupby("repo", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    delta = _coarse_repo_sum(
+        diff.map_batches(deltas, batch_format="pyarrow"))
+
+    P = view_cfg.num_partitions
+
+    def pids(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        ids = part_id_for(t["repo"], pa.array([""] * t.num_rows), P)
+        return pa.table({"pid": pc.unique(ids)})
+
+    touched = sorted({
+        r["pid"] for r in delta.map_batches(
+            pids, batch_format="pyarrow").take_all()
+    })
+    store = LakeStore(view_cfg.lake_root)
+    manifest = store.load_manifest()
+    registry = store.load_registry()
+    reg_json = registry.to_json()
+    latest = registry.latest_version
+    parts = [
+        {"file": ps.file, "deltas": list(ps.deltas)}
+        for pid, ps in manifest.partitions.items()
+        if pid in set(touched) and (ps.file or ps.deltas)
+    ]
+
+    def load_part(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        reg = SchemaRegistry.from_json(reg_json)
+        out = []
+        for f0, ds_ in zip(batch["file"].to_pylist(),
+                           batch["deltas"].to_pylist()):
+            t = load_partition_live(view_cfg.lake_root, f0,
+                                    list(ds_ or []), reg, latest)
+            out.append(pa.table({
+                "repo": t["repo"],
+                "__sn": t["n_files"].cast(pa.int64()),
+                "__ss": t["total_size"].cast(pa.int64()),
+            }))
+        return pa.concat_tables(out)
+
+    empty_stored = pa.table({"repo": pa.array([], pa.string()),
+                             "__sn": pa.array([], pa.int64()),
+                             "__ss": pa.array([], pa.int64())})
+    stored = (ray.data.from_items(parts).map_batches(
+        load_part, batch_format="pyarrow", batch_size=1)
+        if parts else ray.data.from_arrow(empty_stored))
+    merged = hash_join(
+        delta, stored, on=["repo"], how="left",
+        left_schema=pa.schema([("repo", pa.string()),
+                               ("n_files", pa.int64()),
+                               ("total_size", pa.int64())]),
+        right_schema=empty_stored.schema,
+        num_partitions=max(8, len(touched) or 8),
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        return pa.table({
+            "repo": t["repo"],
+            "n_files": pc.add(pc.fill_null(t["__sn"], 0),
+                              t["n_files"].cast(pa.int64())),
+            "total_size": pc.add(pc.fill_null(t["__ss"], 0),
+                                 t["total_size"].cast(pa.int64())),
+        })
+
+    events = merged.map_batches(merge, batch_format="pyarrow").map_batches(
+        _stats_rows_to_events, batch_format="pyarrow",
+        fn_kwargs={"epoch": v})
+    return ingest(events, view_cfg, count_input=False)
+
+
+def read_stats_view(view_root: str) -> "ray.data.Dataset":
+    """Live aggregate view rows: (repo, n_files, total_size)."""
+    from .ingest import read_lake
+
+    ds = read_lake(view_root, columns=["repo", "n_files", "total_size"])
+    return ds.map_batches(
+        lambda t: t.select(["repo", "n_files", "total_size"]),
+        batch_format="pyarrow")

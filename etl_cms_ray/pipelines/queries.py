@@ -1210,6 +1210,33 @@ def cdc_materialized_view(sf_dir: str) -> "rd.Dataset":
                                                  batch_format="pyarrow")
 
 
+def cdc_materialized_stats(sf_dir: str) -> "rd.Dataset":
+    """The per-repo aggregate view MATERIALIZED AS A LAKE
+    (`matview.py` stats family): the docs lake ingests two commits; the
+    stats view lake materializes at v1 and refreshes from the v1->v2
+    changelog — per-repo abelian deltas + stored values read from only
+    the touched view partitions, tombstoning repos whose file count
+    reaches zero.  The oracle recomputes the aggregate over the final
+    relational state, so refresh == full recompute.  The Dataset-state
+    counterpart is `cdc_incremental_stats`."""
+    from .matview import (materialize_stats_view, read_stats_view,
+                          refresh_stats_view)
+
+    lake_root, r1, r2 = _two_commit_lake(sf_dir, "mvs_base")
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    view_root = os.path.join(tempfile.gettempdir(), f"mvs_view_{tag}")
+    _sh.rmtree(view_root, ignore_errors=True)
+    vcfg = EngineConfig(lake_root=view_root, num_partitions=16)
+    materialize_stats_view(lake_root, vcfg, version=r1.manifest_version)
+    refresh_stats_view(lake_root, vcfg,
+                       from_version=r1.manifest_version,
+                       to_version=r2.manifest_version)
+    return read_stats_view(view_root)
+
+
 _SQL_IVM_JOIN = """
 WITH a AS (
   SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
@@ -9148,6 +9175,7 @@ QUERIES = {
     "orders_cube": orders_cube,
     "cdc_ivm_join": cdc_ivm_join,
     "cdc_materialized_view": cdc_materialized_view,
+    "cdc_materialized_stats": cdc_materialized_stats,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_priority_by_flag": q12_priority_by_flag,
     "q7_volume_shipping": q7_volume_shipping,
@@ -9289,6 +9317,7 @@ ORACLE_SQL = {
     "cdc_incremental_token_df": _SQL_INCREMENTAL_TOKEN_DF,
     "cdc_ivm_join": _SQL_IVM_JOIN,
     "cdc_materialized_view": _SQL_IVM_JOIN,
+    "cdc_materialized_stats": _SQL_INCREMENTAL_STATS,
     "q6_forecast_revenue": _SQL_Q6_FORECAST,
     "q12_priority_by_flag": _SQL_Q12_PRIORITY,
     "q7_volume_shipping": _SQL_Q7_VOLUME,

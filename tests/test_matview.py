@@ -127,3 +127,116 @@ def test_matview_one_side_advance_and_lake_properties(base_lakes, tmp_path):
     v_now = LakeStore(view_cfg.lake_root).current_version()
     old = read_snapshot(view_cfg.lake_root, version=v_now - 1)
     assert old.count() > 0  # pre-refresh state still readable
+
+
+def test_matview_multi_refresh_chain(ray_session, tmp_path):
+    """Three commits per base lake, view rolled forward through TWO
+    successive refreshes — each against a fresh full materialization,
+    so drift cannot accumulate silently across refresh generations."""
+    repos = make_repos(n_repos=5, files_per_repo=5)
+    lakes = {}
+    for name, seed in (("a", 7), ("b", 11)):
+        root = str(tmp_path / name)
+        cfg = EngineConfig(lake_root=root, num_partitions=8)
+        ev = make_events(repos, n_epochs=5, events_per_epoch=70,
+                         seed=seed, scenario="tombstone")
+        store = LakeStore(root)
+        vs = []
+        for lo, hi in ((0, 1), (2, 3), (4, 5)):
+            part = rd.from_arrow(ev.filter(pc.and_(
+                pc.greater_equal(ev["epoch"], lo),
+                pc.less_equal(ev["epoch"], hi))))
+            ingest(part, cfg)
+            vs.append(store.current_version())
+        lakes[name] = (root, vs)
+    root_a, va = lakes["a"]
+    root_b, vb = lakes["b"]
+    view_cfg = EngineConfig(lake_root=str(tmp_path / "view"), num_partitions=8)
+    materialize_join_view(root_a, root_b, view_cfg,
+                          version_a=va[0], version_b=vb[0])
+    for i in (1, 2):
+        refresh_join_view(root_a, root_b, view_cfg,
+                          from_version_a=va[i - 1], from_version_b=vb[i - 1],
+                          to_version_a=va[i], to_version_b=vb[i])
+        cfg_full = EngineConfig(lake_root=str(tmp_path / f"full{i}"),
+                                num_partitions=8)
+        materialize_join_view(root_a, root_b, cfg_full,
+                              version_a=va[i], version_b=vb[i])
+        pd.testing.assert_frame_equal(_inner_df(view_cfg.lake_root),
+                                      _inner_df(cfg_full.lake_root))
+
+
+# ---------------------------------------------------------------------------
+# aggregate (stats) view materialized as a lake
+
+
+def test_stats_view_refresh_replay_and_tombstone(ray_session, tmp_path):
+    from etl_cms_ray.pipelines.history import repo_stats_snapshot
+    from etl_cms_ray.pipelines.matview import (materialize_stats_view,
+                                               read_stats_view,
+                                               refresh_stats_view)
+
+    root = str(tmp_path / "base")
+    cfg = EngineConfig(lake_root=root, num_partitions=8)
+    # commit 1: repo_keep has two files, repo_gone has ONE file
+    ev1 = pa.table({
+        "repo": ["repo_keep", "repo_keep", "repo_gone"],
+        "path": ["a.py", "b.py", "only.py"],
+        "op": ["insert"] * 3, "commit": ["c1"] * 3,
+        "epoch": pa.array([0] * 3, pa.int64()),
+        "seq": pa.array([0, 1, 2], pa.int64()),
+        "lang": ["py"] * 3,
+        "content": ["aaaa", "bb", "cccccc"],
+    })
+    # commit 2: repo_gone fully deleted, repo_keep updates a file (size-only
+    # delta: file count unchanged) and repo_new appears
+    ev2 = pa.table({
+        "repo": ["repo_gone", "repo_keep", "repo_new"],
+        "path": ["only.py", "a.py", "x.py"],
+        "op": ["delete", "update", "insert"], "commit": ["c2"] * 3,
+        "epoch": pa.array([1] * 3, pa.int64()),
+        "seq": pa.array([0, 1, 2], pa.int64()),
+        "lang": ["py"] * 3,
+        "content": [None, "aaaaaaaa", "zz"],
+    })
+    store = LakeStore(root)
+    ingest(rd.from_arrow(ev1), cfg)
+    v1 = store.current_version()
+    ingest(rd.from_arrow(ev2), cfg)
+
+    vcfg = EngineConfig(lake_root=str(tmp_path / "view"), num_partitions=8)
+    materialize_stats_view(root, vcfg, version=v1)
+    r1 = refresh_stats_view(root, vcfg, from_version=v1)
+    assert r1.events_applied > 0
+    # replay is fenced
+    assert refresh_stats_view(root, vcfg, from_version=v1).events_applied == 0
+
+    got = (read_stats_view(vcfg.lake_root).to_pandas()
+           .sort_values("repo").reset_index(drop=True))
+    exp = (repo_stats_snapshot(root).to_pandas()
+           .sort_values("repo").reset_index(drop=True))
+    cols = ["repo", "n_files", "total_size"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
+    # repo_gone was tombstoned out of the view; the size-only update and
+    # the brand-new repo both landed
+    assert set(got["repo"]) == {"repo_keep", "repo_new"}
+    keep = got[got["repo"] == "repo_keep"].iloc[0]
+    assert keep["n_files"] == 2 and keep["total_size"] == 8 + 2
+
+
+def test_stats_view_matches_fixture_lake(base_lakes, tmp_path):
+    from etl_cms_ray.pipelines.history import repo_stats_snapshot
+    from etl_cms_ray.pipelines.matview import (materialize_stats_view,
+                                               read_stats_view,
+                                               refresh_stats_view)
+
+    root, (v1, v2) = base_lakes["a"]
+    vcfg = EngineConfig(lake_root=str(tmp_path / "view"), num_partitions=8)
+    materialize_stats_view(root, vcfg, version=v1)
+    refresh_stats_view(root, vcfg, from_version=v1, to_version=v2)
+    got = (read_stats_view(vcfg.lake_root).to_pandas()
+           .sort_values("repo").reset_index(drop=True))
+    exp = (repo_stats_snapshot(root, version=v2).to_pandas()
+           .sort_values("repo").reset_index(drop=True))
+    cols = ["repo", "n_files", "total_size"]
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
