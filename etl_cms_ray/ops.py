@@ -49,6 +49,7 @@ from .pipelines.history import (incremental_repo_stats, incremental_token_df,
                                 repo_stats_snapshot, snapshot_diff,
                                 token_df_snapshot)
 from .pipelines.index import build_token_index, token_plan, token_search
+from .pipelines.maintenance import requeue_dead_letter
 from .pipelines.matview import (materialize_join_view, materialize_stats_view,
                                 read_join_view, read_stats_view,
                                 refresh_join_view, refresh_stats_view)
@@ -116,7 +117,7 @@ __all__ = [
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where",
     "LakeStore", "scan_plans", "smart_scan",
-    "Expectation", "read_dead_letter",
+    "Expectation", "read_dead_letter", "requeue_dead_letter",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
     "approx_quantiles",
     "BloomFilter", "build_bloom", "bloom_prune",

@@ -603,3 +603,75 @@ def update_where(lake_root: str, mask_fn, transform_fn) -> Manifest:
 
     return _rewrite_lake(lake_root, rewrite, "update_where",
                          allow_row_loss=False)
+
+
+def requeue_dead_letter(lake_root: str, cfg, fix_fn=None,
+                        purge: bool = True, expectations=None):
+    """Repair-and-replay the dead-letter store.
+
+    Reads the dead-letter files present NOW (a snapshot — failures
+    written by this very requeue are untouched), applies the caller's
+    vectorized ``fix_fn(pa.Table) -> pa.Table`` repair, re-stamps every
+    row onto a FRESH epoch (``global fence + 1``: requeued events are
+    delivered as the newest epoch, so they are not fenced out as
+    replays and they WIN last-write-wins against the state they failed
+    to enter — the documented repair policy), and runs the REAL ingest
+    under the same validity gates: rows that still fail go straight
+    back to the dead-letter store with fresh reasons.  On success
+    (``purge=True``) the handled files are deleted, so the store only
+    holds unresolved failures.
+
+    Crash window: a crash after the ingest commit but before the purge
+    re-requeues the same rows on retry at yet another epoch — the
+    repaired content is identical, so the merge converges (idempotent
+    content, at-least-once requeue).
+
+    Reference analog: the reference drops unmapped claims on the floor
+    after counting them (`CMS_SynPuf_ETL_CDM_v5.py` skip counters);
+    this engine keeps them replayable.
+    """
+    import glob as _glob
+
+    import ray.data
+
+    from ..functions.rayutil import read_parquet_clean
+    from ..schema import EVENTS_SCHEMA
+    from .ingest import ingest
+
+    files = sorted(_glob.glob(
+        os.path.join(lake_root, "deadletter", "part=*", "*.parquet")))
+    if not files:
+        return None
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    fence = max((ps.applied_through_epoch
+                 for ps in manifest.partitions.values()), default=-1)
+    registry = store.load_registry()
+    evolved = [f.name for f in registry.schema_for(registry.latest_version)]
+    base = set(EVENTS_SCHEMA.names)
+    new_epoch = fence + 1
+
+    def prep(t: pa.Table, _fix=fix_fn, _epoch=new_epoch) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        if _fix is not None:
+            t = _fix(t)
+        keep = [c for c in t.column_names
+                if c in base or (c in evolved and c not in
+                                 ("content_sha", "size"))]
+        t = t.select(keep)
+        i = t.column_names.index("epoch")
+        return t.set_column(
+            i, "epoch", pa.array([_epoch] * t.num_rows, type=pa.int64()))
+
+    events = read_parquet_clean(files).map_batches(
+        prep, batch_format="pyarrow")
+    res = ingest(events, cfg, count_input=False, expectations=expectations)
+    if purge:
+        for f in files:
+            try:
+                os.unlink(f)
+            except FileNotFoundError:
+                pass
+    return res

@@ -533,3 +533,68 @@ def test_failed_publish_releases_claim(ray_session, tmp_path, monkeypatch):
     # the claim was released: retrying the SAME version succeeds
     store.publish(Manifest(version=1), expect_version=0)
     assert store.current_version() == 1
+
+
+def test_requeue_dead_letter_repairs_and_purges(ray_session, tmp_path):
+    """Dead letters are replayable: a vectorized repair re-enters the
+    lake under the real validity gates at a fresh epoch; handled files
+    purge; still-broken rows go back to the store with fresh reasons."""
+    import glob
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from etl_cms_ray.pipelines.ingest import read_dead_letter, read_lake_table
+    from etl_cms_ray.pipelines.maintenance import requeue_dead_letter
+
+    root = str(tmp_path / "lake")
+    cfg = EngineConfig(lake_root=root, num_partitions=8)
+    ev = pa.table({
+        "repo": ["r1", "r1", "r2", None],
+        "path": ["ok.py", "bad.py", "bad2.py", "nokey.py"],
+        "op": ["insert", "upsert", "insert", "insert"],  # 'upsert' invalid
+        "commit": ["c1"] * 4,
+        "epoch": pa.array([0] * 4, pa.int64()),
+        "seq": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": ["py"] * 4,
+        "content": ["good", "fixable", None, "unkeyable"],  # null content
+    })
+    ingest(rd.from_arrow(ev), cfg)
+    assert read_lake_table(root).num_rows == 1  # only ok.py entered
+    dead = read_dead_letter(root).to_pandas()
+    assert len(dead) == 3
+
+    def fix(t: pa.Table) -> pa.Table:
+        # repair the op typo and backfill the missing content; the
+        # null-key row is unrepairable and must go back to the store
+        op = pc.if_else(pc.equal(t["op"], "upsert"),
+                        pa.scalar("insert"), t["op"])
+        content = pc.fill_null(t["content"].cast(pa.large_string()),
+                               "backfilled")
+        return t.set_column(t.column_names.index("op"), "op", op) \
+                .set_column(t.column_names.index("content"), "content",
+                            content)
+
+    res = requeue_dead_letter(root, cfg, fix_fn=fix)
+    assert res is not None and res.events_applied == 2
+    lake = read_lake_table(root).to_pandas()
+    assert sorted(lake["path"]) == ["bad.py", "bad2.py", "ok.py"]
+    # requeued rows applied at a fresh epoch above the original fence
+    assert lake["epoch"].max() > 0
+    dead2 = read_dead_letter(root).to_pandas()
+    assert len(dead2) == 1 and "null_key" in dead2["dead_reason"].iloc[0]
+    # handled files were purged; only the fresh failure's file remains
+    files = glob.glob(str(tmp_path / "lake" / "deadletter" / "part=*" / "*"))
+    assert len(files) == 1
+
+    # requeue with no fix: the unrepairable row cycles back, lake stable
+    res2 = requeue_dead_letter(root, cfg)
+    assert res2.events_applied == 0
+    assert read_lake_table(root).num_rows == 3
+    assert len(read_dead_letter(root).to_pandas()) == 1
+
+    # empty store: no-op
+    for f in glob.glob(str(tmp_path / "lake" / "deadletter" / "part=*" / "*")):
+        import os as _os
+        _os.unlink(f)
+    assert requeue_dead_letter(root, cfg) is None
