@@ -7451,6 +7451,91 @@ WHERE l.node IS NULL OR l.cluster_id = d.doc_id
 """
 
 
+def dedup_apply_best_docs(sf_dir: str) -> "rd.Dataset":
+    """Quality-aware dedup apply: keep the BEST doc per near-dup cluster
+    instead of the min-id one — the production policy (dedup should
+    retain the most complete variant, not an arbitrary survivor).
+    Quality = byte length (deterministic, oracle-mirrorable), ties break
+    to the smaller doc_id.  Topology: components as in
+    `dedup_apply_docs`; clustered docs join their lengths through the
+    task exchange; the per-cluster argmax runs as ONE vectorized sweep
+    inside coarse label-hash partitions (all rows of a cluster share a
+    bucket); losers anti-join the corpus.  Nothing is broadcast — the
+    duplicate side scales with corpus duplication."""
+    from ..stages.cluster import connected_components
+    from ..stages.dedup import ngram_jaccard_pairs
+    from ..stages.join import hash_join
+
+    corpus = _docs_with_near_dups(sf_dir)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.8, n=3, order="df_join",
+                                text_type=pa.string())
+    cc = connected_components(pairs, a_col="a", b_col="b")
+    lens = _docs_with_near_dups(sf_dir).map_batches(
+        lambda t: _nometa(pa.table({
+            "doc_id": t["doc_id"],
+            "nb": pc.binary_length(
+                t["text"].cast(pa.large_binary())).cast(pa.int64()),
+        })),
+        batch_format="pyarrow",
+    )
+    scored = hash_join(
+        cc.map_batches(lambda t: _nometa(t.select(["node", "label"])),
+                       batch_format="pyarrow"),
+        lens, on="node", right_on="doc_id",
+        left_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("nb", pa.int64())]),
+    )
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["label", "nb", "node"],
+                           ascending=[True, False, True], kind="mergesort")
+        keep_mask = ~d["label"].duplicated()  # first per label = argmax
+        return d.loc[~keep_mask, ["node"]].rename(columns={"node": "doc_id"})
+
+    dup_ids = _coarse_final(scored, "label", losers)
+    kept = hash_join(
+        _docs_with_near_dups(sf_dir), dup_ids, on="doc_id", how="anti",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64())]),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_sha_hex": sha256_hex_column(t["text"]),
+            "n_bytes": pc.binary_length(
+                t["text"].cast(pa.large_binary())).cast(pa.int64()),
+        })
+
+    return kept.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_DEDUP_APPLY_BEST = f"""
+WITH RECURSIVE {_SQL_NGRAM_PAIR_CTES},
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+walk AS (
+  SELECT x AS node, x AS reach FROM edges
+  UNION
+  SELECT w.node, e.y FROM walk w JOIN edges e ON w.reach = e.x
+),
+labels AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
+scored AS (
+  SELECT l.node, l.cluster_id,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS nb
+  FROM labels l JOIN all_docs d ON l.node = d.doc_id
+),
+win AS (
+  SELECT node, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY nb DESC, node) AS rn
+  FROM scored
+)
+SELECT d.doc_id, sha256(d.text) AS text_sha_hex,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+FROM all_docs d LEFT JOIN labels l ON d.doc_id = l.node
+WHERE l.node IS NULL OR d.doc_id IN (SELECT node FROM win WHERE rn = 1)
+"""
+
+
 def lang_id_pred(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     return ds.map_batches(
@@ -9176,6 +9261,7 @@ QUERIES = {
     "cdc_ivm_join": cdc_ivm_join,
     "cdc_materialized_view": cdc_materialized_view,
     "cdc_materialized_stats": cdc_materialized_stats,
+    "dedup_apply_best_docs": dedup_apply_best_docs,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_priority_by_flag": q12_priority_by_flag,
     "q7_volume_shipping": q7_volume_shipping,
@@ -9318,6 +9404,7 @@ ORACLE_SQL = {
     "cdc_ivm_join": _SQL_IVM_JOIN,
     "cdc_materialized_view": _SQL_IVM_JOIN,
     "cdc_materialized_stats": _SQL_INCREMENTAL_STATS,
+    "dedup_apply_best_docs": _SQL_DEDUP_APPLY_BEST,
     "q6_forecast_revenue": _SQL_Q6_FORECAST,
     "q12_priority_by_flag": _SQL_Q12_PRIORITY,
     "q7_volume_shipping": _SQL_Q7_VOLUME,
