@@ -102,6 +102,7 @@ def snapshot_diff(
     to_version: int | None = None,
     keys: tuple = ("repo", "path"),
     value_cols: tuple = (),
+    any_value_change: bool = False,
 ) -> "ray.data.Dataset":
     """Changelog between two manifest versions, keyed by ``keys``.
 
@@ -112,6 +113,13 @@ def snapshot_diff(
     ``value_cols`` adds two columns — the new value and ``old_<name>``
     — which is what incremental view maintenance consumes (delta of an
     abelian aggregate = f(new) - f(old)).
+
+    ``any_value_change=True`` widens the update condition: a row counts
+    as updated when content_sha OR any requested value column changed
+    (null == null is unchanged).  Needed for lakes whose meaningful
+    payload lives in evolved columns — e.g. a materialized view's
+    b-side payload and presence flags can change while the protected
+    content column (hence content_sha) stays identical.
 
     Cost: one task per partition whose manifest ``content_hash`` differs
     between the versions; unchanged partitions are skipped unread.
@@ -192,8 +200,13 @@ def snapshot_diff(
                 np.where(m["_merge"] == "right_only", "delete", "update"),
             )
             m = m.assign(change=change).drop(columns=["_merge"])
-            m = m[(m["change"] != "update")
-                  | (m["content_sha"] != m["old_content_sha"])]
+            moved = m["content_sha"] != m["old_content_sha"]
+            if any_value_change:
+                for c in val_cols:
+                    same = (m[c] == m[f"old_{c}"]) | (
+                        m[c].isna() & m[f"old_{c}"].isna())
+                    moved |= ~same
+            m = m[(m["change"] != "update") | moved]
             frames.append(m[[f.name for f in out_schema]])
         out = pd.concat(frames) if frames else pd.DataFrame()
         if out.empty:

@@ -46,38 +46,84 @@ from .history import read_snapshot, snapshot_diff
 
 _KEYS = ["repo", "path"]
 
-#: schema evolution installing the view's payload columns (epoch 0 so
-#: every view event version sees them)
-VIEW_SCHEMA_CHANGES = [
-    SchemaChange(epoch=0, change="add_column", column="b_content",
-                 type_name="large_string", default=None),
-    SchemaChange(epoch=0, change="add_column", column="a_live",
-                 type_name="int8", default=0),
-    SchemaChange(epoch=0, change="add_column", column="b_live",
-                 type_name="int8", default=0),
-]
+
+def _mapped_names(columns_a, columns_b) -> tuple:
+    """Deterministic view-lake column names for the two payload sides:
+    the A side's ``content`` rides the lake's protected content column,
+    every other A column becomes ``a_<col>``, every B column becomes
+    ``b_<col>``.  Unique by construction for distinct inputs; collisions
+    with engine columns are rejected.  This naming is what lets views
+    COMPOSE: a view lake's own (content, b_content) payloads can feed a
+    second-level view as ordinary base columns."""
+    from ..schema import LAKE_SCHEMA_V1
+
+    if (len(set(columns_a)) != len(tuple(columns_a))
+            or len(set(columns_b)) != len(tuple(columns_b))):
+        raise ValueError(
+            f"duplicate payload columns: {columns_a} / {columns_b}")
+    a_map = {c: ("content" if c == "content" else f"a_{c}")
+             for c in columns_a}
+    b_map = {c: f"b_{c}" for c in columns_b}
+    names = list(a_map.values()) + list(b_map.values())
+    reserved = (set(LAKE_SCHEMA_V1.names) - {"content"}) | {"a_live", "b_live"}
+    bad = sorted(set(n for n in names if n in reserved))
+    if bad or len(set(names)) != len(names):
+        raise ValueError(f"view payload name collision: {names} (bad={bad})")
+    return a_map, b_map
 
 
-def _state_to_events(t: pa.Table, epoch: int) -> pa.Table:
-    """(repo, path, content, b_content, a_live, b_live) state rows ->
-    engine change events: upserts for rows live on either side,
-    tombstones for rows dead on both."""
+def _payload_types(lake_root: str, cols) -> dict:
+    reg = LakeStore(lake_root).load_registry()
+    sch = reg.schema_for(reg.latest_version)
+    return {c: sch.field(c).type for c in cols}
+
+
+def _view_schema_changes(types_a: dict, types_b: dict,
+                         a_map: dict, b_map: dict) -> list:
+    from ..schema import _TYPES
+
+    rev = {v: k for k, v in _TYPES.items()}
+    changes = []
+    for types, m in ((types_a, a_map), (types_b, b_map)):
+        for c, t in types.items():
+            name = m[c]
+            if name == "content":
+                continue
+            if t not in rev:
+                raise ValueError(f"unsupported view payload type {t} for {c}")
+            changes.append(SchemaChange(epoch=0, change="add_column",
+                                        column=name, type_name=rev[t],
+                                        default=None))
+    changes.append(SchemaChange(epoch=0, change="add_column",
+                                column="a_live", type_name="int8", default=0))
+    changes.append(SchemaChange(epoch=0, change="add_column",
+                                column="b_live", type_name="int8", default=0))
+    return changes
+
+
+def _state_to_events(t: pa.Table, epoch: int, a_names, b_names) -> pa.Table:
+    """State rows (keys + mapped payload columns + live flags) -> engine
+    change events: upserts for rows live on either side, tombstones for
+    rows dead on both.  Payload values are masked to null when their
+    side is dead; the protected ``content`` column stores "" when the A
+    side is dead or contributes no content payload (never observable —
+    the inner read filters on the flags)."""
     from ..functions.threads import single_threaded_kernels
 
     single_threaded_kernels()
-    a_live = pc.fill_null(t["a_live"], False)
-    b_live = pc.fill_null(t["b_live"], False)
+    a_live = pc.cast(pc.fill_null(t["a_live"], False), pa.bool_())
+    b_live = pc.cast(pc.fill_null(t["b_live"], False), pa.bool_())
     any_live = pc.or_(a_live, b_live)
     n = t.num_rows
-    content = pc.if_else(
-        a_live, pc.fill_null(t["content"].cast(pa.large_string()), ""),
-        pa.scalar("", pa.large_string()))
+    if "content" in a_names:
+        content = pc.if_else(
+            a_live, pc.fill_null(t["content"].cast(pa.large_string()), ""),
+            pa.scalar("", pa.large_string()))
+    else:
+        content = pa.array([""] * n, type=pa.large_string())
     content = pc.if_else(any_live, content,
                          pa.nulls(n, type=pa.large_string()))
-    b_content = pc.if_else(
-        b_live, pc.fill_null(t["b_content"].cast(pa.large_string()), ""),
-        pa.scalar("", pa.large_string()))
-    return pa.table({
+    out = {
         "repo": t["repo"],
         "path": t["path"],
         "op": pc.if_else(any_live, pa.scalar("insert"), pa.scalar("delete")),
@@ -86,10 +132,80 @@ def _state_to_events(t: pa.Table, epoch: int) -> pa.Table:
         "seq": pa.array([0] * n, type=pa.int64()),
         "lang": pa.array(["view"] * n),
         "content": content,
-        "b_content": b_content,
-        "a_live": pc.cast(a_live, pa.int8()),
-        "b_live": pc.cast(b_live, pa.int8()),
-    })
+    }
+    for names, live in ((a_names, a_live), (b_names, b_live)):
+        for name in names:
+            if name == "content":
+                continue
+            col = t[name]
+            out[name] = pc.if_else(live, col,
+                                   pa.nulls(n, type=col.type))
+    out["a_live"] = pc.cast(a_live, pa.int8())
+    out["b_live"] = pc.cast(b_live, pa.int8())
+    return pa.table(out)
+
+
+def _base_snapshot(lake_root: str, version, cols, inner: bool):
+    """Base-side snapshot for a view build: a plain lake read, or — when
+    the base is ITSELF a join-view lake (``inner=True``) — its INNER
+    projection (rows live on both sides), which is the base's visible
+    relation for composition."""
+    if not inner:
+        return read_snapshot(lake_root, version=version,
+                             columns=_KEYS + list(cols))
+    ds = read_snapshot(lake_root, version=version,
+                       columns=_KEYS + list(cols) + ["a_live", "b_live"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["a_live"], pa.scalar(1, pa.int8())),
+                    pc.equal(t["b_live"], pa.scalar(1, pa.int8())))
+        return t.filter(m).select(_KEYS + list(cols))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _base_diff(lake_root: str, from_version: int, to_version, cols,
+               inner: bool):
+    """Base-side changelog for a view refresh, as keys + ``change`` +
+    new values (null on delete).  With ``inner=True`` the base is a
+    join-view lake and the changelog is re-expressed against its INNER
+    projection: a stored row whose presence flags flip away from
+    (1, 1) becomes a DELETE of the visible relation, a flip toward it
+    an INSERT — detected via ``snapshot_diff(any_value_change=True)``
+    because flag/b-payload changes leave content_sha untouched."""
+    if not inner:
+        return snapshot_diff(lake_root, from_version, to_version,
+                             value_cols=tuple(cols))
+    d = snapshot_diff(lake_root, from_version, to_version,
+                      value_cols=(*cols, "a_live", "b_live"),
+                      any_value_change=True)
+
+    def reexpress(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+
+        def live(prefix: str):
+            return pc.and_(
+                pc.equal(pc.fill_null(t[f"{prefix}a_live"], 0),
+                         pa.scalar(1, pa.int8())),
+                pc.equal(pc.fill_null(t[f"{prefix}b_live"], 0),
+                         pa.scalar(1, pa.int8())))
+
+        new_p = pc.and_(pc.not_equal(t["change"], "delete"), live(""))
+        old_p = pc.and_(pc.not_equal(t["change"], "insert"), live("old_"))
+        change = pc.if_else(
+            pc.and_(new_p, old_p), pa.scalar("update"),
+            pc.if_else(new_p, pa.scalar("insert"), pa.scalar("delete")))
+        out = {k: t[k] for k in _KEYS}
+        out["change"] = change
+        for c in cols:
+            out[c] = pc.if_else(new_p, t[c],
+                                pa.nulls(t.num_rows, type=t[c].type))
+        res = pa.table(out)
+        return res.filter(pc.or_(new_p, old_p))
+
+    return d.map_batches(reexpress, batch_format="pyarrow")
 
 
 def _view_epoch(store_a: LakeStore, store_b: LakeStore,
@@ -105,40 +221,52 @@ def materialize_join_view(
     view_cfg: EngineConfig,
     version_a: int | None = None,
     version_b: int | None = None,
+    columns_a=("content",),
+    columns_b=("content",),
+    inner_a: bool = False,
+    inner_b: bool = False,
 ):
     """Initial build: full outer join of the two base snapshots, written
-    as insert events at epoch = version_a + version_b.  Returns the
-    IngestResult of the view commit."""
+    as insert events at epoch = version_a + version_b.  ``columns_a`` /
+    ``columns_b`` select each side's payload columns (see
+    ``_mapped_names`` for the view-lake naming); ``inner_a``/``inner_b``
+    mark a base that is itself a join-view lake, composing against its
+    INNER projection.  Returns the IngestResult of the view commit."""
     from ..stages.join import hash_join
     from .ingest import ingest
 
     va, vb, epoch = _view_epoch(LakeStore(lake_a), LakeStore(lake_b),
                                 version_a, version_b)
-    a = read_snapshot(lake_a, version=va, columns=_KEYS + ["content"])
-    b = read_snapshot(lake_b, version=vb, columns=_KEYS + ["content"])
+    a_map, b_map = _mapped_names(columns_a, columns_b)
+    ta = _payload_types(lake_a, columns_a)
+    tb = _payload_types(lake_b, columns_b)
+    a = _base_snapshot(lake_a, va, columns_a, inner_a)
+    b = _base_snapshot(lake_b, vb, columns_b, inner_b)
 
-    def tag_a(t: pa.Table) -> pa.Table:
-        return t.append_column("a_live", pa.array([True] * t.num_rows))
-
-    def tag_b(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(
-            [c if c in _KEYS else "b_content" for c in t.column_names])
-        return t.append_column("b_live", pa.array([True] * t.num_rows))
+    def tag(m, flag):
+        def _t(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(
+                [m.get(c, c) for c in t.column_names])
+            return t.append_column(flag, pa.array([True] * t.num_rows))
+        return _t
 
     key_fields = [(k, pa.string()) for k in _KEYS]
+    sa = pa.schema(key_fields + [(a_map[c], ta[c]) for c in columns_a]
+                   + [("a_live", pa.bool_())])
+    sb = pa.schema(key_fields + [(b_map[c], tb[c]) for c in columns_b]
+                   + [("b_live", pa.bool_())])
     joined = hash_join(
-        a.map_batches(tag_a, batch_format="pyarrow"),
-        b.map_batches(tag_b, batch_format="pyarrow"),
-        on=_KEYS, how="outer",
-        left_schema=pa.schema(key_fields + [("content", pa.large_string()),
-                                            ("a_live", pa.bool_())]),
-        right_schema=pa.schema(key_fields + [("b_content", pa.large_string()),
-                                             ("b_live", pa.bool_())]),
+        a.map_batches(tag(a_map, "a_live"), batch_format="pyarrow"),
+        b.map_batches(tag(b_map, "b_live"), batch_format="pyarrow"),
+        on=_KEYS, how="outer", left_schema=sa, right_schema=sb,
         num_partitions=view_cfg.num_partitions,
     )
-    events = joined.map_batches(_state_to_events, batch_format="pyarrow",
-                                fn_kwargs={"epoch": epoch})
-    return ingest(events, view_cfg, schema_changes=VIEW_SCHEMA_CHANGES,
+    events = joined.map_batches(
+        _state_to_events, batch_format="pyarrow",
+        fn_kwargs={"epoch": epoch, "a_names": list(a_map.values()),
+                   "b_names": list(b_map.values())})
+    return ingest(events, view_cfg,
+                  schema_changes=_view_schema_changes(ta, tb, a_map, b_map),
                   count_input=False)
 
 
@@ -150,6 +278,10 @@ def refresh_join_view(
     from_version_b: int,
     to_version_a: int | None = None,
     to_version_b: int | None = None,
+    columns_a=("content",),
+    columns_b=("content",),
+    inner_a: bool = False,
+    inner_b: bool = False,
 ):
     """Incremental refresh from the two base changelogs.
 
@@ -166,6 +298,11 @@ def refresh_join_view(
     5. merge -> upsert/tombstone events at epoch va+vb -> ``ingest``,
        which rewrites only the partitions receiving events and fences a
        replay of the same refresh into a no-op.
+
+    Because the view is itself a lake with its own changelog, view
+    refreshes CASCADE: a second-level view over this view refreshes
+    from THIS lake's snapshot_diff, so incremental maintenance
+    propagates through arbitrarily deep view DAGs (test-pinned).
     """
     from ..functions.hashing import part_id_for
     from ..stages.join import hash_join
@@ -173,25 +310,31 @@ def refresh_join_view(
 
     va, vb, epoch = _view_epoch(LakeStore(lake_a), LakeStore(lake_b),
                                 to_version_a, to_version_b)
-    da = snapshot_diff(lake_a, from_version_a, va, value_cols=("content",))
-    db = snapshot_diff(lake_b, from_version_b, vb, value_cols=("content",))
+    a_map, b_map = _mapped_names(columns_a, columns_b)
+    ta = _payload_types(lake_a, columns_a)
+    tb = _payload_types(lake_b, columns_b)
+    da = _base_diff(lake_a, from_version_a, va, columns_a, inner_a)
+    db = _base_diff(lake_b, from_version_b, vb, columns_b, inner_b)
 
-    def proj(change_name: str, pre: str):
+    def proj(change_name: str, cols, m, pre: str):
         def _p(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "repo": t["repo"], "path": t["path"],
-                change_name: t["change"], f"{pre}content": t["content"],
-            })
+            out = {k: t[k] for k in _KEYS}
+            out[change_name] = t["change"]
+            for c in cols:
+                out[f"{pre}{m[c]}"] = t[c]  # new value; null on delete rows
+            return pa.table(out)
         return _p
 
     key_fields = [(k, pa.string()) for k in _KEYS]
-    da_s = pa.schema(key_fields + [("a_change", pa.string()),
-                                   ("__na_content", pa.large_string())])
-    db_s = pa.schema(key_fields + [("b_change", pa.string()),
-                                   ("__nb_content", pa.large_string())])
+    da_s = pa.schema(key_fields + [("a_change", pa.string())]
+                     + [(f"__n_{a_map[c]}", ta[c]) for c in columns_a])
+    db_s = pa.schema(key_fields + [("b_change", pa.string())]
+                     + [(f"__n_{b_map[c]}", tb[c]) for c in columns_b])
     delta = hash_join(
-        da.map_batches(proj("a_change", "__na_"), batch_format="pyarrow"),
-        db.map_batches(proj("b_change", "__nb_"), batch_format="pyarrow"),
+        da.map_batches(proj("a_change", columns_a, a_map, "__n_"),
+                       batch_format="pyarrow"),
+        db.map_batches(proj("b_change", columns_b, b_map, "__n_"),
+                       batch_format="pyarrow"),
         on=_KEYS, how="outer", left_schema=da_s, right_schema=db_s,
         num_partitions=view_cfg.num_partitions,
     )
@@ -212,7 +355,8 @@ def refresh_join_view(
     registry = store.load_registry()
     latest = registry.latest_version
     reg_json = registry.to_json()
-    view_cols = _KEYS + ["content", "b_content", "a_live", "b_live"]
+    payload = list(a_map.values()) + list(b_map.values())
+    view_cols = _KEYS + payload + ["a_live", "b_live"]
     parts = [
         {"file": ps.file, "deltas": list(ps.deltas)}
         for pid, ps in manifest.partitions.items()
@@ -232,21 +376,17 @@ def refresh_join_view(
             out.append(t.select(view_cols))
         return pa.concat_tables(out)
 
+    payload_types = {a_map[c]: ta[c] for c in columns_a}
+    payload_types.update({b_map[c]: tb[c] for c in columns_b})
+    stored_schema = pa.schema(
+        key_fields + [(n, payload_types[n]) for n in payload]
+        + [("a_live", pa.int8()), ("b_live", pa.int8())])
     if parts:
         stored = ray.data.from_items(parts).map_batches(
             load_part, batch_format="pyarrow", batch_size=1)
     else:
-        stored = ray.data.from_arrow(pa.table({
-            "repo": pa.array([], pa.string()),
-            "path": pa.array([], pa.string()),
-            "content": pa.array([], pa.large_string()),
-            "b_content": pa.array([], pa.large_string()),
-            "a_live": pa.array([], pa.int8()),
-            "b_live": pa.array([], pa.int8()),
-        }))
-    stored_schema = pa.schema(key_fields + [
-        ("content", pa.large_string()), ("b_content", pa.large_string()),
-        ("a_live", pa.int8()), ("b_live", pa.int8())])
+        stored = ray.data.from_arrow(pa.table(
+            {f.name: pa.array([], type=f.type) for f in stored_schema}))
     merged = hash_join(
         delta, stored, on=_KEYS, how="left",
         left_schema=pa.schema(list(da_s) + [f for f in db_s
@@ -254,6 +394,8 @@ def refresh_join_view(
         right_schema=stored_schema,
         num_partitions=max(8, len(touched) or 8),
     )
+    a_names = list(a_map.values())
+    b_names = list(b_map.values())
 
     def merge(t: pa.Table) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
@@ -269,31 +411,35 @@ def refresh_join_view(
                             pc.not_equal(t["a_change"], "delete"), stored_a)
         b_live = pc.if_else(touched_b,
                             pc.not_equal(t["b_change"], "delete"), stored_b)
-        content = pc.if_else(touched_a, t["__na_content"], t["content"])
-        b_content = pc.if_else(touched_b, t["__nb_content"], t["b_content"])
-        return pa.table({
-            "repo": t["repo"], "path": t["path"],
-            "content": content, "b_content": b_content,
-            "a_live": a_live, "b_live": b_live,
-        })
+        out = {k: t[k] for k in _KEYS}
+        for names, flag in ((a_names, touched_a), (b_names, touched_b)):
+            for n in names:
+                out[n] = pc.if_else(flag, t[f"__n_{n}"], t[n])
+        out["a_live"] = a_live
+        out["b_live"] = b_live
+        return pa.table(out)
 
     events = merged.map_batches(merge, batch_format="pyarrow").map_batches(
-        _state_to_events, batch_format="pyarrow", fn_kwargs={"epoch": epoch})
+        _state_to_events, batch_format="pyarrow",
+        fn_kwargs={"epoch": epoch, "a_names": a_names, "b_names": b_names})
     return ingest(events, view_cfg, count_input=False)
 
 
-def read_join_view(view_root: str) -> "ray.data.Dataset":
-    """INNER rows of the materialized view: (repo, path, content,
-    b_content) where both sides are live."""
+def read_join_view(view_root: str,
+                   columns_a=("content",),
+                   columns_b=("content",)) -> "ray.data.Dataset":
+    """INNER rows of the materialized view: keys + the mapped payload
+    columns, filtered to keys live on both sides."""
     from .ingest import read_lake
 
-    ds = read_lake(view_root,
-                   columns=_KEYS + ["content", "b_content", "a_live", "b_live"])
+    a_map, b_map = _mapped_names(columns_a, columns_b)
+    payload = list(a_map.values()) + list(b_map.values())
+    ds = read_lake(view_root, columns=_KEYS + payload + ["a_live", "b_live"])
 
     def inner(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(t["a_live"], pa.scalar(1, pa.int8())),
                     pc.equal(t["b_live"], pa.scalar(1, pa.int8())))
-        return t.filter(m).select(_KEYS + ["content", "b_content"])
+        return t.filter(m).select(_KEYS + payload)
 
     return ds.map_batches(inner, batch_format="pyarrow")
 

@@ -240,3 +240,74 @@ def test_stats_view_matches_fixture_lake(base_lakes, tmp_path):
            .sort_values("repo").reset_index(drop=True))
     cols = ["repo", "n_files", "total_size"]
     pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+def test_matview_composes_view_of_view(ray_session, tmp_path):
+    """Views compose because views are lakes: V1 = A join B; V2 = V1
+    join C (V1's content + b_content payloads feed V2 as ordinary base
+    columns).  After all three bases advance, refreshing V1 and then V2
+    — each purely from its direct base's changelog — must equal a full
+    three-way recompute.  This is the cascade property: incremental
+    maintenance propagates through view DAGs."""
+    repos = make_repos(n_repos=5, files_per_repo=5)
+    roots, vers = {}, {}
+    for name, seed in (("a", 43), ("b", 99), ("c", 7)):
+        root = str(tmp_path / name)
+        cfg = EngineConfig(lake_root=root, num_partitions=8)
+        ev = make_events(repos, n_epochs=3, events_per_epoch=80,
+                         seed=seed, scenario="tombstone")
+        store = LakeStore(root)
+        vs = []
+        for lo, hi in ((0, 1), (2, 3)):
+            part = rd.from_arrow(ev.filter(pc.and_(
+                pc.greater_equal(ev["epoch"], lo),
+                pc.less_equal(ev["epoch"], hi))))
+            ingest(part, cfg)
+            vs.append(store.current_version())
+        roots[name], vers[name] = root, vs
+
+    v1_cfg = EngineConfig(lake_root=str(tmp_path / "v1"), num_partitions=8)
+    v2_cfg = EngineConfig(lake_root=str(tmp_path / "v2"), num_partitions=8)
+    v2_cols_a = ("content", "b_content")
+
+    materialize_join_view(roots["a"], roots["b"], v1_cfg,
+                          version_a=vers["a"][0], version_b=vers["b"][0])
+    v1_store = LakeStore(v1_cfg.lake_root)
+    v1_v1 = v1_store.current_version()
+    materialize_join_view(v1_cfg.lake_root, roots["c"], v2_cfg,
+                          version_a=v1_v1, version_b=vers["c"][0],
+                          columns_a=v2_cols_a, inner_a=True)
+
+    # all three bases advance; refresh cascades level by level
+    refresh_join_view(roots["a"], roots["b"], v1_cfg,
+                      from_version_a=vers["a"][0],
+                      from_version_b=vers["b"][0])
+    refresh_join_view(v1_cfg.lake_root, roots["c"], v2_cfg,
+                      from_version_a=v1_v1, from_version_b=vers["c"][0],
+                      columns_a=v2_cols_a, inner_a=True)
+
+    got = (read_join_view(v2_cfg.lake_root, columns_a=v2_cols_a)
+           .to_pandas().sort_values(["repo", "path"]).reset_index(drop=True))
+    # full three-way recompute from the final dumps
+    da = read_lake_table(roots["a"]).to_pandas()[["repo", "path", "content"]]
+    db = read_lake_table(roots["b"]).to_pandas()[["repo", "path", "content"]]
+    dc = read_lake_table(roots["c"]).to_pandas()[["repo", "path", "content"]]
+    exp = (da.merge(db.rename(columns={"content": "b_content"}),
+                    on=["repo", "path"])
+           .rename(columns={"b_content": "a_b_content"})
+           .merge(dc.rename(columns={"content": "b_content"}),
+                  on=["repo", "path"])
+           .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_matview_payload_name_collisions_rejected(ray_session):
+    from etl_cms_ray.pipelines.matview import _mapped_names
+
+    with pytest.raises(ValueError):
+        _mapped_names(("content", "content"), ("content",))  # duplicate
+    # the a_/b_ prefixes make cross-side and engine-column collisions
+    # impossible for distinct inputs
+    a_map, b_map = _mapped_names(("content", "b_x"), ("x",))
+    assert a_map["b_x"] == "a_b_x" and b_map["x"] == "b_x"
