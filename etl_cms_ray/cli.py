@@ -206,6 +206,18 @@ def main(argv: list[str] | None = None) -> int:
                      help="refresh: base-A version the view was last built at")
     pmv.add_argument("--from-version-b", type=int, default=None)
 
+    pbr = sub.add_parser("branch", help="fork / list / merge / delete lake "
+                         "branches (multi-commit isolated writes; "
+                         "three-way merge at partition granularity)")
+    pbr.add_argument("action", choices=["create", "list", "merge", "delete"])
+    pbr.add_argument("--lake", required=True)
+    pbr.add_argument("--name", help="branch name (all actions but list)")
+    pbr.add_argument("--at", default=None,
+                     help="create: fork at a version or tag (default: current)")
+    pbr.add_argument("--strategy", default="fail",
+                     choices=["fail", "ours", "theirs"],
+                     help="merge: conflicting-partition resolution")
+
     args = p.parse_args(argv)
     ray = _ray_session(args.num_cpus)
     try:
@@ -339,6 +351,21 @@ def main(argv: list[str] | None = None) -> int:
                     from_version_a=args.from_version_a,
                     from_version_b=args.from_version_b)
             print(json.dumps(res.__dict__))
+        elif args.cmd == "branch":
+            from .pipelines import branch as _br
+
+            if args.action == "list":
+                print(json.dumps(_br.list_branches(args.lake)))
+            elif args.action == "create":
+                print(json.dumps({k: v for k, v in _br.create_branch(
+                    args.lake, args.name, at=args.at).items()
+                    if k != "base_registry"}))
+            elif args.action == "merge":
+                print(json.dumps(_br.merge_branch(
+                    args.lake, args.name, strategy=args.strategy)))
+            else:
+                _br.delete_branch(args.lake, args.name)
+                print(json.dumps({"deleted": args.name}))
         elif args.cmd == "zorder":
             from .pipelines.zorder import build_zorder
 

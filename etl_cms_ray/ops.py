@@ -48,6 +48,8 @@ from .pipelines.history import (incremental_repo_stats, incremental_token_df,
                                 keyed_join_view_snapshot, read_snapshot,
                                 repo_stats_snapshot, snapshot_diff,
                                 token_df_snapshot)
+from .pipelines.branch import (branch_root, create_branch, delete_branch,
+                               list_branches, merge_branch)
 from .pipelines.index import build_token_index, token_plan, token_search
 from .pipelines.maintenance import requeue_dead_letter
 from .pipelines.matview import (materialize_join_view, materialize_stats_view,
@@ -117,6 +119,8 @@ __all__ = [
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where",
     "LakeStore", "scan_plans", "smart_scan",
+    "create_branch", "merge_branch", "delete_branch", "list_branches",
+    "branch_root",
     "Expectation", "read_dead_letter", "requeue_dead_letter",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
     "approx_quantiles",

@@ -1383,6 +1383,74 @@ def cdc_wap_publish(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_branch_merge(sf_dir: str) -> "rd.Dataset":
+    """Branch workflow over the _docs_change_events stream: epoch 0 is
+    committed on MAIN, then a branch forks (zero data copied — hard
+    links) and epoch 1 lands on the BRANCH in TWO isolated commits
+    (updates, then deletes — the multi-commit staging WAP cannot
+    express).  The branch is audited, main is asserted untouched
+    throughout, and the merge fast-forwards main in one atomic
+    manifest publish.  The oracle is the same relational reconstruction
+    as direct ingest, so branching must be a pure visibility protocol
+    with zero effect on content (reference analog: load into a scratch
+    schema, validate, swap — `SQL/create_CDMv5_constraints.sql` runs
+    pre-swap)."""
+    from ..state.manifest import LakeStore
+    from .branch import branch_root, create_branch, merge_branch
+    from .maintenance import audit_lake
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"branch_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    store = LakeStore(lake_root)
+    main_v0 = store.current_version()
+
+    create_branch(lake_root, "release")
+    broot = branch_root(lake_root, "release")
+    bcfg = EngineConfig(lake_root=broot, num_partitions=16)
+    ingest(events.filter(expr="epoch == 1 and op == 'update'"), bcfg,
+           count_input=False)
+
+    def bump_epoch(t: pa.Table) -> pa.Table:
+        # the deletes commit AFTER the updates commit: it needs its own
+        # epoch (fences skip epoch <= applied_through as replays); the
+        # (epoch, seq) LWW order is unchanged — deletes already sort
+        # after updates by seq, and the oracle reconstructs final state
+        return t.set_column(t.schema.get_field_index("epoch"), "epoch",
+                            pc.add(t["epoch"], pa.scalar(1, type=pa.int64())))
+
+    ingest(events.filter(expr="epoch == 1 and op == 'delete'")
+           .map_batches(bump_epoch, batch_format="pyarrow"), bcfg,
+           count_input=False)
+    rep = audit_lake(broot)
+    if not rep["healthy"] or store.current_version() != main_v0:
+        raise AssertionError(f"branch isolation violated: {rep}")
+    mrep = merge_branch(lake_root, "release")
+    if not mrep["fast_forward"] or mrep["conflicts"]:
+        raise AssertionError(f"expected clean fast-forward: {mrep}")
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
 def cdc_schema_evolution(sf_dir: str) -> "rd.Dataset":
     """Full schema-evolution lifecycle on the documents-derived stream:
     commit 1 ADDs a payload column (backfilled default), commit 2 WIDENs
@@ -9220,6 +9288,7 @@ QUERIES = {
     "user_top_event_type": user_top_event_type,
     "user_train_val_split": user_train_val_split,
     # new in round 3 (no driver row yet either)
+    "cdc_branch_merge": cdc_branch_merge,
     "training_pack_chunks": training_pack_chunks,
     "training_weighted_mix": training_weighted_mix,
     "doc_substring_dup": doc_substring_dup,
@@ -9422,6 +9491,7 @@ ORACLE_SQL = {
     "cdc_schema_evolution": _SQL_REPOS_LAKE,
     "cdc_replica_sync": _SQL_REPOS_LAKE,
     "cdc_wap_publish": _SQL_REPOS_LAKE,
+    "cdc_branch_merge": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,
