@@ -1451,6 +1451,55 @@ def cdc_branch_merge(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_debezium_ingest(sf_dir: str) -> "rd.Dataset":
+    """Real-CDC source family: the _docs_change_events stream is
+    serialized as Debezium envelopes (JSONL binlog segments — the
+    fixture-generation step, driver-side by design), then the
+    DISTRIBUTED connector (`sources/debezium.py`) reads the segments
+    block-parallel, decodes the envelopes vectorized (struct_field
+    extraction, op map via index_in/take, delete pre-images), and the
+    result ingests through the standard exactly-once lake path.  The
+    oracle is the same relational reconstruction as direct ingest — the
+    envelope trip must be lossless."""
+    from ..sources.debezium import read_events_debezium, to_debezium_lines
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    seg_dir = os.path.join(tempfile.gettempdir(), f"dbz_segments_{tag}")
+    lake_root = os.path.join(tempfile.gettempdir(), f"dbz_lake_{tag}")
+    _sh.rmtree(seg_dir, ignore_errors=True)
+    _sh.rmtree(lake_root, ignore_errors=True)
+    os.makedirs(seg_dir)
+    events = _docs_change_events(sf_dir)
+    # fixture generation: envelope segments, one file per input block so
+    # the connector read is block-parallel
+    for i, t in enumerate(events.iter_batches(batch_format="pyarrow",
+                                              batch_size=65536)):
+        with open(os.path.join(seg_dir, f"segment-{i:04d}.json"), "w") as f:
+            f.write("\n".join(to_debezium_lines(t)) + "\n")
+
+    stream = read_events_debezium(seg_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16)
+    ingest(stream, cfg, count_input=False)
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
 def cdc_schema_evolution(sf_dir: str) -> "rd.Dataset":
     """Full schema-evolution lifecycle on the documents-derived stream:
     commit 1 ADDs a payload column (backfilled default), commit 2 WIDENs
@@ -9289,6 +9338,7 @@ QUERIES = {
     "user_train_val_split": user_train_val_split,
     # new in round 3 (no driver row yet either)
     "cdc_branch_merge": cdc_branch_merge,
+    "cdc_debezium_ingest": cdc_debezium_ingest,
     "training_pack_chunks": training_pack_chunks,
     "training_weighted_mix": training_weighted_mix,
     "doc_substring_dup": doc_substring_dup,
@@ -9492,6 +9542,7 @@ ORACLE_SQL = {
     "cdc_replica_sync": _SQL_REPOS_LAKE,
     "cdc_wap_publish": _SQL_REPOS_LAKE,
     "cdc_branch_merge": _SQL_REPOS_LAKE,
+    "cdc_debezium_ingest": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,
