@@ -263,11 +263,29 @@ def merge_branch(lake_root: str, name: str, strategy: str = "fail") -> dict:
         "merged_partitions": len(taken),
         "conflict_partitions": len(conflicts), "strategy": strategy,
     }
+    # registry before publish (a crash between publish and registry
+    # write would leave published data whose schema_version the registry
+    # doesn't know); a FAILED publish restores the prior registry so an
+    # abandoned merge cannot mutate main's schema (the linked-in data
+    # files it leaves are content-addressed orphans — vacuum reclaims).
     if adopt_branch_registry:
         from ..state.manifest import _atomic_write
 
         _atomic_write(main.registry_path, reg_b)
-    main.publish(merged, expect_version=cur_m, changed_parts=set(taken))
+    try:
+        main.publish(merged, expect_version=cur_m, changed_parts=set(taken))
+    except BaseException:
+        if adopt_branch_registry:
+            from ..state.manifest import _atomic_write
+
+            if reg_m is None:
+                try:
+                    os.unlink(main.registry_path)
+                except OSError:
+                    pass
+            else:
+                _atomic_write(main.registry_path, reg_m)
+        raise
     fork["merged_into"] = merged.version
     with open(os.path.join(broot, _FORK_FILE), "w") as f:
         f.write(json.dumps(fork, indent=1))

@@ -370,7 +370,53 @@ def read_dead_letter(lake_root: str) -> "ray.data.Dataset":
         return ray.data.from_arrow(
             pa.table({"dead_reason": pa.array([], type=pa.string())})
         )
-    return read_parquet_clean(files)
+    return dead_letter_union(files)
+
+
+def dead_letter_union(files: list[str]) -> "ray.data.Dataset":
+    """Dead-letter files accumulate across ingests and schema evolutions,
+    so they do NOT share one physical schema — reading them through a
+    single pinned-schema scan would silently project evolved payload
+    columns away (and a later requeue would overwrite real values with
+    backfill defaults).  Group the files by footer schema (metadata-only
+    reads), scan each group pinned to its own schema, promote every
+    batch to the union schema (missing columns -> typed nulls), union
+    the streams."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.rayutil import read_parquet_clean
+
+    groups: dict[str, list[str]] = {}
+    target: dict[str, pa.DataType] = {}
+    names: list[str] = []
+    for f in files:
+        s = _pq.read_schema(f)
+        key = ";".join(f"{fld.name}:{fld.type}" for fld in s)
+        groups.setdefault(key, []).append(f)
+        for fld in s:
+            if fld.name not in target:
+                target[fld.name] = fld.type
+                names.append(fld.name)
+
+    def promote(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        cols = [
+            t[n].cast(target[n]) if n in t.column_names
+            else pa.nulls(t.num_rows, type=target[n])
+            for n in names
+        ]
+        return pa.table(cols, names=names)
+
+    parts = [
+        read_parquet_clean(fs).map_batches(promote, batch_format="pyarrow")
+        for fs in groups.values()
+    ]
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.union(d)
+    return out
 
 
 def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dataset":

@@ -605,6 +605,52 @@ def update_where(lake_root: str, mask_fn, transform_fn) -> Manifest:
                          allow_row_loss=False)
 
 
+def _dead_letter_envelope(files: list[str]) -> tuple:
+    """Global (min_epoch, max_epoch, min_seq, max_seq) over dead-letter
+    files — parquet footer statistics only (no data reads); falls back
+    to a pruned column read for a file without stats."""
+    import pyarrow.parquet as _pq
+
+    min_e = min_s = None
+    max_e = max_s = None
+
+    def fold(lo_e, hi_e, lo_s, hi_s):
+        nonlocal min_e, max_e, min_s, max_s
+        min_e = lo_e if min_e is None else min(min_e, lo_e)
+        max_e = hi_e if max_e is None else max(max_e, hi_e)
+        min_s = lo_s if min_s is None else min(min_s, lo_s)
+        max_s = hi_s if max_s is None else max(max_s, hi_s)
+
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        got = False
+        if "epoch" in idx and "seq" in idx:
+            lo_e = hi_e = lo_s = hi_s = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                se = md.row_group(rg).column(idx["epoch"]).statistics
+                ss = md.row_group(rg).column(idx["seq"]).statistics
+                if se is None or ss is None or not se.has_min_max or not ss.has_min_max:
+                    ok = False
+                    break
+                lo_e = se.min if lo_e is None else min(lo_e, se.min)
+                hi_e = se.max if hi_e is None else max(hi_e, se.max)
+                lo_s = ss.min if lo_s is None else min(lo_s, ss.min)
+                hi_s = ss.max if hi_s is None else max(hi_s, ss.max)
+            if ok and lo_e is not None:
+                fold(lo_e, hi_e, lo_s, hi_s)
+                got = True
+        if not got:
+            t = _pq.read_table(f, columns=["epoch", "seq"])
+            if t.num_rows:
+                fold(pc.min(t["epoch"]).as_py(), pc.max(t["epoch"]).as_py(),
+                     pc.min(t["seq"]).as_py(), pc.max(t["seq"]).as_py())
+    if min_e is None:
+        return 0, 0, 0, 0
+    return int(min_e), int(max_e), int(min_s), int(max_s)
+
+
 def requeue_dead_letter(lake_root: str, cfg, fix_fn=None,
                         purge: bool = True, expectations=None):
     """Repair-and-replay the dead-letter store.
@@ -621,6 +667,17 @@ def requeue_dead_letter(lake_root: str, cfg, fix_fn=None,
     (``purge=True``) the handled files are deleted, so the store only
     holds unresolved failures.
 
+    Ordering: the original binlog order among requeued rows is
+    PRESERVED inside the fresh epoch — ``seq`` is rebuilt as the
+    lexicographic rank image ``(epoch - min_e) * seq_span + (seq -
+    min_s)`` over the queue's (epoch, seq) envelope (computed from
+    parquet footer stats, metadata-only), so a key that dead-lettered
+    twice resolves to its NEWEST failed value under LWW, never an
+    older one.  Dead-letter files carry heterogeneous schemas across
+    evolutions; the read promotes each file group to the union schema
+    (see ``dead_letter_union``) so evolved payload columns survive the
+    requeue.
+
     Crash window: a crash after the ingest commit but before the purge
     re-requeues the same rows on retry at yet another epoch — the
     repaired content is identical, so the merge converges (idempotent
@@ -634,9 +691,8 @@ def requeue_dead_letter(lake_root: str, cfg, fix_fn=None,
 
     import ray.data
 
-    from ..functions.rayutil import read_parquet_clean
     from ..schema import EVENTS_SCHEMA
-    from .ingest import ingest
+    from .ingest import dead_letter_union, ingest
 
     files = sorted(_glob.glob(
         os.path.join(lake_root, "deadletter", "part=*", "*.parquet")))
@@ -650,6 +706,12 @@ def requeue_dead_letter(lake_root: str, cfg, fix_fn=None,
     evolved = [f.name for f in registry.schema_for(registry.latest_version)]
     base = set(EVENTS_SCHEMA.names)
     new_epoch = fence + 1
+    min_e, max_e, min_s, max_s = _dead_letter_envelope(files)
+    span = max_s - min_s + 1
+    if (max_e - min_e + 1) * span >= 2**62:
+        raise OverflowError(
+            "dead-letter (epoch, seq) envelope too wide to re-rank into "
+            f"one int64 seq space: epochs [{min_e},{max_e}], seq span {span}")
 
     def prep(t: pa.Table, _fix=fix_fn, _epoch=new_epoch) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
@@ -661,11 +723,18 @@ def requeue_dead_letter(lake_root: str, cfg, fix_fn=None,
                 if c in base or (c in evolved and c not in
                                  ("content_sha", "size"))]
         t = t.select(keep)
+        # order-preserving rank image of the original (epoch, seq)
+        new_seq = pc.add(
+            pc.multiply(pc.subtract(t["epoch"], pa.scalar(min_e, pa.int64())),
+                        pa.scalar(span, pa.int64())),
+            pc.subtract(t["seq"], pa.scalar(min_s, pa.int64())))
+        t = t.set_column(t.column_names.index("seq"), "seq",
+                         pc.cast(new_seq, pa.int64()))
         i = t.column_names.index("epoch")
         return t.set_column(
             i, "epoch", pa.array([_epoch] * t.num_rows, type=pa.int64()))
 
-    events = read_parquet_clean(files).map_batches(
+    events = dead_letter_union(files).map_batches(
         prep, batch_format="pyarrow")
     res = ingest(events, cfg, count_input=False, expectations=expectations)
     if purge:

@@ -157,6 +157,9 @@ def _base_snapshot(lake_root: str, version, cols, inner: bool):
                        columns=_KEYS + list(cols) + ["a_live", "b_live"])
 
     def f(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         m = pc.and_(pc.equal(t["a_live"], pa.scalar(1, pa.int8())),
                     pc.equal(t["b_live"], pa.scalar(1, pa.int8())))
         return t.filter(m).select(_KEYS + list(cols))
@@ -339,6 +342,12 @@ def refresh_join_view(
         num_partitions=view_cfg.num_partitions,
     )
 
+    # the delta feeds TWO consumers (the pid plan and the stored-state
+    # join); Ray datasets are lazy and uncached, so without this the
+    # whole diff+outer-join sub-plan executes twice.  The delta is
+    # O(touched keys) — bounded, safe to pin.
+    delta = delta.materialize()
+
     # --- touched view partitions: a bounded partition PLAN ---------------
     P = view_cfg.num_partitions
 
@@ -437,6 +446,9 @@ def read_join_view(view_root: str,
     ds = read_lake(view_root, columns=_KEYS + payload + ["a_live", "b_live"])
 
     def inner(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         m = pc.and_(pc.equal(t["a_live"], pa.scalar(1, pa.int8())),
                     pc.equal(t["b_live"], pa.scalar(1, pa.int8())))
         return t.filter(m).select(_KEYS + payload)
@@ -576,8 +588,10 @@ def refresh_stats_view(
         }).groupby("repo", sort=False).sum().reset_index()
         return pa.Table.from_pandas(d, preserve_index=False)
 
+    # two consumers (pid plan + merge join) — pin the bounded delta so
+    # the changelog sub-plan executes once (see refresh_join_view)
     delta = _coarse_repo_sum(
-        diff.map_batches(deltas, batch_format="pyarrow"))
+        diff.map_batches(deltas, batch_format="pyarrow")).materialize()
 
     P = view_cfg.num_partitions
 

@@ -93,7 +93,10 @@ def decode_debezium(t: pa.Table, field_map: dict | None = None,
     # vectorized op translation via take on a tiny dictionary
     keys = list(_OP_MAP)
     idx = pc.index_in(op_raw, value_set=pa.array(keys))
-    if idx.null_count and op_raw.null_count == 0:
+    if idx.null_count:
+        # unknown op codes AND null ops are both malformed envelopes —
+        # fail loud (a silent null op would flow downstream as a
+        # droppable malformed event, hiding an unsupported op class)
         bad = pc.unique(pc.filter(op_raw, pc.is_null(idx))).to_pylist()
         raise ValueError(f"unknown Debezium op codes {bad!r}")
     op = pc.take(pa.array([_OP_MAP[k] for k in keys]), idx)

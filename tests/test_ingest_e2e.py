@@ -598,3 +598,84 @@ def test_requeue_dead_letter_repairs_and_purges(ray_session, tmp_path):
         import os as _os
         _os.unlink(f)
     assert requeue_dead_letter(root, cfg) is None
+
+
+def test_requeue_preserves_cross_epoch_lww_order(ray_session, tmp_path):
+    """A key that dead-lettered in TWO epochs must resolve to its NEWEST
+    failed value after requeue — the rank-image seq keeps the original
+    (epoch, seq) order inside the fresh epoch (code-review regression:
+    flat re-stamping let an older high-seq value win)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from etl_cms_ray.pipelines.ingest import read_lake_table
+    from etl_cms_ray.pipelines.maintenance import requeue_dead_letter
+
+    root = str(tmp_path / "lake")
+    cfg = EngineConfig(lake_root=root, num_partitions=8)
+
+    def bad(epoch, seq, content):
+        return pa.table({
+            "repo": ["r1"], "path": ["f.py"], "op": ["upsert"],  # invalid op
+            "commit": ["c"], "epoch": pa.array([epoch], pa.int64()),
+            "seq": pa.array([seq], pa.int64()), "lang": ["py"],
+            "content": pa.array([content], pa.large_string()),
+        })
+
+    # older epoch has the HIGHER seq — the adversarial case
+    ingest(rd.from_arrow(bad(1, 10, "OLD")), cfg, count_input=False)
+    ingest(rd.from_arrow(bad(2, 2, "NEW")), cfg, count_input=False)
+    assert read_lake_table(root).num_rows == 0
+
+    def fix(t: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(t["op"], "upsert"),
+                        pa.scalar("insert"), t["op"])
+        return t.set_column(t.column_names.index("op"), "op", op)
+
+    res = requeue_dead_letter(root, cfg, fix_fn=fix)
+    assert res.events_applied >= 1
+    lake = read_lake_table(root).to_pandas()
+    assert len(lake) == 1 and lake["content"].iloc[0] == "NEW"
+
+
+def test_requeue_unions_heterogeneous_dead_letter_schemas(ray_session, tmp_path):
+    """Dead-letter files written before and after a schema evolution
+    carry different physical schemas; the requeue read must promote to
+    the union instead of pinning the first file's schema (which would
+    null out evolved payload columns)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from etl_cms_ray.pipelines.ingest import read_lake_table
+    from etl_cms_ray.pipelines.maintenance import requeue_dead_letter
+    from etl_cms_ray.schema import SchemaChange
+
+    root = str(tmp_path / "lake")
+    cfg = EngineConfig(lake_root=root, num_partitions=8)
+    pre = pa.table({
+        "repo": ["r1"], "path": ["a.py"], "op": ["upsert"],
+        "commit": ["c"], "epoch": pa.array([0], pa.int64()),
+        "seq": pa.array([0], pa.int64()), "lang": ["py"],
+        "content": pa.array(["A"], pa.large_string()),
+    })
+    ingest(rd.from_arrow(pre), cfg, count_input=False)
+    post = pre.set_column(1, "path", pa.array(["b.py"])) \
+              .set_column(4, "epoch", pa.array([1], pa.int64())) \
+              .append_column("stars", pa.array([7], pa.int64()))
+    ingest(rd.from_arrow(post), cfg, count_input=False,
+           schema_changes=[SchemaChange(epoch=1, change="add_column",
+                                        column="stars", type_name="int64",
+                                        default=0)])
+
+    def fix(t: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(t["op"], "upsert"),
+                        pa.scalar("insert"), t["op"])
+        return t.set_column(t.column_names.index("op"), "op", op)
+
+    res = requeue_dead_letter(root, cfg, fix_fn=fix)
+    assert res.events_applied == 2
+    lake = read_lake_table(root).to_pandas().set_index("path")
+    # the evolved payload value survived the union read (not nulled to
+    # the backfill default for the row that carried it)
+    assert int(lake.loc["b.py", "stars"]) == 7
+    assert int(lake.loc["a.py", "stars"]) == 0  # pre-evolution row backfills
