@@ -4768,6 +4768,122 @@ FROM cr GROUP BY 1, 2
 """
 
 
+def embedding_covariance(sf_dir: str) -> "rd.Dataset":
+    """Distributed covariance matrix of the embedding column (the moment
+    half of PCA; partial->coalesce aggregate family of SURVEY.md §2
+    T7/A4).  Each batch emits d^2+d+1 integer-grid moment sums —
+    independent of row count — and `_final_agg`'s one coalesced task
+    reduces them (bounded keys: 4161 at d=64).  Grid discipline
+    (CLAUDE.md rule 4): sums are over per-row ``floor(x*1e8+0.5)`` /
+    ``floor(x_i*x_j*1e8+0.5)`` int64 terms, so the DuckDB oracle
+    reproduces the identical sums regardless of order and the final
+    float64 covariance expression is mirrored literally."""
+    from ..stages.pca import covariance_finalize, covariance_partials
+
+    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    part = ds.map_batches(covariance_partials, batch_format="pyarrow")
+    return _final_agg(part, covariance_finalize)
+
+
+_SQL_EMBEDDING_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS i,
+         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+),
+s AS (
+  SELECT i, SUM(CAST(floor(x * 100000000.0 + 0.5) AS BIGINT)) AS sx,
+         COUNT(*) AS n
+  FROM e GROUP BY i
+),
+p AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(CAST(floor(a.x * b.x * 100000000.0 + 0.5) AS BIGINT)) AS sxy
+  FROM e a JOIN e b USING (vec_id)
+  GROUP BY a.i, b.i
+)
+SELECT p.i - 1 AS i, p.j - 1 AS j,
+       floor(((CAST(sxy AS DOUBLE) / 100000000.0) / CAST(sa.n AS DOUBLE)
+              - (CAST(sa.sx AS DOUBLE) / 100000000.0 / CAST(sa.n AS DOUBLE))
+                * (CAST(sb.sx AS DOUBLE) / 100000000.0 / CAST(sb.n AS DOUBLE)))
+             * 100000000.0 + 0.5) / 100000000.0 AS cov
+FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+"""
+
+
+def embedding_pca_project(sf_dir: str) -> "rd.Dataset":
+    """Distributed PCA: fit on the exact integer-grid covariance (one
+    bounded d^2-row gather — model state, not data), eigendecompose the
+    d x d matrix on the driver (O(d^3), model width not data scale),
+    sign-canonicalize the basis, then project every vector with one
+    matmul per batch.  Deterministic end to end (exact integer moments
+    -> identical cov -> identical eigh in one build), so the driver's
+    rows-only check sees a stable schema and stable values; the
+    eigenbasis itself is not SQL-expressible, hence no oracle — the
+    orthonormality/variance-ordering/numpy-agreement invariants are
+    pinned in tests/test_pca.py."""
+    from ..stages.pca import fit_pca, project_batch
+
+    ds = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mean, comps, _evals = fit_pca(ds, k=4)
+    return ds.map_batches(
+        lambda t: project_batch(t, mean, comps), batch_format="pyarrow"
+    )
+
+
+def cdc_compaction(sf_dir: str) -> "rd.Dataset":
+    """Merge-on-read delta-fold compaction as an oracle-checked lifecycle
+    (Iceberg rewrite_data_files / Delta OPTIMIZE analog; the reference
+    can only re-run its whole forward pass, ``Main.py``): ingest the
+    _docs_change_events stream into a MOR lake in two commits (commit 2
+    appends per-partition delta files instead of rewriting bases), fold
+    every delta chain back into its base with ``compact_lake`` (one task
+    per dirty partition), then pin that the compacted lake equals the
+    direct relational reconstruction hash-for-hash AND is structurally
+    clean: deltas actually existed before, zero remain after, and the
+    full audit (sha/size/key-placement/uniqueness/fences) is healthy."""
+    from ..state.manifest import LakeStore
+    from .maintenance import audit_lake, compact_lake
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"cpx_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    # max_deltas high enough that commit 2 cannot auto-compact underneath
+    # the explicit fold being exercised here
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16,
+                       commit_mode="mor", max_deltas=64)
+    ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    ingest(events.filter(expr="epoch == 1"), cfg, count_input=False)
+    pre = LakeStore(lake_root).load_manifest()
+    if not any(ps.deltas for ps in pre.partitions.values()):
+        raise AssertionError("MOR commit 2 produced no deltas — vacuous")
+    post = compact_lake(lake_root)
+    if any(ps.deltas for ps in post.partitions.values()):
+        raise AssertionError("compaction left delta chains behind")
+    rep = audit_lake(lake_root)
+    if not rep["healthy"]:
+        raise AssertionError(f"post-compaction audit unhealthy: {rep}")
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
 def q21_sole_supplier(sf_dir: str) -> "rd.Dataset":
     """TPC-H Q21 essence — EXISTS + NOT EXISTS over the SAME fact table:
     count, per supplier, the multi-line orders where that supplier
@@ -9411,6 +9527,9 @@ QUERIES = {
     "q21_sole_supplier": q21_sole_supplier,
     "embedding_hard_negatives": embedding_hard_negatives,
     "events_touch_attribution": events_touch_attribution,
+    "embedding_covariance": embedding_covariance,
+    "embedding_pca_project": embedding_pca_project,
+    "cdc_compaction": cdc_compaction,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -9625,6 +9744,8 @@ ORACLE_SQL = {
     "q21_sole_supplier": _SQL_Q21_SOLE_SUPPLIER,
     "embedding_hard_negatives": _SQL_HARD_NEGATIVES,
     "events_touch_attribution": _SQL_TOUCH_ATTRIBUTION,
+    "embedding_covariance": _SQL_EMBEDDING_COVARIANCE,
+    "cdc_compaction": _SQL_REPOS_LAKE,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
