@@ -297,6 +297,8 @@ def run_bench() -> dict:
     timed("cdc_ivm_join", Q.cdc_ivm_join)
     timed("q9_product_profit", Q.q9_product_profit)
     timed("q10_returned_items", Q.q10_returned_items)
+    timed("embedding_covariance", Q.embedding_covariance)
+    timed("cdc_compaction", Q.cdc_compaction)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

@@ -27,6 +27,9 @@ from .stages.ann import (brute_force_topk, centroid_cosine_scores,
                          ivf_topk, lsh_topk, pq_encode, pq_topk,
                          train_centroids, train_pq)
 
+# embedding linear algebra
+from .stages.pca import covariance_partials, fit_pca, project_batch
+
 # lexical retrieval
 from .stages.retrieval import bm25_topk, rrf_fuse
 
@@ -98,6 +101,7 @@ __all__ = [
     "train_centroids", "train_pq", "pq_encode", "pq_topk",
     "group_centroids", "centroid_cosine_scores",
     "bm25_topk", "rrf_fuse",
+    "covariance_partials", "fit_pca", "project_batch",
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",
