@@ -30,6 +30,9 @@ from .stages.ann import (brute_force_topk, centroid_cosine_scores,
 # embedding linear algebra
 from .stages.pca import covariance_partials, fit_pca, project_batch
 
+# storage-partitioned (shuffle-free) lake-lake join
+from .pipelines.spj import copartitioned_join
+
 # lexical retrieval
 from .stages.retrieval import bm25_topk, rrf_fuse
 
@@ -102,6 +105,7 @@ __all__ = [
     "group_centroids", "centroid_cosine_scores",
     "bm25_topk", "rrf_fuse",
     "covariance_partials", "fit_pca", "project_batch",
+    "copartitioned_join",
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",
     "RedactRule", "DEFAULT_RULES", "redact_batch", "redact_column",

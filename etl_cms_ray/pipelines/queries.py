@@ -4884,6 +4884,43 @@ def cdc_compaction(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_copartition_join(sf_dir: str) -> "rd.Dataset":
+    """Storage-partitioned join (`pipelines/spj.py`): the docs lake and
+    the sidecar-annotation lake share the engine's deterministic key
+    partitioner, so their INNER join on (repo, path) runs as one task
+    per partition id with ZERO exchange — no shuffle, no broadcast, no
+    block of either lake crossing the wire (the Iceberg SPJ idea; the
+    generic alternative is stages/join.py hash_join, which exchanges
+    both sides).  The oracle is the plain relational join over both
+    final states — same relation `cdc_ivm_join` maintains incrementally,
+    arrived at by a third, independent physical plan."""
+    from .spj import copartitioned_join
+
+    lake_a, _a1, _a2 = _two_commit_lake(sf_dir, "spj_a")
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_b = os.path.join(tempfile.gettempdir(), f"spj_b_{tag}")
+    _sh.rmtree(lake_b, ignore_errors=True)
+    annots = _annot_change_events(sf_dir)
+    cfg_b = EngineConfig(lake_root=lake_b, num_partitions=16)
+    ingest(annots.filter(expr="epoch == 0"), cfg_b, count_input=False)
+    ingest(annots.filter(expr="epoch == 1"), cfg_b, count_input=False)
+
+    out = copartitioned_join(lake_a, lake_b, ["content"], ["content"],
+                             how="inner")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": t["repo"], "path": t["path"],
+            "content": t["content"].cast(pa.string()),
+            "annot": t["content_b"].cast(pa.string()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
 def q21_sole_supplier(sf_dir: str) -> "rd.Dataset":
     """TPC-H Q21 essence — EXISTS + NOT EXISTS over the SAME fact table:
     count, per supplier, the multi-line orders where that supplier
@@ -9530,6 +9567,7 @@ QUERIES = {
     "embedding_covariance": embedding_covariance,
     "embedding_pca_project": embedding_pca_project,
     "cdc_compaction": cdc_compaction,
+    "cdc_copartition_join": cdc_copartition_join,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -9746,6 +9784,7 @@ ORACLE_SQL = {
     "events_touch_attribution": _SQL_TOUCH_ATTRIBUTION,
     "embedding_covariance": _SQL_EMBEDDING_COVARIANCE,
     "cdc_compaction": _SQL_REPOS_LAKE,
+    "cdc_copartition_join": _SQL_IVM_JOIN,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
