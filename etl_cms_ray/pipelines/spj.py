@@ -22,7 +22,6 @@ reframed as partition-local joins over co-partitioned lakes.
 """
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 from ..state.manifest import LakeStore
@@ -70,7 +69,13 @@ def copartitioned_join(
             "repartition_lake one side or use a generic hash_join"
         )
     reg_a, reg_b = store_a.load_registry(), store_b.load_registry()
-    va, vb = reg_a.latest_version, reg_b.latest_version
+    # promote each side to ITS manifest's newest committed schema version
+    # (read_snapshot's contract: a later add_column does not retroactively
+    # appear in a historical/snapshot join)
+    va = max((ps.schema_version for ps in ma.partitions.values()
+              if ps.file or ps.deltas), default=reg_a.latest_version)
+    vb = max((ps.schema_version for ps in mb.partitions.values()
+              if ps.file or ps.deltas), default=reg_b.latest_version)
     reg_a_json, reg_b_json = reg_a.to_json(), reg_b.to_json()
 
     items = []
@@ -96,7 +101,8 @@ def copartitioned_join(
 
     sel_a = KEY_COLS + [c for c in columns_a if c not in KEY_COLS]
     sel_b = KEY_COLS + [c for c in columns_b if c not in KEY_COLS]
-    pd_how = "outer" if how == "outer" else how
+    join_type = {"inner": "inner", "left": "left outer",
+                 "outer": "full outer"}[how]
 
     def join_part(batch: pa.Table) -> pa.Table:
         from ..functions.threads import single_threaded_kernels
@@ -110,28 +116,25 @@ def copartitioned_join(
             batch["file_b"].to_pylist(), batch["deltas_b"].to_pylist(),
         ):
             if fa or da:
-                live_a = load_partition_live(lake_a, fa, list(da or []), ra, va)
-                dfa = live_a.select(sel_a).to_pandas()
+                ta = load_partition_live(lake_a, fa, list(da or []), ra, va)
             else:
-                dfa = _empty_frame(ra, va, sel_a)
+                ta = ra.schema_for(va).empty_table()
             if fb or db:
-                live_b = load_partition_live(lake_b, fb, list(db or []), rb, vb)
-                dfb = live_b.select(sel_b).to_pandas()
+                tb = load_partition_live(lake_b, fb, list(db or []), rb, vb)
             else:
-                dfb = _empty_frame(rb, vb, sel_b)
-            merged = dfa.merge(dfb, on=KEY_COLS, how=pd_how,
-                               suffixes=("", suffix_b), sort=True)
-            outs.append(pa.Table.from_pandas(merged, preserve_index=False))
-        return pa.concat_tables(outs, promote_options="permissive")
+                tb = rb.schema_for(vb).empty_table()
+            # Arrow (Acero) join keeps exact types on unmatched rows
+            # (pandas merge would upcast unmatched int payloads to float
+            # and infer null-typed columns on one-sided partitions, so
+            # per-partition block schemas would diverge); key-sort makes
+            # the per-partition row order value-determined.
+            out = ta.select(sel_a).join(
+                tb.select(sel_b), keys=KEY_COLS, join_type=join_type,
+                right_suffix=suffix_b,
+            ).sort_by([(k, "ascending") for k in KEY_COLS])
+            outs.append(out)
+        return pa.concat_tables(outs)
 
     return rd.from_items(items).map_batches(
         join_part, batch_format="pyarrow", batch_size=1
     )
-
-
-def _empty_frame(registry, version: int, cols: list[str]) -> pd.DataFrame:
-    """Zero-row frame with the partition schema's dtypes, so one-sided
-    left/outer partitions merge with a stable column set."""
-    schema = registry.schema_for(version)
-    empty = schema.empty_table()
-    return empty.select(cols).to_pandas()

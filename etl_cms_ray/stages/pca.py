@@ -38,9 +38,14 @@ _CHUNK = 512
 
 
 def _matrix(col) -> np.ndarray:
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    return flat.reshape(len(arr), -1)
+    from .ann import _to_matrix  # shared list<float> -> (n, d) kernel
+
+    return _to_matrix(col)
+
+
+_PARTIAL_SCHEMA = pa.schema(
+    [("i", pa.int64()), ("j", pa.int64()), ("s", pa.int64())]
+)
 
 
 def covariance_partials(t: pa.Table, col: str = "embedding") -> pa.Table:
@@ -51,6 +56,8 @@ def covariance_partials(t: pa.Table, col: str = "embedding") -> pa.Table:
     key set, so the final reduce input is O(#blocks * d^2).
     """
     single_threaded_kernels()
+    if t.num_rows == 0:  # empty block (filtered/empty fragment): no moments
+        return _PARTIAL_SCHEMA.empty_table()
     m = _matrix(t[col])
     n, d = m.shape
     sxy = np.zeros((d, d), dtype=np.int64)
@@ -122,6 +129,8 @@ def fit_pca(ds, col: str = "embedding", k: int = 4):
         lambda t, c=col: covariance_partials(t, col=c), batch_format="pyarrow"
     )
     df = pd.DataFrame(part.take_all())
+    if df.empty:
+        raise ValueError("fit_pca: dataset has no rows")
     n, sx, sxy = _reduced_moments(df)
     cov = _cov_from_moments(n, sx, sxy)
     mean = sx.astype(np.float64) / float(GRID) / float(n)
@@ -139,8 +148,10 @@ def project_batch(t: pa.Table, mean: np.ndarray, comps: np.ndarray,
                   digits: int = 6) -> pa.Table:
     """(n, d) batch -> (n, k) principal coordinates, one matmul."""
     single_threaded_kernels()
-    m = _matrix(t[col])
-    y = (m - mean) @ comps
+    if t.num_rows == 0:
+        y = np.empty((0, comps.shape[1]), dtype=np.float64)
+    else:
+        y = (_matrix(t[col]) - mean) @ comps
     scale = float(10 ** digits)
     y = np.floor(y * scale + 0.5) / scale
     cols = {id_col: t[id_col]}

@@ -102,3 +102,26 @@ def test_project_batch_quantizes_and_keeps_ids():
     ref = np.floor((m - mean)[:, 0] * 100 + 0.5) / 100
     assert np.array_equal(got, ref)
     assert out["vec_id"].to_pylist() == t["vec_id"].to_pylist()
+
+
+def test_empty_batches_are_harmless(ray_session):
+    t, m = _table(n=120, d=8, seed=4)
+    ds = rd.from_arrow(t).filter(
+        lambda r: r["vec_id"] < 60)  # leaves some empty blocks downstream
+    mean, comps, _ = fit_pca(ds, k=2)
+    ref_mean = m[:60].mean(axis=0)
+    assert np.allclose(mean, ref_mean, atol=2.0 / GRID)
+    out = ds.map_batches(
+        lambda b: project_batch(b, mean, comps), batch_format="pyarrow"
+    )
+    assert out.count() == 60
+    # a literally empty batch projects to a 0-row table with full schema
+    empty = project_batch(t.slice(0, 0), mean, comps)
+    assert empty.num_rows == 0 and empty.column_names == ["vec_id", "pc0", "pc1"]
+
+
+def test_fit_pca_empty_dataset_raises(ray_session):
+    t, _ = _table(n=10, d=4, seed=5)
+    ds = rd.from_arrow(t.slice(0, 0))
+    with pytest.raises(ValueError, match="no rows"):
+        fit_pca(ds, k=2)

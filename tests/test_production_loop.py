@@ -87,7 +87,7 @@ def test_incremental_production_loop(ray_session, tmp_path):
             materialize_stats_view(lake, vcfg)
         else:
             r = refresh_stats_view(lake, vcfg, from_version=view_at)
-            assert r.events_applied >= 0
+            assert r.events_applied > 0  # every epoch changes some repo stats
         view_at = store.current_version()
         got_v = (
             read_stats_view(vcfg.lake_root).to_pandas()

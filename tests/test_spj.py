@@ -2,6 +2,7 @@
 lake-lake joins pinned against a pandas reference over the live states."""
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
 
@@ -83,3 +84,38 @@ def test_spj_rejects_mismatched_partitioning(ray_session, tmp_path):
     lb = _mk_lake(tmp_path, "lb", ev, parts=16)
     with pytest.raises(ValueError, match="not co-partitioned"):
         copartitioned_join(la, lb, ["content"], ["content"])
+
+
+def test_spj_left_join_keeps_int_payload_types(lakes):
+    """Unmatched left rows must NOT upcast int payloads to float, and
+    every emitted block must carry the identical Arrow schema (pandas
+    merge would diverge per partition; the Acero join keeps types)."""
+    lake_a, lake_b = lakes
+    out = copartitioned_join(lake_a, lake_b, ["content"], ["size"],
+                             how="left")
+    schemas = set()
+    total = 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        schemas.add(str(b.schema))
+        assert pa.types.is_integer(b.schema.field("size").type)
+        total += b.num_rows
+    assert len(schemas) == 1 and total > 0
+
+
+def test_spj_outer_one_sided_partitions_stable_schema(ray_session, tmp_path):
+    """Outer join where one side's partitions are missing entirely must
+    still emit typed (not null-typed) b-side columns."""
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=1, events_per_epoch=30)
+    la = _mk_lake(tmp_path, "oa", ev, parts=8)
+    # b-side: only a handful of keys -> most partitions empty on b
+    small = ev.slice(0, 3)
+    lb = _mk_lake(tmp_path, "ob", small, parts=8)
+    out = copartitioned_join(la, lb, ["content"], ["size"], how="outer")
+    tbl = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow")))
+    assert pa.types.is_integer(tbl.schema.field("size").type)
+    ka = read_lake_table(la).select(["repo", "path"]).to_pandas()
+    kb = read_lake_table(lb).select(["repo", "path"]).to_pandas()
+    n_union = len(pd.concat([ka, kb]).drop_duplicates())
+    assert tbl.num_rows == n_union > 0
