@@ -8659,6 +8659,285 @@ FROM a
 """
 
 
+def event_type_value_regression(sf_dir: str) -> "rd.Dataset":
+    """Grouped simple linear regression (OLS of value on hour-of-day):
+    slope / intercept / r² per event_type — the predictive member of
+    the moments family (corr gives direction, regression gives the
+    line).  Unlike corr's float partials, EVERY partial here is an
+    exact int64: y quantizes to integer cents, x (hour) is already a
+    small integer, so Σx, Σy, Σxy, Σx², Σy² accumulate associatively in
+    any order and both engines derive the closed-form estimates from
+    bit-identical sums (CLAUDE.md rule 4 grid discipline, no partial-
+    order dust at all).  Keys are bounded (#event_types) → one
+    coalesced final over per-batch partials."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["ts"].dt.hour.to_numpy().astype(np.int64)
+        y = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        d = pd.DataFrame({"event_type": df["event_type"], "_x": x, "_y": y,
+                          "_xy": x * y, "_xx": x * x, "_yy": y * y})
+        return (
+            d.groupby("event_type", sort=False)
+            .agg(_n=("_x", "size"), _sx=("_x", "sum"), _sy=("_y", "sum"),
+                 _sxy=("_xy", "sum"), _sxx=("_xx", "sum"), _syy=("_yy", "sum"))
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("event_type", sort=False)
+            .agg(_n=("_n", "sum"), _sx=("_sx", "sum"), _sy=("_sy", "sum"),
+                 _sxy=("_sxy", "sum"), _sxx=("_sxx", "sum"),
+                 _syy=("_syy", "sum"))
+            .reset_index()
+        )
+        n = g["_n"].astype("float64")
+        sx = g["_sx"].astype("float64")
+        sy = g["_sy"].astype("float64")
+        sxy = g["_sxy"].astype("float64")
+        sxx = g["_sxx"].astype("float64")
+        syy = g["_syy"].astype("float64")
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        slope_c = cov / vx                      # cents per hour
+        intercept_c = sy / n - slope_c * (sx / n)  # cents at hour 0
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n_events": g["_n"].astype("int64"),
+                "slope": _qround(slope_c / 100.0, 6),
+                "intercept": _qround(intercept_c / 100.0, 6),
+                "r2": _qround(cov * cov / (vx * vy), 6),
+            }
+        )
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_VALUE_REGRESSION = """
+WITH q AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+), a AS (
+  SELECT event_type, count(*) AS ni,
+         sum(x) AS sxi, sum(y) AS syi, sum(x * y) AS sxyi,
+         sum(x * x) AS sxxi, sum(y * y) AS syyi
+  FROM q GROUP BY event_type
+), f AS (
+  SELECT event_type, ni,
+         CAST(ni AS DOUBLE) AS n, CAST(sxi AS DOUBLE) AS sx,
+         CAST(syi AS DOUBLE) AS sy, CAST(sxyi AS DOUBLE) AS sxy,
+         CAST(sxxi AS DOUBLE) AS sxx, CAST(syyi AS DOUBLE) AS syy
+  FROM a
+)
+SELECT event_type, CAST(ni AS BIGINT) AS n_events,
+       floor((((sxy - sx * sy / n) / (sxx - sx * sx / n)) / 100.0) * 1000000 + 0.5) / 1000000 AS slope,
+       floor(((sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n)) / 100.0) * 1000000 + 0.5) / 1000000 AS intercept,
+       floor(((sxy - sx * sy / n) * (sxy - sx * sy / n) / ((sxx - sx * sx / n) * (syy - sy * sy / n))) * 1000000 + 0.5) / 1000000 AS r2
+FROM f
+"""
+
+
+def user_trailing_7d_value(sf_dir: str) -> "rd.Dataset":
+    """Time-RANGE window: per user-day, the trailing 7-calendar-day
+    value sum (RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    — the interval-frame sibling of the ROWS-frame rolling mean.  Days
+    are sparse per user, so a ROWS frame is wrong; the window must
+    reason over the day axis.
+
+    Scale shape: a per-batch (user, day)→Σcents combiner compresses the
+    stream to ≤ users×days rows BEFORE the one coarse user-hash
+    exchange.  Per bucket, ONE vectorized sweep: merge partials, sort
+    by (user, day), then a composite key `urank·2²² + day_num` makes
+    the bucket's (user, day) axis globally monotone so one
+    np.searchsorted((comp − 6)) finds every window start at once — the
+    7-day lookback can never cross a user boundary because day_num
+    (~19–20k for modern dates) dwarfs the 6-day offset.  Windowed sums
+    come from one prefix-sum array (csum[i+1] − csum[lo]); exact int64
+    cents end-to-end (rule 4)."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        day = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame({
+                "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+                "day_num": day.astype(np.int64),
+                "cents": cents,
+            })
+            .groupby(["user_id", "day_num"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df.groupby(["user_id", "day_num"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+            .sort_values(["user_id", "day_num"], kind="mergesort")
+        )
+        day_num = d["day_num"].to_numpy()
+        urank = pd.factorize(d["user_id"].to_numpy())[0].astype(np.int64)
+        comp = urank * (1 << 22) + day_num  # day_num < 2^22 for any real date
+        cents = d["cents"].to_numpy()
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(comp, comp - 6, side="left")
+        trail = csum[np.arange(len(d)) + 1] - csum[lo]
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy().astype("int64"),
+            "day": day_num.astype("datetime64[D]").astype("datetime64[us]"),
+            "trail_7d_value": trail.astype(np.float64) / 100.0,
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return _coarse_final(partials, "user_id", sweep)
+
+
+_SQL_TRAILING_7D = """
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+       CAST(sum(cents) OVER (
+         PARTITION BY user_id ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100.0 AS trail_7d_value
+FROM d
+"""
+
+
+def event_daily_anomaly(sf_dir: str) -> "rd.Dataset":
+    """Ingest-volume anomaly gate: days whose event count deviates more
+    than 2 population-σ from that event_type's own daily mean — the
+    data-quality monitor a production feed runs per commit (a stuck
+    producer or a replay storm shows up as a volume z-score spike
+    before any content check fires).  Counts are exact int64 partials
+    (per-batch (type, day) census, associative merge); the z expression
+    is derived from bit-identical integer sums on both engines and the
+    |z| > 2 cut compares identical IEEE doubles, so the filter can
+    never disagree (rule 4).  Keys are bounded (#types × #days) → one
+    coalesced final."""
+    ds = _events(sf_dir, ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return (
+            pd.DataFrame({"event_type": df["event_type"], "day_num": day})
+            .groupby(["event_type", "day_num"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df.groupby(["event_type", "day_num"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        s = d.groupby("event_type", sort=False)["c"].agg(
+            n="size", s1="sum"
+        ).reset_index()
+        s2 = d.assign(cc=d["c"] * d["c"]).groupby(
+            "event_type", sort=False)["cc"].sum().rename("s2").reset_index()
+        s = s.merge(s2, on="event_type")
+        m = d.merge(s, on="event_type")
+        n = m["n"].astype("float64")
+        s1 = m["s1"].astype("float64")
+        sq = m["s2"].astype("float64")
+        c = m["c"].astype("float64")
+        z = (c - s1 / n) / np.sqrt((sq - s1 * s1 / n) / n)
+        keep = np.abs(z.to_numpy()) > 2.0
+        out = pd.DataFrame({
+            "event_type": m["event_type"],
+            "day": m["day_num"].to_numpy().astype("datetime64[D]").astype("datetime64[us]"),
+            "n_events": m["c"].astype("int64"),
+            "z_score": _qround(z, 6),
+        })
+        return out[keep].reset_index(drop=True)
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_DAILY_ANOMALY = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(c) AS DOUBLE) AS s1, CAST(sum(c * c) AS DOUBLE) AS s2
+  FROM d GROUP BY 1
+)
+SELECT d.event_type, CAST(d.day AS TIMESTAMP) AS day,
+       CAST(d.c AS BIGINT) AS n_events,
+       floor(((CAST(d.c AS DOUBLE) - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)) * 1000000 + 0.5) / 1000000 AS z_score
+FROM d JOIN s ON d.event_type = s.event_type
+WHERE abs((CAST(d.c AS DOUBLE) - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)) > 2.0
+"""
+
+
+def user_running_distinct(sf_dir: str) -> "rd.Dataset":
+    """Per-event running COUNT(DISTINCT event_type) per user — the
+    cumulative-novelty window SQL engines refuse as a window aggregate
+    (DuckDB rejects COUNT(DISTINCT …) OVER); the standard rewrite is
+    first-occurrence flags summed over an ordered frame, and that
+    rewrite IS the oracle.  One coarse user-hash exchange (no combiner:
+    the output is row-level), then one vectorized sweep per bucket —
+    sort by (user, ts, event_id), `duplicated(user, type)` marks first
+    sightings in time order, per-user cumsum of the flags.  Exact
+    integers end-to-end; event_id makes the order total so both
+    engines agree at ts ties."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        first = (~g.duplicated(subset=["user_id", "event_type"])).to_numpy()
+        run = pd.Series(first.astype(np.int64), index=g.index).groupby(
+            g["user_id"], sort=False).cumsum()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy().astype("int64"),
+            "event_id": g["event_id"].to_numpy().astype("int64"),
+            "ts": g["ts"],
+            "distinct_types_seen": run.to_numpy().astype("int64"),
+        })
+
+    parts = ds.map_batches(_add_upart, batch_format="pyarrow",
+                           batch_size=65536)
+    return parts.groupby("upart").map_groups(
+        lambda g: sweep(g.drop(columns=["upart"])), batch_format="pandas"
+    )
+
+
+_SQL_RUNNING_DISTINCT = """
+WITH f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) = 1 THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT user_id, event_id, ts,
+       CAST(sum(is_first) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_types_seen
+FROM f
+"""
+
+
 # ===========================================================================
 # Catalog
 
@@ -9568,6 +9847,10 @@ QUERIES = {
     "embedding_pca_project": embedding_pca_project,
     "cdc_compaction": cdc_compaction,
     "cdc_copartition_join": cdc_copartition_join,
+    "event_type_value_regression": event_type_value_regression,
+    "user_trailing_7d_value": user_trailing_7d_value,
+    "event_daily_anomaly": event_daily_anomaly,
+    "user_running_distinct": user_running_distinct,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -9785,6 +10068,10 @@ ORACLE_SQL = {
     "embedding_covariance": _SQL_EMBEDDING_COVARIANCE,
     "cdc_compaction": _SQL_REPOS_LAKE,
     "cdc_copartition_join": _SQL_IVM_JOIN,
+    "event_type_value_regression": _SQL_VALUE_REGRESSION,
+    "user_trailing_7d_value": _SQL_TRAILING_7D,
+    "event_daily_anomaly": _SQL_DAILY_ANOMALY,
+    "user_running_distinct": _SQL_RUNNING_DISTINCT,
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,
