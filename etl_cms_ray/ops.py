@@ -22,10 +22,12 @@ from .stages.dedup import (build_minhash_band_index, exact_dedup_groups,
                            simhash_pairs, substring_dup_stats)
 
 # similarity search
-from .stages.ann import (brute_force_topk, centroid_cosine_scores,
-                         cosine_pairs, group_centroids, hard_negative_topk,
-                         ivf_topk, lsh_topk, pq_encode, pq_topk,
-                         train_centroids, train_pq)
+from .stages.ann import (brute_force_topk, build_ivf_index,
+                         centroid_cosine_scores, cosine_pairs,
+                         extend_ivf_index, group_centroids,
+                         hard_negative_topk, ivf_index_topk, ivf_topk,
+                         lsh_topk, pq_encode, pq_topk, train_centroids,
+                         train_pq)
 
 # embedding linear algebra
 from .stages.pca import covariance_partials, fit_pca, project_batch
@@ -101,6 +103,7 @@ __all__ = [
     "simhash_pairs",
     "brute_force_topk", "cosine_pairs", "hard_negative_topk",
     "ivf_topk", "lsh_topk",
+    "build_ivf_index", "extend_ivf_index", "ivf_index_topk",
     "train_centroids", "train_pq", "pq_encode", "pq_topk",
     "group_centroids", "centroid_cosine_scores",
     "bm25_topk", "rrf_fuse",

@@ -8025,6 +8025,45 @@ def ann_pq_topk(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def cdc_incremental_ann(sf_dir: str) -> pd.DataFrame:
+    """Vector index maintained ACROSS commits — the ANN sibling of
+    cdc_incremental_minhash: the committed corpus (vec_id % 5 != 0)
+    gets its IVF index built ONCE (stages/ann.build_ivf_index: trained
+    centroids + cell-sorted postings persisted as parquet); the crawl
+    increment (vec_id % 5 == 0) extends the postings in O(increment)
+    against the FROZEN quantizer (extend_ivf_index — zero reads of
+    existing postings); queries probe the persisted index reading only
+    their nprobe cells (predicate pushdown over cell-sorted row
+    groups).  The committed corpus is never re-embedded, re-assigned or
+    fully rescanned.  No SQL oracle by nature (ANN); hard checks pin
+    extended-index == full-corpus ivf_topk under the same centroids
+    (bit-equal) plus a recall floor vs brute force, reported here as a
+    per-query ``recall`` column."""
+    import hashlib as _hl
+
+    from ..stages.ann import build_ivf_index, extend_ivf_index, ivf_index_topk
+
+    def _mod5(keep_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 5 == 0) if keep_new else (ids % 5 != 0)
+            return _nometa(t.filter(pa.array(m)))
+
+        return f
+
+    def approx(ds, q_ids, q_vecs):
+        corpus = ds.map_batches(_mod5(False), batch_format="pyarrow")
+        new = ds.map_batches(_mod5(True), batch_format="pyarrow")
+        tag = _hl.sha1(f"ivfindex:{sf_dir}".encode()).hexdigest()[:10]
+        index_dir = os.path.join(tempfile.gettempdir(), f"ivf_index_{tag}")
+        build_ivf_index(corpus, index_dir, n_cells=16)
+        extend_ivf_index(new, index_dir)
+        return ivf_index_topk(index_dir, q_ids, q_vecs, k=5, nprobe=4,
+                              concurrency=2)
+
+    return _approx_topk_with_recall(sf_dir, approx)
+
+
 def _approx_topk_with_recall(sf_dir: str, approx_fn) -> pd.DataFrame:
     """Shared harness for approximate top-k catalog entries: run the
     approximate operator and exact brute force over the same distributed
@@ -9922,6 +9961,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
+    "cdc_incremental_ann": cdc_incremental_ann,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "multimodal_video_frames": multimodal_video_frames,

@@ -12,9 +12,12 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -321,6 +324,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     concurrency: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """Approximate top-k via an IVF (inverted-file) coarse quantizer —
     the classic many-queries scale path alongside lsh_topk: vectors are
@@ -332,9 +336,12 @@ def ivf_topk(
     At cluster scale the centroid matrix ships once via ray.put (a few
     hundred KB); no shuffle — the scan stays a single streaming pass,
     exactly like brute_force_topk, just masked.
+
+    ``centroids`` skips training (the persisted-index path: the stored
+    quantizer must keep scoring new corpus states — see build_ivf_index).
     """
-    C = train_centroids(vectors, n_cells=n_cells, sample_size=sample_size,
-                        emb_col=emb_col)
+    C = centroids if centroids is not None else train_centroids(
+        vectors, n_cells=n_cells, sample_size=sample_size, emb_col=emb_col)
     Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     order = np.argsort(-(Q @ C.T), axis=1, kind="stable")
     probe = order[:, : min(nprobe, C.shape[0])]  # (q, nprobe)
@@ -368,6 +375,136 @@ def ivf_topk(
         concurrency=(1, concurrency),
     )
 
+    return partials.groupby("query_id").map_groups(
+        _global_topk_fn(k), batch_format="pandas"
+    )
+
+
+def _ivf_assign_batch(batch: pa.Table, *, C: np.ndarray, id_col: str,
+                      emb_col: str) -> pa.Table:
+    """Assign each vector to its nearest stored centroid and sort the
+    batch by cell — cell-sorted row groups are what lets the probed read
+    prune by parquet [min,max] stats."""
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
+    if batch.num_rows == 0:
+        return pa.table({"cell": pa.array([], type=pa.int32()),
+                         id_col: batch[id_col], emb_col: batch[emb_col]})
+    M = _normalize(_to_matrix(batch[emb_col]))
+    cells = np.argmax(M @ C.T, axis=1).astype(np.int32)
+    t = pa.table({"cell": pa.array(cells), id_col: batch[id_col],
+                  emb_col: batch[emb_col]})
+    return t.take(pc.sort_indices(t["cell"]))
+
+
+def build_ivf_index(
+    vectors: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    n_cells: int = 32,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """Persist an IVF index as a lake-side artifact: the trained
+    centroid matrix (one tiny parquet — model width, not data scale)
+    plus cell-assigned postings (cell int32, id, embedding) written
+    cell-sorted per file so probed reads prune row groups by parquet
+    column stats.  This is the vector sibling of
+    dedup.build_minhash_band_index: the expensive global pass (train +
+    assign) runs once per corpus; every later crawl increment extends
+    the postings in O(increment) (extend_ivf_index) and every query
+    batch reads only its nprobe cells (ivf_index_topk) — the committed
+    corpus is never re-embedded, re-assigned or fully rescanned."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    C = train_centroids(vectors, n_cells=n_cells, sample_size=sample_size,
+                        emb_col=emb_col)
+    _pq.write_table(
+        pa.table({"cell": pa.array(np.arange(len(C), dtype=np.int32)),
+                  "centroid": pa.array(list(C))}),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    vectors.map_batches(
+        _ivf_assign_batch, fn_kwargs=dict(C=C, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow", batch_size=4096,
+    ).write_parquet(os.path.join(index_dir, "postings"))
+    return index_dir
+
+
+def _ivf_centroids(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    return np.stack(t["centroid"].to_pylist()).astype(np.float64)
+
+
+def extend_ivf_index(
+    new_vectors: "ray.data.Dataset",
+    index_dir: str,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """Incremental index maintenance: assign ONLY the new vectors to the
+    STORED centroids and append their postings files — O(new batch)
+    compute, zero reads of existing postings.  The quantizer is frozen
+    at build time (the standard IVF production contract: retrain +
+    rebuild when drift accumulates; until then the same cells keep both
+    sides of the corpus comparable — and equality with a full-corpus
+    ivf_topk run under the same centroids is test-pinned)."""
+    C = _ivf_centroids(index_dir)
+    new_vectors.map_batches(
+        _ivf_assign_batch, fn_kwargs=dict(C=C, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow", batch_size=4096,
+    ).write_parquet(os.path.join(index_dir, "postings"))
+    return index_dir
+
+
+def ivf_index_topk(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Top-k against the persisted IVF index: rank cells for the query
+    batch on the driver (centroid matrix is model-width), then read ONLY
+    postings rows in the probed cells — the `cell in probed` predicate
+    pushes into the parquet scan, so cell-sorted row groups outside the
+    probe set never leave storage (candidate fraction ~ nprobe/n_cells
+    of the INDEX, not of the corpus files).  Scoring and the bounded
+    per-query final reduce are shared with brute_force_topk."""
+    import pyarrow.dataset as _pds
+
+    from ..functions.rayutil import read_parquet_clean
+
+    C = _ivf_centroids(index_dir)
+    Q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    order = np.argsort(-(Q @ C.T), axis=1, kind="stable")
+    probed = np.unique(order[:, : min(nprobe, C.shape[0])])
+    queries_ref = ray.put({"ids": np.asarray(query_ids),
+                           "vecs": np.asarray(query_vecs)})
+    postings = read_parquet_clean(
+        os.path.join(index_dir, "postings"),
+        filter=_pds.field("cell").isin([int(c) for c in probed]),
+    )
+    partials = postings.map_batches(
+        BatchScorer,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k, id_col=id_col,
+                                   emb_col=emb_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, concurrency),
+    )
     return partials.groupby("query_id").map_groups(
         _global_topk_fn(k), batch_format="pandas"
     )

@@ -229,3 +229,63 @@ def test_kmeans_planted_clusters(ray_session):
     best = samp[samp["rnk"] == 1].set_index("cluster")["cos_sim"]
     second = samp[samp["rnk"] == 2].set_index("cluster")["cos_sim"]
     assert (best >= second).all()
+
+
+def test_incremental_ivf_index_equals_full_and_recall(ray_session):
+    """The persisted-index path (build on committed corpus -> O(new)
+    extend -> probed read) must equal a full-corpus ivf_topk run under
+    the SAME frozen centroids bit-for-bit (same assignment math -> same
+    candidate set -> same scores), and the catalog entry must report a
+    recall floor vs brute force plus run-to-run determinism."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from etl_cms_ray.functions.rayutil import read_parquet_clean
+    from etl_cms_ray.stages.ann import (
+        _ivf_centroids, build_ivf_index, extend_ivf_index, ivf_index_topk,
+        ivf_topk)
+
+    def scan():
+        return read_parquet_clean(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def side(new):
+        def f(t):
+            import pyarrow as pa
+
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((ids % 5 == 0) == new))
+
+        return f
+
+    idx = tempfile.mkdtemp(prefix="ivfidx-test-")
+    build_ivf_index(scan().map_batches(side(False), batch_format="pyarrow"),
+                    idx, n_cells=16)
+    extend_ivf_index(scan().map_batches(side(True), batch_format="pyarrow"),
+                     idx)
+    C = _ivf_centroids(idx)
+
+    q = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", 3)])
+    q_ids = np.array(q["vec_id"].to_pylist(), dtype=np.int64)
+    q_vecs = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+
+    via_index = ivf_index_topk(idx, q_ids, q_vecs, k=5, nprobe=4).to_pandas()
+    via_full = ivf_topk(scan(), q_ids, q_vecs, k=5, n_cells=16, nprobe=4,
+                        centroids=C).to_pandas()
+    key = ["query_id", "rank"]
+    a = via_index.sort_values(key).reset_index(drop=True)
+    b = via_full.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    out = _queries()["cdc_incremental_ann"](SF_DIR)
+    assert "recall" in out.columns
+    assert out.groupby("query_id")["recall"].first().mean() >= 0.5
+    out2 = _queries()["cdc_incremental_ann"](SF_DIR)
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True))
