@@ -58,7 +58,8 @@ from .pipelines.history import (incremental_repo_stats, incremental_token_df,
                                 token_df_snapshot)
 from .pipelines.branch import (branch_root, create_branch, delete_branch,
                                list_branches, merge_branch)
-from .sources.debezium import decode_debezium, read_events_debezium
+from .sources.debezium import (decode_debezium, export_changelog_debezium,
+                               read_events_debezium)
 from .pipelines.index import build_token_index, token_plan, token_search
 from .pipelines.maintenance import requeue_dead_letter
 from .pipelines.matview import (materialize_join_view, materialize_stats_view,
@@ -133,7 +134,7 @@ __all__ = [
     "LakeStore", "scan_plans", "smart_scan",
     "create_branch", "merge_branch", "delete_branch", "list_branches",
     "branch_root",
-    "read_events_debezium", "decode_debezium",
+    "read_events_debezium", "decode_debezium", "export_changelog_debezium",
     "Expectation", "read_dead_letter", "requeue_dead_letter",
     "HyperLogLog", "MisraGries", "KLL", "approx_distinct", "heavy_hitters",
     "approx_quantiles",

@@ -1500,6 +1500,55 @@ def cdc_debezium_ingest(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_debezium_export(sf_dir: str) -> "rd.Dataset":
+    """CDC OUT — the write side of the Debezium connector: a lake's
+    changelog published as envelope segments and consumed back through
+    the same connector must reconstruct the relation exactly.  Pipeline:
+    direct-ingest lake A in two commits (epoch 0, then epoch 1 with
+    updates+deletes), export v0→v1 and v1→v2 via
+    sources/debezium.export_changelog_debezium (snapshot_diff reads only
+    changed partitions; envelopes are built as masked Arrow structs —
+    before null on insert, after null on delete — and stream out
+    block-parallel via write_json), then re-ingest both segment dirs
+    into lake B with source.txId as the epoch.  The oracle is the same
+    relational reconstruction as direct ingest (_SQL_REPOS_LAKE) — a
+    FOURTH physical plan for that relation, pinning the exporter as
+    lossless including pre-image delete keys."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from ..sources.debezium import export_changelog_debezium, read_events_debezium
+
+    lake_a, r1, r2 = _two_commit_lake(sf_dir, "dbzout_lake")
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    seg1 = os.path.join(tempfile.gettempdir(), f"dbzout_seg1_{tag}")
+    seg2 = os.path.join(tempfile.gettempdir(), f"dbzout_seg2_{tag}")
+    lake_b = os.path.join(tempfile.gettempdir(), f"dbzout_lakeb_{tag}")
+    for d in (seg1, seg2, lake_b):
+        _sh.rmtree(d, ignore_errors=True)
+    export_changelog_debezium(lake_a, 0, r1.manifest_version, out_dir=seg1)
+    export_changelog_debezium(lake_a, r1.manifest_version,
+                              r2.manifest_version, out_dir=seg2)
+    cfg = EngineConfig(lake_root=lake_b, num_partitions=16)
+    ingest(read_events_debezium(seg1), cfg, count_input=False)
+    ingest(read_events_debezium(seg2), cfg, count_input=False)
+    lake = read_lake(lake_b)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
 def cdc_schema_evolution(sf_dir: str) -> "rd.Dataset":
     """Full schema-evolution lifecycle on the documents-derived stream:
     commit 1 ADDs a payload column (backfilled default), commit 2 WIDENs
@@ -9890,6 +9939,7 @@ QUERIES = {
     "user_trailing_7d_value": user_trailing_7d_value,
     "event_daily_anomaly": event_daily_anomaly,
     "user_running_distinct": user_running_distinct,
+    "cdc_debezium_export": cdc_debezium_export,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -10023,6 +10073,7 @@ ORACLE_SQL = {
     "cdc_wap_publish": _SQL_REPOS_LAKE,
     "cdc_branch_merge": _SQL_REPOS_LAKE,
     "cdc_debezium_ingest": _SQL_REPOS_LAKE,
+    "cdc_debezium_export": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,

@@ -34,6 +34,7 @@ feed (SURVEY.md §2.1 S4/S7); this is the same role for a real CDC bus.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -61,9 +62,15 @@ def _struct_path(col: pa.ChunkedArray | pa.Array, path: list[str]):
     try:
         out = col
         for p in path:
+            if pa.types.is_null(out.type):
+                # JSON inference yields `null` type for a field that is
+                # null in EVERY row of the segment (e.g. `before` in an
+                # all-insert export) — same meaning as absent
+                return None
             out = pc.struct_field(out, p)
         return out
-    except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError):
+    except (KeyError, pa.ArrowInvalid, pa.ArrowTypeError,
+            pa.ArrowNotImplementedError):
         return None
 
 
@@ -146,6 +153,97 @@ def read_events_debezium(paths, field_map: dict | None = None,
         fn_kwargs={"field_map": field_map, "epoch_path": epoch_path,
                    "seq_path": seq_path},
     )
+
+
+def export_changelog_debezium(
+    lake_root: str,
+    from_version: int,
+    to_version: int | None = None,
+    out_dir: str = None,
+    table: str = "files",
+    value_cols: tuple = ("commit", "lang", "content"),
+) -> str:
+    """CDC OUT — the write side of this connector: publish a lake's
+    changelog between two manifest versions as Debezium-envelope JSONL
+    segments, so any downstream consumer (another engine, a Kafka-shaped
+    bus, this engine's own read_events_debezium) can subscribe to the
+    lake like a topic.
+
+    Shape: `snapshot_diff` already computes the per-key net change
+    reading only partitions whose manifest state differs (O(changed
+    partitions)); this stage turns each diff row into an envelope
+    FULLY VECTORIZED — before/after images are Arrow StructArrays
+    masked null on insert/delete respectively, the op code is an
+    index_in/take dictionary map (the exact inverse of decode), and the
+    segments stream out via `write_json` block-parallel.  No row loop,
+    no driver materialization.
+
+    Envelope contract (mirrors decode): op c/u/d; after = new image
+    (null on delete), before = old image (null on insert);
+    source.txId = to_version (the manifest commit IS the transaction,
+    so a re-ingest of the exported stream applies under the engine's
+    whole-epoch fence semantics); source.lsn = 0 (one net change per
+    key per commit — no intra-transaction order to preserve).  The
+    round trip export → read_events_debezium → ingest reconstructs the
+    source relation exactly (oracle cdc_debezium_export)."""
+    from ..pipelines.history import snapshot_diff
+    from ..state.manifest import LakeStore
+
+    if to_version is None:
+        to_version = LakeStore(lake_root).current_version()
+    diff = snapshot_diff(lake_root, from_version, to_version,
+                         value_cols=tuple(value_cols))
+    txid = int(to_version)
+
+    def to_env(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        n = t.num_rows
+        change = t["change"]
+        is_del = pc.equal(change, "delete")
+        is_ins = pc.equal(change, "insert")
+
+        def img(cols: dict, null_mask) -> pa.StructArray:
+            arrays = [
+                (v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+                for v in cols.values()
+            ]
+            mask = pc.fill_null(null_mask, False)
+            return pa.StructArray.from_arrays(
+                arrays, names=list(cols), mask=mask.combine_chunks()
+                if isinstance(mask, pa.ChunkedArray) else mask)
+
+        after = img(
+            {"repo": t["repo"], "path": t["path"],
+             **{c: t[c] for c in value_cols}},
+            is_del,
+        )
+        before = img(
+            {"repo": t["repo"], "path": t["path"],
+             **{c: t[f"old_{c}"] for c in value_cols}},
+            is_ins,
+        )
+        keys = ["insert", "update", "delete"]
+        idx = pc.index_in(change, value_set=pa.array(keys))
+        op = pc.take(pa.array(["c", "u", "d"]), idx)
+        source = pa.StructArray.from_arrays(
+            [pa.array(np.full(n, txid, dtype=np.int64)),
+             pa.array(np.zeros(n, dtype=np.int64)),
+             pa.array([table] * n)],
+            names=["txId", "lsn", "table"],
+        )
+        payload = pa.StructArray.from_arrays(
+            [before, after,
+             op.combine_chunks() if isinstance(op, pa.ChunkedArray) else op,
+             pa.array(np.full(n, 1_700_000_000_000 + txid, dtype=np.int64)),
+             source],
+            names=["before", "after", "op", "ts_ms", "source"],
+        )
+        return pa.table({"payload": payload})
+
+    diff.map_batches(to_env, batch_format="pyarrow").write_json(out_dir)
+    return out_dir
 
 
 def to_debezium_lines(events: pa.Table, table: str = "files") -> list[str]:

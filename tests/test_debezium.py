@@ -100,3 +100,41 @@ def test_unknown_op_rejected(ray_session):
                      "source": {"txId": 0, "lsn": 1}}}).encode()))
     with pytest.raises(ValueError, match="unknown Debezium op"):
         decode_debezium(raw)
+
+
+def test_export_changelog_roundtrip(ray_session, tmp_path):
+    """CDC OUT: exporting each commit's changelog as envelopes and
+    re-ingesting through the connector reconstructs the source lake
+    exactly — including update after-images and delete pre-image keys;
+    an all-insert segment (JSON-inferred null `before`) decodes too."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from etl_cms_ray.pipelines.ingest import read_lake
+    from etl_cms_ray.sources.debezium import export_changelog_debezium
+
+    repos = make_repos(5, 10)
+    ev = make_events(repos, n_epochs=4, events_per_epoch=80)
+    a_root = str(tmp_path / "lakeA")
+    b_root = str(tmp_path / "lakeB")
+    cfg = EngineConfig(lake_root=a_root, num_partitions=8)
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg)
+
+    s1 = export_changelog_debezium(a_root, 0, 1, out_dir=str(tmp_path / "s1"))
+    s2 = export_changelog_debezium(a_root, 1, 2, out_dir=str(tmp_path / "s2"))
+    cfg_b = EngineConfig(lake_root=b_root, num_partitions=8)
+    r1 = ingest(read_events_debezium(s1), cfg_b, count_input=False)
+    r2 = ingest(read_events_debezium(s2), cfg_b, count_input=False)
+    assert r1.events_applied > 0 and r2.events_applied > 0
+
+    cols = ["repo", "path", "commit", "lang", "content"]
+    a = read_lake(a_root).to_pandas()[cols].sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    b = read_lake(b_root).to_pandas()[cols].sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # replaying the same exported segment is an exactly-once no-op
+    r3 = ingest(read_events_debezium(s2), cfg_b, count_input=False)
+    assert r3.events_applied == 0
