@@ -109,6 +109,34 @@ def _derive_events(sf_dir: str, mult: int = 1):
     return ds.map_batches(to_events, batch_format="pyarrow")
 
 
+def _host_probe() -> dict:
+    """~2 s host-phase fingerprint recorded into every bench JSON: the
+    host shows multi-hour windows where parallel CPU delivery collapses
+    2-3x on identical code (CLAUDE.md rule 8; BASELINE.md runs 13-15 vs
+    12).  `solo_ms` = min-of-3 single-core matmul; `par_eff` = that same
+    kernel's efficiency across 8 concurrent processes (clean window
+    ~0.9+, degraded ~0.5).  Lets any reader judge a recorded number's
+    window instead of guessing."""
+    import multiprocessing as mp
+
+    solo = min(_probe_task(None) for _ in range(3))
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(8) as p:
+        times = p.map(_probe_task, range(8))
+    return {"host_solo_ms": round(solo * 1000, 1),
+            "host_par_eff": round(solo / max(times), 2)}
+
+
+def _probe_task(_):
+    import numpy as _np
+
+    a = _np.random.default_rng(0).standard_normal((384, 384))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        a = a @ a * 1e-3
+    return time.perf_counter() - t0
+
+
 def run_bench() -> dict:
     import ray
 
@@ -310,6 +338,7 @@ def run_bench() -> dict:
         "n_events": n_events,
         "lake_rows": lake_rows,
         "events_per_sec": round(n_events / headline, 1),
+        **_host_probe(),
     }
     ray.shutdown()
     return out
@@ -360,6 +389,8 @@ def run_scaling() -> None:
                 "events_per_sec_hi": tp_hi,
                 "scaling_efficiency": round(eff, 3),
                 "per_pass_sec": [[p[0]["value"], p[1]["value"]] for p in passes],
+                "host_par_eff_lo": r_lo.get("host_par_eff"),
+                "host_par_eff_hi": r_hi.get("host_par_eff"),
                 "sf": r_lo["sf"],
             }
         )
