@@ -231,6 +231,7 @@ def run_bench() -> dict:
             "n_events": n_events,
             "lake_rows": lake_rows,
             "events_per_sec": round(n_events / t_total, 1),
+            **_host_probe(),
         }
         ray.shutdown()
         return out

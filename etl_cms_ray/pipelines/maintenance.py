@@ -432,6 +432,46 @@ def expire_snapshots(lake_root: str, keep_last: int = 2,
     return report
 
 
+def find_orphan_files(lake_root: str, grace_sec: float = 0.0) -> list[dict]:
+    """Dry-run debris report: data files under ``data/`` that NO existing
+    manifest version references — the residue of a writer that crashed
+    between its content-addressed file write and the manifest publish
+    (such files are invisible to every reader by construction; they only
+    hold disk).  Deletion stays with ``expire_snapshots`` — this is the
+    inspection half (Delta's VACUUM DRY RUN analog), cheap enough to run
+    per commit: O(existing manifests) metadata reads + one directory
+    walk, no data reads.
+
+    ``grace_sec`` skips files younger than the window (a concurrent
+    in-flight ingest's just-written files are not orphans yet).  Returns
+    ``{"file", "bytes", "age_sec"}`` per orphan, oldest first."""
+    import glob
+
+    store = LakeStore(lake_root)
+    referenced: set[str] = set()
+    versions = sorted(
+        int(os.path.basename(p)[len("manifest-"):-len(".json")])
+        for p in glob.glob(os.path.join(store.manifest_dir, "manifest-*.json"))
+    )
+    for v in versions:
+        referenced.update(store.load_manifest(version=v).live_files())
+    now = time.time()
+    out = []
+    for dirpath, _dirs, files in os.walk(os.path.join(lake_root, "data")):
+        for f in files:
+            abspath = os.path.join(dirpath, f)
+            rel = os.path.relpath(abspath, lake_root)
+            if rel in referenced:
+                continue
+            age = now - os.path.getmtime(abspath)
+            if age < grace_sec:
+                continue
+            out.append({"file": rel, "bytes": os.path.getsize(abspath),
+                        "age_sec": round(age, 1)})
+    out.sort(key=lambda r: -r["age_sec"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # In-place rewrites: DELETE WHERE / UPDATE WHERE over the live lake
 

@@ -8977,6 +8977,207 @@ WHERE abs((CAST(d.c AS DOUBLE) - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)) > 2.0
 """
 
 
+def ab_test_value(sf_dir: str) -> "rd.Dataset":
+    """Welch's two-sample t-test per event_type: cohort A = even
+    user_id, cohort B = odd (the deterministic assignment an
+    experimentation pipeline would hash users into), statistic on the
+    event value.  The A/B gate every product-analytics stack runs —
+    and the same exact-integer-moments shape as the regression entry:
+    per-batch partials are int64 (n, Σcents, Σcents²) per (type,
+    cohort), so both engines derive mean/variance/t/Welch-df from
+    bit-identical sums (rule 4; no p-value — that needs incomplete
+    beta, out of scope for a cross-engine-exact gate).  Bounded keys →
+    one coalesced final."""
+    ds = _events(sf_dir, ["event_type", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        d = pd.DataFrame({
+            "event_type": df["event_type"],
+            "cohort": (df["user_id"].to_numpy() % 2).astype(np.int64),
+            "_c": c, "_cc": c * c,
+        })
+        return (
+            d.groupby(["event_type", "cohort"], sort=False)
+            .agg(_n=("_c", "size"), _s=("_c", "sum"), _ss=("_cc", "sum"))
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["event_type", "cohort"], sort=False)
+            .agg(_n=("_n", "sum"), _s=("_s", "sum"), _ss=("_ss", "sum"))
+            .reset_index()
+        )
+        w = g.pivot(index="event_type", columns="cohort",
+                    values=["_n", "_s", "_ss"])
+        na = w[("_n", 0)].astype("float64")
+        nb = w[("_n", 1)].astype("float64")
+        sa = w[("_s", 0)].astype("float64")
+        sb = w[("_s", 1)].astype("float64")
+        ssa = w[("_ss", 0)].astype("float64")
+        ssb = w[("_ss", 1)].astype("float64")
+        ma = sa / na / 100.0
+        mb = sb / nb / 100.0
+        # unbiased sample variance on the cents grid, then to units²
+        va = (ssa - sa * sa / na) / (na - 1.0) / 10000.0
+        vb = (ssb - sb * sb / nb) / (nb - 1.0) / 10000.0
+        se2 = va / na + vb / nb
+        t = (ma - mb) / np.sqrt(se2)
+        dfree = se2 * se2 / (
+            (va / na) * (va / na) / (na - 1.0)
+            + (vb / nb) * (vb / nb) / (nb - 1.0)
+        )
+        return pd.DataFrame({
+            "event_type": w.index,
+            "n_a": w[("_n", 0)].astype("int64"),
+            "n_b": w[("_n", 1)].astype("int64"),
+            "mean_a": _qround(ma, 6),
+            "mean_b": _qround(mb, 6),
+            "t_stat": _qround(t, 6),
+            "welch_df": _qround(dfree, 4),
+        }).reset_index(drop=True)
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), finalize)
+
+
+_SQL_AB_TEST = """
+WITH q AS (
+  SELECT event_type, user_id % 2 AS cohort,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), a AS (
+  SELECT event_type, cohort, count(*) AS ni, sum(c) AS si,
+         sum(c * c) AS ssi
+  FROM q GROUP BY 1, 2
+), w AS (
+  SELECT event_type,
+         CAST(max(CASE WHEN cohort = 0 THEN ni END) AS BIGINT) AS n_a_i,
+         CAST(max(CASE WHEN cohort = 1 THEN ni END) AS BIGINT) AS n_b_i,
+         CAST(max(CASE WHEN cohort = 0 THEN ni END) AS DOUBLE) AS na,
+         CAST(max(CASE WHEN cohort = 1 THEN ni END) AS DOUBLE) AS nb,
+         CAST(max(CASE WHEN cohort = 0 THEN si END) AS DOUBLE) AS sa,
+         CAST(max(CASE WHEN cohort = 1 THEN si END) AS DOUBLE) AS sb,
+         CAST(max(CASE WHEN cohort = 0 THEN ssi END) AS DOUBLE) AS ssa,
+         CAST(max(CASE WHEN cohort = 1 THEN ssi END) AS DOUBLE) AS ssb
+  FROM a GROUP BY event_type
+), f AS (
+  SELECT event_type, n_a_i, n_b_i,
+         sa / na / 100.0 AS ma, sb / nb / 100.0 AS mb,
+         (ssa - sa * sa / na) / (na - 1.0) / 10000.0 AS va,
+         (ssb - sb * sb / nb) / (nb - 1.0) / 10000.0 AS vb,
+         na, nb
+  FROM w
+)
+SELECT event_type, n_a_i AS n_a, n_b_i AS n_b,
+       floor(ma * 1000000 + 0.5) / 1000000 AS mean_a,
+       floor(mb * 1000000 + 0.5) / 1000000 AS mean_b,
+       floor(((ma - mb) / sqrt(va / na + vb / nb)) * 1000000 + 0.5) / 1000000 AS t_stat,
+       floor(((va / na + vb / nb) * (va / na + vb / nb) /
+              ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0))) * 10000 + 0.5) / 10000 AS welch_df
+FROM f
+"""
+
+
+def event_value_benford(sf_dir: str) -> "rd.Dataset":
+    """Benford first-significant-digit conformance per event_type — the
+    forensic data-quality gate (fabricated or unit-mangled feeds break
+    the log-uniform digit law).  The first digit comes from the DECIMAL
+    STRING of the cent-quantized integer (never log10 — exact in both
+    engines, no ulp risk at power-of-ten boundaries); digit counts are
+    exact int64 partials; the χ² statistic against the Benford
+    probabilities uses literal double constants shared by construction
+    (the SQL is generated from the same array).  Bounded keys (#types ×
+    9 digits) → one coalesced final."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        keep = c > 0
+        first = (
+            pd.Series(c[keep]).astype(str).str[0].astype(np.int64).to_numpy()
+        )
+        return (
+            pd.DataFrame({"event_type": df["event_type"].to_numpy()[keep],
+                          "digit": first})
+            .groupby(["event_type", "digit"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df.groupby(["event_type", "digit"], sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        # pivot to one column per digit (0 when absent — an absent digit
+        # still contributes its full expected term) and sum the nine χ²
+        # terms in EXPLICIT d=1..9 order: float addition isn't
+        # associative, so both engines must associate identically
+        w = d.pivot_table(index="event_type", columns="digit", values="c",
+                          fill_value=0, aggfunc="sum")
+        for k in range(1, 10):
+            if k not in w.columns:
+                w[k] = 0
+        n_i = sum(w[k] for k in range(1, 10)).astype("int64")
+        n = n_i.astype("float64")
+        chi2 = None
+        for k in range(1, 10):
+            obs = w[k].astype("float64")
+            exp = n * _BENFORD_P[k - 1]
+            term = (obs - exp) * (obs - exp) / exp
+            chi2 = term if chi2 is None else chi2 + term
+        return pd.DataFrame({
+            "event_type": w.index,
+            "n_values": n_i,
+            "chi2": _qround(chi2, 6),
+        }).reset_index(drop=True)
+
+    return _final_agg(ds.map_batches(partial, batch_format="pandas"), finalize)
+
+
+#: Benford P(d) = log10(1 + 1/d) as the literal doubles BOTH engines use
+#: (the SQL below is generated from this array — never recomputed via log)
+_BENFORD_P = [float(np.log10(1.0 + 1.0 / d)) for d in range(1, 10)]
+
+
+def _benford_sql() -> str:
+    """Generated from _BENFORD_P: per-digit observed counts pivot to
+    columns (0 when absent), and the nine χ² terms add in EXPLICIT
+    d=1..9 left-associative order — the same association the Ray
+    finalize uses, so the doubles match bit-for-bit."""
+    obs_cols = ",\n         ".join(
+        f"COALESCE(max(CASE WHEN digit = {k} THEN c END), 0) AS o{k}"
+        for k in range(1, 10))
+    n_expr = " + ".join(f"o{k}" for k in range(1, 10))
+    terms = " + ".join(
+        f"((CAST(o{k} AS DOUBLE) - CAST(n_i AS DOUBLE) * {_BENFORD_P[k-1]!r})"
+        f" * (CAST(o{k} AS DOUBLE) - CAST(n_i AS DOUBLE) * {_BENFORD_P[k-1]!r})"
+        f" / (CAST(n_i AS DOUBLE) * {_BENFORD_P[k-1]!r}))"
+        for k in range(1, 10))
+    return f"""
+WITH q AS (
+  SELECT event_type,
+         CAST(substr(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM events
+  WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0
+), d AS (
+  SELECT event_type, digit, count(*) AS c FROM q GROUP BY 1, 2
+), w AS (
+  SELECT event_type,
+         {obs_cols}
+  FROM d GROUP BY event_type
+), f AS (
+  SELECT *, {n_expr} AS n_i FROM w
+)
+SELECT event_type, CAST(n_i AS BIGINT) AS n_values,
+       floor(({terms}) * 1000000 + 0.5) / 1000000 AS chi2
+FROM f
+"""
+
+
 def user_running_distinct(sf_dir: str) -> "rd.Dataset":
     """Per-event running COUNT(DISTINCT event_type) per user — the
     cumulative-novelty window SQL engines refuse as a window aggregate
@@ -9940,6 +10141,8 @@ QUERIES = {
     "event_daily_anomaly": event_daily_anomaly,
     "user_running_distinct": user_running_distinct,
     "cdc_debezium_export": cdc_debezium_export,
+    "ab_test_value": ab_test_value,
+    "event_value_benford": event_value_benford,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -10163,6 +10366,8 @@ ORACLE_SQL = {
     "user_trailing_7d_value": _SQL_TRAILING_7D,
     "event_daily_anomaly": _SQL_DAILY_ANOMALY,
     "user_running_distinct": _SQL_RUNNING_DISTINCT,
+    "ab_test_value": _SQL_AB_TEST,
+    "event_value_benford": _benford_sql(),
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
     "doc_lang_temperature_weights": _SQL_LANG_TEMPERATURE,

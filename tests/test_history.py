@@ -309,3 +309,39 @@ def test_join_view_refresh_one_side_only_and_noop(join_lakes):
         from_version_a=va2, from_version_b=vb1,
         to_version_a=va2, to_version_b=vb1)
     pd.testing.assert_frame_equal(_state_df(noop), _state_df(full))
+
+
+def test_find_orphan_files_reports_debris_only(lake):
+    """An unreferenced file planted under data/ (the crashed-writer
+    residue) is reported as an orphan; every manifest-referenced file is
+    not; grace_sec hides young debris; expire_snapshots then reclaims
+    exactly the reported file and the lake stays healthy."""
+    import os
+
+    from etl_cms_ray.pipelines.maintenance import (audit_lake,
+                                                   expire_snapshots,
+                                                   find_orphan_files)
+
+    lake_root, _snaps = lake
+    assert find_orphan_files(lake_root) == []
+
+    part_dir = os.path.join(lake_root, "data", "part=00003")
+    os.makedirs(part_dir, exist_ok=True)
+    debris = os.path.join(part_dir, "deadbeef-crashed.parquet")
+    with open(debris, "wb") as f:
+        f.write(b"not really parquet")
+
+    got = find_orphan_files(lake_root)
+    assert [os.path.basename(r["file"]) for r in got] == [
+        "deadbeef-crashed.parquet"]
+    assert got[0]["bytes"] == 18
+
+    # a grace window hides the just-written file (in-flight writer)
+    assert find_orphan_files(lake_root, grace_sec=3600) == []
+
+    # vacuum reclaims exactly the debris; the lake audits healthy
+    before = expire_snapshots(lake_root, keep_last=10)
+    assert before["files_deleted"] == 1
+    assert not os.path.exists(debris)
+    assert find_orphan_files(lake_root) == []
+    assert audit_lake(lake_root)["healthy"]
