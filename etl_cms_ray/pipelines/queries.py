@@ -1500,6 +1500,52 @@ def cdc_debezium_ingest(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_partition_evolution(sf_dir: str) -> "rd.Dataset":
+    """Sanctioned partition-count migration (pipelines/maintenance.py
+    repartition_lake — CLAUDE.md rule 7's one legal way to change the
+    bucketing of an existing lake): ingest epoch 0 at 16 partitions,
+    migrate the live lake to 24 buckets (one full rewrite; every new
+    bucket gets a manifest entry carrying the collapsed MAX fence so
+    replayed pre-migration epochs stay no-ops and deleted keys cannot
+    resurrect), then ingest epoch 1 INTO THE MIGRATED LAKE and assert a
+    replay of epoch 0 applies zero events.  The oracle is the direct
+    relational reconstruction — migration must be invisible to the
+    relation while changing every file's bucket address."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from .maintenance import repartition_lake
+
+    events = _docs_change_events(sf_dir)
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"pevo_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    cfg16 = EngineConfig(lake_root=lake_root, num_partitions=16)
+    ingest(events.filter(expr="epoch == 0"), cfg16, count_input=False)
+    m = repartition_lake(lake_root, 24)
+    assert m.num_partitions == 24
+    cfg24 = EngineConfig(lake_root=lake_root, num_partitions=24)
+    ingest(events.filter(expr="epoch == 1"), cfg24, count_input=False)
+    replay = ingest(events.filter(expr="epoch == 0"), cfg24,
+                    count_input=False)
+    assert replay.events_applied == 0, "migration must preserve fences"
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
 def cdc_debezium_export(sf_dir: str) -> "rd.Dataset":
     """CDC OUT — the write side of the Debezium connector: a lake's
     changelog published as envelope segments and consumed back through
@@ -10143,6 +10189,7 @@ QUERIES = {
     "cdc_debezium_export": cdc_debezium_export,
     "ab_test_value": ab_test_value,
     "event_value_benford": event_value_benford,
+    "cdc_partition_evolution": cdc_partition_evolution,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -10277,6 +10324,7 @@ ORACLE_SQL = {
     "cdc_branch_merge": _SQL_REPOS_LAKE,
     "cdc_debezium_ingest": _SQL_REPOS_LAKE,
     "cdc_debezium_export": _SQL_REPOS_LAKE,
+    "cdc_partition_evolution": _SQL_REPOS_LAKE,
     "q1_pricing_summary": _SQL_Q1,
     "q3_top_orders": _SQL_Q3,
     "q5_local_supplier": _SQL_Q5,
