@@ -116,6 +116,22 @@ def main(argv: list[str] | None = None) -> int:
     pex.add_argument("--lake", required=True)
     pex.add_argument("--keep-last", type=int, default=2, dest="keep_last")
 
+    por = sub.add_parser("orphans", help="dry-run report of data files no "
+                                         "manifest references (crashed-writer debris)")
+    por.add_argument("--lake", required=True)
+    por.add_argument("--grace-sec", type=float, default=0.0, dest="grace_sec")
+
+    pdz = sub.add_parser("export-debezium",
+                         help="publish a changelog between two manifest "
+                              "versions as Debezium-envelope JSONL segments")
+    pdz.add_argument("--lake", required=True)
+    pdz.add_argument("--from-version", type=int, required=True,
+                     dest="from_version")
+    pdz.add_argument("--to-version", type=int, default=None,
+                     dest="to_version")
+    pdz.add_argument("--out", required=True)
+    pdz.add_argument("--table", default="files")
+
     pt = sub.add_parser("tail", help="poll a binlog directory of "
                                      "epoch=N.parquet files and ingest new epochs")
     pt.add_argument("--events-dir", required=True, dest="events_dir")
@@ -273,6 +289,19 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.maintenance import expire_snapshots
 
             print(json.dumps(expire_snapshots(args.lake, args.keep_last)))
+        elif args.cmd == "orphans":
+            from .pipelines.maintenance import find_orphan_files
+
+            rows = find_orphan_files(args.lake, grace_sec=args.grace_sec)
+            print(json.dumps({"orphans": rows,
+                              "total_bytes": sum(r["bytes"] for r in rows)}))
+        elif args.cmd == "export-debezium":
+            from .sources.debezium import export_changelog_debezium
+
+            out = export_changelog_debezium(
+                args.lake, args.from_version, args.to_version,
+                out_dir=args.out, table=args.table)
+            print(json.dumps({"segments_dir": out}))
         elif args.cmd == "snapshot":
             from .pipelines.history import read_snapshot
 
