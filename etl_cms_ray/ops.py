@@ -51,7 +51,8 @@ from .stages.redact import DEFAULT_RULES, RedactRule, redact_batch, redact_colum
 from .stages.unpivot import unpivot_list
 
 # lake lifecycle
-from .pipelines.history import (incremental_repo_stats, incremental_token_df,
+from .pipelines.history import (consume_changelog, consumer_cursor,
+                                incremental_repo_stats, incremental_token_df,
                                 keyed_join_view, keyed_join_view_refresh,
                                 keyed_join_view_snapshot, read_snapshot,
                                 repo_stats_snapshot, snapshot_diff,
@@ -118,7 +119,8 @@ __all__ = [
     "materialize_join_view", "refresh_join_view", "read_join_view",
     "materialize_stats_view", "refresh_stats_view", "read_stats_view",
     "read_snapshot", "repo_stats_snapshot",
-    "snapshot_diff", "ingest", "ingest_with_retry", "read_lake",
+    "snapshot_diff", "consume_changelog", "consumer_cursor",
+    "ingest", "ingest_with_retry", "read_lake",
     "read_lake_table",
     "point_lookup", "lookup_plan", "range_plan", "range_scan",
     "eq_plan", "eq_scan",

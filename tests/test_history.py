@@ -345,3 +345,66 @@ def test_find_orphan_files_reports_debris_only(lake):
     assert not os.path.exists(debris)
     assert find_orphan_files(lake_root) == []
     assert audit_lake(lake_root)["healthy"]
+
+
+def test_consume_changelog_consumer_groups(lake):
+    """Consumer-group semantics over the changelog: independent durable
+    cursors, exact spans, at-least-once redelivery before ack, no-op at
+    head, and a fresh consumer replaying from version 0."""
+    from etl_cms_ray.pipelines.history import (consume_changelog,
+                                               consumer_cursor)
+
+    lake_root, snaps = lake
+    head = snaps[-1][0]
+
+    # fresh consumer sees everything since v0
+    ch, ack, span = consume_changelog(lake_root, "sink-a")
+    assert span == (0, head)
+    first = ch.to_pandas()
+    assert len(first) > 0
+    # crash before ack -> identical redelivery
+    ch2, ack2, span2 = consume_changelog(lake_root, "sink-a")
+    assert span2 == span
+    pd.testing.assert_frame_equal(
+        first.sort_values(["repo", "path"]).reset_index(drop=True),
+        ch2.to_pandas().sort_values(["repo", "path"]).reset_index(drop=True))
+    ack2()
+    assert consumer_cursor(lake_root, "sink-a") == head
+
+    # at head: nothing to consume, ack is a no-op
+    ch3, ack3, span3 = consume_changelog(lake_root, "sink-a")
+    assert ch3 is None and span3 == (head, head)
+    ack3()
+
+    # a second consumer is independent (still at 0)
+    assert consumer_cursor(lake_root, "sink-b") == 0
+    chb, ackb, spanb = consume_changelog(lake_root, "sink-b")
+    assert spanb == (0, head)
+    ackb()
+
+    # new commit -> sink-a consumes ONLY the increment
+    import ray.data as _rd
+
+    from etl_cms_ray.config import EngineConfig as _Cfg
+    from etl_cms_ray.pipelines.ingest import ingest as _ingest
+
+    ev = make_events(make_repos(n_repos=8, files_per_repo=8),
+                     n_epochs=6, events_per_epoch=120, scenario="tombstone")
+    part = _rd.from_arrow(
+        ev.filter(pa.compute.equal(ev["epoch"], 5)))
+    _ingest(part, _Cfg(lake_root=lake_root, num_partitions=8),
+            count_input=False)
+    new_head = LakeStore(lake_root).current_version()
+    ch4, ack4, span4 = consume_changelog(lake_root, "sink-a")
+    assert span4 == (head, new_head)
+    inc = ch4.to_pandas()
+    ack4()
+    # the increment equals the full diff between those two versions
+    ref = snapshot_diff(lake_root, head, new_head).to_pandas()
+    pd.testing.assert_frame_equal(
+        inc.sort_values(["repo", "path"]).reset_index(drop=True),
+        ref.sort_values(["repo", "path"]).reset_index(drop=True))
+
+    # hostile consumer ids are rejected
+    with pytest.raises(ValueError):
+        consume_changelog(lake_root, "../evil")
