@@ -121,6 +121,16 @@ def main(argv: list[str] | None = None) -> int:
     por.add_argument("--lake", required=True)
     por.add_argument("--grace-sec", type=float, default=0.0, dest="grace_sec")
 
+    pam = sub.add_parser("maintain", help="one idempotent policy sweep: "
+                                          "compact deep delta chains, refresh "
+                                          "index/projection/z-order artifacts, "
+                                          "optional expire, orphan report")
+    pam.add_argument("--lake", required=True)
+    pam.add_argument("--compact-delta-depth", type=int, default=1,
+                     dest="compact_delta_depth")
+    pam.add_argument("--expire-keep-last", type=int, default=None,
+                     dest="expire_keep_last")
+
     pdz = sub.add_parser("export-debezium",
                          help="publish a changelog between two manifest "
                               "versions as Debezium-envelope JSONL segments")
@@ -295,6 +305,12 @@ def main(argv: list[str] | None = None) -> int:
             rows = find_orphan_files(args.lake, grace_sec=args.grace_sec)
             print(json.dumps({"orphans": rows,
                               "total_bytes": sum(r["bytes"] for r in rows)}))
+        elif args.cmd == "maintain":
+            from .pipelines.maintenance import auto_maintain
+
+            print(json.dumps(auto_maintain(
+                args.lake, compact_delta_depth=args.compact_delta_depth,
+                expire_keep_last=args.expire_keep_last)))
         elif args.cmd == "export-debezium":
             from .sources.debezium import export_changelog_debezium
 

@@ -75,9 +75,10 @@ from .pipelines.ingest import (eq_plan, eq_scan, ingest, ingest_with_retry,
                                range_scan, read_dead_letter, read_lake,
                                read_lake_table)
 from .stages.expectations import Expectation
-from .pipelines.maintenance import (audit_lake, compact_lake, delete_where,
-                                    expire_snapshots, find_orphan_files,
-                                    repartition_lake, update_where)
+from .pipelines.maintenance import (audit_lake, auto_maintain, compact_lake,
+                                    delete_where, expire_snapshots,
+                                    find_orphan_files, repartition_lake,
+                                    update_where)
 from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
 from .state.manifest import LakeStore
 from .pipelines.planner import scan_plans, smart_scan
@@ -131,7 +132,7 @@ __all__ = [
     "decontaminate", "contaminated_ids", "shingle_rows",
     "exact_group_quantile",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
-    "find_orphan_files",
+    "find_orphan_files", "auto_maintain",
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where",
     "LakeStore", "scan_plans", "smart_scan",

@@ -472,6 +472,95 @@ def find_orphan_files(lake_root: str, grace_sec: float = 0.0) -> list[dict]:
     return out
 
 
+def auto_maintain(
+    lake_root: str,
+    *,
+    compact_delta_depth: int = 1,
+    expire_keep_last: int | None = None,
+    orphan_grace_sec: float = 3600.0,
+    refresh_artifacts: bool = True,
+) -> dict:
+    """One idempotent maintenance sweep — the policy loop a production
+    deployment schedules after every commit batch, composed from the
+    engine's own fenced operations so re-running it is always safe:
+
+    1. **Compact** the MOR delta chains when any partition's depth has
+       reached ``compact_delta_depth`` (read amplification bound).
+    2. **Refresh every registered derived artifact** incrementally —
+       the token index (``_index/``), every sorted projection
+       (``_projections/<name>``), every z-order layout
+       (``_zorder/<name>``) — each refresh is O(changed partitions) by
+       construction and rebuilds nothing when already fresh, so this
+       step costs metadata reads on a quiet lake.
+    3. **Expire** snapshots beyond ``expire_keep_last`` (opt-in: time
+       travel shrinks, so the default keeps everything).
+    4. **Report** orphaned data files (grace-windowed) — report only;
+       deletion stays with expire_snapshots.
+
+    Returns the action report.  The decision inputs are manifest
+    metadata only; no data is read to decide anything."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest()
+    report: dict = {"compacted": False, "index": None, "projections": {},
+                    "zorders": {}, "expired": None, "orphans": []}
+
+    max_depth = max((len(p.deltas) for p in manifest.partitions.values()),
+                    default=0)
+    if max_depth >= compact_delta_depth and manifest.has_deltas():
+        m = compact_lake(lake_root)
+        report["compacted"] = {"from_max_depth": max_depth,
+                               "new_version": m.version}
+
+    if refresh_artifacts:
+        idx_path = os.path.join(lake_root, "_index", "tokens.parquet")
+        if os.path.exists(idx_path):
+            from .index import build_token_index
+
+            meta = _json.loads(
+                _pq.read_schema(idx_path).metadata[b"token_index"].decode())
+            report["index"] = build_token_index(
+                lake_root, column=meta["column"],
+                num_buckets=int(meta["num_buckets"]), incremental=True)
+        from .projection import build_projection, load_projection_meta
+        from .zorder import build_zorder, load_zorder_meta
+
+        for name_dir in sorted(glob.glob(
+                os.path.join(lake_root, "_projections", "*"))):
+            name = os.path.basename(name_dir)
+            m = load_projection_meta(lake_root, name)
+            if m:
+                report["projections"][name] = build_projection(
+                    lake_root, name, m["sort_col"], columns=m["columns"],
+                    num_ranges=int(m["num_ranges"]), incremental=True)
+        for name_dir in sorted(glob.glob(
+                os.path.join(lake_root, "_zorder", "*"))):
+            name = os.path.basename(name_dir)
+            m = load_zorder_meta(lake_root, name)
+            if m:
+                report["zorders"][name] = build_zorder(
+                    lake_root, name, m["zcols"], columns=m["columns"],
+                    num_files=int(m["num_files"]), incremental=True)
+
+    if expire_keep_last is not None:
+        report["expired"] = expire_snapshots(lake_root,
+                                             keep_last=expire_keep_last)
+    report["orphans"] = find_orphan_files(lake_root,
+                                          grace_sec=orphan_grace_sec)
+    store.append_lineage({"op": "auto_maintain",
+                          "compacted": bool(report["compacted"]),
+                          "artifacts": {
+                              "index": bool(report["index"]),
+                              "projections": sorted(report["projections"]),
+                              "zorders": sorted(report["zorders"])},
+                          "orphans": len(report["orphans"])})
+    return report
+
+
 # ---------------------------------------------------------------------------
 # In-place rewrites: DELETE WHERE / UPDATE WHERE over the live lake
 

@@ -137,3 +137,51 @@ def test_explicit_compact_and_audit(ray_session, tmp_path):
     # ingest continues after compaction, replay fenced
     res = ingest(ray.data.from_arrow(ev), cfg)
     assert res.events_applied == 0
+
+
+def test_auto_maintain_policy_sweep(ray_session, tmp_path):
+    """auto_maintain composes the engine's fenced ops into one idempotent
+    policy sweep: compacts when delta depth hits the bound, refreshes
+    the token index + a sorted projection incrementally, reports planted
+    orphans, and a second run is a full no-op (nothing rebuilt)."""
+    from etl_cms_ray.pipelines.index import build_token_index, token_search
+    from etl_cms_ray.pipelines.maintenance import audit_lake, auto_maintain
+    from etl_cms_ray.pipelines.projection import build_projection
+
+    repos = make_repos(4, 8)
+    ev = make_events(repos, n_epochs=3, events_per_epoch=60,
+                     scenario="tombstone")
+    cfg = _cfg(tmp_path, "lake_am", commit_mode="mor", max_deltas=8)
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    build_token_index(cfg.lake_root, column="content", num_buckets=512)
+    build_projection(cfg.lake_root, "by_size", "size", num_ranges=4)
+
+    # second commit: deltas deepen, artifacts go stale, plant debris
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg)
+    debris = os.path.join(cfg.lake_root, "data", "part=00001",
+                          "crashed-writer.parquet")
+    os.makedirs(os.path.dirname(debris), exist_ok=True)
+    with open(debris, "wb") as f:
+        f.write(b"debris")
+
+    rep = auto_maintain(cfg.lake_root, compact_delta_depth=1,
+                        orphan_grace_sec=0.0)
+    assert rep["compacted"], "delta chain at depth >=1 must compact"
+    assert rep["index"]["rebuilt"] >= 1
+    assert rep["projections"]["by_size"] is not None
+    assert [os.path.basename(o["file"]) for o in rep["orphans"]] == [
+        "crashed-writer.parquet"]
+    store = LakeStore(cfg.lake_root)
+    assert not store.load_manifest().has_deltas()
+    assert audit_lake(cfg.lake_root)["healthy"]
+    # the refreshed index answers correctly post-compaction
+    assert token_search(cfg.lake_root, "def").count() >= 0
+
+    # idempotence: a quiet lake needs nothing
+    rep2 = auto_maintain(cfg.lake_root, compact_delta_depth=1,
+                         orphan_grace_sec=0.0)
+    assert not rep2["compacted"]
+    assert rep2["index"]["rebuilt"] == 0
+    assert rep2["projections"]["by_size"]["changed_parts"] == 0
+    assert [os.path.basename(o["file"]) for o in rep2["orphans"]] == [
+        "crashed-writer.parquet"]  # report-only: still there until expire
