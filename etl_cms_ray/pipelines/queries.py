@@ -8262,6 +8262,67 @@ WHERE list_cosine_similarity(x.emb, y.emb) >= 0.99
 """
 
 
+def dedup_semantic_pairs(sf_dir: str) -> "rd.Dataset":
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    embeddings ∪ perturbed copies of vec_id in [20, 40) (re-keyed
+    +400000), candidates blocked by spherical-kmeans CELL instead of
+    hyperplane bands — within a cell everything is a candidate, across
+    cells nothing is.  The exact all-pairs oracle makes any cross-cell
+    recall loss (a qualifying pair whose members land in different
+    cells) a hard row/hash mismatch, so the green row certifies the
+    paper's co-location assumption holds on this corpus."""
+    from ..stages.ann import semdedup_pairs
+
+    def perturb(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["vec_id"], 20),
+                             pc.less(t["vec_id"], 40)))
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "embedding": pa.array([], type=pa.list_(pa.float32()))}
+            )
+        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        m = m * 1.002 + 0.001  # tiny deterministic drift, cosine ~0.999
+        return pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], 400_000),
+                "embedding": pa.array([row.astype(np.float32) for row in m],
+                                      type=pa.list_(pa.float32())),
+            }
+        )
+
+    base = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    near = _rpc(f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"]).map_batches(
+        perturb, batch_format="pyarrow"
+    )
+    return semdedup_pairs(base.union(near), k=16, threshold=0.99,
+                          round_digits=4, vec_type=pa.list_(pa.float32()))
+
+
+#: exact all-pairs oracle — identical shape to _SQL_COSINE_PAIRS but over
+#: the semantic-blocking query's own planted set, so the two operators
+#: certify independently.
+_SQL_SEMDEDUP_PAIRS = """
+WITH pert AS (
+  SELECT vec_id + 400000 AS vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CAST(CAST(x * CAST(1.002 AS DOUBLE) + CAST(0.001 AS DOUBLE) AS REAL) AS DOUBLE)
+         ) AS emb
+  FROM embeddings WHERE vec_id >= 20 AND vec_id < 40
+), allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id, emb FROM pert
+)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       floor((list_cosine_similarity(x.emb, y.emb)) * 10000 + 0.5) / 10000 AS cosine
+FROM allv x JOIN allv y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(x.emb, y.emb) >= 0.99
+"""
+
+
 def _exact_distinct_count(ds: "rd.Dataset", col: str) -> int:
     """Distributed exact COUNT(DISTINCT): per-batch distinct partial ->
     coarse value-hash partitions -> per-partition nunique -> 64-row sum."""
@@ -10104,6 +10165,7 @@ QUERIES = {
     "user_top_event_type": user_top_event_type,
     "user_train_val_split": user_train_val_split,
     # new in round 3 (no driver row yet either)
+    "dedup_semantic_pairs": dedup_semantic_pairs,
     "cdc_branch_merge": cdc_branch_merge,
     "cdc_debezium_ingest": cdc_debezium_ingest,
     "training_pack_chunks": training_pack_chunks,
@@ -10377,6 +10439,7 @@ ORACLE_SQL = {
     # formerly rows-only, now hard-checked
     "lang_id_pred": _lang_id_oracle_sql(),
     "dedup_cosine_pairs": _SQL_COSINE_PAIRS,
+    "dedup_semantic_pairs": _SQL_SEMDEDUP_PAIRS,
     "approx_distinct_sketch": _SQL_APPROX_DISTINCT,
     "user_retention_cohorts": _SQL_RETENTION_COHORTS,
     "event_type_transitions": _SQL_EVENT_TRANSITIONS,

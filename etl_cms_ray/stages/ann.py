@@ -581,29 +581,108 @@ def cosine_pairs(
     with_ab = _attach_pair_vectors(pairs, vectors, id_col, emb_col,
                                    vec_type=vec_type)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    return with_ab.map_batches(
+        _verify_cosine_batch,
+        fn_kwargs=dict(threshold=threshold, round_digits=round_digits),
+        batch_format="pyarrow", batch_size=8192)
+
+
+def _verify_cosine_batch(batch: pa.Table, *, threshold: float,
+                         round_digits: int) -> pa.Table:
+    """Exact-cosine verify over attached pair vectors (shared by the
+    hyperplane-blocked and kmeans-blocked candidate generators)."""
+    if batch.num_rows == 0:
+        return pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64()),
+                         "cosine": pa.array([], type=pa.float64())})
+    A = _normalize(_to_matrix(batch["vec_a"]))
+    B = _normalize(_to_matrix(batch["vec_b"]))
+    # matmul-grade accumulation: einsum over float64 rows (the oracle
+    # recomputes from the same source column, so only quantized values
+    # are compared — CLAUDE.md rule 4 floor-quantization below)
+    cos = np.einsum("ij,ij->i", A, B)
+    mask = cos >= threshold
+    scale = float(10 ** round_digits)
+    return pa.table(
+        {
+            "a": batch["a"].filter(pa.array(mask)),
+            "b": batch["b"].filter(pa.array(mask)),
+            "cosine": pa.array(np.floor(cos[mask] * scale + 0.5) / scale,
+                               type=pa.float64()),
+        }
+    )
+
+
+def semdedup_pairs(
+    vectors: "ray.data.Dataset",
+    k: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    iters: int = 4,
+    sample_size: int = 2048,
+    max_cluster: int = 4096,
+    metrics=None,
+    round_digits: int = 6,
+    vec_type: pa.DataType | None = None,
+) -> "ray.data.Dataset":
+    """SemDeDup-style semantic near-duplicate pairs: candidates are
+    blocked by SPHERICAL K-MEANS CELL (Abbas et al. 2023's semantic
+    clusters) instead of hyperplane bands — within a cell everything is
+    a candidate, across cells nothing is (the paper's explicit trade:
+    semantic duplicates co-locate in centroid space, so intra-cluster
+    comparison finds them at k× less pair volume than global LSH; a
+    pair straddling a cell boundary is out of contract).
+
+    Topology is the cosine_pairs chain with the blocking stage swapped:
+    one deterministic kmeans fit (streaming passes, centroids ship via
+    ray.put), one assignment pass emitting (cell, id) rows ONLY — the
+    vectors never enter the shuffle — then the shared coarse-partition
+    pair generator (cell skew capped at ``max_cluster``, drops counted
+    into ``metrics``), one-pass vector attach, exact-cosine verify."""
+    from .dedup import (_add_bucket_part, _attach_pair_vectors, _dedup_pairs,
+                        _partition_pairs)
+
+    C = kmeans_fit(vectors, k=k, iters=iters, sample_size=sample_size,
+                   emb_col=emb_col)
+    ref = ray.put(C)
+
+    def add_cell(batch: pa.Table, _ref=ref) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         if batch.num_rows == 0:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64()),
-                             "cosine": pa.array([], type=pa.float64())})
-        A = _normalize(_to_matrix(batch["vec_a"]))
-        B = _normalize(_to_matrix(batch["vec_b"]))
-        # matmul-grade accumulation: einsum over float64 rows (the oracle
-        # recomputes from the same source column, so only quantized values
-        # are compared — CLAUDE.md rule 4 floor-quantization below)
-        cos = np.einsum("ij,ij->i", A, B)
-        mask = cos >= threshold
-        scale = float(10 ** round_digits)
+            return pa.table({"band_id": pa.array([], type=pa.int32()),
+                             "band_key": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        Cm = ray.get(_ref)
+        M = _normalize(_to_matrix(batch[emb_col]))
+        cells = np.argmax(M @ Cm.T, axis=1).astype(np.int64)
         return pa.table(
             {
-                "a": batch["a"].filter(pa.array(mask)),
-                "b": batch["b"].filter(pa.array(mask)),
-                "cosine": pa.array(np.floor(cos[mask] * scale + 0.5) / scale,
-                                   type=pa.float64()),
+                "band_id": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int32)),
+                "band_key": pa.array(cells),
+                "doc_id": pa.array(
+                    batch[id_col].to_numpy(zero_copy_only=False)),
             }
         )
 
-    return with_ab.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+    exploded = vectors.map_batches(add_cell, batch_format="pyarrow")
+    exploded = exploded.map_batches(_add_bucket_part, batch_format="pyarrow",
+                                    batch_size=65536)
+    pairs = exploded.groupby("ph").map_groups(
+        lambda g: _partition_pairs(g, max_bucket=max_cluster, metrics=metrics,
+                                   metric_prefix="semdedup"),
+        batch_format="pandas",
+    )
+    pairs = _dedup_pairs(pairs, ["a", "b"])
+    with_ab = _attach_pair_vectors(pairs, vectors, id_col, emb_col,
+                                   vec_type=vec_type)
+    return with_ab.map_batches(
+        _verify_cosine_batch,
+        fn_kwargs=dict(threshold=threshold, round_digits=round_digits),
+        batch_format="pyarrow", batch_size=8192)
 
 
 # ---------------------------------------------------------------------------

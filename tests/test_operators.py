@@ -402,6 +402,59 @@ def test_cosine_pairs_finds_planted(ray_session):
     assert ((pairs["a"] == 0) & (pairs["b"] == 100)).any(), pairs
 
 
+def test_semdedup_pairs_planted_clusters(ray_session):
+    """SemDeDup blocking contract: near-dups inside a semantic cluster
+    are found exactly (match the brute-force all-pairs answer on
+    well-separated data), deterministically across batch splits."""
+    from etl_cms_ray.stages.ann import semdedup_pairs
+
+    rng = np.random.default_rng(23)
+    dirs = np.eye(12)[:4]  # 4 orthogonal semantic directions
+    rows, ids = [], []
+    nid = 0
+    for c in range(4):
+        for _ in range(25):
+            rows.append(dirs[c] + rng.normal(scale=0.02, size=12))
+            ids.append(nid)
+            nid += 1
+    # plant one twin per cluster: ids 1000+c duplicate member c*25
+    planted = []
+    for c in range(4):
+        src = rows[c * 25]
+        rows.append(src * 1.0001 + 1e-4)
+        ids.append(1000 + c)
+        planted.append((c * 25, 1000 + c))
+    mat = np.stack(rows)
+
+    def make_ds(nblocks):
+        t = pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([r.astype(np.float32) for r in mat],
+                                  type=pa.list_(pa.float32())),
+        })
+        return rd.from_arrow(t).repartition(nblocks)
+
+    out1 = (semdedup_pairs(make_ds(3), k=4, threshold=0.999)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    for a, b in planted:
+        assert ((out1["a"] == a) & (out1["b"] == b)).any(), (a, b, out1)
+
+    # exact vs brute force at this threshold (clusters are separated, so
+    # every qualifying pair is intra-cell — the SemDeDup contract holds)
+    M = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = M @ M.T
+    iu = np.triu_indices(len(ids), k=1)
+    want = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+            for i, j in zip(*iu) if cos[i, j] >= 0.999}
+    got = set(zip(out1["a"].tolist(), out1["b"].tolist()))
+    assert got == want, (got ^ want)
+
+    # determinism across a different batch split
+    out2 = (semdedup_pairs(make_ds(7), k=4, threshold=0.999)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out1, out2)
+
+
 def test_lake_langmap_enrichment(ray_session, tmp_path):
     """Enrich the lake with the F4 langmap dimension (vocabulary-join
     analog): matched rows gain lang_id/family, 'unknown' rows dead-letter
