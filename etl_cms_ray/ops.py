@@ -26,8 +26,9 @@ from .stages.ann import (brute_force_topk, build_ivf_index,
                          centroid_cosine_scores, cosine_pairs,
                          extend_ivf_index, group_centroids,
                          hard_negative_topk, ivf_index_topk, ivf_topk,
-                         lsh_topk, pq_encode, pq_topk, train_centroids,
-                         train_pq)
+                         kmeans_assign, kmeans_diversity_sample, kmeans_fit,
+                         lsh_topk, pq_encode, pq_topk, semdedup_pairs,
+                         train_centroids, train_pq)
 
 # embedding linear algebra
 from .stages.pca import covariance_partials, fit_pca, project_batch
@@ -104,7 +105,9 @@ __all__ = [
     "substring_dup_stats", "incremental_exact_dedup",
     "build_minhash_band_index", "incremental_minhash_pairs",
     "simhash_pairs",
-    "brute_force_topk", "cosine_pairs", "hard_negative_topk",
+    "brute_force_topk", "cosine_pairs", "semdedup_pairs",
+    "hard_negative_topk",
+    "kmeans_fit", "kmeans_assign", "kmeans_diversity_sample",
     "ivf_topk", "lsh_topk",
     "build_ivf_index", "extend_ivf_index", "ivf_index_topk",
     "train_centroids", "train_pq", "pq_encode", "pq_topk",
