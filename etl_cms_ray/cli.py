@@ -131,6 +131,14 @@ def main(argv: list[str] | None = None) -> int:
     pam.add_argument("--expire-keep-last", type=int, default=None,
                      dest="expire_keep_last")
 
+    ppg = sub.add_parser("purge", help="GDPR erasure of a subject key from "
+                                       "EVERY retained snapshot, the dead-letter "
+                                       "store and all branches (history rewrite; "
+                                       "fences/versions preserved)")
+    ppg.add_argument("--lake", required=True)
+    ppg.add_argument("--repo", required=True)
+    ppg.add_argument("--path", default=None)
+
     pdz = sub.add_parser("export-debezium",
                          help="publish a changelog between two manifest "
                               "versions as Debezium-envelope JSONL segments")
@@ -311,6 +319,11 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(auto_maintain(
                 args.lake, compact_delta_depth=args.compact_delta_depth,
                 expire_keep_last=args.expire_keep_last)))
+        elif args.cmd == "purge":
+            from .pipelines.maintenance import purge_history
+
+            print(json.dumps(purge_history(args.lake, args.repo,
+                                           path=args.path)))
         elif args.cmd == "export-debezium":
             from .sources.debezium import export_changelog_debezium
 

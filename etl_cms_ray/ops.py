@@ -77,7 +77,7 @@ from .pipelines.ingest import (eq_plan, eq_scan, ingest, ingest_with_retry,
                                read_lake_table)
 from .stages.expectations import Expectation
 from .pipelines.maintenance import (audit_lake, auto_maintain, compact_lake,
-                                    delete_where, expire_snapshots,
+                                    delete_where, expire_snapshots, purge_history,
                                     find_orphan_files, repartition_lake,
                                     update_where)
 from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
@@ -137,7 +137,7 @@ __all__ = [
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "find_orphan_files", "auto_maintain",
     "sync_lake", "verify_replica", "lake_content_hash",
-    "delete_where", "update_where",
+    "delete_where", "update_where", "purge_history",
     "LakeStore", "scan_plans", "smart_scan",
     "create_branch", "merge_branch", "delete_branch", "list_branches",
     "branch_root",

@@ -873,3 +873,255 @@ def requeue_dead_letter(lake_root: str, cfg, fix_fn=None,
             except FileNotFoundError:
                 pass
     return res
+
+
+def purge_history(lake_root: str, repo: str, path: str | None = None,
+                  include_branches: bool = True) -> dict:
+    """GDPR right-to-be-forgotten across RETAINED HISTORY.
+
+    ``delete_where`` removes a key from the LIVE relation, but every
+    retained time-travel snapshot still serves its rows.  This scrubs a
+    subject key (``repo``, optionally one ``repo``+``path``) from EVERY
+    retained manifest version IN PLACE: version numbers, epoch fences
+    and all other rows' bytes are preserved — replays of the purged
+    key's old events stay fenced no-ops and ``snapshot_diff`` /
+    changelog consumers keep working — while the key's rows leave every
+    readable snapshot, the dead-letter store, and (recursively) every
+    branch lake under ``_branches/`` (branch files are hard links, so
+    scrubbing only the parent would leave the bytes alive under the
+    branch's link — recursion is the only complete erasure).
+
+    Derived layouts that hold row or token copies (``_projections``,
+    ``_zorder``, ``_index``) are DROPPED when rows were actually
+    removed: a stale copy is not acceptable erasure, and all three are
+    rebuildable from the scrubbed lake (``auto_maintain``).  Tag refs
+    are re-pointed at the scrubbed manifest bytes (the one sanctioned
+    history rewrite; ``resolve_ref``'s tamper check keeps rejecting any
+    OTHER rewrite).  Exported Debezium segments and ``sync_lake``
+    replicas live outside this root — purge them separately.
+
+    Scale shape: candidate files are discovered from manifest METADATA
+    only — with ``path`` the key hashes to exactly one partition per
+    manifest (the partitioner invariant, computed per manifest because
+    ``repartition_lake`` may have changed the bucket count), and
+    repo-dictionary zone stats prune partitions that provably never
+    held the subject.  Each candidate file is rewritten by one Ray task
+    (content-addressed, deterministic); manifests are then patched
+    shard-by-shard (untouched shards are reused by reference).  Cost is
+    O(files that can contain the key), never O(lake).
+
+    Reference analog: ETL-CMS amends output only by re-running the whole
+    forward pass (``Main.py``); Delta/Iceberg ship this as VACUUM +
+    rewrite guidance for GDPR erasure.
+    """
+    import glob as _glob
+    import re as _re
+    import shutil as _sh
+
+    import ray.data as rd
+
+    store = LakeStore(lake_root)
+    versions = sorted(
+        int(os.path.basename(p)[len("manifest-"):-len(".json")])
+        for p in _glob.glob(os.path.join(store.manifest_dir, "manifest-*.json"))
+    )
+    report = {
+        "repo": repo, "path": path, "rows_removed": 0,
+        "files_rewritten": 0, "files_deleted": 0, "versions_rewritten": 0,
+        "dead_letter_files": 0, "artifacts_dropped": [],
+        "tags_refreshed": 0, "branches": {},
+    }
+
+    manifests = {v: store.load_manifest(version=v) for v in versions}
+    # --- candidate discovery: metadata only -----------------------------
+    candidates: set[str] = set()
+    for m in manifests.values():
+        if path is not None:
+            from ..functions.hashing import part_id_one
+
+            pids = [part_id_one(repo, path, m.num_partitions)]
+        else:
+            pids = list(m.partitions)
+        for pid in pids:
+            ps = m.partitions.get(pid)
+            if ps is None:
+                continue
+            st = ps.stats.get("repo")
+            if isinstance(st, dict) and repo not in st.get("in", ()):
+                continue  # dictionary stats prove the subject never hit it
+            candidates.update(ps.all_files())
+
+    # --- distributed scrub of candidate files ---------------------------
+    def _scrub_one(abspath: str) -> tuple[str | None, int, int, str]:
+        """Rewrite one parquet file minus the subject's rows.  Returns
+        (new_abspath or None-if-empty-or-unchanged, rows_left, removed,
+        sha16); unchanged files report removed=0 and new=None."""
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(abspath)
+        mask = pc.equal(t["repo"], repo)
+        if path is not None and "path" in t.column_names:
+            mask = pc.and_(mask, pc.equal(t["path"], path))
+        mask = pc.fill_null(mask, False)
+        removed = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        if removed == 0:
+            return None, t.num_rows, 0, ""
+        kept = t.filter(pc.invert(mask))
+        if kept.num_rows == 0:
+            return None, 0, removed, ""
+        base = os.path.basename(abspath)[: -len(".parquet")]
+        stem = _re.sub(r"-[0-9a-f]{16}$", "", base) + "-px"
+        fname, sha16 = _write_deterministic(kept, os.path.dirname(abspath), stem)
+        return fname, kept.num_rows, removed, sha16
+
+    mapping: dict[str, dict] = {}
+    todo = sorted(candidates)
+    if todo:
+        def scrub_batch(batch: pa.Table) -> pa.Table:
+            from ..functions.threads import single_threaded_kernels
+
+            single_threaded_kernels()
+            out = {"old": [], "new": [], "rows": [], "removed": [], "sha": []}
+            for rel in batch["rel"].to_pylist():
+                new_abs, rows_left, removed, sha16 = _scrub_one(
+                    store.abspath(rel))
+                out["old"].append(rel)
+                out["new"].append(
+                    os.path.relpath(new_abs, lake_root) if new_abs else None)
+                out["rows"].append(rows_left)
+                out["removed"].append(removed)
+                out["sha"].append(sha16)
+            return pa.table({
+                "old": out["old"],
+                "new": pa.array(out["new"], type=pa.string()),
+                "rows": pa.array(out["rows"], type=pa.int64()),
+                "removed": pa.array(out["removed"], type=pa.int64()),
+                "sha": out["sha"],
+            })
+
+        rows = rd.from_items([{"rel": r} for r in todo]).map_batches(
+            scrub_batch, batch_format="pyarrow", batch_size=1
+        ).take_all()
+        for r in rows:
+            if int(r["removed"]) > 0:
+                mapping[r["old"]] = {
+                    "new": r["new"], "rows": int(r["rows"]),
+                    "removed": int(r["removed"]), "sha": r["sha"],
+                }
+                report["rows_removed"] += int(r["removed"])
+                report["files_rewritten"] += 1
+
+    # --- patch every manifest version in place ---------------------------
+    if mapping:
+        for v, m in manifests.items():
+            changed: set[int] = set()
+            for pid, ps in m.partitions.items():
+                hit = False
+                if ps.file and ps.file in mapping:
+                    e = mapping[ps.file]
+                    ps.file, ps.content_hash = e["new"], e["sha"]
+                    if ps.rows >= 0:
+                        ps.rows = e["rows"] if e["new"] else 0
+                    if e["new"] is None:
+                        ps.content_hash = ""
+                    hit = True
+                if ps.deltas:
+                    new_deltas = []
+                    for d in ps.deltas:
+                        if d in mapping:
+                            hit = True
+                            if mapping[d]["new"]:
+                                new_deltas.append(mapping[d]["new"])
+                        else:
+                            new_deltas.append(d)
+                    ps.deltas = new_deltas
+                if hit:
+                    # dictionary stats naming the subject are themselves
+                    # retained personal data; drop to "unknown" (valid
+                    # conservative semantics) rather than keep the name
+                    for col in ("repo", "path"):
+                        st = ps.stats.get(col)
+                        if isinstance(st, dict):
+                            ps.stats.pop(col, None)
+                    changed.add(pid)
+            if changed:
+                store._write_manifest(m, expect_version=v,
+                                      changed_parts=changed, stage=True)
+                report["versions_rewritten"] += 1
+
+        # tags: re-point shas at the scrubbed manifest bytes
+        refs = store.tags()
+        dirty = False
+        for name, entry in refs.items():
+            sha_now = store._manifest_sha(int(entry["version"]))
+            if sha_now != entry["sha"]:
+                entry["sha"] = sha_now
+                dirty = True
+                report["tags_refreshed"] += 1
+        if dirty:
+            from ..state.manifest import _atomic_write
+
+            _atomic_write(store._refs_path(), json.dumps(refs, sort_keys=True))
+
+        # the actual erasure: unlink the replaced bytes
+        for old in mapping:
+            try:
+                os.unlink(store.abspath(old))
+                report["files_deleted"] += 1
+            except FileNotFoundError:
+                pass
+
+    # --- dead-letter store ------------------------------------------------
+    for f in sorted(_glob.glob(
+            os.path.join(lake_root, "deadletter", "part=*", "*.parquet"))):
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f)
+        if "repo" not in t.column_names:
+            continue
+        mask = pc.equal(t["repo"], repo)
+        if path is not None and "path" in t.column_names:
+            mask = pc.and_(mask, pc.equal(t["path"], path))
+        mask = pc.fill_null(mask, False)
+        removed = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        if removed == 0:
+            continue
+        kept = t.filter(pc.invert(mask))
+        if kept.num_rows:
+            base = os.path.basename(f)[: -len(".parquet")]
+            stem = _re.sub(r"-[0-9a-f]{16}$", "", base) + "-px"
+            _write_deterministic(kept, os.path.dirname(f), stem)
+        os.unlink(f)
+        report["rows_removed"] += removed
+        report["dead_letter_files"] += 1
+
+    # --- derived layouts holding copies -----------------------------------
+    if report["rows_removed"] > 0:
+        for rel in ("_projections", "_zorder"):
+            d = os.path.join(lake_root, rel)
+            if os.path.isdir(d):
+                _sh.rmtree(d)
+                report["artifacts_dropped"].append(rel)
+        idx = os.path.join(lake_root, "_index", "tokens.parquet")
+        if os.path.exists(idx):
+            os.unlink(idx)
+            report["artifacts_dropped"].append("_index")
+
+    # --- branches: standalone hard-linked lakes ----------------------------
+    if include_branches:
+        from .branch import branch_root, list_branches
+
+        for b in list_branches(lake_root):
+            sub = purge_history(branch_root(lake_root, b["name"]), repo,
+                                path=path, include_branches=True)
+            report["branches"][b["name"]] = sub
+            report["rows_removed"] += sub["rows_removed"]
+
+    store.append_lineage({
+        "op": "purge_history",
+        **{k: report[k] for k in
+           ("repo", "path", "rows_removed", "files_rewritten",
+            "files_deleted", "versions_rewritten", "dead_letter_files",
+            "tags_refreshed")},
+    })
+    return report

@@ -4979,6 +4979,82 @@ def cdc_compaction(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_gdpr_purge(sf_dir: str) -> "rd.Dataset":
+    """GDPR right-to-be-forgotten as an oracle-checked lifecycle
+    (`pipelines/maintenance.py purge_history`): ingest the
+    _docs_change_events stream in TWO commits, then scrub one subject
+    repo (the lexicographically smallest `source`) from EVERY retained
+    snapshot IN PLACE — version numbers and epoch fences preserved, so
+    a full-stream replay is still a fenced no-op even for the purged
+    subject's old events.  Structural gates: the subject existed before
+    the purge, zero rows remain in ANY retained version afterwards,
+    both the current and the historical audit stay healthy, and the
+    replay applies 0 events.  The oracle is the relational
+    reconstruction minus the subject."""
+    from ..state.manifest import LakeStore
+    from .history import read_snapshot
+    from .maintenance import audit_lake, purge_history
+
+    lake_root, r1, r2 = _two_commit_lake(sf_dir, "gdpr_lake")
+    store = LakeStore(lake_root)
+    subject = (
+        read_lake(lake_root).select_columns(["repo"])
+        .map_batches(lambda t: pa.table(
+            {"repo": pc.unique(t["repo"])}), batch_format="pyarrow")
+        .to_pandas()["repo"].min()
+    )
+    pre = read_lake(lake_root)
+    n_pre = pre.filter(expr=f"repo == '{subject}'").count()
+    if n_pre == 0:
+        raise AssertionError("subject repo absent pre-purge — vacuous")
+
+    rep = purge_history(lake_root, subject)
+    if rep["rows_removed"] == 0 or rep["versions_rewritten"] < 2:
+        raise AssertionError(f"purge did not rewrite history: {rep}")
+    for v in (r1.manifest_version, r2.manifest_version):
+        left = read_snapshot(lake_root, version=v).filter(
+            expr=f"repo == '{subject}'").count()
+        if left:
+            raise AssertionError(f"{left} subject rows survive in v{v}")
+        if not audit_lake(lake_root, version=v)["healthy"]:
+            raise AssertionError(f"post-purge audit unhealthy at v{v}")
+    r3 = ingest(_docs_change_events(sf_dir), EngineConfig(
+        lake_root=lake_root, num_partitions=16), count_input=False)
+    if r3.events_applied != 0:
+        raise AssertionError(
+            f"replay applied {r3.events_applied} events after purge — "
+            "fences were not preserved")
+
+    lake = read_lake(lake_root)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["repo"],
+                "path": t["path"],
+                "lang": t["lang"],
+                "content": t["content"].cast(pa.string()),
+                "content_sha_hex": sha256_hex_column(t["content"]),
+                "size": t["size"].cast(pa.int64()),
+            }
+        )
+
+    return lake.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_GDPR_PURGE = """
+SELECT source AS repo,
+       'doc_' || CAST(doc_id AS VARCHAR) AS path,
+       lang,
+       CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS content,
+       sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS content_sha_hex,
+       CAST(octet_length(encode(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)) AS BIGINT) AS size
+FROM documents
+WHERE doc_id % 7 <> 0
+  AND source <> (SELECT min(source) FROM documents)
+"""
+
+
 def cdc_copartition_join(sf_dir: str) -> "rd.Dataset":
     """Storage-partitioned join (`pipelines/spj.py`): the docs lake and
     the sidecar-annotation lake share the engine's deterministic key
@@ -10166,6 +10242,7 @@ QUERIES = {
     "user_train_val_split": user_train_val_split,
     # new in round 3 (no driver row yet either)
     "dedup_semantic_pairs": dedup_semantic_pairs,
+    "cdc_gdpr_purge": cdc_gdpr_purge,
     "cdc_branch_merge": cdc_branch_merge,
     "cdc_debezium_ingest": cdc_debezium_ingest,
     "training_pack_chunks": training_pack_chunks,
@@ -10440,6 +10517,7 @@ ORACLE_SQL = {
     "lang_id_pred": _lang_id_oracle_sql(),
     "dedup_cosine_pairs": _SQL_COSINE_PAIRS,
     "dedup_semantic_pairs": _SQL_SEMDEDUP_PAIRS,
+    "cdc_gdpr_purge": _SQL_GDPR_PURGE,
     "approx_distinct_sketch": _SQL_APPROX_DISTINCT,
     "user_retention_cohorts": _SQL_RETENTION_COHORTS,
     "event_type_transitions": _SQL_EVENT_TRANSITIONS,
