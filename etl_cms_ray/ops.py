@@ -33,6 +33,9 @@ from .stages.ann import (brute_force_topk, build_ivf_index,
 # embedding linear algebra
 from .stages.pca import covariance_partials, fit_pca, project_batch
 
+# graph centrality
+from .stages.graph import pagerank
+
 # storage-partitioned (shuffle-free) lake-lake join
 from .pipelines.spj import copartitioned_join
 
@@ -114,6 +117,7 @@ __all__ = [
     "group_centroids", "centroid_cosine_scores",
     "bm25_topk", "rrf_fuse",
     "covariance_partials", "fit_pca", "project_batch",
+    "pagerank",
     "copartitioned_join",
     "closure_roots", "Route", "fanout_write", "read_fanout_table",
     "unpivot_list",

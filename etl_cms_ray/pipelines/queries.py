@@ -4979,6 +4979,94 @@ def cdc_compaction(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def graph_pagerank(sf_dir: str) -> "rd.Dataset":
+    """Integer-grid PageRank (`stages/graph.py`) over the
+    supplier↔customer trading-partner graph: distinct
+    (l_suppkey, o_custkey) pairs from lineitem⨝orders become symmetric
+    directed edges (customer ids offset by 2^32 into a disjoint node-id
+    range), then 4 scatter-gather iterations of
+    ``mass'[v] = T + Σ (mass[u]*85)//(100*outdeg[u])`` — every sum is
+    order-independent int64 arithmetic, so the unrolled SQL oracle
+    reproduces the ranks BIT-exactly (no float quantization at all).
+    The host-importance quality signal of web-scale corpus pipelines,
+    over the test schema's natural bipartite graph."""
+    from ..stages.graph import pagerank
+
+    li = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_orderkey", "l_suppkey"])
+    orders = _rpc(f"{sf_dir}/orders.parquet",
+                  columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=_pq_cols_schema(sf_dir, "lineitem",
+                                    ["l_orderkey", "l_suppkey"]),
+        right_schema=_pq_cols_schema(sf_dir, "orders",
+                                     ["o_orderkey", "o_custkey"]),
+    )
+
+    OFF = 1 << 32
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.unique(np.stack([s, c], axis=1), axis=0)
+        return pa.table({"s": pa.array(u[:, 0]), "c": pa.array(u[:, 1]),
+                         "fpart": pa.array(
+                             (u[:, 0] * 1000003 + u[:, 1]) % 64)})
+
+    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["s", "c"]].drop_duplicates()
+
+    pairs = joined.map_batches(
+        pair_partial, batch_format="pyarrow", batch_size=65536
+    ).groupby("fpart").map_groups(pair_distinct, batch_format="pandas")
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64) + OFF
+        return pa.table({"src": pa.array(np.concatenate([s, c])),
+                         "dst": pa.array(np.concatenate([c, s]))})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    return pagerank(edges, iters=4)
+
+
+def _pagerank_oracle_sql(iters: int = 4) -> str:
+    """Unrolled SQL mirror of the integer PageRank recurrence — same
+    int64 grid, so the comparison is bit-exact with zero quantization."""
+    body = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                  CAST(o_custkey AS BIGINT) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c + 4294967296 AS dst FROM pairs
+  UNION ALL
+  SELECT c + 4294967296 AS src, s AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), const AS (
+  SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS m0 FROM nodes
+), r0 AS (
+  SELECT node, (SELECT m0 FROM const) AS mass FROM nodes
+)"""
+    for k in range(1, iters + 1):
+        body += f""", r{k} AS (
+  SELECT n.node,
+         (SELECT (m0 * 15) // 100 FROM const)
+         + COALESCE(SUM((r.mass * 85) // (100 * d.outdeg)), 0) AS mass
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{k - 1} r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)"""
+    return body + f"\nSELECT node, mass FROM r{iters}"
+
+
 def cdc_gdpr_purge(sf_dir: str) -> "rd.Dataset":
     """GDPR right-to-be-forgotten as an oracle-checked lifecycle
     (`pipelines/maintenance.py purge_history`): ingest the
@@ -10243,6 +10331,7 @@ QUERIES = {
     # new in round 3 (no driver row yet either)
     "dedup_semantic_pairs": dedup_semantic_pairs,
     "cdc_gdpr_purge": cdc_gdpr_purge,
+    "graph_pagerank": graph_pagerank,
     "cdc_branch_merge": cdc_branch_merge,
     "cdc_debezium_ingest": cdc_debezium_ingest,
     "training_pack_chunks": training_pack_chunks,
@@ -10518,6 +10607,7 @@ ORACLE_SQL = {
     "dedup_cosine_pairs": _SQL_COSINE_PAIRS,
     "dedup_semantic_pairs": _SQL_SEMDEDUP_PAIRS,
     "cdc_gdpr_purge": _SQL_GDPR_PURGE,
+    "graph_pagerank": _pagerank_oracle_sql(),
     "approx_distinct_sketch": _SQL_APPROX_DISTINCT,
     "user_retention_cohorts": _SQL_RETENTION_COHORTS,
     "event_type_transitions": _SQL_EVENT_TRANSITIONS,

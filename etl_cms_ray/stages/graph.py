@@ -1,0 +1,181 @@
+"""Distributed graph centrality over edge-list Datasets.
+
+``pagerank`` is the host/entity-importance primitive of large-scale
+training-data pipelines (Common-Crawl-style host PageRank is a standard
+document-quality signal — the same role the reference's vocabulary
+weights play for code mapping, computed from link structure instead of
+a lookup CSV).
+
+Exactness contract: the whole recurrence runs on an INTEGER mass grid —
+``mass' [v] = T + Σ_{u→v} (mass[u] * d_num) // (d_den * outdeg[u])`` —
+so every sum is order-independent int64 arithmetic and any engine
+(this one, DuckDB, numpy) reproduces the result BIT-exactly; there is
+no float dust to quantize away (CLAUDE.md rule 4 taken to its limit).
+Dangling nodes (no out-edges) leak their mass by design — deterministic
+and mirrored exactly by the SQL oracle; the bipartite-symmetric edge
+derivation used by the catalog entry has none.
+
+Scale shape: outdegrees and node ids reduce via per-batch partials into
+coarse hash partitions (never a fine-grained groupby); the edge list is
+joined with the rank vector once per iteration through
+``stages/join.py hash_join`` (an O(E) exchange per iteration is
+inherent to distributed PageRank — GraphX/Pregel pay the same); rank
+vectors materialize between iterations (O(nodes) rows, the standard
+iterative-dataflow checkpoint that keeps lazy re-execution from going
+exponential).  Nothing ever gathers O(E) or O(V) onto the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .join import hash_join
+
+_COARSE = 64
+
+
+def _coarse_sum(rows: "ray.data.Dataset", key: str, val: str,
+                add_const: int = 0) -> "ray.data.Dataset":
+    """Scale-safe Σ``val`` per ``key`` (+ ``add_const``): coarse hash
+    partitions, one vectorized pandas sweep each (CLAUDE.md rule 3)."""
+    def add_part(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "fpart", pa.array((k % _COARSE).astype(np.int64)))
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)[val].sum().reset_index()
+        g[val] = g[val].astype(np.int64) + np.int64(add_const)
+        return g
+
+    return rows.map_batches(
+        add_part, batch_format="pyarrow", batch_size=65536
+    ).groupby("fpart").map_groups(per_part, batch_format="pandas")
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    iters: int = 4,
+    total_mass: int = 10 ** 12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> "ray.data.Dataset":
+    """Integer-grid PageRank over a directed edge list (int64 ``src``,
+    ``dst`` columns; parallel edges count into outdegree and contribute
+    independently — pre-dedup upstream if unwanted).
+
+    Returns a Dataset of (``node`` int64, ``mass`` int64) covering every
+    node that appears as a source or target.  ``total_mass`` plays the
+    role of 1.0: initial mass is ``total_mass // N`` per node and the
+    per-node teleport term is ``(m0 * (den-num)) // den``.
+    """
+    sch = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({src: t[src].cast(pa.int64()),
+                         dst: t[dst].cast(pa.int64())})
+
+    # three consumers (outdegree, node set, the per-iteration join) —
+    # materialize the normalized edge list ONCE or each consumer would
+    # re-execute the whole upstream derivation (O(E) in the object
+    # store; Ray spills if it outgrows memory)
+    edges = edges.map_batches(norm, batch_format="pyarrow").materialize()
+
+    # outdegree: per-batch count partial -> coarse sum
+    def deg_partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        s = t[src].to_numpy(zero_copy_only=False)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({src: pa.array(u, type=pa.int64()),
+                         "outdeg": pa.array(c.astype(np.int64))})
+
+    outdeg = _coarse_sum(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        src, "outdeg")
+
+    # node set: distinct src ∪ dst via per-batch unique -> coarse distinct
+    def node_partial(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        u = np.unique(np.concatenate([
+            t[src].to_numpy(zero_copy_only=False),
+            t[dst].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(u, type=pa.int64())})
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "fpart", pa.array((k % _COARSE).astype(np.int64)))
+
+    def distinct_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["node"]].drop_duplicates()
+
+    nodes = edges.map_batches(
+        node_partial, batch_format="pyarrow"
+    ).map_batches(add_part, batch_format="pyarrow", batch_size=65536
+    ).groupby("fpart").map_groups(
+        distinct_part, batch_format="pandas").materialize()
+
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {"node": pa.array([], type=pa.int64()),
+             "mass": pa.array([], type=pa.int64())}))
+    m0 = total_mass // n
+    teleport = (m0 * (damping_den - damping_num)) // damping_den
+
+    # edge list annotated with its source's outdegree, materialized ONCE
+    # (the per-iteration join re-reads it; without the checkpoint every
+    # iteration would re-execute the whole upstream derivation)
+    edeg = hash_join(
+        edges, outdeg, on=src,
+        left_schema=sch,
+        right_schema=pa.schema([(src, pa.int64()), ("outdeg", pa.int64())]),
+    ).materialize()
+    edeg_schema = pa.schema([(src, pa.int64()), (dst, pa.int64()),
+                             ("outdeg", pa.int64())])
+
+    rank_schema = pa.schema([("node", pa.int64()), ("mass", pa.int64())])
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].cast(pa.int64()),
+            "mass": pa.array(np.full(t.num_rows, m0, dtype=np.int64)),
+        })
+
+    ranks = nodes.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table, _num=damping_num, _den=damping_den) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        mass = t["mass"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (mass * np.int64(_num)) // (np.int64(_den) * deg)
+        return pa.table({"node": t[dst].cast(pa.int64()),
+                         "mass": pa.array(c)})
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].cast(pa.int64()),
+            "mass": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    for _ in range(iters):
+        scattered = hash_join(
+            edeg, ranks, on=src, right_on="node",
+            left_schema=edeg_schema, right_schema=rank_schema,
+        ).map_batches(contrib, batch_format="pyarrow")
+        # union the zero-seeded node set so isolated-in-edge nodes keep a
+        # row (teleport only) without a left join
+        seeded = scattered.union(
+            nodes.map_batches(zero, batch_format="pyarrow"))
+        ranks = _coarse_sum(seeded, "node", "mass",
+                            add_const=teleport).materialize()
+    return ranks

@@ -1,0 +1,79 @@
+"""Integer-grid PageRank: bit-exact vs an independent numpy reference,
+deterministic across batch splits, dangling/teleport semantics pinned."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from etl_cms_ray.stages.graph import pagerank
+
+pytestmark = pytest.mark.fast
+
+
+def _numpy_pagerank(edges, iters=4, total_mass=10 ** 12, num=85, den=100):
+    """Independent reference of the same integer recurrence."""
+    src = np.array([e[0] for e in edges], dtype=np.int64)
+    dst = np.array([e[1] for e in edges], dtype=np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    m0 = total_mass // n
+    teleport = (m0 * (den - num)) // den
+    outdeg = np.zeros(n, dtype=np.int64)
+    for s in src:
+        outdeg[idx[s]] += 1
+    mass = np.full(n, m0, dtype=np.int64)
+    for _ in range(iters):
+        new = np.full(n, teleport, dtype=np.int64)
+        for s, d in zip(src, dst):
+            new[idx[d]] += (mass[idx[s]] * num) // (den * outdeg[idx[s]])
+        mass = new
+    return {int(nd): int(m) for nd, m in zip(nodes, mass)}
+
+
+def _edges_ds(edges, nblocks=3):
+    t = pa.table({"src": pa.array([e[0] for e in edges], type=pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], type=pa.int64())})
+    return rd.from_arrow(t).repartition(nblocks)
+
+
+def test_pagerank_matches_numpy_reference(ray_session):
+    rng = np.random.default_rng(7)
+    n_nodes = 40
+    edges = {(int(a), int(b))
+             for a, b in rng.integers(0, n_nodes, size=(300, 2))
+             if a != b}
+    edges = sorted(edges)
+
+    got = {int(r["node"]): int(r["mass"])
+           for r in pagerank(_edges_ds(edges), iters=4).take_all()}
+    want = _numpy_pagerank(edges, iters=4)
+    assert got == want
+
+    # bit-determinism across a different block split
+    got7 = {int(r["node"]): int(r["mass"])
+            for r in pagerank(_edges_ds(edges, nblocks=7), iters=4).take_all()}
+    assert got7 == got
+
+
+def test_pagerank_hub_dominates_and_dangling_leaks(ray_session):
+    # star: every leaf points at the hub; hub points at leaf 1 only
+    edges = [(i, 0) for i in range(1, 9)] + [(0, 1)]
+    got = {int(r["node"]): int(r["mass"])
+           for r in pagerank(_edges_ds(edges), iters=4).take_all()}
+    want = _numpy_pagerank(edges, iters=4)
+    assert got == want
+    # the hub↔leaf-1 cycle concentrates the mass (order parity-dependent:
+    # the star oscillates between the hub and its sole target)
+    ranked = sorted(got, key=got.get, reverse=True)
+    assert set(ranked[:2]) == {0, 1}
+    assert got[ranked[1]] > max(got[n] for n in ranked[2:]) * 2
+
+    # pure dangling sink: mass leaks (conservation intentionally broken)
+    edges2 = [(1, 2), (3, 2)]  # node 2 has no out-edges
+    got2 = {int(r["node"]): int(r["mass"])
+            for r in pagerank(_edges_ds(edges2, nblocks=1), iters=2).take_all()}
+    assert got2 == _numpy_pagerank(edges2, iters=2)
+    assert sum(got2.values()) < 10 ** 12
