@@ -328,6 +328,9 @@ def run_bench() -> dict:
     timed("q10_returned_items", Q.q10_returned_items)
     timed("embedding_covariance", Q.embedding_covariance)
     timed("cdc_compaction", Q.cdc_compaction)
+    timed("graph_pagerank", Q.graph_pagerank)
+    timed("dedup_semantic_pairs", Q.dedup_semantic_pairs)
+    timed("cdc_gdpr_purge", Q.cdc_gdpr_purge)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

@@ -643,6 +643,11 @@ def semdedup_pairs(
     from .dedup import (_add_bucket_part, _attach_pair_vectors, _dedup_pairs,
                         _partition_pairs)
 
+    # many consumers (iters+1 kmeans passes, the assignment pass, the
+    # pair-vector attach): materialize the vector table ONCE or every
+    # consumer re-executes the whole upstream derivation — measured 12 s
+    # -> ~3 s at sf0.1 (O(V·dim) in the object store, spill-safe)
+    vectors = vectors.materialize()
     C = kmeans_fit(vectors, k=k, iters=iters, sample_size=sample_size,
                    emb_col=emb_col)
     ref = ray.put(C)
