@@ -131,6 +131,19 @@ def main(argv: list[str] | None = None) -> int:
     pam.add_argument("--expire-keep-last", type=int, default=None,
                      dest="expire_keep_last")
 
+    pdv = sub.add_parser("export-duckdb", help="print one SQL statement an "
+                                              "external DuckDB session can run "
+                                              "to query a snapshot in place")
+    pdv.add_argument("--lake", required=True)
+    pdv.add_argument("--version", default=None)
+    pdv.add_argument("--table", default="lake")
+
+    pfr = sub.add_parser("freshness", help="per-partition ingest-lag / SLA "
+                                           "report from manifest metadata only")
+    pfr.add_argument("--lake", required=True)
+    pfr.add_argument("--source-max-epoch", type=int, default=None,
+                     dest="source_max_epoch")
+
     ppg = sub.add_parser("purge", help="GDPR erasure of a subject key from "
                                        "EVERY retained snapshot, the dead-letter "
                                        "store and all branches (history rewrite; "
@@ -319,6 +332,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(auto_maintain(
                 args.lake, compact_delta_depth=args.compact_delta_depth,
                 expire_keep_last=args.expire_keep_last)))
+        elif args.cmd == "export-duckdb":
+            from .pipelines.interop import export_duckdb_view
+
+            print(export_duckdb_view(args.lake, version=args.version,
+                                     table_name=args.table))
+        elif args.cmd == "freshness":
+            from .pipelines.maintenance import lake_freshness
+
+            print(json.dumps(lake_freshness(
+                args.lake, source_max_epoch=args.source_max_epoch)))
         elif args.cmd == "purge":
             from .pipelines.maintenance import purge_history
 

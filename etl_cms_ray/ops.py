@@ -36,6 +36,9 @@ from .stages.pca import covariance_partials, fit_pca, project_batch
 # graph centrality
 from .stages.graph import pagerank
 
+# external-engine interop
+from .pipelines.interop import export_duckdb_view
+
 # storage-partitioned (shuffle-free) lake-lake join
 from .pipelines.spj import copartitioned_join
 
@@ -80,8 +83,9 @@ from .pipelines.ingest import (eq_plan, eq_scan, ingest, ingest_with_retry,
                                read_lake_table)
 from .stages.expectations import Expectation
 from .pipelines.maintenance import (audit_lake, auto_maintain, compact_lake,
-                                    delete_where, expire_snapshots, purge_history,
-                                    find_orphan_files, repartition_lake,
+                                    delete_where, expire_snapshots,
+                                    find_orphan_files, lake_freshness,
+                                    purge_history, repartition_lake,
                                     update_where)
 from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
 from .state.manifest import LakeStore
@@ -139,7 +143,8 @@ __all__ = [
     "decontaminate", "contaminated_ids", "shingle_rows",
     "exact_group_quantile",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
-    "find_orphan_files", "auto_maintain",
+    "find_orphan_files", "auto_maintain", "lake_freshness",
+    "export_duckdb_view",
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where", "purge_history",
     "LakeStore", "scan_plans", "smart_scan",

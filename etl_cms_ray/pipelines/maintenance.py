@@ -1125,3 +1125,90 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
             "tags_refreshed")},
     })
     return report
+
+
+def lake_freshness(lake_root: str, source_max_epoch: int | None = None) -> dict:
+    """Ingest-freshness / SLA report from manifest METADATA only (zero
+    data reads — safe to poll from a monitor at any lake size).
+
+    Reports the per-partition fence distribution (min/median/max
+    ``applied_through_epoch``), the lag of every partition behind
+    ``source_max_epoch`` when the caller knows the source head (a binlog
+    tailer does), merge-on-read backlog (delta-chain depth histogram —
+    the compaction SLA), dead-letter backlog (files + rows from parquet
+    FOOTERS only), and the age of the current commit (lineage
+    timestamp).  The observability face of the T7 metrics family: the
+    reference prints per-table row counts at the end of a 14 h run;
+    a tailing engine needs "how far behind is every partition" while
+    the run is still going.
+    """
+    import glob as _glob
+
+    store = LakeStore(lake_root)
+    cur = store.current_version()
+    if cur == 0:
+        return {"version": 0, "partitions": 0, "fence_min": -1,
+                "fence_median": -1, "fence_max": -1, "max_lag": None,
+                "lagging_partitions": [], "delta_depth_histogram": {},
+                "skew": None,
+                "dead_letter_files": 0, "dead_letter_rows": 0,
+                "commit_age_sec": None}
+    m = store.load_manifest()
+    fences = sorted(ps.applied_through_epoch for ps in m.partitions.values())
+    depth_hist: dict = {}
+    for ps in m.partitions.values():
+        d = len(ps.deltas)
+        depth_hist[d] = depth_hist.get(d, 0) + 1
+    # partition skew from manifest row counts (MOR partitions report -1 =
+    # unknown and are excluded): a hot partition here is the signal to
+    # repartition_lake / salt before it becomes a straggler at scale
+    known = sorted((ps.rows, ps.part_id) for ps in m.partitions.values()
+                   if ps.rows >= 0)
+    skew = None
+    if known:
+        rows_sorted = [r for r, _ in known]
+        med = rows_sorted[len(rows_sorted) // 2]
+        top = [{"part_id": pid, "rows": r} for r, pid in known[-3:][::-1]]
+        skew = {"rows_median": med, "rows_max": rows_sorted[-1],
+                "hot_partitions": top,
+                "max_over_median": (round(rows_sorted[-1] / med, 2)
+                                    if med > 0 else None)}
+    lagging = []
+    max_lag = None
+    if source_max_epoch is not None:
+        for ps in sorted(m.partitions.values(), key=lambda p: p.part_id):
+            lag = int(source_max_epoch) - ps.applied_through_epoch
+            if lag > 0:
+                lagging.append({"part_id": ps.part_id, "lag_epochs": lag})
+        max_lag = max((e["lag_epochs"] for e in lagging), default=0)
+
+    dl_files = sorted(_glob.glob(
+        os.path.join(lake_root, "deadletter", "part=*", "*.parquet")))
+    dl_rows = 0
+    if dl_files:
+        import pyarrow.parquet as _pq
+
+        dl_rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in dl_files)
+
+    commit_age = None
+    lineage = store.read_lineage()
+    for rec in reversed(lineage):
+        if rec.get("manifest_version") == cur and "ts" in rec:
+            commit_age = max(0.0, time.time() - float(rec["ts"]))
+            break
+
+    n = len(fences)
+    return {
+        "version": cur,
+        "partitions": n,
+        "fence_min": fences[0] if n else -1,
+        "fence_median": fences[n // 2] if n else -1,
+        "fence_max": fences[-1] if n else -1,
+        "max_lag": max_lag,
+        "lagging_partitions": lagging,
+        "delta_depth_histogram": {str(k): v for k, v in sorted(depth_hist.items())},
+        "skew": skew,
+        "dead_letter_files": len(dl_files),
+        "dead_letter_rows": dl_rows,
+        "commit_age_sec": commit_age,
+    }
