@@ -41,6 +41,7 @@ _DUCK_TYPES: list[tuple] = [
     (pa.types.is_boolean, "BOOLEAN"),
     (pa.types.is_large_binary, "BLOB"),
     (pa.types.is_binary, "BLOB"),
+    (pa.types.is_fixed_size_binary, "BLOB"),
 ]
 
 

@@ -25,9 +25,11 @@ def test_freshness_reports_lag_backlog_and_age(ray_session, tmp_path):
     ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
     ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg)
 
-    rep = lake_freshness(cfg.lake_root, source_max_epoch=3)
+    head = pc.max(ev["epoch"]).as_py()
+    rep = lake_freshness(cfg.lake_root, source_max_epoch=head)
     assert rep["version"] == 2 and rep["partitions"] == 8
-    assert rep["fence_max"] == 3 and rep["fence_min"] <= rep["fence_median"] <= 3
+    assert rep["fence_max"] == head
+    assert rep["fence_min"] <= rep["fence_median"] <= head
     # partitions behind the source head are listed with their lag
     behind = {e["part_id"]: e["lag_epochs"] for e in rep["lagging_partitions"]}
     assert all(lag > 0 for lag in behind.values())
