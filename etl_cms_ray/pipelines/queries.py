@@ -4979,6 +4979,124 @@ def cdc_compaction(sf_dir: str) -> "rd.Dataset":
     return lake.map_batches(project, batch_format="pyarrow")
 
 
+def cdc_temporal_join(sf_dir: str) -> "rd.Dataset":
+    """Temporal (event-time) join — the Flink "temporal table join"
+    shape: every fact event of the docs change stream picks up the
+    sidecar-annotation DIMENSION STATE that was valid AT ITS OWN
+    (epoch, seq) instant, not the final state.  With LWW ordering, the
+    state at time t is exactly the max-ord event <= t (a winning delete
+    means "state absent" -> NULL attributes), so the operator is the
+    engine's keyed as-of join (`stages/asof.py`) over the composite
+    order encoded as ``epoch * 2^32 + seq``, keyed by the exact
+    (repo NUL path) string.  The oracle is DuckDB's native ASOF LEFT
+    JOIN over both relational stream reconstructions — two independent
+    implementations of the same inclusive as-of contract."""
+    from ..stages.asof import asof_join
+
+    OE = 1 << 32
+    facts = _docs_change_events(sf_dir)
+    annots = _annot_change_events(sf_dir)
+
+    def prep_fact(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import key_array
+
+        ordv = pc.add(pc.multiply(t["epoch"], pa.scalar(OE, type=pa.int64())),
+                      t["seq"])
+        return pa.table({
+            "k": key_array(t["repo"], t["path"]),
+            "ord": ordv,
+            "repo": t["repo"], "path": t["path"], "op": t["op"],
+            "epoch": t["epoch"], "seq": t["seq"],
+        })
+
+    def prep_annot(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import key_array
+
+        ordv = pc.add(pc.multiply(t["epoch"], pa.scalar(OE, type=pa.int64())),
+                      t["seq"])
+        return pa.table({
+            "k": key_array(t["repo"], t["path"]),
+            "ord": ordv,
+            "a_op": t["op"],
+            "a_content": t["content"],
+        })
+
+    f = facts.map_batches(prep_fact, batch_format="pyarrow")
+    a = annots.map_batches(prep_annot, batch_format="pyarrow")
+    f_schema = pa.schema([("k", pa.string()), ("ord", pa.int64()),
+                          ("repo", pa.string()), ("path", pa.string()),
+                          ("op", pa.string()), ("epoch", pa.int64()),
+                          ("seq", pa.int64())])
+    a_schema = pa.schema([("k", pa.string()), ("ord", pa.int64()),
+                          ("a_op", pa.string()), ("a_content", pa.string())])
+    joined = asof_join(f, a, on="ord", by="k", suffix="_a",
+                       left_schema=f_schema, right_schema=a_schema)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # a winning delete = dimension state ABSENT at fact time
+        live = pc.and_kleene(pc.is_valid(t["a_op"]),
+                             pc.not_equal(t["a_op"], "delete"))
+        live = pc.fill_null(live, False)
+        return pa.table({
+            "repo": t["repo"], "path": t["path"], "op": t["op"],
+            "epoch": t["epoch"], "seq": t["seq"],
+            "annot": pc.if_else(live, t["a_content"],
+                                pa.nulls(t.num_rows, type=pa.string())),
+            "annot_ord": pc.if_else(live, t["ord_a"],
+                                    pa.nulls(t.num_rows, type=pa.int64())),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_SQL_TEMPORAL_JOIN = """
+WITH facts AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         'insert' AS op, CAST(0 AS BIGINT) AS epoch,
+         CAST(doc_id AS BIGINT) AS seq
+  FROM documents
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR), 'update',
+         CAST(1 AS BIGINT), CAST(doc_id AS BIGINT)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR), 'delete',
+         CAST(1 AS BIGINT), CAST(doc_id + 1000000 AS BIGINT)
+  FROM documents WHERE doc_id % 7 = 0
+), annots AS (
+  SELECT source AS repo, 'doc_' || CAST(doc_id AS VARCHAR) AS path,
+         'insert' AS a_op,
+         'score=' || CAST(doc_id % 97 AS VARCHAR) AS a_content,
+         CAST(doc_id AS BIGINT) AS a_ord
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR), 'insert',
+         'score=' || CAST(doc_id % 97 AS VARCHAR),
+         4294967296 + CAST(doc_id AS BIGINT)
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR), 'update',
+         'score=' || CAST(doc_id % 97 AS VARCHAR) || ' r2',
+         4294967296 + CAST(doc_id + 1000000 AS BIGINT)
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT source, 'doc_' || CAST(doc_id AS VARCHAR), 'delete',
+         CAST(NULL AS VARCHAR),
+         4294967296 + CAST(doc_id + 2000000 AS BIGINT)
+  FROM documents WHERE doc_id % 11 = 0
+)
+SELECT f.repo, f.path, f.op, f.epoch, f.seq,
+       CASE WHEN a.a_op IS NULL OR a.a_op = 'delete'
+            THEN NULL ELSE a.a_content END AS annot,
+       CASE WHEN a.a_op IS NULL OR a.a_op = 'delete'
+            THEN NULL ELSE a.a_ord END AS annot_ord
+FROM facts f
+ASOF LEFT JOIN annots a
+  ON f.repo = a.repo AND f.path = a.path
+ AND f.epoch * 4294967296 + f.seq >= a.a_ord
+"""
+
+
 def graph_pagerank(sf_dir: str) -> "rd.Dataset":
     """Integer-grid PageRank (`stages/graph.py`) over the
     supplier↔customer trading-partner graph: distinct
@@ -10332,6 +10450,7 @@ QUERIES = {
     "dedup_semantic_pairs": dedup_semantic_pairs,
     "cdc_gdpr_purge": cdc_gdpr_purge,
     "graph_pagerank": graph_pagerank,
+    "cdc_temporal_join": cdc_temporal_join,
     "cdc_branch_merge": cdc_branch_merge,
     "cdc_debezium_ingest": cdc_debezium_ingest,
     "training_pack_chunks": training_pack_chunks,
@@ -10608,6 +10727,7 @@ ORACLE_SQL = {
     "dedup_semantic_pairs": _SQL_SEMDEDUP_PAIRS,
     "cdc_gdpr_purge": _SQL_GDPR_PURGE,
     "graph_pagerank": _pagerank_oracle_sql(),
+    "cdc_temporal_join": _SQL_TEMPORAL_JOIN,
     "approx_distinct_sketch": _SQL_APPROX_DISTINCT,
     "user_retention_cohorts": _SQL_RETENTION_COHORTS,
     "event_type_transitions": _SQL_EVENT_TRANSITIONS,
