@@ -3012,6 +3012,43 @@ FROM u FULL OUTER JOIN c ON u.user_id = c.c_custkey
 """
 
 
+def doc_compression_ratio(sf_dir: str) -> "rd.Dataset":
+    """Gopher-style compression-ratio quality signal: a document that
+    DEFLATE shrinks too well is repetitive boilerplate; one that barely
+    compresses is noise/binary junk.  Emits integer byte lengths (raw,
+    zlib level-6 compressed) so downstream gates are integer
+    cross-multiplications (``comp*1000 < raw*k``) with zero float risk;
+    the keep-band [8%, 85%] follows the published heuristics.  Per-row
+    zlib is a C-dominated loop (same footing as the sha256 invariant —
+    irreducible); a document never leaves its batch, so the stage is
+    embarrassingly parallel at any scale.  No SQL oracle exists (DuckDB
+    has no DEFLATE) — rows-only; the pinned-reference pytest covers the
+    kernel."""
+    import zlib
+
+    docs = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        texts = t["text"].to_pylist()
+        raw = np.array([len(x.encode()) if x else 0 for x in texts],
+                       dtype=np.int64)
+        comp = np.array(
+            [len(zlib.compress(x.encode(), 6)) if x else 0 for x in texts],
+            dtype=np.int64)
+        keep = (comp * 100 >= raw * 8) & (comp * 100 <= raw * 85) & (raw > 0)
+        return pa.table({
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "raw_bytes": pa.array(raw),
+            "compressed_bytes": pa.array(comp),
+            "keep": pa.array(keep),
+        })
+
+    return docs.map_batches(ratio, batch_format="pyarrow")
+
+
 def doc_repetition_stats(sf_dir: str) -> "rd.Dataset":
     """Gopher-style within-document repetition statistics: per document,
     total vs distinct word-trigram windows and the duplicate-gram ratio
@@ -10451,6 +10488,7 @@ QUERIES = {
     "cdc_gdpr_purge": cdc_gdpr_purge,
     "graph_pagerank": graph_pagerank,
     "cdc_temporal_join": cdc_temporal_join,
+    "doc_compression_ratio": doc_compression_ratio,
     "cdc_branch_merge": cdc_branch_merge,
     "cdc_debezium_ingest": cdc_debezium_ingest,
     "training_pack_chunks": training_pack_chunks,

@@ -1129,3 +1129,30 @@ def test_incremental_exact_dedup_against_lake(ray_session, tmp_path):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert got["doc_id"].tolist() == [11, 12]
+
+
+def test_compression_ratio_pinned_reference(ray_session):
+    """doc_compression_ratio kernel vs an inline zlib reference, and the
+    keep-band gate behavior on planted extremes."""
+    import zlib
+
+    from etl_cms_ray.pipelines.queries import doc_compression_ratio
+
+    sf = "/root/testdata/sf0.001"
+    out = doc_compression_ratio(sf).to_pandas().set_index("doc_id")
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    for _, row in docs.head(25).iterrows():
+        enc = row["text"].encode()
+        got = out.loc[row["doc_id"]]
+        assert got["raw_bytes"] == len(enc)
+        assert got["compressed_bytes"] == len(zlib.compress(enc, 6))
+        r = got["compressed_bytes"] * 100
+        assert bool(got["keep"]) == (len(enc) > 0
+                                     and got["raw_bytes"] * 8 <= r <= got["raw_bytes"] * 85)
+    # extremes: pure repetition compresses under the floor; random bytes
+    # exceed the ceiling — both must be gated out by the integer band
+    rep = ("spam " * 500).encode()
+    assert len(zlib.compress(rep, 6)) * 100 < len(rep) * 8
