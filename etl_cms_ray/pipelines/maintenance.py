@@ -929,12 +929,14 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
         "repo": repo, "path": path, "rows_removed": 0,
         "files_rewritten": 0, "files_deleted": 0, "versions_rewritten": 0,
         "dead_letter_files": 0, "artifacts_dropped": [],
+        "orphan_files_purged": 0,
         "tags_refreshed": 0, "branches": {},
     }
 
     manifests = {v: store.load_manifest(version=v) for v in versions}
     # --- candidate discovery: metadata only -----------------------------
     candidates: set[str] = set()
+    candidate_dirs: set[str] = set()
     for m in manifests.values():
         if path is not None:
             from ..functions.hashing import part_id_one
@@ -950,6 +952,27 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
             if isinstance(st, dict) and repo not in st.get("in", ()):
                 continue  # dictionary stats prove the subject never hit it
             candidates.update(ps.all_files())
+        candidate_dirs.update(
+            f"part={pid:05d}" for pid in pids if pid in m.partitions)
+
+    # subject-bearing ORPHANS in the candidate directories: a crash in a
+    # previous purge's deletion phase (or an aborted writer) leaves files
+    # no manifest references — a re-run's manifest-driven candidates
+    # would never touch them, so the bytes would linger until vacuum.
+    # Referenced-set subtraction limited to the pruned partition dirs
+    # keeps the walk inside the same cost class as the candidate reads.
+    referenced_all: set[str] = set()
+    for m in manifests.values():
+        referenced_all.update(m.live_files())
+    orphan_candidates: list[str] = []
+    for d in sorted(candidate_dirs):
+        absdir = os.path.join(lake_root, "data", d)
+        if not os.path.isdir(absdir):
+            continue
+        for f in sorted(os.listdir(absdir)):
+            rel = os.path.join("data", d, f)
+            if f.endswith(".parquet") and rel not in referenced_all:
+                orphan_candidates.append(rel)
 
     # --- distributed scrub of candidate files ---------------------------
     def _scrub_one(abspath: str) -> tuple[str | None, int, int, str]:
@@ -1070,6 +1093,26 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
                 report["files_deleted"] += 1
             except FileNotFoundError:
                 pass
+
+    # unreferenced files serve no snapshot: if one holds the subject,
+    # delete it outright (a prior crashed purge's leftovers, or aborted
+    # writer debris) — rows in them count separately, they were never
+    # part of any readable relation
+    import pyarrow.parquet as _pqm
+
+    for rel in orphan_candidates:
+        try:
+            t = _pqm.read_table(store.abspath(rel), columns=["repo", "path"])
+        except (FileNotFoundError, OSError):
+            continue
+        mask = pc.equal(t["repo"], repo)
+        if path is not None:
+            mask = pc.and_(mask, pc.equal(t["path"], path))
+        hits = int(pc.sum(pc.cast(pc.fill_null(mask, False),
+                                  pa.int64())).as_py() or 0)
+        if hits:
+            os.unlink(store.abspath(rel))
+            report["orphan_files_purged"] += 1
 
     # --- dead-letter store ------------------------------------------------
     for f in sorted(_glob.glob(

@@ -152,3 +152,46 @@ def test_purge_history_absent_subject_is_noop(ray_session, tmp_path):
     assert after.sort_values(cols).reset_index(drop=True).equals(
         before.sort_values(cols).reset_index(drop=True))
     assert audit_lake(cfg.lake_root)["healthy"]
+
+
+def test_purge_history_crash_before_deletion_is_recoverable(
+        ray_session, tmp_path, monkeypatch):
+    """Crash-ordering contract: old files are unlinked strictly AFTER
+    every manifest version is patched, so a crash in the deletion loop
+    leaves only harmless orphans (every snapshot readable, audit green)
+    and a re-run completes the erasure idempotently."""
+    import etl_cms_ray.pipelines.maintenance as mod
+
+    cfg, ev, r1, r2 = _build_lake(tmp_path, n_repos=3, files=8)
+    repo = sorted(set(ev["repo"].to_pylist()))[0]
+    pre = read_lake(cfg.lake_root).to_pandas()
+    assert (pre["repo"] == repo).any()
+
+    real_unlink = os.unlink
+    calls = {"n": 0}
+
+    def exploding_unlink(p):
+        calls["n"] += 1
+        raise OSError("injected crash during erasure deletion")
+
+    monkeypatch.setattr(mod.os, "unlink", exploding_unlink)
+    with pytest.raises(OSError, match="injected crash"):
+        purge_history(cfg.lake_root, repo)
+    monkeypatch.setattr(mod.os, "unlink", real_unlink)
+    assert calls["n"] == 1  # it WAS in the deletion phase when it died
+
+    # every snapshot still serves the scrubbed relation (manifests were
+    # fully patched before deletion began); audit healthy despite the
+    # orphaned old files (audits read manifests, not directories)
+    for v in (r1.manifest_version, r2.manifest_version):
+        snap = read_snapshot(cfg.lake_root, version=v).to_pandas()
+        assert not (snap["repo"] == repo).any()
+        assert audit_lake(cfg.lake_root, version=v)["healthy"]
+
+    # the subject's bytes still exist as orphans -> the re-run (or any
+    # expire_snapshots) finishes the physical erasure
+    assert _rows_for_repo_everywhere(cfg.lake_root, repo) > 0
+    rep2 = purge_history(cfg.lake_root, repo)
+    assert rep2["orphan_files_purged"] > 0
+    assert _rows_for_repo_everywhere(cfg.lake_root, repo) == 0
+    assert audit_lake(cfg.lake_root)["healthy"]
