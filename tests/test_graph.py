@@ -77,3 +77,24 @@ def test_pagerank_hub_dominates_and_dangling_leaks(ray_session):
             for r in pagerank(_edges_ds(edges2, nblocks=1), iters=2).take_all()}
     assert got2 == _numpy_pagerank(edges2, iters=2)
     assert sum(got2.values()) < 10 ** 12
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=40, unique=True),
+    iters=st.integers(1, 3),
+)
+def test_pagerank_property_matches_reference(ray_session, edges, iters):
+    """Random digraphs (self-loops, parallel-free, dangling nodes,
+    isolated sinks) must match the independent integer recurrence
+    bit-for-bit at any iteration count."""
+    got = {int(r["node"]): int(r["mass"])
+           for r in pagerank(_edges_ds(sorted(edges), nblocks=2),
+                             iters=iters).take_all()}
+    assert got == _numpy_pagerank(sorted(edges), iters=iters)
