@@ -195,3 +195,26 @@ def test_purge_history_crash_before_deletion_is_recoverable(
     assert rep2["orphan_files_purged"] > 0
     assert _rows_for_repo_everywhere(cfg.lake_root, repo) == 0
     assert audit_lake(cfg.lake_root)["healthy"]
+
+
+def test_purge_history_across_partition_evolution(ray_session, tmp_path):
+    """Candidate discovery honors PER-MANIFEST bucket counts: after a
+    live 8→12 re-bucket, a path-scoped purge must find the key's file in
+    the 8-bucket manifests AND the 12-bucket ones (a single global
+    partition id would miss one side and leave readable subject rows)."""
+    from etl_cms_ray.pipelines.maintenance import repartition_lake
+
+    cfg, ev, r1, r2 = _build_lake(tmp_path, n_repos=3, files=10)
+    r3 = repartition_lake(cfg.lake_root, 12)
+    live = read_lake(cfg.lake_root).to_pandas()
+    repo = live["repo"].iloc[0]
+    path = live[live["repo"] == repo]["path"].iloc[0]
+
+    rep = purge_history(cfg.lake_root, repo, path=path)
+    assert rep["rows_removed"] > 0
+    assert rep["versions_rewritten"] >= 2  # both bucketing eras hit
+    assert _rows_for_repo_everywhere(cfg.lake_root, repo) >= 0  # scan runs
+    for v in (r1.manifest_version, r2.manifest_version, r3.version):
+        snap = read_snapshot(cfg.lake_root, version=v).to_pandas()
+        assert not ((snap["repo"] == repo) & (snap["path"] == path)).any()
+        assert audit_lake(cfg.lake_root, version=v)["healthy"]
