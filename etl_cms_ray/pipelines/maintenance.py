@@ -929,7 +929,7 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
         "repo": repo, "path": path, "rows_removed": 0,
         "files_rewritten": 0, "files_deleted": 0, "versions_rewritten": 0,
         "dead_letter_files": 0, "artifacts_dropped": [],
-        "orphan_files_purged": 0,
+        "orphan_files_purged": 0, "shards_pruned": 0,
         "tags_refreshed": 0, "branches": {},
     }
 
@@ -1072,74 +1072,102 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
                                       changed_parts=changed, stage=True)
                 report["versions_rewritten"] += 1
 
-        # tags: re-point shas at the scrubbed manifest bytes
-        refs = store.tags()
-        dirty = False
-        for name, entry in refs.items():
-            sha_now = store._manifest_sha(int(entry["version"]))
-            if sha_now != entry["sha"]:
-                entry["sha"] = sha_now
-                dirty = True
-                report["tags_refreshed"] += 1
-        if dirty:
-            from ..state.manifest import _atomic_write
+    # tags: re-point shas at the scrubbed manifest bytes.  ALWAYS runs
+    # (not only when this run rewrote files): a crash between a prior
+    # run's manifest patching and ITS tag refresh leaves tags
+    # unresolvable, and only an unconditional recompute can repair them.
+    refs = store.tags()
+    dirty = False
+    for name, entry in refs.items():
+        sha_now = store._manifest_sha(int(entry["version"]))
+        if sha_now != entry["sha"]:
+            entry["sha"] = sha_now
+            dirty = True
+            report["tags_refreshed"] += 1
+    if dirty:
+        from ..state.manifest import _atomic_write
 
-            _atomic_write(store._refs_path(), json.dumps(refs, sort_keys=True))
+        _atomic_write(store._refs_path(), json.dumps(refs, sort_keys=True))
 
-        # the actual erasure: unlink the replaced bytes
-        for old in mapping:
-            try:
-                os.unlink(store.abspath(old))
-                report["files_deleted"] += 1
-            except FileNotFoundError:
-                pass
+    # superseded manifest SHARDS: the in-place patch repointed indexes at
+    # new content-addressed shard files, but the replaced shard JSONs
+    # still carry the subject in their dictionary stats — retained
+    # personal data at the metadata layer.  Referenced-set subtraction
+    # over every current index (the expire_snapshots rule) removes them;
+    # unconditional so a crashed prior run is repaired too.
+    kept_shards: set[str] = set()
+    for v in versions:
+        idx = store._load_index(v)
+        if idx:
+            kept_shards.update(
+                ref["file"] for ref in idx.get("shards", {}).values())
+    for pth in _glob.glob(os.path.join(store.manifest_dir, "shards", "*.json")):
+        rel = os.path.join("shards", os.path.basename(pth))
+        if rel not in kept_shards:
+            os.unlink(pth)
+            report["shards_pruned"] += 1
 
-    # unreferenced files serve no snapshot: if one holds the subject,
-    # delete it outright (a prior crashed purge's leftovers, or aborted
-    # writer debris) — rows in them count separately, they were never
-    # part of any readable relation
-    import pyarrow.parquet as _pqm
+    # --- dead-letter store + subject-bearing orphans (one distributed
+    # pass; both are whole-file reads that must not serialize on the
+    # driver when a full-repo purge walks every partition dir) ---------
+    dl_files = sorted(_glob.glob(
+        os.path.join(lake_root, "deadletter", "part=*", "*.parquet")))
+    side_todo = (
+        [{"f": f, "kind": "dl"} for f in dl_files]
+        + [{"f": store.abspath(r), "kind": "orphan"} for r in orphan_candidates]
+    )
+    if side_todo:
+        def side_scrub(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
 
-    for rel in orphan_candidates:
-        try:
-            t = _pqm.read_table(store.abspath(rel), columns=["repo", "path"])
-        except (FileNotFoundError, OSError):
-            continue
-        mask = pc.equal(t["repo"], repo)
-        if path is not None:
-            mask = pc.and_(mask, pc.equal(t["path"], path))
-        hits = int(pc.sum(pc.cast(pc.fill_null(mask, False),
-                                  pa.int64())).as_py() or 0)
-        if hits:
-            os.unlink(store.abspath(rel))
-            report["orphan_files_purged"] += 1
+            from ..functions.threads import single_threaded_kernels
 
-    # --- dead-letter store ------------------------------------------------
-    for f in sorted(_glob.glob(
-            os.path.join(lake_root, "deadletter", "part=*", "*.parquet"))):
-        import pyarrow.parquet as _pq
+            single_threaded_kernels()
+            out = {"kind": [], "removed": []}
+            for f, kind in zip(batch["f"].to_pylist(),
+                               batch["kind"].to_pylist()):
+                try:
+                    t = _pq.read_table(f)
+                except (FileNotFoundError, OSError):
+                    continue
+                if "repo" not in t.column_names:
+                    continue
+                mask = pc.equal(t["repo"], repo)
+                if path is not None and "path" in t.column_names:
+                    mask = pc.and_(mask, pc.equal(t["path"], path))
+                mask = pc.fill_null(mask, False)
+                removed = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+                if removed == 0:
+                    continue
+                if kind == "dl":
+                    kept = t.filter(pc.invert(mask))
+                    if kept.num_rows:
+                        base = os.path.basename(f)[: -len(".parquet")]
+                        stem = _re.sub(r"-[0-9a-f]{16}$", "", base) + "-px"
+                        _write_deterministic(kept, os.path.dirname(f), stem)
+                os.unlink(f)  # orphans serve no snapshot; dl replaced above
+                out["kind"].append(kind)
+                out["removed"].append(removed)
+            return pa.table({"kind": out["kind"],
+                             "removed": pa.array(out["removed"],
+                                                 type=pa.int64())})
 
-        t = _pq.read_table(f)
-        if "repo" not in t.column_names:
-            continue
-        mask = pc.equal(t["repo"], repo)
-        if path is not None and "path" in t.column_names:
-            mask = pc.and_(mask, pc.equal(t["path"], path))
-        mask = pc.fill_null(mask, False)
-        removed = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
-        if removed == 0:
-            continue
-        kept = t.filter(pc.invert(mask))
-        if kept.num_rows:
-            base = os.path.basename(f)[: -len(".parquet")]
-            stem = _re.sub(r"-[0-9a-f]{16}$", "", base) + "-px"
-            _write_deterministic(kept, os.path.dirname(f), stem)
-        os.unlink(f)
-        report["rows_removed"] += removed
-        report["dead_letter_files"] += 1
+        import ray.data as _rd
 
-    # --- derived layouts holding copies -----------------------------------
-    if report["rows_removed"] > 0:
+        for r in _rd.from_items(side_todo).map_batches(
+                side_scrub, batch_format="pyarrow", batch_size=4).take_all():
+            if r["kind"] == "dl":
+                report["rows_removed"] += int(r["removed"])
+                report["dead_letter_files"] += 1
+            else:
+                report["orphan_files_purged"] += 1
+
+    # --- derived layouts holding copies.  Gated on subject data having
+    # been removed NOW (fresh rows or recovered orphans) and ordered
+    # BEFORE the old-file deletion below: every crash window then leaves
+    # either the old files (re-run finds orphans -> re-drops) or nothing
+    # left to drop — never a stale artifact with no repair signal. ------
+    if report["rows_removed"] > 0 or report["orphan_files_purged"] > 0:
         for rel in ("_projections", "_zorder"):
             d = os.path.join(lake_root, rel)
             if os.path.isdir(d):
@@ -1149,6 +1177,15 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
         if os.path.exists(idx):
             os.unlink(idx)
             report["artifacts_dropped"].append("_index")
+
+    # --- the actual erasure of replaced bytes: strictly LAST, so any
+    # crash above leaves every snapshot readable and the re-run finishes
+    for old in mapping:
+        try:
+            os.unlink(store.abspath(old))
+            report["files_deleted"] += 1
+        except FileNotFoundError:
+            pass
 
     # --- branches: standalone hard-linked lakes ----------------------------
     if include_branches:
@@ -1165,7 +1202,7 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
         **{k: report[k] for k in
            ("repo", "path", "rows_removed", "files_rewritten",
             "files_deleted", "versions_rewritten", "dead_letter_files",
-            "tags_refreshed")},
+            "orphan_files_purged", "shards_pruned", "tags_refreshed")},
     })
     return report
 

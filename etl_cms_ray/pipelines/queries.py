@@ -5036,7 +5036,9 @@ def cdc_temporal_join(sf_dir: str) -> "rd.Dataset":
 
     def prep_fact(t: pa.Table) -> pa.Table:
         from ..functions.hashing import key_array
+        from ..functions.threads import single_threaded_kernels
 
+        single_threaded_kernels()
         ordv = pc.add(pc.multiply(t["epoch"], pa.scalar(OE, type=pa.int64())),
                       t["seq"])
         return pa.table({
@@ -5048,7 +5050,9 @@ def cdc_temporal_join(sf_dir: str) -> "rd.Dataset":
 
     def prep_annot(t: pa.Table) -> pa.Table:
         from ..functions.hashing import key_array
+        from ..functions.threads import single_threaded_kernels
 
+        single_threaded_kernels()
         ordv = pc.add(pc.multiply(t["epoch"], pa.scalar(OE, type=pa.int64())),
                       t["seq"])
         return pa.table({
@@ -5070,6 +5074,9 @@ def cdc_temporal_join(sf_dir: str) -> "rd.Dataset":
                        left_schema=f_schema, right_schema=a_schema)
 
     def finish(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         # a winning delete = dimension state ABSENT at fact time
         live = pc.and_kleene(pc.is_valid(t["a_op"]),
                              pc.not_equal(t["a_op"], "delete"))
@@ -5240,11 +5247,16 @@ def cdc_gdpr_purge(sf_dir: str) -> "rd.Dataset":
 
     lake_root, r1, r2 = _two_commit_lake(sf_dir, "gdpr_lake")
     store = LakeStore(lake_root)
+    # subject = min(source) over DOCUMENTS — the oracle's own expression.
+    # Computing it over the live lake instead would diverge whenever the
+    # smallest source's docs were all deleted by the epoch-1 stream
+    # (data-dependent oracle fragility).
     subject = (
-        read_lake(lake_root).select_columns(["repo"])
+        _rpc(f"{sf_dir}/documents.parquet", columns=["source"])
         .map_batches(lambda t: pa.table(
-            {"repo": pc.unique(t["repo"])}), batch_format="pyarrow")
-        .to_pandas()["repo"].min()
+            {"s": pa.array([pc.min(t["source"]).as_py()])}),
+            batch_format="pyarrow")
+        .to_pandas()["s"].min()
     )
     pre = read_lake(lake_root)
     n_pre = pre.filter(expr=f"repo == '{subject}'").count()

@@ -591,6 +591,9 @@ def _verify_cosine_batch(batch: pa.Table, *, threshold: float,
                          round_digits: int) -> pa.Table:
     """Exact-cosine verify over attached pair vectors (shared by the
     hyperplane-blocked and kmeans-blocked candidate generators)."""
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
     if batch.num_rows == 0:
         return pa.table({"a": pa.array([], type=pa.int64()),
                          "b": pa.array([], type=pa.int64()),

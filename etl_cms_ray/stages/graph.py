@@ -43,12 +43,18 @@ def _coarse_sum(rows: "ray.data.Dataset", key: str, val: str,
     """Scale-safe Σ``val`` per ``key`` (+ ``add_const``): coarse hash
     partitions, one vectorized pandas sweep each (CLAUDE.md rule 3)."""
     def add_part(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         t = t.replace_schema_metadata(None)
         k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
         return t.append_column(
             "fpart", pa.array((k % _COARSE).astype(np.int64)))
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         g = df.groupby(key, sort=False)[val].sum().reset_index()
         g[val] = g[val].astype(np.int64) + np.int64(add_const)
         return g
@@ -79,6 +85,9 @@ def pagerank(
     sch = pa.schema([(src, pa.int64()), (dst, pa.int64())])
 
     def norm(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         return pa.table({src: t[src].cast(pa.int64()),
                          dst: t[dst].cast(pa.int64())})
 
@@ -90,6 +99,9 @@ def pagerank(
 
     # outdegree: per-batch count partial -> coarse sum
     def deg_partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         t = t.replace_schema_metadata(None)
         s = t[src].to_numpy(zero_copy_only=False)
         u, c = np.unique(s, return_counts=True)
@@ -102,6 +114,9 @@ def pagerank(
 
     # node set: distinct src ∪ dst via per-batch unique -> coarse distinct
     def node_partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         t = t.replace_schema_metadata(None)
         u = np.unique(np.concatenate([
             t[src].to_numpy(zero_copy_only=False),

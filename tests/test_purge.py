@@ -163,6 +163,9 @@ def test_purge_history_crash_before_deletion_is_recoverable(
     import etl_cms_ray.pipelines.maintenance as mod
 
     cfg, ev, r1, r2 = _build_lake(tmp_path, n_repos=3, files=8)
+    build_token_index(cfg.lake_root)  # a derived artifact holding tokens
+    store = LakeStore(cfg.lake_root)
+    store.set_tag("pinned", r1.manifest_version)
     repo = sorted(set(ev["repo"].to_pylist()))[0]
     pre = read_lake(cfg.lake_root).to_pandas()
     assert (pre["repo"] == repo).any()
@@ -191,8 +194,14 @@ def test_purge_history_crash_before_deletion_is_recoverable(
     # the subject's bytes still exist as orphans -> the re-run (or any
     # expire_snapshots) finishes the physical erasure
     assert _rows_for_repo_everywhere(cfg.lake_root, repo) > 0
+    # the crash died before the tag refresh, artifact drop and shard
+    # prune — the re-run must repair ALL of them, not just the data files
     rep2 = purge_history(cfg.lake_root, repo)
     assert rep2["orphan_files_purged"] > 0
+    assert "_index" in rep2["artifacts_dropped"]
+    assert not os.path.exists(
+        os.path.join(cfg.lake_root, "_index", "tokens.parquet"))
+    assert store.resolve_ref("pinned") == r1.manifest_version
     assert _rows_for_repo_everywhere(cfg.lake_root, repo) == 0
     assert audit_lake(cfg.lake_root)["healthy"]
 
