@@ -8631,6 +8631,103 @@ def dedup_semantic_pairs(sf_dir: str) -> "rd.Dataset":
                           round_digits=4, vec_type=pa.list_(pa.float32()))
 
 
+def dedup_semantic_apply(sf_dir: str) -> "rd.Dataset":
+    """The COMPLETE SemDeDup prune (Abbas et al. 2023 end-to-end):
+    kmeans-cell-blocked near-dup pairs -> pointer-doubling connected
+    components -> keep ONE representative per semantic cluster (min
+    vec_id — the original survives, its perturbed copies drop) ->
+    anti-join the corpus.  Every stage is the engine's existing
+    distributed primitive; the oracle rebuilds the same relation from
+    the exact all-pairs graph with a recursive closure, so both the
+    blocking recall AND the clustering/keep policy are hash-checked."""
+    from ..stages.ann import semdedup_pairs
+    from ..stages.cluster import connected_components
+
+    def perturb(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["vec_id"], 20),
+                             pc.less(t["vec_id"], 40)))
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "embedding": pa.array([], type=pa.list_(pa.float32()))}
+            )
+        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        m = m * 1.002 + 0.001
+        return pa.table(
+            {
+                "vec_id": pc.add(t["vec_id"], 400_000),
+                "embedding": pa.array([row.astype(np.float32) for row in m],
+                                      type=pa.list_(pa.float32())),
+            }
+        )
+
+    def allv():
+        base = _rpc(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"])
+        near = _rpc(f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"]).map_batches(
+            perturb, batch_format="pyarrow")
+        return base.union(near)
+
+    pairs = semdedup_pairs(allv(), k=16, threshold=0.99, round_digits=4,
+                           vec_type=pa.list_(pa.float32()))
+    cc = connected_components(pairs, a_col="a", b_col="b")
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["label", "node"], kind="mergesort")
+        return d.loc[d["label"].duplicated(), ["node"]].rename(
+            columns={"node": "vec_id"})
+
+    dup_ids = _coarse_final(
+        cc.map_batches(lambda t: _nometa(t.select(["node", "label"])),
+                       batch_format="pyarrow"),
+        "label", losers)
+    ids = allv().map_batches(
+        lambda t: _nometa(t.select(["vec_id"])), batch_format="pyarrow")
+    kept = hash_join(
+        ids, dup_ids, on="vec_id", how="anti",
+        left_schema=pa.schema([("vec_id", pa.int64())]),
+        right_schema=pa.schema([("vec_id", pa.int64())]),
+    )
+    return kept
+
+
+_SQL_SEMDEDUP_APPLY = """
+WITH RECURSIVE pert AS (
+  SELECT vec_id + 400000 AS vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CAST(CAST(x * CAST(1.002 AS DOUBLE) + CAST(0.001 AS DOUBLE) AS REAL) AS DOUBLE)
+         ) AS emb
+  FROM embeddings WHERE vec_id >= 20 AND vec_id < 40
+), allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id, emb FROM pert
+), pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM allv x JOIN allv y ON x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.emb, y.emb) >= 0.99
+), edges AS (
+  SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs
+), walk AS (
+  SELECT x AS node, x AS reach FROM edges
+  UNION
+  SELECT w.node, e.y FROM walk w JOIN edges e ON w.reach = e.x
+), labels AS (
+  SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node
+), losers AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY node) AS rn
+    FROM labels
+  ) WHERE rn > 1
+)
+SELECT v.vec_id FROM allv v
+WHERE v.vec_id NOT IN (SELECT node FROM losers)
+"""
+
+
 #: exact all-pairs oracle — identical shape to _SQL_COSINE_PAIRS but over
 #: the semantic-blocking query's own planted set, so the two operators
 #: certify independently.
@@ -10501,6 +10598,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "cdc_temporal_join": cdc_temporal_join,
     "doc_compression_ratio": doc_compression_ratio,
+    "dedup_semantic_apply": dedup_semantic_apply,
     "cdc_branch_merge": cdc_branch_merge,
     "cdc_debezium_ingest": cdc_debezium_ingest,
     "training_pack_chunks": training_pack_chunks,
@@ -10778,6 +10876,7 @@ ORACLE_SQL = {
     "cdc_gdpr_purge": _SQL_GDPR_PURGE,
     "graph_pagerank": _pagerank_oracle_sql(),
     "cdc_temporal_join": _SQL_TEMPORAL_JOIN,
+    "dedup_semantic_apply": _SQL_SEMDEDUP_APPLY,
     "approx_distinct_sketch": _SQL_APPROX_DISTINCT,
     "user_retention_cohorts": _SQL_RETENTION_COHORTS,
     "event_type_transitions": _SQL_EVENT_TRANSITIONS,
