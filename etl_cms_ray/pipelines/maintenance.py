@@ -894,7 +894,9 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
     Derived layouts that hold row or token copies (``_projections``,
     ``_zorder``, ``_index``) are DROPPED when rows were actually
     removed: a stale copy is not acceptable erasure, and all three are
-    rebuildable from the scrubbed lake (``auto_maintain``).  Tag refs
+    rebuildable from the scrubbed lake (re-run their builders —
+    ``build_token_index`` / projection / z-order; ``auto_maintain``
+    keeps them incremental thereafter).  Tag refs
     are re-pointed at the scrubbed manifest bytes (the one sanctioned
     history rewrite; ``resolve_ref``'s tamper check keeps rejecting any
     OTHER rewrite).  Exported Debezium segments and ``sync_lake``

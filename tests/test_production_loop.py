@@ -106,3 +106,57 @@ def test_incremental_production_loop(ray_session, tmp_path):
     info = build_token_index(lake, incremental=True)
     assert info["rebuilt"] == 0 and info["reused"] == info["partitions"]
     assert audit_lake(lake)["healthy"]
+
+
+def test_lifecycle_loop_freshness_maintain_purge(ray_session, tmp_path):
+    """The operations day-2 loop composed end-to-end: tail commits →
+    freshness tells the operator where the lake stands → auto_maintain
+    refreshes artifacts → a GDPR request purges a subject → the index
+    dropped by the purge is rebuilt by the NEXT maintain sweep and
+    searches stay exact — no from-scratch rebuild anywhere except the
+    artifact the erasure contract forces."""
+    from etl_cms_ray.pipelines.maintenance import (auto_maintain,
+                                                   lake_freshness,
+                                                   purge_history)
+
+    repos = make_repos(4, 8)
+    ev = make_events(repos, n_epochs=3, events_per_epoch=40)
+    events_dir = str(tmp_path / "binlog")
+    os.makedirs(events_dir)
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(lake_root=lake, num_partitions=8)
+
+    head = int(pc.max(ev["epoch"]).as_py())
+    for ep in range(head + 1):
+        chunk = ev.filter(pc.equal(ev["epoch"], ep))
+        pq.write_table(chunk, os.path.join(events_dir, f"epoch={ep}.parquet"))
+        tail_once(events_dir, cfg)
+        if ep == 0:
+            build_token_index(lake)  # registered once; maintain refreshes it
+        rep = lake_freshness(lake, source_max_epoch=head)
+        assert rep["fence_max"] == ep  # the loop is exactly caught up to ep
+        sweep = auto_maintain(lake)
+        assert isinstance(sweep, dict)
+
+    fresh = lake_freshness(lake, source_max_epoch=head)
+    assert fresh["max_lag"] == 0 and fresh["lagging_partitions"] == []
+
+    # GDPR request arrives mid-operation
+    subject = sorted({r for r in read_lake_table(lake)["repo"].to_pylist()})[0]
+    prep = purge_history(lake, subject)
+    assert prep["rows_removed"] > 0
+    assert "_index" in prep["artifacts_dropped"]
+
+    # the erasure dropped the index; rebuild (the operator's runbook step
+    # after a purge) and maintain keeps it incremental thereafter
+    build_token_index(lake)
+    auto_maintain(lake)
+    plan, pinfo = token_plan(lake, TOKEN)
+    assert not pinfo["fallback"]
+    got = (
+        token_search(lake, TOKEN, columns=["repo", "path"])
+        .to_pandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    assert got.equals(_expected_search(lake, TOKEN))
+    assert not (got["repo"] == subject).any()
+    assert audit_lake(lake)["healthy"]
