@@ -10569,6 +10569,45 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
 ORDER BY s_suppkey
 """
 
+def customer_fuzzy_pairs(sf_dir: str) -> "rd.Dataset":
+    """Entity-resolution fuzzy self-join: customer-name pairs within
+    edit distance 1 (byte semantics == character semantics on this
+    ASCII key).  Scale shape: FastSS deletion-neighborhood blocking
+    (stages/fuzzy.py) — candidate generation is a key groupby with
+    EXACT recall (never an all-pairs scan; the oracle's quadratic
+    levenshtein cross join is what this operator exists to avoid),
+    degenerate key buckets are capped AND counted, global pair dedup is
+    one coarse exchange, and the final verify is the exact vectorized
+    dist<=1 predicate, so the result matches the cross join
+    row-for-row."""
+    from ..stages.fuzzy import fuzzy_pairs_edit1
+
+    ds = _rpc(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    pairs = fuzzy_pairs_edit1(ds, id_col="c_custkey", name_col="c_name")
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"name_a": pa.array([], type=pa.string()),
+                             "name_b": pa.array([], type=pa.string())})
+        a = t["name_a"].to_numpy(zero_copy_only=False)
+        b = t["name_b"].to_numpy(zero_copy_only=False)
+        sw = a > b  # emit lexicographic (name_a < name_b) like the oracle
+        return pa.table({
+            "name_a": pa.array(np.where(sw, b, a), type=pa.string()),
+            "name_b": pa.array(np.where(sw, a, b), type=pa.string()),
+        })
+
+    return pairs.map_batches(project, batch_format="pyarrow")
+
+
+_SQL_FUZZY_PAIRS = """
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES = {
     # --- entries WITHOUT a driver-green CORRECTNESS row in r01∪r02 come
     # FIRST (VERDICT r2 next-round #2): the driver checks <=50 entries
@@ -10685,6 +10724,7 @@ QUERIES = {
     "ab_test_value": ab_test_value,
     "event_value_benford": event_value_benford,
     "cdc_partition_evolution": cdc_partition_evolution,
+    "customer_fuzzy_pairs": customer_fuzzy_pairs,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -10915,6 +10955,7 @@ ORACLE_SQL = {
     "event_daily_anomaly": _SQL_DAILY_ANOMALY,
     "user_running_distinct": _SQL_RUNNING_DISTINCT,
     "ab_test_value": _SQL_AB_TEST,
+    "customer_fuzzy_pairs": _SQL_FUZZY_PAIRS,
     "event_value_benford": _benford_sql(),
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,

@@ -1,0 +1,206 @@
+"""Approximate string-matching self-join by edit distance — the
+entity-resolution / record-linkage operator family (fuzzy dedup of
+names/titles/codes), the string cousin of stages/dedup.py's set- and
+vector-similarity joins.
+
+Blocking is FastSS deletion neighborhoods (Bocek et al. 2007, "Fast
+Similarity Search in Large Dictionaries"): for byte edit distance <= 1,
+two strings MUST share a member of their deletion neighborhood
+U(s) = {s} ∪ {s with one byte deleted} — substitution at i meets at
+delete(i), an indel pair meets at the shorter string itself — so
+candidate generation is a plain groupby on neighborhood keys with
+EXACT recall, never an all-pairs scan.  Keys are 64-bit polynomial
+hashes composed from prefix/suffix partial hashes: O(len) numpy work
+per row on the Arrow flat byte buffer, no per-row Python, no variant
+strings materialized.  A hash collision only ADDS a candidate — the
+verify stage applies the exact predicate, so both recall and precision
+of the final result are exact.
+
+Verification is the exact dist<=1 test, vectorized across the pair
+batch: with |len(a) - len(b)| <= 1,
+
+    dist(a, b) <= 1  <=>  lcp(a, b) + lcs(a, b) >= max(len) - 1
+
+(lcp/lcs = longest common prefix/suffix in BYTES; equality with
+character-level Levenshtein holds on ASCII payloads — documented at
+the query entry, which feeds ASCII keys).  Proof sketch: same length
+-> the condition is exactly "hamming <= 1"; length diff 1 -> the
+shorter string splits into a prefix+suffix of the longer covering all
+but one byte, i.e. one insertion.
+
+Scale shape (mirrors minhash_lsh_pairs): key rows ~ O(total_bytes);
+candidates pair up inside coarse key-hash partitions via the shared
+capped self-merge (stages/dedup._partition_pairs — degenerate buckets
+are capped AND counted into metrics so dropped recall is observable);
+global (a, b) dedup is the shared coarse pair exchange; verify is one
+vectorized map_batches.  No stage materializes the input or holds more
+than one partition's candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _add_bucket_part, _dedup_pairs, _partition_pairs
+
+# polynomial base: the FNV prime (odd, full 64-bit mixing under wraparound)
+_B = np.uint64(1099511628211)
+
+
+def _byte_matrix(col, width: int | None = None):
+    """(n, W) uint8 padded byte matrix + int64 lengths for a string
+    column — one gather over the Arrow flat buffer (same buffer idiom
+    as functions/text.fingerprint_column); pad bytes are 0 and always
+    masked by length downstream."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    lb = arr.cast(pa.large_binary())
+    off_buf, data_buf = lb.buffers()[1], lb.buffers()[2]
+    offsets = np.frombuffer(off_buf, dtype=np.int64)[lb.offset: lb.offset + n + 1]
+    data = (np.frombuffer(data_buf, dtype=np.uint8)
+            if data_buf is not None else np.empty(0, dtype=np.uint8))
+    starts, lengths = offsets[:-1], np.diff(offsets)
+    W = int(lengths.max()) if n and lengths.size else 0
+    if width is not None:
+        W = max(W, width)
+    if W == 0:
+        return np.zeros((n, 0), dtype=np.uint8), lengths.astype(np.int64)
+    cols = np.arange(W, dtype=np.int64)
+    idx = starts[:, None] + cols[None, :]
+    mask = cols[None, :] < lengths[:, None]
+    M = np.where(mask, data[np.clip(idx, 0, max(len(data) - 1, 0))], 0)
+    return M.astype(np.uint8), lengths.astype(np.int64)
+
+
+def deletion_key_table(batch: pa.Table, *, id_col: str, name_col: str) -> pa.Table:
+    """(band_id=0, band_key, doc_id, name) rows: one row per deletion-
+    neighborhood member of each name (the name itself + each single-byte
+    deletion).  band_key is the 64-bit polynomial hash
+    H(s) = Σ s[i]·B^(len-1-i) mod 2^64 of the member, composed as
+    prefix·B^k + suffix from two partial-hash sweeps — O(len) numpy
+    column steps per batch, no variant strings ever built.  Emitting
+    (band_id, band_key, doc_id) rows feeds the shared LSH pair plumbing
+    (_add_bucket_part / _partition_pairs) unchanged."""
+    M8, lens = _byte_matrix(batch[name_col])
+    n, W = M8.shape
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    names = batch[name_col]
+    if n == 0 or W == 0:
+        return pa.table({
+            "band_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "band_key": pa.array(np.zeros(n, dtype=np.int64)),
+            "doc_id": pa.array(ids),
+            "name": names,
+        })
+    M = M8.astype(np.uint64)
+    cols = np.arange(W, dtype=np.int64)
+    bpow = np.empty(W + 1, dtype=np.uint64)
+    bpow[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for j in range(1, W + 1):
+            bpow[j] = bpow[j - 1] * _B
+        # prefix hashes P[:, d] = H(s[:d])
+        P = np.zeros((n, W + 1), dtype=np.uint64)
+        for d in range(1, W + 1):
+            P[:, d] = P[:, d - 1] * _B + M[:, d - 1]
+        # T[:, i] = s[i]·B^(len-1-i) for i < len — each byte at its final
+        # weight; suffix hashes are one reverse cumsum away
+        e = lens[:, None] - 1 - cols[None, :]
+        T = np.where(e >= 0, M * bpow[np.clip(e, 0, W)], np.uint64(0))
+        # sfx[:, d] = Σ_{i>=d} T[:, i]  (reverse cumsum; sfx[:, W] = 0)
+        rc = np.cumsum(T[:, ::-1], axis=1, dtype=np.uint64)[:, ::-1]
+        sfx = np.concatenate([rc, np.zeros((n, 1), dtype=np.uint64)], axis=1)
+        # H[:, 0] = full hash; H[:, d+1] = hash with byte d deleted
+        H = np.zeros((n, W + 1), dtype=np.uint64)
+        H[:, 0] = sfx[:, 0]
+        dd = cols[None, :]
+        Hdel = P[:, :-1] * bpow[np.clip(lens[:, None] - 1 - dd, 0, W)] + sfx[:, 1:]
+        H[:, 1:] = Hdel
+    valid = np.ones((n, W + 1), dtype=bool)
+    valid[:, 1:] = dd < lens[:, None]
+    rows, _ = np.nonzero(valid)
+    keys = H[valid].view(np.int64)
+    return pa.table({
+        "band_id": pa.array(np.zeros(len(rows), dtype=np.int64)),
+        "band_key": pa.array(keys),
+        "doc_id": pa.array(ids[rows]),
+        "name": names.take(pa.array(rows, type=pa.int64())),
+    })
+
+
+def _lcp_lcs(A, la, B, lb):
+    """Vectorized longest-common-prefix / -suffix lengths for two padded
+    byte matrices of equal width."""
+    n, W = A.shape
+    if W == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return z, z
+    cols = np.arange(W, dtype=np.int64)
+    m = np.minimum(la, lb)
+    eq = (A == B) & (cols[None, :] < m[:, None])
+    lcp = np.cumprod(eq, axis=1).sum(axis=1)
+    ridx = np.arange(n)[:, None]
+    ia = la[:, None] - 1 - cols[None, :]
+    ib = lb[:, None] - 1 - cols[None, :]
+    Ar = np.where(ia >= 0, A[ridx, np.clip(ia, 0, W - 1)], 0)
+    Br = np.where(ib >= 0, B[ridx, np.clip(ib, 0, W - 1)], 0)
+    eqr = (Ar == Br) & (cols[None, :] < m[:, None])
+    lcs = np.cumprod(eqr, axis=1).sum(axis=1)
+    return lcp.astype(np.int64), lcs.astype(np.int64)
+
+
+def edit1_mask(name_a, name_b) -> np.ndarray:
+    """Exact byte-level edit-distance<=1 predicate, vectorized across
+    the pair batch (see module docstring for the lcp+lcs equivalence)."""
+    Ma, la = _byte_matrix(name_a)
+    Mb, lb = _byte_matrix(name_b)
+    W = max(Ma.shape[1], Mb.shape[1])
+    if Ma.shape[1] < W:
+        Ma = np.pad(Ma, ((0, 0), (0, W - Ma.shape[1])))
+    if Mb.shape[1] < W:
+        Mb = np.pad(Mb, ((0, 0), (0, W - Mb.shape[1])))
+    lcp, lcs = _lcp_lcs(Ma, la, Mb, lb)
+    mx = np.maximum(la, lb)
+    return (np.abs(la - lb) <= 1) & (lcp + lcs >= mx - 1)
+
+
+def fuzzy_pairs_edit1(
+    ds: "object",
+    *,
+    id_col: str,
+    name_col: str,
+    max_bucket: int = 512,
+    metrics=None,
+) -> "object":
+    """All (a < b) id pairs whose names are within byte edit distance 1,
+    with both names attached: FastSS deletion-key blocking -> capped
+    coarse-bucket self-merge -> global pair dedup -> exact vectorized
+    verify.  max_bucket guards degenerate key skew (mass-duplicate
+    names); caps are counted into ``metrics`` under the ``fuzzy_``
+    prefix so any recall loss is observable, and the default is sized
+    so natural neighborhoods (tens of members) never cap."""
+    from ..functions.threads import single_threaded_kernels
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        return deletion_key_table(t, id_col=id_col, name_col=name_col)
+
+    keys = ds.map_batches(key_rows, batch_format="pyarrow")
+    keys = keys.map_batches(_add_bucket_part, batch_format="pyarrow",
+                            batch_size=65536)
+    pairs = keys.groupby("ph").map_groups(
+        lambda g: _partition_pairs(g, max_bucket=max_bucket,
+                                   extra_cols=("name",), metrics=metrics,
+                                   metric_prefix="fuzzy"),
+        batch_format="pandas",
+    )
+    pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        if t.num_rows == 0:
+            return t
+        return t.filter(pa.array(edit1_mask(t["name_a"], t["name_b"])))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

@@ -1,0 +1,135 @@
+"""Fuzzy string-matching join (stages/fuzzy.py): deletion-key hashes vs
+a scalar polynomial reference, the vectorized edit<=1 predicate vs a
+full Levenshtein DP, and end-to-end exact recall of the FastSS
+blocking pipeline on planted single-edit pairs."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_cms_ray.stages.fuzzy import (
+    deletion_key_table,
+    edit1_mask,
+    fuzzy_pairs_edit1,
+)
+
+_B = 1099511628211
+
+
+def _poly(s: bytes) -> int:
+    h = 0
+    for c in s:
+        h = (h * _B + c) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def _neighborhood(s: bytes) -> set:
+    ks = {_poly(s)}
+    for d in range(len(s)):
+        ks.add(_poly(s[:d] + s[d + 1:]))
+    return ks
+
+
+def _lev(a: bytes, b: bytes) -> int:
+    la, lb = len(a), len(b)
+    d = list(range(lb + 1))
+    for i in range(1, la + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, lb + 1):
+            cur = d[j]
+            d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev = cur
+    return d[lb]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcde#0 ", max_size=16), min_size=0,
+                max_size=40))
+def test_deletion_keys_match_scalar_reference(names):
+    t = pa.table({
+        "id": pa.array(range(len(names)), type=pa.int64()),
+        "nm": pa.array(names, type=pa.string()),
+    })
+    kt = deletion_key_table(t, id_col="id", name_col="nm")
+    got = {}
+    for k, i in zip(kt["band_key"].to_pylist(), kt["doc_id"].to_pylist()):
+        got.setdefault(i, set()).add(k & 0xFFFFFFFFFFFFFFFF)
+    for i, nm in enumerate(names):
+        assert got.get(i, set()) == _neighborhood(nm.encode()), (i, nm)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abc", max_size=9),
+                          st.text(alphabet="abc", max_size=9)),
+                min_size=1, max_size=80))
+def test_edit1_mask_matches_levenshtein(pairs):
+    a = pa.array([p[0] for p in pairs], type=pa.string())
+    b = pa.array([p[1] for p in pairs], type=pa.string())
+    got = edit1_mask(a, b)
+    ref = np.array([_lev(x.encode(), y.encode()) <= 1 for x, y in pairs])
+    assert (got == ref).all()
+
+
+def test_edit1_mask_planted_edits():
+    rng = random.Random(11)
+    xs, ys = [], []
+    for _ in range(2000):
+        s = "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 15)))
+        op = rng.choice(["sub", "ins", "del", "eq"])
+        i = rng.randrange(len(s))
+        if op == "sub":
+            t = s[:i] + rng.choice("abcdef") + s[i + 1:]
+        elif op == "ins":
+            t = s[:i] + rng.choice("abcdef") + s[i:]
+        elif op == "del":
+            t = s[:i] + s[i + 1:]
+        else:
+            t = s
+        xs.append(s)
+        ys.append(t)
+    got = edit1_mask(pa.array(xs), pa.array(ys))
+    assert bool(got.all())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_exact_recall_and_precision():
+    """Planted single-edit variants: the pipeline must return EXACTLY
+    the set of pairs at edit distance <= 1 (FastSS recall theorem +
+    exact verify) — checked against the quadratic reference."""
+    import ray.data as rd
+
+    rng = random.Random(23)
+    names = set()
+    while len(names) < 120:
+        names.add("".join(rng.choice("abcdefgh")
+                          for _ in range(rng.randint(4, 10))))
+    names = sorted(names)
+    # plant variants of the first 30 (some may collide with existing)
+    for s in list(names[:30]):
+        i = rng.randrange(len(s))
+        v = s[:i] + rng.choice("abcdefgh") + s[i:]
+        if v not in names:
+            names.append(v)
+    ids = list(range(len(names)))
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids, type=pa.int64()),
+        "nm": pa.array(names, type=pa.string()),
+    })).repartition(5)
+    got = fuzzy_pairs_edit1(ds, id_col="id", name_col="nm").to_pandas()
+    got_pairs = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    ref_pairs = set()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if abs(len(names[i]) - len(names[j])) <= 1 and \
+                    _lev(names[i].encode(), names[j].encode()) <= 1:
+                ref_pairs.add((i, j))
+    assert got_pairs == ref_pairs
+    assert len(ref_pairs) >= 20  # the planted edits make the test teethy
+    # attached names agree with ids
+    for _, r in got.iterrows():
+        assert names[int(r["a"])] == r["name_a"]
+        assert names[int(r["b"])] == r["name_b"]
