@@ -10569,6 +10569,76 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM ex)
 ORDER BY s_suppkey
 """
 
+def lineitem_skyline(sf_dir: str) -> "rd.Dataset":
+    """Pareto frontier (skyline operator, Börzsönyi et al. 2001): the
+    maximal (quantity, price) points — rows no other row dominates
+    (>= on both dims, > on at least one) — with the multiplicity of
+    each surviving point.  Scale shape: the union of per-batch local
+    skylines contains the global skyline (a globally non-dominated row
+    is non-dominated in its own batch), so each batch collapses to one
+    (qty, local max price, count-at-max) row per quantity — the
+    quantity axis is a bounded grid (1..50), so the partial stream is
+    ~#batches x 50 rows and the final single-task sweep (_final_agg,
+    bounded keys) runs the running-max dominance scan over <=50 groups.
+    An unbounded first axis would use a sort + per-range sweep instead;
+    the bounded-grid assumption is what licenses the coalesced final.
+    Prices ride the cents grid (rule 4)."""
+    ds = _rpc(f"{sf_dir}/lineitem.parquet",
+              columns=["l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].astype("int64")
+        p = _qround(df["l_extendedprice"], 2)
+        g = pd.DataFrame({"qty": q, "price": p})
+        mx = g.groupby("qty", sort=False)["price"].transform("max")
+        at_max = g[g["price"] == mx]
+        out = (at_max.groupby(["qty", "price"], sort=False)
+               .size().reset_index(name="n"))
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        mx = df.groupby("qty", sort=False)["price"].transform("max")
+        df = df[df["price"] == mx]
+        g = (df.groupby(["qty", "price"], sort=False)["n"]
+             .sum().reset_index())
+        g = g.sort_values("qty", ascending=False, kind="mergesort")
+        run = g["price"].cummax().shift(1)
+        keep = run.isna() | (g["price"] > run)
+        out = g[keep].sort_values("qty", kind="mergesort")
+        return pd.DataFrame({
+            "qty": out["qty"].astype("int64"),
+            "price": out["price"],
+            "n": out["n"].astype("int64"),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return _final_agg(partials, final)
+
+
+_SQL_SKYLINE = """
+WITH pts AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         floor(l_extendedprice * 100 + 0.5) / 100 AS price
+  FROM lineitem
+), g AS (
+  SELECT qty, max(price) AS gmax FROM pts GROUP BY qty
+), c AS (
+  SELECT p.qty, g.gmax AS price, count(*) AS n
+  FROM pts p JOIN g ON p.qty = g.qty AND p.price = g.gmax
+  GROUP BY p.qty, g.gmax
+), w AS (
+  SELECT qty, price, n,
+         max(price) OVER (ORDER BY qty DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS mgt
+  FROM c
+)
+SELECT qty, price, n FROM w
+WHERE mgt IS NULL OR price > mgt
+ORDER BY qty
+"""
+
+
 def customer_fuzzy_pairs(sf_dir: str) -> "rd.Dataset":
     """Entity-resolution fuzzy self-join: customer-name pairs within
     edit distance 1 (byte semantics == character semantics on this
@@ -10725,6 +10795,7 @@ QUERIES = {
     "event_value_benford": event_value_benford,
     "cdc_partition_evolution": cdc_partition_evolution,
     "customer_fuzzy_pairs": customer_fuzzy_pairs,
+    "lineitem_skyline": lineitem_skyline,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -10956,6 +11027,7 @@ ORACLE_SQL = {
     "user_running_distinct": _SQL_RUNNING_DISTINCT,
     "ab_test_value": _SQL_AB_TEST,
     "customer_fuzzy_pairs": _SQL_FUZZY_PAIRS,
+    "lineitem_skyline": _SQL_SKYLINE,
     "event_value_benford": _benford_sql(),
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
