@@ -331,6 +331,8 @@ def run_bench() -> dict:
     timed("graph_pagerank", Q.graph_pagerank)
     timed("dedup_semantic_pairs", Q.dedup_semantic_pairs)
     timed("cdc_gdpr_purge", Q.cdc_gdpr_purge)
+    timed("customer_fuzzy_pairs", Q.customer_fuzzy_pairs)
+    timed("lineitem_skyline", Q.lineitem_skyline)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

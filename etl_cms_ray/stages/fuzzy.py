@@ -199,6 +199,9 @@ def fuzzy_pairs_edit1(
 
     def verify(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
+        # blocks arrive from a pandas map_groups: drop the unhashable
+        # pandas schema metadata so Ray's schema-dedup early exit works
+        t = t.replace_schema_metadata(None)
         if t.num_rows == 0:
             return t
         return t.filter(pa.array(edit1_mask(t["name_a"], t["name_b"])))
