@@ -165,6 +165,89 @@ def edit1_mask(name_a, name_b) -> np.ndarray:
     return (np.abs(la - lb) <= 1) & (lcp + lcs >= mx - 1)
 
 
+def build_fuzzy_key_index(
+    ds: "object", index_dir: str, *, id_col: str, name_col: str
+) -> str:
+    """Persist a relation's deletion-neighborhood key index as narrow
+    parquet (band_id, band_key, doc_id, name) — the state that makes
+    fuzzy matching INCREMENTAL: keys are computed once per committed
+    name, and later increments probe this table instead of re-keying
+    the corpus.  Names ride along (short identity strings) so the probe
+    needs NO payload join.  Streaming write; never driver-materialized."""
+    import shutil
+
+    from ..functions.threads import single_threaded_kernels
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        return deletion_key_table(t, id_col=id_col, name_col=name_col)
+
+    ds.map_batches(key_rows, batch_format="pyarrow").write_parquet(index_dir)
+    return index_dir
+
+
+def incremental_fuzzy_pairs(
+    new_ds: "object",
+    index_dir: str,
+    *,
+    id_col: str,
+    name_col: str,
+    max_bucket: int = 512,
+    metrics=None,
+) -> "object":
+    """Edit-distance<=1 pairs INVOLVING at least one new row, against a
+    corpus whose deletion-key index was persisted by
+    build_fuzzy_key_index — the entity-resolution analog of
+    incremental_minhash_pairs.  Key compute is O(|increment|); the
+    corpus contributes one streaming read of its narrow index (no
+    re-keying); old×old pairs are dropped by the side filter before the
+    pair-dedup exchange, so committed-corpus pairs are never recomputed.
+    Equals fuzzy_pairs_edit1 over corpus ∪ increment restricted to
+    new-involving pairs (test-pinned; requires disjoint id spaces, the
+    same T2/T5 emit-once discipline as the minhash path)."""
+    from ..functions.rayutil import read_parquet_clean
+    from ..functions.threads import single_threaded_kernels
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+        return f
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        return deletion_key_table(t, id_col=id_col, name_col=name_col)
+
+    new_keys = new_ds.map_batches(key_rows, batch_format="pyarrow") \
+                     .map_batches(tag(1), batch_format="pyarrow")
+    stored = read_parquet_clean(index_dir).map_batches(
+        tag(0), batch_format="pyarrow")
+    both = stored.union(new_keys).map_batches(
+        _add_bucket_part, batch_format="pyarrow", batch_size=65536)
+
+    def gen(g):
+        out = _partition_pairs(g, max_bucket=max_bucket,
+                               extra_cols=("name", "side"), metrics=metrics,
+                               metric_prefix="inc_fuzzy")
+        out = out[(out["side_a"].to_numpy(dtype=np.int64)
+                   + out["side_b"].to_numpy(dtype=np.int64)) >= 1]
+        return out[["a", "b", "name_a", "name_b"]]
+
+    pairs = both.groupby("ph").map_groups(gen, batch_format="pandas")
+    pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        t = t.replace_schema_metadata(None)
+        if t.num_rows == 0:
+            return t
+        return t.filter(pa.array(edit1_mask(t["name_a"], t["name_b"])))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
 def fuzzy_pairs_edit1(
     ds: "object",
     *,

@@ -133,3 +133,50 @@ def test_fuzzy_pairs_exact_recall_and_precision():
     for _, r in got.iterrows():
         assert names[int(r["a"])] == r["name_a"]
         assert names[int(r["b"])] == r["name_b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_fuzzy_equals_full_restricted(tmp_path):
+    """Probe of an increment against the persisted deletion-key index
+    == the full-batch pipeline over corpus ∪ increment restricted to
+    new-involving pairs (same buckets -> same candidates -> same
+    verify)."""
+    import ray.data as rd
+
+    from etl_cms_ray.stages.fuzzy import (
+        build_fuzzy_key_index,
+        incremental_fuzzy_pairs,
+    )
+
+    rng = random.Random(5)
+    names = []
+    seen = set()
+    while len(names) < 150:
+        s = "".join(rng.choice("abcdefg") for _ in range(rng.randint(4, 9)))
+        if s not in seen:
+            seen.add(s)
+            names.append(s)
+    # plant edits straddling the old/new boundary both ways
+    for i in (0, 1, 2, 100, 101, 102):
+        s = names[i]
+        j = rng.randrange(len(s))
+        v = s[:j] + rng.choice("abcdefg") + s[j:]
+        if v not in seen:
+            seen.add(v)
+            names.append(v)
+    K = 100
+    t = pa.table({"id": pa.array(range(len(names)), type=pa.int64()),
+                  "nm": pa.array(names, type=pa.string())})
+    old = rd.from_arrow(t.filter(pa.array([i < K for i in range(len(names))])))
+    new = rd.from_arrow(t.filter(pa.array([i >= K for i in range(len(names))])))
+    idx = str(tmp_path / "fzidx")
+    build_fuzzy_key_index(old.repartition(4), idx, id_col="id", name_col="nm")
+    inc = incremental_fuzzy_pairs(new.repartition(3), idx,
+                                  id_col="id", name_col="nm").to_pandas()
+    full = fuzzy_pairs_edit1(rd.from_arrow(t), id_col="id",
+                             name_col="nm").to_pandas()
+    full = full[(full["a"] >= K) | (full["b"] >= K)]
+    got = set(zip(inc["a"].astype(int), inc["b"].astype(int)))
+    ref = set(zip(full["a"].astype(int), full["b"].astype(int)))
+    assert got == ref
+    assert len(ref) >= 6  # planted straddling edits keep it teethy
