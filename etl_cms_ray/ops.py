@@ -21,6 +21,10 @@ from .stages.dedup import (build_minhash_band_index, exact_dedup_groups,
                            minhash_lsh_pairs, ngram_jaccard_pairs,
                            simhash_pairs, substring_dup_stats)
 
+# fuzzy string matching (entity resolution)
+from .stages.fuzzy import (build_fuzzy_key_index, edit1_mask,
+                           fuzzy_pairs_edit1, incremental_fuzzy_pairs)
+
 # similarity search
 from .stages.ann import (brute_force_topk, build_ivf_index,
                          centroid_cosine_scores, cosine_pairs,
@@ -34,7 +38,7 @@ from .stages.ann import (brute_force_topk, build_ivf_index,
 from .stages.pca import covariance_partials, fit_pca, project_batch
 
 # graph centrality
-from .stages.graph import pagerank
+from .stages.graph import bfs_hops, pagerank
 
 # external-engine interop
 from .pipelines.interop import export_duckdb_view
@@ -112,6 +116,8 @@ __all__ = [
     "substring_dup_stats", "incremental_exact_dedup",
     "build_minhash_band_index", "incremental_minhash_pairs",
     "simhash_pairs",
+    "fuzzy_pairs_edit1", "build_fuzzy_key_index", "incremental_fuzzy_pairs",
+    "edit1_mask",
     "brute_force_topk", "cosine_pairs", "semdedup_pairs",
     "hard_negative_topk",
     "kmeans_fit", "kmeans_assign", "kmeans_diversity_sample",
@@ -121,6 +127,7 @@ __all__ = [
     "group_centroids", "centroid_cosine_scores",
     "bm25_topk", "rrf_fuse",
     "covariance_partials", "fit_pca", "project_batch",
+    "bfs_hops",
     "pagerank",
     "copartitioned_join",
     "closure_roots", "Route", "fanout_write", "read_fanout_table",

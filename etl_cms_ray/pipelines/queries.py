@@ -5141,19 +5141,12 @@ ASOF LEFT JOIN annots a
 """
 
 
-def graph_pagerank(sf_dir: str) -> "rd.Dataset":
-    """Integer-grid PageRank (`stages/graph.py`) over the
-    supplier↔customer trading-partner graph: distinct
-    (l_suppkey, o_custkey) pairs from lineitem⨝orders become symmetric
-    directed edges (customer ids offset by 2^32 into a disjoint node-id
-    range), then 4 scatter-gather iterations of
-    ``mass'[v] = T + Σ (mass[u]*85)//(100*outdeg[u])`` — every sum is
-    order-independent int64 arithmetic, so the unrolled SQL oracle
-    reproduces the ranks BIT-exactly (no float quantization at all).
-    The host-importance quality signal of web-scale corpus pipelines,
-    over the test schema's natural bipartite graph."""
-    from ..stages.graph import pagerank
-
+def _trading_edges(sf_dir: str) -> "rd.Dataset":
+    """Symmetric directed edge list of the supplier↔customer
+    trading-partner graph: distinct (l_suppkey, o_custkey) pairs from
+    lineitem⨝orders, customer ids offset by 2^32 into a disjoint
+    node-id range.  Shared by graph_pagerank and graph_bfs_hops (the
+    SQL oracles share the matching pairs/edges CTE)."""
     li = _rpc(f"{sf_dir}/lineitem.parquet",
               columns=["l_orderkey", "l_suppkey"])
     orders = _rpc(f"{sf_dir}/orders.parquet",
@@ -5190,8 +5183,58 @@ def graph_pagerank(sf_dir: str) -> "rd.Dataset":
         return pa.table({"src": pa.array(np.concatenate([s, c])),
                          "dst": pa.array(np.concatenate([c, s]))})
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
-    return pagerank(edges, iters=4)
+    return pairs.map_batches(to_edges, batch_format="pyarrow")
+
+
+def graph_pagerank(sf_dir: str) -> "rd.Dataset":
+    """Integer-grid PageRank (`stages/graph.py`) over the
+    supplier↔customer trading-partner graph (_trading_edges), 4
+    scatter-gather iterations of
+    ``mass'[v] = T + Σ (mass[u]*85)//(100*outdeg[u])`` — every sum is
+    order-independent int64 arithmetic, so the unrolled SQL oracle
+    reproduces the ranks BIT-exactly (no float quantization at all).
+    The host-importance quality signal of web-scale corpus pipelines,
+    over the test schema's natural bipartite graph."""
+    from ..stages.graph import pagerank
+
+    return pagerank(_trading_edges(sf_dir), iters=4)
+
+
+def graph_bfs_hops(sf_dir: str) -> "rd.Dataset":
+    """Multi-source BFS hop distance (`stages/graph.py bfs_hops`) from
+    trusted seed suppliers {0,1,2} over the trading-partner graph —
+    the crawl-depth-from-seeds corpus-quality signal (Pregel frontier
+    pattern: one edges⨝frontier hash join + one coarse min-reduce per
+    level, distance vector materialized between levels, early exit on
+    an empty frontier).  Pure integers; the oracle is a recursive CTE
+    over the same edges."""
+    from ..stages.graph import bfs_hops
+
+    seeds = rd.from_arrow(pa.table({
+        "node": pa.array([0, 1, 2], type=pa.int64()),
+    }))
+    return bfs_hops(_trading_edges(sf_dir), seeds, max_hops=3)
+
+
+_SQL_BFS_HOPS = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                  CAST(o_custkey AS BIGINT) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c + 4294967296 AS dst FROM pairs
+  UNION ALL
+  SELECT c + 4294967296 AS src, s AS dst FROM pairs
+), walk(node, hops) AS (
+  SELECT CAST(v.node AS BIGINT), CAST(0 AS BIGINT)
+  FROM (VALUES (0), (1), (2)) v(node)
+  UNION
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.hops < 3
+)
+SELECT node, min(hops) AS hops FROM walk GROUP BY node
+"""
 
 
 def _pagerank_oracle_sql(iters: int = 4) -> str:
@@ -10855,6 +10898,7 @@ QUERIES = {
     "customer_fuzzy_pairs": customer_fuzzy_pairs,
     "lineitem_skyline": lineitem_skyline,
     "cdc_incremental_fuzzy": cdc_incremental_fuzzy,
+    "graph_bfs_hops": graph_bfs_hops,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -11088,6 +11132,7 @@ ORACLE_SQL = {
     "customer_fuzzy_pairs": _SQL_FUZZY_PAIRS,
     "lineitem_skyline": _SQL_SKYLINE,
     "cdc_incremental_fuzzy": _SQL_INCREMENTAL_FUZZY,
+    "graph_bfs_hops": _SQL_BFS_HOPS,
     "event_value_benford": _benford_sql(),
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,

@@ -194,3 +194,98 @@ def pagerank(
         ranks = _coarse_sum(seeded, "node", "mass",
                             add_const=teleport).materialize()
     return ranks
+
+
+def bfs_hops(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> "ray.data.Dataset":
+    """Multi-source BFS hop distance over a directed edge list — the
+    reachability/proximity primitive next to ``pagerank`` (crawl-depth
+    from trusted seed hosts is a standard corpus-quality signal).
+
+    Returns (``node`` int64, ``hops`` int64) for every node reachable
+    from the seed set within ``max_hops`` edges (seeds themselves at
+    hops 0; unreachable nodes absent).  Pure integer arithmetic — any
+    engine reproduces the relation exactly (the oracle is a recursive
+    CTE over the same edges).
+
+    Scale shape (the Pregel frontier pattern, same costs as pagerank):
+    per level ONE hash_join of the edge list against the CURRENT
+    frontier (O(edges incident to the frontier) exchange, per-batch
+    dedup shrinks the scatter) and one coarse-partition min-reduce;
+    the distance vector (O(reached nodes)) materializes between levels
+    so lazy re-execution can't go exponential, and the loop exits early
+    once a level discovers nothing.  Nothing gathers O(V) or O(E) onto
+    the driver."""
+    from ..functions.threads import single_threaded_kernels
+
+    sch = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+
+    def norm(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
+        return pa.table({src: t[src].cast(pa.int64()),
+                         dst: t[dst].cast(pa.int64())})
+
+    edges = edges.map_batches(norm, batch_format="pyarrow").materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].cast(pa.int64()),
+            "hops": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+        })
+
+    dist = seeds.map_batches(seed, batch_format="pyarrow").materialize()
+    frontier = dist
+    dist_schema = pa.schema([("node", pa.int64()), ("hops", pa.int64())])
+
+    def coarse_min(rows: "ray.data.Dataset") -> "ray.data.Dataset":
+        def add_part(t: pa.Table) -> pa.Table:
+            single_threaded_kernels()
+            t = t.replace_schema_metadata(None)
+            k = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column(
+                "fpart", pa.array((k % _COARSE).astype(np.int64)))
+
+        def per_part(df: pd.DataFrame) -> pa.Table:
+            single_threaded_kernels()
+            g = df.groupby("node", sort=False)["hops"].min().reset_index()
+            # arrow out: the next level unions this with arrow scatter
+            # blocks, and mixed block types break the shuffle builder
+            return pa.table({
+                "node": pa.array(g["node"].to_numpy(dtype=np.int64)),
+                "hops": pa.array(g["hops"].to_numpy(dtype=np.int64)),
+            })
+
+        return rows.map_batches(
+            add_part, batch_format="pyarrow", batch_size=65536
+        ).groupby("fpart").map_groups(per_part, batch_format="pandas")
+
+    for k in range(1, max_hops + 1):
+        def scatter(t: pa.Table, _k=k) -> pa.Table:
+            single_threaded_kernels()
+            t = t.replace_schema_metadata(None)
+            u = np.unique(t[dst].to_numpy(zero_copy_only=False)
+                          .astype(np.int64))
+            return pa.table({
+                "node": pa.array(u),
+                "hops": pa.array(np.full(len(u), _k, dtype=np.int64)),
+            })
+
+        reached = hash_join(
+            edges, frontier, on=src, right_on="node",
+            left_schema=sch, right_schema=dist_schema,
+        ).map_batches(scatter, batch_format="pyarrow")
+        dist = coarse_min(dist.union(reached)).materialize()
+
+        def only_level(t: pa.Table, _k=k) -> pa.Table:
+            h = t["hops"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(h == _k))
+
+        frontier = dist.map_batches(only_level, batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+    return dist

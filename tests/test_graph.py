@@ -98,3 +98,79 @@ def test_pagerank_property_matches_reference(ray_session, edges, iters):
            for r in pagerank(_edges_ds(sorted(edges), nblocks=2),
                              iters=iters).take_all()}
     assert got == _numpy_pagerank(sorted(edges), iters=iters)
+
+
+def _python_bfs(edges, seeds, max_hops):
+    """Reference multi-source BFS (dict adjacency, level queue)."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for k in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = k
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_reference(ray_session):
+    from etl_cms_ray.stages.graph import bfs_hops
+
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 40, size=(200, 2)) if a != b]
+    seeds = [0, 1]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], type=pa.int64()),
+        "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+    })).repartition(5)
+    got = bfs_hops(ds, rd.from_arrow(pa.table(
+        {"node": pa.array(seeds, type=pa.int64())})), max_hops=4).to_pandas()
+    ref = _python_bfs(edges, seeds, 4)
+    assert dict(zip(got["node"].astype(int), got["hops"].astype(int))) == ref
+    # seeds at 0; a level beyond max_hops never appears
+    assert int(got["hops"].max()) <= 4
+
+
+def test_bfs_hops_early_exit_and_disconnected(ray_session):
+    from etl_cms_ray.stages.graph import bfs_hops
+
+    # chain 0->1->2 plus a disconnected component 10->11
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 10], type=pa.int64()),
+        "dst": pa.array([1, 2, 11], type=pa.int64()),
+    }))
+    got = bfs_hops(ds, rd.from_arrow(pa.table(
+        {"node": pa.array([0], type=pa.int64())})), max_hops=9).to_pandas()
+    assert dict(zip(got["node"].astype(int),
+                    got["hops"].astype(int))) == {0: 0, 1: 1, 2: 2}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1, max_size=120,
+    ),
+    max_hops=st.integers(1, 5),
+)
+def test_bfs_hops_property_matches_reference(ray_session, edges, max_hops):
+    from etl_cms_ray.stages.graph import bfs_hops
+
+    seeds = [0]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], type=pa.int64()),
+        "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+    })).repartition(3)
+    got = bfs_hops(ds, rd.from_arrow(pa.table(
+        {"node": pa.array(seeds, type=pa.int64())})),
+        max_hops=max_hops).to_pandas()
+    ref = _python_bfs(edges, seeds, max_hops)
+    assert dict(zip(got["node"].astype(int), got["hops"].astype(int))) == ref
