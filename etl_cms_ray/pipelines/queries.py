@@ -10779,6 +10779,187 @@ ORDER BY name_a, name_b
 """
 
 
+def events_profile(sf_dir: str) -> "rd.Dataset":
+    """Table profiling / ANALYZE: per-column row count, null count,
+    EXACT distinct count, min/max and quantized mean over `events` in
+    ONE streaming pass — the statistics a planner or data-quality
+    monitor collects.  Scale shape: scalar stats (n/nulls/min/max/sum)
+    collapse to one row per column per batch; distinct counts exchange
+    per-batch-unique (column, value) rows through a coarse value-hash
+    dedup (each distinct value crosses once, never the raw rows); the
+    final merge is a bounded #columns-row reduce.  Means ride exact
+    integer grids (cents for `value`; raw int64 sums otherwise) so the
+    derived doubles are IEEE-identical to the SQL mirror.  Double
+    distinctness compares bit patterns — equal to SQL DISTINCT absent
+    -0.0/NaN (none on the 2-dp-positive grid here; documented)."""
+    NUM = ["event_id", "user_id", "value"]
+    STR = ["event_type"]
+    ds = _events(sf_dir, NUM + STR)
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        t = _nometa(t)
+        rows = {k: [] for k in ("column", "n", "nulls", "min_num",
+                                "max_num", "sum_num", "nn",
+                                "min_str", "max_str", "nd")}
+        for c in NUM + STR:
+            arr = t[c]
+            rows["column"].append(c)
+            rows["n"].append(len(arr))
+            rows["nulls"].append(arr.null_count)
+            rows["nd"].append(0)
+            if c in NUM:
+                if c == "value":
+                    v = _qround(arr.to_numpy(zero_copy_only=False), 2)
+                    v = v[~np.isnan(v)]
+                    s = int(np.round(v * 100).astype(np.int64).sum())
+                else:
+                    v = arr.drop_null().to_numpy(zero_copy_only=False) \
+                           .astype(np.int64)
+                    s = int(v.sum())
+                rows["min_num"].append(float(v.min()) if len(v) else None)
+                rows["max_num"].append(float(v.max()) if len(v) else None)
+                rows["sum_num"].append(s)
+                rows["nn"].append(int(len(v)))
+                rows["min_str"].append(None)
+                rows["max_str"].append(None)
+            else:
+                sv = arr.drop_null()
+                rows["min_num"].append(None)
+                rows["max_num"].append(None)
+                rows["sum_num"].append(0)
+                rows["nn"].append(len(sv))
+                rows["min_str"].append(
+                    pc.min(sv).as_py() if len(sv) else None)
+                rows["max_str"].append(
+                    pc.max(sv).as_py() if len(sv) else None)
+        return pa.table({
+            "column": pa.array(rows["column"], type=pa.string()),
+            "n": pa.array(rows["n"], type=pa.int64()),
+            "nulls": pa.array(rows["nulls"], type=pa.int64()),
+            "min_num": pa.array(rows["min_num"], type=pa.float64()),
+            "max_num": pa.array(rows["max_num"], type=pa.float64()),
+            "sum_num": pa.array(rows["sum_num"], type=pa.int64()),
+            "nn": pa.array(rows["nn"], type=pa.int64()),
+            "min_str": pa.array(rows["min_str"], type=pa.string()),
+            "max_str": pa.array(rows["max_str"], type=pa.string()),
+            "nd": pa.array(rows["nd"], type=pa.int64()),
+        })
+
+    def dis_partial(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        t = _nometa(t)
+        cols, ivs, svs = [], [], []
+        for c in NUM:
+            arr = t[c].drop_null().to_numpy(zero_copy_only=False)
+            if c == "value":
+                u = np.unique(_qround(arr, 2)).view(np.int64)
+            else:
+                u = np.unique(arr.astype(np.int64))
+            cols.append(np.full(len(u), NUM.index(c), dtype=np.int64))
+            ivs.append(u)
+            svs.append(np.full(len(u), "", dtype=object))
+        st = t[STR[0]].drop_null()
+        su = pc.unique(st)
+        cols.append(np.full(len(su), len(NUM), dtype=np.int64))
+        ivs.append(np.zeros(len(su), dtype=np.int64))
+        svs.append(np.asarray(su.to_pylist(), dtype=object))
+        ci = np.concatenate(cols)
+        iv = np.concatenate(ivs)
+        sv = pa.array(np.concatenate(svs), type=pa.string())
+        key = fingerprint_column(sv).to_numpy(zero_copy_only=False) \
+            .view(np.uint64) ^ iv.view(np.uint64) ^ (ci.view(np.uint64) << 56)
+        return pa.table({
+            "ci": pa.array(ci), "iv": pa.array(iv), "sv": sv,
+            "dpart": pa.array((key % np.uint64(64)).astype(np.int64)),
+        })
+
+    def dis_count(df: pd.DataFrame) -> pa.Table:
+        g = (df.drop_duplicates(["ci", "iv", "sv"])
+             .groupby("ci", sort=False).size().reset_index(name="nd"))
+        names = [(NUM + STR)[int(i)] for i in g["ci"]]
+        z = np.zeros(len(g), dtype=np.int64)
+        return pa.table({
+            "column": pa.array(names, type=pa.string()),
+            "n": pa.array(z), "nulls": pa.array(z),
+            "min_num": pa.array([None] * len(g), type=pa.float64()),
+            "max_num": pa.array([None] * len(g), type=pa.float64()),
+            "sum_num": pa.array(z), "nn": pa.array(z),
+            "min_str": pa.array([None] * len(g), type=pa.string()),
+            "max_str": pa.array([None] * len(g), type=pa.string()),
+            "nd": pa.array(g["nd"].to_numpy(dtype=np.int64)),
+        })
+
+    stats = ds.map_batches(stat_partial, batch_format="pyarrow")
+    dis = ds.map_batches(dis_partial, batch_format="pyarrow") \
+            .groupby("dpart").map_groups(dis_count, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("column", sort=False)
+        out = pd.DataFrame({
+            "n": g["n"].sum(), "nulls": g["nulls"].sum(),
+            "n_distinct": g["nd"].sum(),
+            "min_num": g["min_num"].min(), "max_num": g["max_num"].max(),
+            "_sum": g["sum_num"].sum(), "_nn": g["nn"].sum(),
+            # object columns mix str and NaN: a plain groupby min would
+            # compare str<=float; bounded groups make the lambda cheap
+            "min_str": g["min_str"].agg(
+                lambda s: s.dropna().min() if s.notna().any() else None),
+            "max_str": g["max_str"].agg(
+                lambda s: s.dropna().max() if s.notna().any() else None),
+        }).reset_index()
+        # value sums are cents; integer columns raw — scale per column
+        scale = np.where(out["column"] == "value", 100.0, 1.0)
+        mean = (out["_sum"].to_numpy(dtype=np.float64) / scale) \
+            / out["_nn"].to_numpy(dtype=np.float64)
+        is_num = out["column"].isin(NUM).to_numpy()
+        return pd.DataFrame({
+            "column": out["column"],
+            "n": out["n"].astype("int64"),
+            "nulls": out["nulls"].astype("int64"),
+            "n_distinct": out["n_distinct"].astype("int64"),
+            "min_num": out["min_num"],
+            "max_num": out["max_num"],
+            "mean": np.where(is_num, _qround(mean, 4), np.nan),
+            "min_str": out["min_str"],
+            "max_str": out["max_str"],
+        })
+
+    return _final_agg(stats.union(dis), final)
+
+
+def _profile_sql() -> str:
+    num = {"event_id": "event_id", "user_id": "user_id",
+           "value": "floor(value * 100 + 0.5) / 100"}
+    parts = []
+    for c, expr in num.items():
+        cents = "CAST(floor(value * 100 + 0.5) AS BIGINT)" if c == "value" \
+            else f"CAST({c} AS BIGINT)"
+        div = "100.0" if c == "value" else "1.0"
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*) AS n,
+       count(*) - count({c}) AS nulls,
+       count(DISTINCT {expr}) AS n_distinct,
+       CAST(min({expr}) AS DOUBLE) AS min_num,
+       CAST(max({expr}) AS DOUBLE) AS max_num,
+       {_sql_q(f'(sum({cents}) / {div}) / count({c})', 4)} AS mean,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM events""")
+    parts.append("""
+SELECT 'event_type' AS "column", count(*) AS n,
+       count(*) - count(event_type) AS nulls,
+       count(DISTINCT event_type) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       CAST(NULL AS DOUBLE) AS mean,
+       min(event_type) AS min_str, max(event_type) AS max_str
+FROM events""")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 QUERIES = {
     # --- entries WITHOUT a driver-green CORRECTNESS row in r01∪r02 come
     # FIRST (VERDICT r2 next-round #2): the driver checks <=50 entries
@@ -10899,6 +11080,7 @@ QUERIES = {
     "lineitem_skyline": lineitem_skyline,
     "cdc_incremental_fuzzy": cdc_incremental_fuzzy,
     "graph_bfs_hops": graph_bfs_hops,
+    "events_profile": events_profile,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -11133,6 +11315,7 @@ ORACLE_SQL = {
     "lineitem_skyline": _SQL_SKYLINE,
     "cdc_incremental_fuzzy": _SQL_INCREMENTAL_FUZZY,
     "graph_bfs_hops": _SQL_BFS_HOPS,
+    "events_profile": _profile_sql(),
     "event_value_benford": _benford_sql(),
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
