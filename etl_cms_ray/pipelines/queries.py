@@ -10682,6 +10682,22 @@ ORDER BY qty
 """
 
 
+def _fuzzy_name_project(t: pa.Table) -> pa.Table:
+    """Shared final projection of the fuzzy-pair entries: emit the name
+    pair in lexicographic order (name_a < name_b), matching the
+    oracles' join predicate."""
+    if t.num_rows == 0:
+        return pa.table({"name_a": pa.array([], type=pa.string()),
+                         "name_b": pa.array([], type=pa.string())})
+    a = t["name_a"].to_numpy(zero_copy_only=False)
+    b = t["name_b"].to_numpy(zero_copy_only=False)
+    sw = a > b
+    return pa.table({
+        "name_a": pa.array(np.where(sw, b, a), type=pa.string()),
+        "name_b": pa.array(np.where(sw, a, b), type=pa.string()),
+    })
+
+
 def customer_fuzzy_pairs(sf_dir: str) -> "rd.Dataset":
     """Entity-resolution fuzzy self-join: customer-name pairs within
     edit distance 1 (byte semantics == character semantics on this
@@ -10698,19 +10714,7 @@ def customer_fuzzy_pairs(sf_dir: str) -> "rd.Dataset":
     ds = _rpc(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     pairs = fuzzy_pairs_edit1(ds, id_col="c_custkey", name_col="c_name")
 
-    def project(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"name_a": pa.array([], type=pa.string()),
-                             "name_b": pa.array([], type=pa.string())})
-        a = t["name_a"].to_numpy(zero_copy_only=False)
-        b = t["name_b"].to_numpy(zero_copy_only=False)
-        sw = a > b  # emit lexicographic (name_a < name_b) like the oracle
-        return pa.table({
-            "name_a": pa.array(np.where(sw, b, a), type=pa.string()),
-            "name_b": pa.array(np.where(sw, a, b), type=pa.string()),
-        })
-
-    return pairs.map_batches(project, batch_format="pyarrow")
+    return pairs.map_batches(_fuzzy_name_project, batch_format="pyarrow")
 
 
 _SQL_FUZZY_PAIRS = """
@@ -10754,19 +10758,7 @@ def cdc_incremental_fuzzy(sf_dir: str) -> "rd.Dataset":
         ds.map_batches(new_side, batch_format="pyarrow"), index_dir,
         id_col="c_custkey", name_col="c_name")
 
-    def project(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"name_a": pa.array([], type=pa.string()),
-                             "name_b": pa.array([], type=pa.string())})
-        a = t["name_a"].to_numpy(zero_copy_only=False)
-        b = t["name_b"].to_numpy(zero_copy_only=False)
-        sw = a > b
-        return pa.table({
-            "name_a": pa.array(np.where(sw, b, a), type=pa.string()),
-            "name_b": pa.array(np.where(sw, a, b), type=pa.string()),
-        })
-
-    return pairs.map_batches(project, batch_format="pyarrow")
+    return pairs.map_batches(_fuzzy_name_project, batch_format="pyarrow")
 
 
 _SQL_INCREMENTAL_FUZZY = """
@@ -10781,9 +10773,14 @@ ORDER BY name_a, name_b
 
 def events_profile(sf_dir: str) -> "rd.Dataset":
     """Table profiling / ANALYZE: per-column row count, null count,
-    EXACT distinct count, min/max and quantized mean over `events` in
-    ONE streaming pass — the statistics a planner or data-quality
-    monitor collects.  Scale shape: scalar stats (n/nulls/min/max/sum)
+    EXACT distinct count, min/max and quantized mean over `events` —
+    the statistics a planner or data-quality monitor collects.  Scale
+    shape: TWO streaming passes over the pruned columns (scalar stats
+    and distinct keys have different exchange shapes; re-reading pruned
+    parquet beats pinning the whole table in the object store, which is
+    why this deliberately does NOT materialize the input — rule 9
+    trades re-execution against held memory and at profile scale the
+    read is the cheap side).  Scalar stats (n/nulls/min/max/sum)
     collapse to one row per column per batch; distinct counts exchange
     per-batch-unique (column, value) rows through a coarse value-hash
     dedup (each distinct value crosses once, never the raw rows); the

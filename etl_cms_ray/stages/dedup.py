@@ -282,8 +282,23 @@ def _partition_pairs(g: pd.DataFrame, max_bucket: int = 64,
         cols[f"{c}_b"] = m[f"{c}_y"]
     out = pd.DataFrame(cols).drop_duplicates(["a", "b"])
     if out.empty:
-        return pd.DataFrame({k: pd.Series(dtype="int64") for k in cols})
+        # preserve the SOURCE dtypes (string extra_cols would otherwise
+        # come back as int64/null-typed empty blocks and poison schema
+        # unification downstream)
+        return pd.DataFrame({k: v.iloc[0:0] for k, v in cols.items()})
     return out
+
+
+def _tag_side(side: int):
+    """Stage factory appending a constant int8 ``side`` column — the
+    old(0)/new(1) tagging protocol shared by every incremental probe
+    (minhash band index, fuzzy deletion-key index): stored-index rows
+    tag 0, increment rows tag 1, and old×old candidate pairs drop via
+    ``side_a + side_b >= 1`` after _partition_pairs."""
+    def f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+    return f
 
 
 def _add_pair_part(t: pa.Table) -> pa.Table:
@@ -499,20 +514,14 @@ def incremental_minhash_pairs(
     if join_partitions is None:
         join_partitions = _TEXT_JOIN_PARTS
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
-        return f
-
     new_bands = new_docs.map_batches(
         minhash_band_batch,
         fn_kwargs=dict(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
                        id_col=id_col, text_col=text_col),
         batch_format="pyarrow", batch_size=1024,
-    ).map_batches(tag(1), batch_format="pyarrow")
+    ).map_batches(_tag_side(1), batch_format="pyarrow")
     stored = read_parquet_clean(index_dir).map_batches(
-        tag(0), batch_format="pyarrow")
+        _tag_side(0), batch_format="pyarrow")
     both = stored.union(new_bands).map_batches(
         _add_bucket_part, batch_format="pyarrow", batch_size=65536)
 

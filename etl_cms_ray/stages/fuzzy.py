@@ -42,17 +42,42 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .dedup import _add_bucket_part, _dedup_pairs, _partition_pairs
+from .dedup import (_add_bucket_part, _dedup_pairs, _partition_pairs,
+                    _tag_side)
 
 # polynomial base: the FNV prime (odd, full 64-bit mixing under wraparound)
 _B = np.uint64(1099511628211)
 
+_EMPTY_PAIRS = pa.table({
+    "a": pa.array([], type=pa.int64()),
+    "b": pa.array([], type=pa.int64()),
+    "name_a": pa.array([], type=pa.string()),
+    "name_b": pa.array([], type=pa.string()),
+})
 
-def _byte_matrix(col, width: int | None = None):
+
+def _verify_pairs(t: pa.Table) -> pa.Table:
+    """Shared exact-verify stage: drop unhashable pandas schema metadata
+    (blocks arrive from pandas map_groups — Ray's schema-dedup early
+    exit needs hashable schemas), rebuild empty blocks on the canonical
+    (a, b, name_a, name_b) schema (all-singleton partitions emit empty
+    frames whose pandas->arrow types degrade to int64/null), and apply
+    the exact edit<=1 predicate."""
+    from ..functions.threads import single_threaded_kernels
+
+    single_threaded_kernels()
+    t = t.replace_schema_metadata(None)
+    if t.num_rows == 0:
+        return _EMPTY_PAIRS
+    return t.filter(pa.array(edit1_mask(t["name_a"], t["name_b"])))
+
+
+def _byte_matrix(col):
     """(n, W) uint8 padded byte matrix + int64 lengths for a string
     column — one gather over the Arrow flat buffer (same buffer idiom
     as functions/text.fingerprint_column); pad bytes are 0 and always
-    masked by length downstream."""
+    masked by length downstream.  Nulls read as length-0; callers that
+    must distinguish null from empty handle validity themselves."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     lb = arr.cast(pa.large_binary())
@@ -62,8 +87,6 @@ def _byte_matrix(col, width: int | None = None):
             if data_buf is not None else np.empty(0, dtype=np.uint8))
     starts, lengths = offsets[:-1], np.diff(offsets)
     W = int(lengths.max()) if n and lengths.size else 0
-    if width is not None:
-        W = max(W, width)
     if W == 0:
         return np.zeros((n, 0), dtype=np.uint8), lengths.astype(np.int64)
     cols = np.arange(W, dtype=np.int64)
@@ -81,7 +104,12 @@ def deletion_key_table(batch: pa.Table, *, id_col: str, name_col: str) -> pa.Tab
     prefix·B^k + suffix from two partial-hash sweeps — O(len) numpy
     column steps per batch, no variant strings ever built.  Emitting
     (band_id, band_key, doc_id) rows feeds the shared LSH pair plumbing
-    (_add_bucket_part / _partition_pairs) unchanged."""
+    (_add_bucket_part / _partition_pairs) unchanged.  Null names emit
+    NO keys (SQL levenshtein semantics: null matches nothing)."""
+    if batch[name_col].null_count:
+        import pyarrow.compute as _pc
+
+        batch = batch.filter(_pc.is_valid(batch[name_col]))
     M8, lens = _byte_matrix(batch[name_col])
     n, W = M8.shape
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -152,7 +180,10 @@ def _lcp_lcs(A, la, B, lb):
 
 def edit1_mask(name_a, name_b) -> np.ndarray:
     """Exact byte-level edit-distance<=1 predicate, vectorized across
-    the pair batch (see module docstring for the lcp+lcs equivalence)."""
+    the pair batch (see module docstring for the lcp+lcs equivalence).
+    A null on either side never matches (SQL levenshtein semantics)."""
+    import pyarrow.compute as _pc
+
     Ma, la = _byte_matrix(name_a)
     Mb, lb = _byte_matrix(name_b)
     W = max(Ma.shape[1], Mb.shape[1])
@@ -162,7 +193,13 @@ def edit1_mask(name_a, name_b) -> np.ndarray:
         Mb = np.pad(Mb, ((0, 0), (0, W - Mb.shape[1])))
     lcp, lcs = _lcp_lcs(Ma, la, Mb, lb)
     mx = np.maximum(la, lb)
-    return (np.abs(la - lb) <= 1) & (lcp + lcs >= mx - 1)
+    out = (np.abs(la - lb) <= 1) & (lcp + lcs >= mx - 1)
+    for col in (name_a, name_b):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count:
+            out &= np.asarray(_pc.is_valid(arr).to_numpy(
+                zero_copy_only=False), dtype=bool)
+    return out
 
 
 def build_fuzzy_key_index(
@@ -210,20 +247,14 @@ def incremental_fuzzy_pairs(
     from ..functions.rayutil import read_parquet_clean
     from ..functions.threads import single_threaded_kernels
 
-    def tag(side: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "side", pa.array(np.full(t.num_rows, side, dtype=np.int8)))
-        return f
-
     def key_rows(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
         return deletion_key_table(t, id_col=id_col, name_col=name_col)
 
     new_keys = new_ds.map_batches(key_rows, batch_format="pyarrow") \
-                     .map_batches(tag(1), batch_format="pyarrow")
+                     .map_batches(_tag_side(1), batch_format="pyarrow")
     stored = read_parquet_clean(index_dir).map_batches(
-        tag(0), batch_format="pyarrow")
+        _tag_side(0), batch_format="pyarrow")
     both = stored.union(new_keys).map_batches(
         _add_bucket_part, batch_format="pyarrow", batch_size=65536)
 
@@ -238,14 +269,7 @@ def incremental_fuzzy_pairs(
     pairs = both.groupby("ph").map_groups(gen, batch_format="pandas")
     pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"])
 
-    def verify(t: pa.Table) -> pa.Table:
-        single_threaded_kernels()
-        t = t.replace_schema_metadata(None)
-        if t.num_rows == 0:
-            return t
-        return t.filter(pa.array(edit1_mask(t["name_a"], t["name_b"])))
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return pairs.map_batches(_verify_pairs, batch_format="pyarrow")
 
 
 def fuzzy_pairs_edit1(
@@ -280,13 +304,4 @@ def fuzzy_pairs_edit1(
     )
     pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"])
 
-    def verify(t: pa.Table) -> pa.Table:
-        single_threaded_kernels()
-        # blocks arrive from a pandas map_groups: drop the unhashable
-        # pandas schema metadata so Ray's schema-dedup early exit works
-        t = t.replace_schema_metadata(None)
-        if t.num_rows == 0:
-            return t
-        return t.filter(pa.array(edit1_mask(t["name_a"], t["name_b"])))
-
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return pairs.map_batches(_verify_pairs, batch_format="pyarrow")

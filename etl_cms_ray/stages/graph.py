@@ -233,6 +233,7 @@ def bfs_hops(
     edges = edges.map_batches(norm, batch_format="pyarrow").materialize()
 
     def seed(t: pa.Table) -> pa.Table:
+        single_threaded_kernels()
         return pa.table({
             "node": t["node"].cast(pa.int64()),
             "hops": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
@@ -280,12 +281,18 @@ def bfs_hops(
             left_schema=sch, right_schema=dist_schema,
         ).map_batches(scatter, batch_format="pyarrow")
         dist = coarse_min(dist.union(reached)).materialize()
+        if k == max_hops:
+            break  # no further level reads the frontier
 
         def only_level(t: pa.Table, _k=k) -> pa.Table:
+            single_threaded_kernels()
             h = t["hops"].to_numpy(zero_copy_only=False)
             return t.filter(pa.array(h == _k))
 
-        frontier = dist.map_batches(only_level, batch_format="pyarrow")
+        # materialize: the emptiness check AND the next level's join
+        # both consume this filter — lazy, it would execute twice
+        frontier = dist.map_batches(
+            only_level, batch_format="pyarrow").materialize()
         if frontier.count() == 0:
             break
     return dist

@@ -180,3 +180,23 @@ def test_incremental_fuzzy_equals_full_restricted(tmp_path):
     ref = set(zip(full["a"].astype(int), full["b"].astype(int)))
     assert got == ref
     assert len(ref) >= 6  # planted straddling edits keep it teethy
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_null_names_never_match():
+    """SQL levenshtein semantics: null matches nothing — not other
+    nulls, not 1-byte names (which are edit distance 1 from empty)."""
+    import ray.data as rd
+
+    t = pa.table({
+        "id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "nm": pa.array(["a", None, None, "", "b"], type=pa.string()),
+    })
+    got = fuzzy_pairs_edit1(rd.from_arrow(t), id_col="id",
+                            name_col="nm").to_pandas()
+    pairs = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    # "", "a", "b" all pairwise within distance 1; nulls appear nowhere
+    assert pairs == {(0, 3), (0, 4), (3, 4)}
+    # the predicate itself also refuses nulls
+    m = edit1_mask(pa.array(["a", None, None]), pa.array([None, None, "x"]))
+    assert not m.any()
