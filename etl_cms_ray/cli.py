@@ -187,6 +187,16 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("show", help="print manifest + lineage")
     ps.add_argument("--lake", required=True)
 
+    pmt = sub.add_parser("meta", help="queryable metadata tables: one "
+                         "JSON line per row of files | partitions | "
+                         "snapshots (manifest/lineage only, zero data "
+                         "reads)")
+    pmt.add_argument("table", choices=["files", "partitions", "snapshots"])
+    pmt.add_argument("--lake", required=True)
+    pmt.add_argument("--version", type=int, default=None,
+                     help="snapshot version (files/partitions; "
+                          "default current)")
+
     psn = sub.add_parser("snapshot", help="time-travel read at a manifest version")
     psn.add_argument("--lake", required=True)
     psn.add_argument("--version", default=None,
@@ -505,6 +515,16 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(out))
                 return 0 if chk["converged"] else 2
             print(json.dumps(out))
+        elif args.cmd == "meta":
+            from .pipelines import meta as _meta
+
+            fn = {"files": _meta.lake_files,
+                  "partitions": _meta.lake_partitions,
+                  "snapshots": _meta.lake_snapshots}[args.table]
+            kw = {} if args.table == "snapshots" else \
+                {"version": args.version}
+            for row in fn(args.lake, **kw).to_pandas().to_dict("records"):
+                print(json.dumps(row, default=str))
         elif args.cmd == "show":
             from .state.manifest import LakeStore
 

@@ -1,0 +1,91 @@
+"""Queryable lake metadata tables (pipelines/meta.py): files /
+partitions / snapshots reflect the manifest exactly, across CoW
+commits, MOR deltas and tags — zero data reads (contract: values come
+from the manifest the other state tests already pin)."""
+
+import os
+import tempfile
+
+import pyarrow.compute as pc
+import pytest
+
+import ray.data
+
+from etl_cms_ray.config import EngineConfig
+from etl_cms_ray.fixtures import make_events, make_repos
+from etl_cms_ray.pipelines.ingest import ingest
+from etl_cms_ray.pipelines.meta import (
+    lake_files,
+    lake_partitions,
+    lake_snapshots,
+)
+from etl_cms_ray.state.manifest import LakeStore
+
+pytestmark = pytest.mark.fast
+
+
+@pytest.fixture()
+def two_commit_lake(ray_session, tmp_path):
+    root = str(tmp_path / "metalake")
+    ev = make_events(make_repos(4, 8), n_epochs=4, events_per_epoch=50)
+    cfg = EngineConfig(lake_root=root, num_partitions=8)
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg)
+    return root
+
+
+def test_lake_files_matches_manifest(two_commit_lake):
+    root = two_commit_lake
+    store = LakeStore(root)
+    m = store.load_manifest()
+    df = lake_files(root).to_pandas()
+    assert sorted(df["path"]) == sorted(m.live_files())
+    assert (df["kind"] == "base").all()  # CoW lake: no deltas
+    # per-file bytes are real stat sizes
+    for _, r in df.iterrows():
+        assert r["bytes"] == os.stat(os.path.join(root, r["path"])).st_size
+    # row counts per partition agree with the manifest
+    for _, r in df.iterrows():
+        assert r["rows"] == m.part(int(r["part_id"])).rows
+    # version pinning: v1 lists fewer/equal files and older fences
+    df1 = lake_files(root, version=1).to_pandas()
+    assert df1["applied_through_epoch"].max() <= \
+        df["applied_through_epoch"].max()
+
+
+def test_lake_partitions_and_mor_depth(ray_session, tmp_path):
+    root = str(tmp_path / "morlake")
+    ev = make_events(make_repos(4, 8), n_epochs=4, events_per_epoch=50)
+    cfg = EngineConfig(lake_root=root, num_partitions=8, commit_mode="mor",
+                       max_deltas=10)
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg)
+    df = lake_partitions(root).to_pandas()
+    m = LakeStore(root).load_manifest()
+    assert set(df["part_id"]) == set(m.partitions.keys())
+    for _, r in df.iterrows():
+        ps = m.part(int(r["part_id"]))
+        assert r["delta_depth"] == len(ps.deltas)
+        assert r["n_files"] == len(ps.all_files())
+    # the second MOR commit left at least one live delta somewhere
+    assert df["delta_depth"].max() >= 1
+    files = lake_files(root).to_pandas()
+    assert (files[files["kind"] == "delta"]["rows"].isna()).all()
+
+
+def test_lake_snapshots_versions_tags_rows(two_commit_lake):
+    root = two_commit_lake
+    store = LakeStore(root)
+    store.set_tag("first", 1)
+    df = lake_snapshots(root).to_pandas().set_index("version")
+    assert list(df.index) == [1, 2]
+    assert bool(df.loc[2, "is_current"]) and not bool(df.loc[1, "is_current"])
+    assert df.loc[1, "tag"] == "first" and df.loc[2, "tag"] is None
+    # total_rows matches the manifests' own counts
+    for v in (1, 2):
+        m = store.load_manifest(v)
+        assert df.loc[v, "total_rows"] == sum(
+            ps.rows for ps in m.partitions.values())
+    assert df.loc[2, "max_fence"] > df.loc[1, "max_fence"]
+    # commit timestamps come from lineage and are ordered
+    assert df.loc[2, "committed_ts"] >= df.loc[1, "committed_ts"] > 0
