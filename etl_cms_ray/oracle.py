@@ -72,16 +72,18 @@ def replay(
     version = registry.version_at(max_epoch) if max_epoch >= 0 else 0
     schema = registry.schema_for(version)
     defaults = registry.defaults_for(version)
+    aliases = registry.alias_history(version)
     rows = [state[k] for k in sorted(state)]
-    out = {
-        f.name: [
-            r[f.name]
-            if r.get(f.name) is not None
-            else defaults.get(f.name)  # whole-column backfill at evolution
-            for r in rows
-        ]
-        for f in schema
-    }
+
+    def val(r: dict, name: str):
+        # rows are keyed by the names in force when the event applied;
+        # a renamed column reads through its alias history
+        for cand in (name, *aliases.get(name, ())):
+            if r.get(cand) is not None:
+                return r[cand]
+        return defaults.get(name)  # whole-column backfill at evolution
+
+    out = {f.name: [val(r, f.name) for r in rows] for f in schema}
     return pa.table(out, schema=schema)
 
 

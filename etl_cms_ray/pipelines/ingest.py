@@ -516,14 +516,19 @@ def read_lake(lake_root: str, columns: list[str] | None = None) -> "ray.data.Dat
         dv = r.defaults_for(latest)
         out = []
         for path, ver in zip(batch["file"].to_pylist(), batch["schema_version"].to_pylist()):
-            have = set(r.schema_for(ver).names)
-            t = pq.read_table(path, columns=[c for c in req if c in have])
+            # latest-name -> physical name in a file written at `ver`
+            # (None = column didn't exist yet); renames resolve here
+            phys = r.physical_names(ver, latest)
+            src = {c: phys.get(c) for c in req}
+            t = pq.read_table(
+                path, columns=[s for s in src.values() if s is not None])
             cols, names = [], []
             for name in req:
                 f0 = tgt.field(name)
                 names.append(name)
-                if name in t.column_names:
-                    col = t.column(name)
+                s = src[name]
+                if s is not None and s in t.column_names:
+                    col = t.column(s)
                     if col.type != f0.type:
                         col = col.cast(f0.type)
                     if dv.get(name) is not None and col.null_count > 0:

@@ -87,11 +87,13 @@ class SchemaChange:
     """One evolution step (FIXTURES.md F3): takes effect at ``epoch``."""
 
     epoch: int
-    change: str  # add_column | widen
+    change: str  # add_column | widen | drop_column | rename_column
     column: str
     # for add_column: arrow type name + backfill default; for widen: target type
     type_name: str = "int64"
     default: object = None
+    # for rename_column: the new name (``column`` is the old one)
+    new_name: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -100,6 +102,7 @@ class SchemaChange:
             "column": self.column,
             "type_name": self.type_name,
             "default": self.default,
+            "new_name": self.new_name,
         }
 
     @staticmethod
@@ -110,6 +113,7 @@ class SchemaChange:
             column=d["column"],
             type_name=d.get("type_name", "int64"),
             default=d.get("default"),
+            new_name=d.get("new_name"),
         )
 
 
@@ -177,6 +181,23 @@ class SchemaRegistry:
                 if i < 0:
                     raise ValueError(f"drop of unknown column {ch.column!r}")
                 sch = sch.remove(i)
+            elif ch.change == "rename_column":
+                # metadata-plane rename (the Iceberg model): data files
+                # written earlier keep the OLD physical name; reads map it
+                # via the alias history, and the next CoW rewrite /
+                # compaction of a partition makes the new name physical
+                if ch.column in self.PROTECTED:
+                    raise ValueError(
+                        f"cannot rename engine column {ch.column!r}")
+                if not ch.new_name:
+                    raise ValueError("rename_column requires new_name")
+                if ch.new_name in sch.names:
+                    raise ValueError(
+                        f"rename target {ch.new_name!r} already exists")
+                i = sch.get_field_index(ch.column)
+                if i < 0:
+                    raise ValueError(f"rename of unknown column {ch.column!r}")
+                sch = sch.set(i, pa.field(ch.new_name, sch.field(i).type))
             else:
                 raise ValueError(f"unknown change kind {ch.change!r}")
         return sch
@@ -190,14 +211,49 @@ class SchemaRegistry:
 
     def defaults_for(self, version: int) -> dict:
         """Backfill defaults for columns added (and not later dropped)
-        up to ``version``."""
+        up to ``version``; the default follows a rename."""
         out = {}
         for ch in self.changes[:version]:
             if ch.change == "add_column":
                 out[ch.column] = ch.default
             elif ch.change == "drop_column":
                 out.pop(ch.column, None)
+            elif ch.change == "rename_column" and ch.column in out:
+                out[ch.new_name] = out.pop(ch.column)
         return out
+
+    def alias_history(self, version: int | None = None) -> dict:
+        """{current-name: [older names, newest first]} for every column
+        renamed at least once up to ``version`` (default latest) —
+        promote-on-read tries these in order when the current name is
+        absent from an old data file."""
+        if version is None:
+            version = self.latest_version
+        hist: dict = {}
+        for ch in self.changes[:version]:
+            if ch.change == "rename_column":
+                hist[ch.new_name] = [ch.column] + hist.pop(ch.column, [])
+            elif ch.change == "drop_column":
+                hist.pop(ch.column, None)
+        return hist
+
+    def physical_names(self, version: int,
+                       at_version: int | None = None) -> dict:
+        """{name at ``at_version`` (default latest): name under which
+        that column exists in a data file written at ``version``, or
+        None when it did not exist yet} — the per-file column mapping a
+        pruned read over a mixed-schema lake needs."""
+        if at_version is None:
+            at_version = self.latest_version
+        mapping = {n: n for n in self.schema_for(version).names}
+        for ch in self.changes[version:at_version]:
+            if ch.change == "add_column":
+                mapping[ch.column] = None
+            elif ch.change == "drop_column":
+                mapping.pop(ch.column, None)
+            elif ch.change == "rename_column" and ch.column in mapping:
+                mapping[ch.new_name] = mapping.pop(ch.column)
+        return mapping
 
     def evolve_table(self, t: pa.Table, to_version: int) -> pa.Table:
         """Promote-on-read: add missing columns (backfill default) + widen
@@ -207,12 +263,18 @@ class SchemaRegistry:
 
         target = self.schema_for(to_version)
         defaults = self.defaults_for(to_version)
+        aliases = self.alias_history(to_version)
         cols, names = [], []
         for f0 in target:
             names.append(f0.name)
             dv = defaults.get(f0.name)
-            if f0.name in t.column_names:
-                col = t.column(f0.name)
+            src = f0.name
+            if src not in t.column_names:
+                # renamed column: an old file carries a historical name
+                src = next((a for a in aliases.get(f0.name, ())
+                            if a in t.column_names), f0.name)
+            if src in t.column_names:
+                col = t.column(src)
                 if col.type != f0.type:
                     col = col.cast(f0.type)
                 # an evolved column that is present but null means "not

@@ -679,3 +679,78 @@ def test_requeue_unions_heterogeneous_dead_letter_schemas(ray_session, tmp_path)
     # the backfill default for the row that carried it)
     assert int(lake.loc["b.py", "stars"]) == 7
     assert int(lake.loc["a.py", "stars"]) == 0  # pre-evolution row backfills
+
+
+def test_schema_rename_end_to_end(ray_session, tmp_path):
+    """Metadata-plane column rename (Iceberg model): base and evolved
+    columns renamed mid-stream; old data files keep the old physical
+    name and promote through the alias history on full AND pruned
+    reads; engine state matches the oracle under the same registry;
+    time travel at a pre-rename version shows the old names; engine
+    columns are unrenamable."""
+    import pyarrow.compute as pc
+
+    from etl_cms_ray.pipelines.history import read_snapshot
+    from etl_cms_ray.schema import SchemaChange
+
+    repos = make_repos(3, 5)
+    ev = make_events(repos, n_epochs=4, events_per_epoch=40)
+    add = SchemaChange(epoch=1, change="add_column", column="stars",
+                       type_name="int64", default=3)
+    ren1 = SchemaChange(epoch=2, change="rename_column", column="lang",
+                        new_name="language")
+    ren2 = SchemaChange(epoch=3, change="rename_column", column="stars",
+                        new_name="rating")
+    changes = [add, ren1, ren2]
+    cfg = _cfg(tmp_path, "lake_rename")
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))),
+           cfg, schema_changes=[add])
+    v1 = LakeStore(cfg.lake_root).current_version()
+    # second increment touches ONLY repo r0000's partitions so other
+    # partitions keep v1 files (old physical names) — the mixed lake
+    first_repo = ev["repo"].to_pylist()[0]
+    late = ev.filter(pc.and_(pc.greater(ev["epoch"], 1),
+                             pc.equal(ev["repo"], first_repo)))
+    assert late.num_rows > 0
+    ingest(ray.data.from_arrow(late), cfg, schema_changes=changes)
+
+    lake = read_lake_table(cfg.lake_root)
+    assert "language" in lake.column_names and "rating" in lake.column_names
+    assert "lang" not in lake.column_names and "stars" not in lake.column_names
+    applied = ev.filter(pc.or_(pc.less_equal(ev["epoch"], 1),
+                               pc.equal(ev["repo"], first_repo)))
+    expected = replay(applied, registry=SchemaRegistry(changes=changes))
+    assert tables_equal_by_sha(lake, expected)
+
+    # pruned mixed-schema read resolves old physical names per file
+    pruned = read_lake(cfg.lake_root,
+                       columns=["repo", "path", "language", "rating"]
+                       ).to_pandas().sort_values(["repo", "path"])
+    full = lake.to_pandas().sort_values(["repo", "path"])
+    assert list(pruned["language"]) == list(full["language"])
+    assert list(pruned["rating"]) == list(full["rating"])
+
+    # time travel: the pre-rename snapshot still shows the old names
+    snap = read_snapshot(cfg.lake_root, version=v1).to_pandas()
+    assert "lang" in snap.columns and "stars" in snap.columns
+
+    # guards
+    for bad_kw in (dict(column="repo", new_name="r2"),
+                   dict(column="lang", new_name="size"),
+                   dict(column="ghost", new_name="g2"),
+                   dict(column="lang", new_name=None)):
+        with pytest.raises((ValueError, KeyError)):
+            SchemaRegistry(changes=[SchemaChange(
+                epoch=0, change="rename_column", **bad_kw)]).schema_for(1)
+
+    # registry plumbing: alias chains + per-version physical names
+    reg = SchemaRegistry(changes=[
+        SchemaChange(epoch=0, change="rename_column", column="lang",
+                     new_name="tongue"),
+        SchemaChange(epoch=1, change="rename_column", column="tongue",
+                     new_name="language"),
+    ])
+    assert reg.alias_history() == {"language": ["tongue", "lang"]}
+    assert reg.physical_names(0)["language"] == "lang"
+    assert reg.physical_names(1)["language"] == "tongue"
+    assert reg.physical_names(2)["language"] == "language"
