@@ -85,6 +85,13 @@ def main(argv: list[str] | None = None) -> int:
                          "min_bytes/max_bytes; in_set VALUE is "
                          "comma-separated; violating rows dead-letter "
                          "with this NAME as the reason")
+    pi.add_argument("--schema-changes", default=None,
+                    help="JSON file (or inline JSON array) of schema "
+                         "evolution steps to register with this commit: "
+                         '[{"epoch": N, "change": "add_column|widen|'
+                         'drop_column|rename_column", "column": ..., '
+                         '"type_name": ..., "default": ..., '
+                         '"new_name": ...}]')
 
     pr = sub.add_parser("replay", help="re-apply a stream (fenced no-op when already applied)")
     pr.add_argument("--events", nargs="+", required=True)
@@ -295,8 +302,19 @@ def main(argv: list[str] | None = None) -> int:
                 batch_size=getattr(args, "batch_size", 16384),
                 commit_mode=getattr(args, "mode", "cow"),
             )
+            changes = None
+            spec = getattr(args, "schema_changes", None)
+            if spec:
+                from .schema import SchemaChange
+
+                raw = spec.strip()
+                if not raw.startswith("["):
+                    with open(spec) as f:
+                        raw = f.read()
+                changes = [SchemaChange.from_json(d) for d in json.loads(raw)]
             res = ingest(read_events_parquet(args.events), cfg,
                          stage=getattr(args, "stage", False),
+                         schema_changes=changes,
                          expectations=_parse_expectations(
                              getattr(args, "expect", [])))
             print(json.dumps(res.__dict__))
