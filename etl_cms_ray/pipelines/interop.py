@@ -88,21 +88,43 @@ def export_duckdb_view(lake_root: str, version: "int | str | None" = None,
     )
     schema = registry.schema_for(snap_v)
     defaults = registry.defaults_for(snap_v)
-
-    def proj(prefix: str = "") -> str:
-        cols = []
-        for f in schema:
-            expr = f'{prefix}"{f.name}"'
-            dv = defaults.get(f.name)
-            if dv is not None:
-                expr = f"COALESCE({expr}, {_lit(dv)})"
-            cols.append(f'CAST({expr} AS {_duck_type(f.type)}) AS "{f.name}"')
-        return ",\n       ".join(cols)
+    aliases = registry.alias_history(snap_v)
 
     bases = sorted(os.path.join(lake_root, ps.file)
                    for ps in m.partitions.values() if ps.file)
     deltas = sorted(os.path.join(lake_root, d)
                     for ps in m.partitions.values() for d in ps.deltas)
+
+    def _names_in(files: list[str]):
+        """Physical column names present across a file group — needed
+        only when the registry has renames (files written pre-rename
+        carry the OLD name; union_by_name surfaces both and the view
+        must COALESCE through them, but referencing a name absent from
+        EVERY file is a binder error).  One parquet FOOTER read per
+        file; the rename-free fast path skips even that."""
+        if not aliases:
+            return None
+        import pyarrow.parquet as pq
+
+        s: set = set()
+        for f in files:
+            s |= set(pq.read_schema(f).names)
+        return s
+
+    def proj(prefix: str = "", avail: "set | None" = None) -> str:
+        cols = []
+        for f in schema:
+            cands = [f.name] + list(aliases.get(f.name, ()))
+            present = [c for c in cands if avail is None or c in avail] \
+                or [f.name]
+            exprs = [f'{prefix}"{c}"' for c in present]
+            expr = exprs[0] if len(exprs) == 1 \
+                else f"COALESCE({', '.join(exprs)})"
+            dv = defaults.get(f.name)
+            if dv is not None:
+                expr = f"COALESCE({expr}, {_lit(dv)})"
+            cols.append(f'CAST({expr} AS {_duck_type(f.type)}) AS "{f.name}"')
+        return ",\n       ".join(cols)
 
     if not bases and not deltas:
         empty = ", ".join(
@@ -117,17 +139,17 @@ def export_duckdb_view(lake_root: str, version: "int | str | None" = None,
 
     if not deltas:
         return (f"CREATE OR REPLACE VIEW {table_name} AS\n"
-                f"SELECT {proj()}\nFROM {rp(bases)}")
+                f"SELECT {proj(avail=_names_in(bases))}\nFROM {rp(bases)}")
 
     # merge-on-read: base rows rank as op='insert'; the newest
     # (epoch, seq) per (repo, path) wins; a winning delete drops the key
     parts = []
     if bases:
         parts.append(
-            f"SELECT {proj()}, 'insert' AS _op,\n"
+            f"SELECT {proj(avail=_names_in(bases))}, 'insert' AS _op,\n"
             f'       "epoch" AS _e, "seq" AS _s\nFROM {rp(bases)}')
     parts.append(
-        f"SELECT {proj()}, \"op\" AS _op,\n"
+        f"SELECT {proj(avail=_names_in(deltas))}, \"op\" AS _op,\n"
         f'       "epoch" AS _e, "seq" AS _s\nFROM {rp(deltas)}')
     union = "\nUNION ALL\n".join(parts)
     out_cols = ", ".join(f'"{f.name}"' for f in schema)

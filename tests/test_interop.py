@@ -77,3 +77,37 @@ def test_duckdb_view_empty_lake(ray_session, tmp_path):
     con.execute(sql)
     out = con.execute("SELECT * FROM lake").df()
     assert len(out) == 0 and "repo" in out.columns
+
+
+def test_duckdb_view_reads_through_renames(ray_session, tmp_path):
+    """A rename leaves old physical names in pre-rename files; the
+    generated view must COALESCE through the alias history instead of
+    surfacing silent NULLs — checked on CoW AND MOR mixed lakes."""
+    from etl_cms_ray.schema import SchemaChange
+
+    repos = make_repos(3, 6)
+    ev = make_events(repos, n_epochs=4, events_per_epoch=50)
+    changes = [
+        SchemaChange(epoch=1, change="add_column", column="stars",
+                     type_name="int64", default=3),
+        SchemaChange(epoch=2, change="rename_column", column="lang",
+                     new_name="language"),
+        SchemaChange(epoch=3, change="rename_column", column="stars",
+                     new_name="rating"),
+    ]
+    first_repo = ev["repo"].to_pylist()[0]
+    for mode in ("cow", "mor"):
+        cfg = EngineConfig(lake_root=str(tmp_path / f"rlake_{mode}"),
+                           num_partitions=8, commit_mode=mode)
+        ingest(ray.data.from_arrow(
+            ev.filter(pc.less_equal(ev["epoch"], 1))), cfg,
+            schema_changes=changes[:1])
+        # touch ONLY one repo so other partitions keep pre-rename files
+        late = ev.filter(pc.and_(pc.greater(ev["epoch"], 1),
+                                 pc.equal(ev["repo"], first_repo)))
+        ingest(ray.data.from_arrow(late), cfg, schema_changes=changes)
+        lake_df = read_lake(cfg.lake_root).to_pandas()
+        assert "language" in lake_df.columns and "rating" in lake_df.columns
+        # old-file rows must carry real values, not NULLs
+        assert lake_df["language"].notna().all()
+        _cmp(lake_df, export_duckdb_view(cfg.lake_root))
