@@ -23,7 +23,8 @@ from .stages.dedup import (build_minhash_band_index, exact_dedup_groups,
 
 # fuzzy string matching (entity resolution)
 from .stages.fuzzy import (build_fuzzy_key_index, edit1_mask,
-                           fuzzy_pairs_edit1, incremental_fuzzy_pairs)
+                           editk_mask, fuzzy_pairs, fuzzy_pairs_edit1,
+                           incremental_fuzzy_pairs)
 
 # similarity search
 from .stages.ann import (brute_force_topk, build_ivf_index,
@@ -117,8 +118,8 @@ __all__ = [
     "substring_dup_stats", "incremental_exact_dedup",
     "build_minhash_band_index", "incremental_minhash_pairs",
     "simhash_pairs",
-    "fuzzy_pairs_edit1", "build_fuzzy_key_index", "incremental_fuzzy_pairs",
-    "edit1_mask",
+    "fuzzy_pairs", "fuzzy_pairs_edit1", "build_fuzzy_key_index",
+    "incremental_fuzzy_pairs", "edit1_mask", "editk_mask",
     "brute_force_topk", "cosine_pairs", "semdedup_pairs",
     "hard_negative_topk",
     "kmeans_fit", "kmeans_assign", "kmeans_diversity_sample",

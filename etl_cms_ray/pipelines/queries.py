@@ -10725,6 +10725,29 @@ ORDER BY name_a, name_b
 """
 
 
+def customer_fuzzy_pairs_k2(sf_dir: str) -> "rd.Dataset":
+    """Fuzzy self-join at edit distance <= 2 — the k=2 tier of
+    customer_fuzzy_pairs: FastSS 2-deletion neighborhoods (still
+    exact-recall blocking — every substitution deletes one byte on
+    both sides, every indel one byte on one side) and a banded
+    Levenshtein DP verify (maxlen x 5 vectorized steps per batch, never
+    a per-pair Python DP).  Wider neighborhoods mean larger natural
+    buckets, so the cap defaults higher (4096) and stays counted."""
+    from ..stages.fuzzy import fuzzy_pairs
+
+    ds = _rpc(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    pairs = fuzzy_pairs(ds, id_col="c_custkey", name_col="c_name", k=2)
+    return pairs.map_batches(_fuzzy_name_project, batch_format="pyarrow")
+
+
+_SQL_FUZZY_PAIRS_K2 = """
+SELECT a.c_name AS name_a, b.c_name AS name_b
+FROM customer a JOIN customer b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 def cdc_incremental_fuzzy(sf_dir: str) -> "rd.Dataset":
     """Ingest-time fuzzy-duplicate detection against a committed
     corpus — entity resolution as an INCREMENTAL operator: the first
@@ -11078,6 +11101,7 @@ QUERIES = {
     "cdc_incremental_fuzzy": cdc_incremental_fuzzy,
     "graph_bfs_hops": graph_bfs_hops,
     "events_profile": events_profile,
+    "customer_fuzzy_pairs_k2": customer_fuzzy_pairs_k2,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -11313,6 +11337,7 @@ ORACLE_SQL = {
     "cdc_incremental_fuzzy": _SQL_INCREMENTAL_FUZZY,
     "graph_bfs_hops": _SQL_BFS_HOPS,
     "events_profile": _profile_sql(),
+    "customer_fuzzy_pairs_k2": _SQL_FUZZY_PAIRS_K2,
     "event_value_benford": _benford_sql(),
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,

@@ -302,6 +302,9 @@ def _tag_side(side: int):
 
 
 def _add_pair_part(t: pa.Table) -> pa.Table:
+    # blocks arrive from pandas map_groups: drop the unhashable pandas
+    # schema metadata so Ray's schema-dedup early exit works
+    t = t.replace_schema_metadata(None)
     a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
     b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
     pp = (a * 31 + b) % _PAIR_PARTS

@@ -4,10 +4,10 @@ names/titles/codes), the string cousin of stages/dedup.py's set- and
 vector-similarity joins.
 
 Blocking is FastSS deletion neighborhoods (Bocek et al. 2007, "Fast
-Similarity Search in Large Dictionaries"): for byte edit distance <= 1,
+Similarity Search in Large Dictionaries"): for byte edit distance <= k,
 two strings MUST share a member of their deletion neighborhood
-U(s) = {s} ∪ {s with one byte deleted} — substitution at i meets at
-delete(i), an indel pair meets at the shorter string itself — so
+U_k(s) = {s with at most k bytes deleted} (each substitution deletes
+one byte on both sides, each indel one byte on one side) — so
 candidate generation is a plain groupby on neighborhood keys with
 EXACT recall, never an all-pairs scan.  Keys are 64-bit polynomial
 hashes composed from prefix/suffix partial hashes: O(len) numpy work
@@ -16,8 +16,8 @@ strings materialized.  A hash collision only ADDS a candidate — the
 verify stage applies the exact predicate, so both recall and precision
 of the final result are exact.
 
-Verification is the exact dist<=1 test, vectorized across the pair
-batch: with |len(a) - len(b)| <= 1,
+Verification is exact and vectorized across the pair batch.  For
+k=1, with |len(a) - len(b)| <= 1,
 
     dist(a, b) <= 1  <=>  lcp(a, b) + lcs(a, b) >= max(len) - 1
 
@@ -26,7 +26,8 @@ character-level Levenshtein holds on ASCII payloads — documented at
 the query entry, which feeds ASCII keys).  Proof sketch: same length
 -> the condition is exactly "hamming <= 1"; length diff 1 -> the
 shorter string splits into a prefix+suffix of the longer covering all
-but one byte, i.e. one insertion.
+but one byte, i.e. one insertion.  For k>=2, a banded Levenshtein DP
+(editk_mask) runs maxlen x (2k+1) vectorized steps per batch.
 
 Scale shape (mirrors minhash_lsh_pairs): key rows ~ O(total_bytes);
 candidates pair up inside coarse key-hash partitions via the shared
@@ -56,20 +57,20 @@ _EMPTY_PAIRS = pa.table({
 })
 
 
-def _verify_pairs(t: pa.Table) -> pa.Table:
+def _verify_pairs(t: pa.Table, k: int = 1) -> pa.Table:
     """Shared exact-verify stage: drop unhashable pandas schema metadata
     (blocks arrive from pandas map_groups — Ray's schema-dedup early
     exit needs hashable schemas), rebuild empty blocks on the canonical
     (a, b, name_a, name_b) schema (all-singleton partitions emit empty
     frames whose pandas->arrow types degrade to int64/null), and apply
-    the exact edit<=1 predicate."""
+    the exact edit<=k predicate."""
     from ..functions.threads import single_threaded_kernels
 
     single_threaded_kernels()
     t = t.replace_schema_metadata(None)
     if t.num_rows == 0:
         return _EMPTY_PAIRS
-    return t.filter(pa.array(edit1_mask(t["name_a"], t["name_b"])))
+    return t.filter(pa.array(editk_mask(t["name_a"], t["name_b"], k)))
 
 
 def _byte_matrix(col):
@@ -96,16 +97,23 @@ def _byte_matrix(col):
     return M.astype(np.uint8), lengths.astype(np.int64)
 
 
-def deletion_key_table(batch: pa.Table, *, id_col: str, name_col: str) -> pa.Table:
+def deletion_key_table(batch: pa.Table, *, id_col: str, name_col: str,
+                       k: int = 1) -> pa.Table:
     """(band_id=0, band_key, doc_id, name) rows: one row per deletion-
-    neighborhood member of each name (the name itself + each single-byte
-    deletion).  band_key is the 64-bit polynomial hash
-    H(s) = Σ s[i]·B^(len-1-i) mod 2^64 of the member, composed as
-    prefix·B^k + suffix from two partial-hash sweeps — O(len) numpy
-    column steps per batch, no variant strings ever built.  Emitting
-    (band_id, band_key, doc_id) rows feeds the shared LSH pair plumbing
-    (_add_bucket_part / _partition_pairs) unchanged.  Null names emit
-    NO keys (SQL levenshtein semantics: null matches nothing)."""
+    neighborhood member of each name (the name itself, each single-byte
+    deletion, and for ``k=2`` each two-byte deletion).  band_key is the
+    64-bit polynomial hash H(s) = Σ s[i]·B^(len-1-i) mod 2^64 of the
+    member, composed from prefix/suffix partial hashes — a 1-deletion
+    is prefix·B^m + suffix; a 2-deletion at (i, i+d) splices the middle
+    segment hash out of two prefixes ((P[i+d] − P[i+1]·B^(d-1)) under
+    wraparound) — O(len) numpy column steps per gap, no variant strings
+    ever built.  Emitting (band_id, band_key, doc_id) rows feeds the
+    shared LSH pair plumbing (_add_bucket_part / _partition_pairs)
+    unchanged.  Null names emit NO keys (SQL levenshtein semantics:
+    null matches nothing).  FastSS supports any k; this ships k in
+    {1, 2} (neighborhood size grows as C(len, k))."""
+    if k not in (1, 2):
+        raise ValueError("deletion_key_table supports k in {1, 2}")
     if batch[name_col].null_count:
         import pyarrow.compute as _pc
 
@@ -123,10 +131,11 @@ def deletion_key_table(batch: pa.Table, *, id_col: str, name_col: str) -> pa.Tab
         })
     M = M8.astype(np.uint64)
     cols = np.arange(W, dtype=np.int64)
-    bpow = np.empty(W + 1, dtype=np.uint64)
+    bpow = np.empty(W + 2, dtype=np.uint64)
     bpow[0] = np.uint64(1)
+    key_chunks, row_chunks = [], []
     with np.errstate(over="ignore"):
-        for j in range(1, W + 1):
+        for j in range(1, W + 2):
             bpow[j] = bpow[j - 1] * _B
         # prefix hashes P[:, d] = H(s[:d])
         P = np.zeros((n, W + 1), dtype=np.uint64)
@@ -139,16 +148,32 @@ def deletion_key_table(batch: pa.Table, *, id_col: str, name_col: str) -> pa.Tab
         # sfx[:, d] = Σ_{i>=d} T[:, i]  (reverse cumsum; sfx[:, W] = 0)
         rc = np.cumsum(T[:, ::-1], axis=1, dtype=np.uint64)[:, ::-1]
         sfx = np.concatenate([rc, np.zeros((n, 1), dtype=np.uint64)], axis=1)
-        # H[:, 0] = full hash; H[:, d+1] = hash with byte d deleted
+        # full hash + 1-deletion hashes
         H = np.zeros((n, W + 1), dtype=np.uint64)
         H[:, 0] = sfx[:, 0]
         dd = cols[None, :]
-        Hdel = P[:, :-1] * bpow[np.clip(lens[:, None] - 1 - dd, 0, W)] + sfx[:, 1:]
-        H[:, 1:] = Hdel
-    valid = np.ones((n, W + 1), dtype=bool)
-    valid[:, 1:] = dd < lens[:, None]
-    rows, _ = np.nonzero(valid)
-    keys = H[valid].view(np.int64)
+        H[:, 1:] = (P[:, :-1] * bpow[np.clip(lens[:, None] - 1 - dd, 0, W)]
+                    + sfx[:, 1:])
+        valid = np.ones((n, W + 1), dtype=bool)
+        valid[:, 1:] = dd < lens[:, None]
+        r1, _ = np.nonzero(valid)
+        key_chunks.append(H[valid])
+        row_chunks.append(r1)
+        if k >= 2:
+            for d in range(1, W):
+                ii = cols[:W - d]
+                mid = P[:, ii + d] - P[:, ii + 1] * bpow[d - 1]
+                H2 = (P[:, ii] * bpow[np.clip(
+                          lens[:, None] - 2 - ii[None, :], 0, W)]
+                      + mid * bpow[np.clip(
+                          lens[:, None] - 1 - ii[None, :] - d, 0, W)]
+                      + sfx[:, ii + d + 1])
+                v2 = (ii[None, :] + d) < lens[:, None]
+                r2, _ = np.nonzero(v2)
+                key_chunks.append(H2[v2])
+                row_chunks.append(r2)
+    rows = np.concatenate(row_chunks)
+    keys = np.concatenate(key_chunks).view(np.int64)
     return pa.table({
         "band_id": pa.array(np.zeros(len(rows), dtype=np.int64)),
         "band_key": pa.array(keys),
@@ -202,8 +227,67 @@ def edit1_mask(name_a, name_b) -> np.ndarray:
     return out
 
 
+def editk_mask(name_a, name_b, k: int) -> np.ndarray:
+    """Exact byte-level edit-distance<=k predicate (banded Levenshtein,
+    Ukkonen): dp over alignment offsets j-i in [-k, k], vectorized
+    across the pair batch — maxlen × (2k+1) numpy steps per batch,
+    never a per-pair Python DP.  Nulls never match.  ``k=1`` delegates
+    to the closed-form lcp+lcs kernel."""
+    import pyarrow.compute as _pc
+
+    if k == 1:
+        return edit1_mask(name_a, name_b)
+    A, la = _byte_matrix(name_a)
+    Bm, lb = _byte_matrix(name_b)
+    W = max(A.shape[1], Bm.shape[1], 1)
+    if A.shape[1] < W:
+        A = np.pad(A, ((0, 0), (0, W - A.shape[1])))
+    if Bm.shape[1] < W:
+        Bm = np.pad(Bm, ((0, 0), (0, W - Bm.shape[1])))
+    n = A.shape[0]
+    BIG = np.int32(127)
+    band = 2 * k + 1
+    # dp column o+1 holds distance at (i, j=i+o-k); cols 0 / band+1 pad
+    dp = np.full((n, band + 2), BIG, dtype=np.int32)
+    for o in range(band):
+        j = o - k
+        dp[:, o + 1] = np.where((j >= 0) & (j <= lb), j, BIG)
+    final = dp.copy()
+    done = la == 0
+    maxla = int(la.max()) if n else 0
+    for i in range(1, maxla + 1):
+        new = np.full((n, band + 2), BIG, dtype=np.int32)
+        ai = A[:, i - 1] if i - 1 < W else np.zeros(n, dtype=A.dtype)
+        for o in range(band):
+            j = i + o - k
+            if j < 0:
+                continue
+            if j >= 1:
+                bj = Bm[:, j - 1] if j - 1 < W else np.zeros(n, dtype=Bm.dtype)
+                sub = dp[:, o + 1] + np.where(ai == bj, 0, 1)
+            else:
+                sub = np.full(n, BIG, dtype=np.int32)
+            dele = dp[:, o + 2] + 1
+            ins = new[:, o] + 1
+            val = np.minimum(np.minimum(sub, dele), ins)
+            new[:, o + 1] = np.where(j <= lb, val, BIG)
+        dp = new
+        hit = (~done) & (la == i)
+        final[hit] = dp[hit]
+        done |= hit
+    off = np.clip(lb - la + k, 0, band - 1)
+    res = final[np.arange(n), off + 1]
+    out = (np.abs(la - lb) <= k) & (res <= k)
+    for col in (name_a, name_b):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if arr.null_count:
+            out &= np.asarray(_pc.is_valid(arr).to_numpy(
+                zero_copy_only=False), dtype=bool)
+    return out
+
+
 def build_fuzzy_key_index(
-    ds: "object", index_dir: str, *, id_col: str, name_col: str
+    ds: "object", index_dir: str, *, id_col: str, name_col: str, k: int = 1
 ) -> str:
     """Persist a relation's deletion-neighborhood key index as narrow
     parquet (band_id, band_key, doc_id, name) — the state that makes
@@ -219,7 +303,7 @@ def build_fuzzy_key_index(
 
     def key_rows(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
-        return deletion_key_table(t, id_col=id_col, name_col=name_col)
+        return deletion_key_table(t, id_col=id_col, name_col=name_col, k=k)
 
     ds.map_batches(key_rows, batch_format="pyarrow").write_parquet(index_dir)
     return index_dir
@@ -231,7 +315,8 @@ def incremental_fuzzy_pairs(
     *,
     id_col: str,
     name_col: str,
-    max_bucket: int = 512,
+    k: int = 1,
+    max_bucket: int | None = None,
     metrics=None,
 ) -> "object":
     """Edit-distance<=1 pairs INVOLVING at least one new row, against a
@@ -247,9 +332,12 @@ def incremental_fuzzy_pairs(
     from ..functions.rayutil import read_parquet_clean
     from ..functions.threads import single_threaded_kernels
 
+    if max_bucket is None:
+        max_bucket = 512 if k == 1 else 4096
+
     def key_rows(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
-        return deletion_key_table(t, id_col=id_col, name_col=name_col)
+        return deletion_key_table(t, id_col=id_col, name_col=name_col, k=k)
 
     new_keys = new_ds.map_batches(key_rows, batch_format="pyarrow") \
                      .map_batches(_tag_side(1), batch_format="pyarrow")
@@ -269,29 +357,36 @@ def incremental_fuzzy_pairs(
     pairs = both.groupby("ph").map_groups(gen, batch_format="pandas")
     pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"])
 
-    return pairs.map_batches(_verify_pairs, batch_format="pyarrow")
+    return pairs.map_batches(_verify_pairs, fn_kwargs={"k": k},
+                             batch_format="pyarrow")
 
 
-def fuzzy_pairs_edit1(
+def fuzzy_pairs(
     ds: "object",
     *,
     id_col: str,
     name_col: str,
-    max_bucket: int = 512,
+    k: int = 1,
+    max_bucket: int | None = None,
     metrics=None,
 ) -> "object":
-    """All (a < b) id pairs whose names are within byte edit distance 1,
-    with both names attached: FastSS deletion-key blocking -> capped
-    coarse-bucket self-merge -> global pair dedup -> exact vectorized
-    verify.  max_bucket guards degenerate key skew (mass-duplicate
-    names); caps are counted into ``metrics`` under the ``fuzzy_``
-    prefix so any recall loss is observable, and the default is sized
-    so natural neighborhoods (tens of members) never cap."""
+    """All (a < b) id pairs whose names are within byte edit distance
+    ``k`` (1 or 2), with both names attached: FastSS deletion-key
+    blocking -> capped coarse-bucket self-merge -> global pair dedup ->
+    exact vectorized verify (banded DP for k=2).  max_bucket guards
+    degenerate key skew (mass-duplicate names); caps are counted into
+    ``metrics`` under the ``fuzzy_`` prefix so any recall loss is
+    observable, and the defaults (512 for k=1, 4096 for k=2 — 2-byte
+    neighborhoods are naturally larger) are sized so natural
+    neighborhoods never cap."""
     from ..functions.threads import single_threaded_kernels
+
+    if max_bucket is None:
+        max_bucket = 512 if k == 1 else 4096
 
     def key_rows(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
-        return deletion_key_table(t, id_col=id_col, name_col=name_col)
+        return deletion_key_table(t, id_col=id_col, name_col=name_col, k=k)
 
     keys = ds.map_batches(key_rows, batch_format="pyarrow")
     keys = keys.map_batches(_add_bucket_part, batch_format="pyarrow",
@@ -304,4 +399,12 @@ def fuzzy_pairs_edit1(
     )
     pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"])
 
-    return pairs.map_batches(_verify_pairs, batch_format="pyarrow")
+    return pairs.map_batches(_verify_pairs, fn_kwargs={"k": k},
+                             batch_format="pyarrow")
+
+
+def fuzzy_pairs_edit1(ds: "object", *, id_col: str, name_col: str,
+                      max_bucket: int | None = None, metrics=None) -> "object":
+    """Back-compat alias: fuzzy_pairs at k=1."""
+    return fuzzy_pairs(ds, id_col=id_col, name_col=name_col, k=1,
+                       max_bucket=max_bucket, metrics=metrics)

@@ -200,3 +200,79 @@ def test_null_names_never_match():
     # the predicate itself also refuses nulls
     m = edit1_mask(pa.array(["a", None, None]), pa.array([None, None, "x"]))
     assert not m.any()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abc", max_size=9),
+                          st.text(alphabet="abc", max_size=9)),
+                min_size=1, max_size=60),
+       st.integers(2, 3))
+def test_editk_mask_matches_levenshtein(pairs, k):
+    from etl_cms_ray.stages.fuzzy import editk_mask
+
+    a = pa.array([p[0] for p in pairs], type=pa.string())
+    b = pa.array([p[1] for p in pairs], type=pa.string())
+    got = editk_mask(a, b, k)
+    ref = np.array([_lev(x.encode(), y.encode()) <= k for x, y in pairs])
+    assert (got == ref).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="abcd#0 ", max_size=12), min_size=0,
+                max_size=25))
+def test_deletion_keys_k2_match_scalar_reference(names):
+    t = pa.table({
+        "id": pa.array(range(len(names)), type=pa.int64()),
+        "nm": pa.array(names, type=pa.string()),
+    })
+    kt = deletion_key_table(t, id_col="id", name_col="nm", k=2)
+    got = {}
+    for key, i in zip(kt["band_key"].to_pylist(), kt["doc_id"].to_pylist()):
+        got.setdefault(i, set()).add(key & 0xFFFFFFFFFFFFFFFF)
+    for i, nm in enumerate(names):
+        s = nm.encode()
+        ref = {_poly(s)}
+        for x in range(len(s)):
+            ref.add(_poly(s[:x] + s[x + 1:]))
+            for y in range(x + 1, len(s)):
+                ref.add(_poly(s[:x] + s[x + 1:y] + s[y + 1:]))
+        assert got.get(i, set()) == ref, (i, nm)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_k2_matches_quadratic_reference():
+    import ray.data as rd
+
+    from etl_cms_ray.stages.fuzzy import fuzzy_pairs
+
+    rng = random.Random(41)
+    names = []
+    seen = set()
+    while len(names) < 100:
+        s = "".join(rng.choice("abcdef") for _ in range(rng.randint(4, 9)))
+        if s not in seen:
+            seen.add(s)
+            names.append(s)
+    # plant 2-edit variants
+    for s in list(names[:25]):
+        b = list(s)
+        for _ in range(2):
+            i = rng.randrange(len(b))
+            b[i] = rng.choice("abcdef")
+        v = "".join(b)
+        if v not in seen:
+            seen.add(v)
+            names.append(v)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(range(len(names)), type=pa.int64()),
+        "nm": pa.array(names, type=pa.string()),
+    })).repartition(4)
+    got = fuzzy_pairs(ds, id_col="id", name_col="nm", k=2).to_pandas()
+    got_pairs = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    ref_pairs = set()
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if _lev(names[i].encode(), names[j].encode()) <= 2:
+                ref_pairs.add((i, j))
+    assert got_pairs == ref_pairs
+    assert len(ref_pairs) >= 20
