@@ -10748,6 +10748,61 @@ ORDER BY name_a, name_b
 """
 
 
+def customer_fuzzy_clusters(sf_dir: str) -> "rd.Dataset":
+    """Entity-resolution CLUSTERS — the deliverable of record linkage:
+    fuzzy name pairs blocked by nation -> connected components ->
+    (c_custkey, cluster_id = min member).  Blocking rides INSIDE the
+    match key (name '|' zero-padded nation): all segments are
+    fixed-width, so dist<=1 on the combined key is EXACTLY "same
+    nation AND name dist<=1" (equal lengths make lev<=1 ⇔ hamming<=1,
+    which decomposes by position) — no post-join filter, one operator.
+    Components come from the shared pointer-doubling clusterer
+    (stages/cluster.py, O(log diameter) rounds); only paired nodes are
+    emitted (singletons are their own clusters by definition), matching
+    the oracle's edge-walk scope."""
+    from ..stages.cluster import connected_components
+    from ..stages.fuzzy import fuzzy_pairs
+
+    ds = _rpc(f"{sf_dir}/customer.parquet",
+              columns=["c_custkey", "c_name", "c_nationkey"])
+
+    def with_key(t: pa.Table) -> pa.Table:
+        nat = pc.utf8_lpad(pc.cast(t["c_nationkey"], pa.string()), 2, "0")
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "nm": pc.binary_join_element_wise(t["c_name"], nat, "|"),
+        })
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow")
+    pairs = fuzzy_pairs(keyed, id_col="c_custkey", name_col="nm", k=1)
+    cc = connected_components(pairs, a_col="a", b_col="b")
+    return cc.map_batches(
+        lambda t: pa.table({"c_custkey": t["node"],
+                            "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_FUZZY_CLUSTERS = """
+WITH RECURSIVE nk AS MATERIALIZED (
+  SELECT c_custkey,
+         c_name || '|' || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') AS nm
+  FROM customer
+), fp AS MATERIALIZED (
+  SELECT a.c_custkey AS a, b.c_custkey AS b
+  FROM nk a JOIN nk b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.nm, b.nm) <= 1
+), edges AS MATERIALIZED (
+  SELECT a AS x, b AS y FROM fp UNION SELECT b, a FROM fp
+), walk AS (
+  SELECT x AS node, x AS reach FROM edges
+  UNION
+  SELECT w.node, e.y FROM walk w JOIN edges e ON w.reach = e.x
+)
+SELECT node AS c_custkey, min(reach) AS cluster_id FROM walk GROUP BY node
+"""
+
+
 def cdc_incremental_fuzzy(sf_dir: str) -> "rd.Dataset":
     """Ingest-time fuzzy-duplicate detection against a committed
     corpus — entity resolution as an INCREMENTAL operator: the first
@@ -11102,6 +11157,7 @@ QUERIES = {
     "graph_bfs_hops": graph_bfs_hops,
     "events_profile": events_profile,
     "customer_fuzzy_pairs_k2": customer_fuzzy_pairs_k2,
+    "customer_fuzzy_clusters": customer_fuzzy_clusters,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -11338,6 +11394,7 @@ ORACLE_SQL = {
     "graph_bfs_hops": _SQL_BFS_HOPS,
     "events_profile": _profile_sql(),
     "customer_fuzzy_pairs_k2": _SQL_FUZZY_PAIRS_K2,
+    "customer_fuzzy_clusters": _SQL_FUZZY_CLUSTERS,
     "event_value_benford": _benford_sql(),
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,
