@@ -5216,6 +5216,58 @@ def graph_bfs_hops(sf_dir: str) -> "rd.Dataset":
     return bfs_hops(_trading_edges(sf_dir), seeds, max_hops=3)
 
 
+def graph_pagerank_personalized(sf_dir: str) -> "rd.Dataset":
+    """Personalized PageRank (TrustRank shape) from trusted seed
+    suppliers {0,1,2}: initial mass and teleport concentrate on the
+    seed set, so scores measure PROXIMITY to the seeds instead of
+    global importance — the trusted-host propagation signal of
+    web-corpus curation, next to graph_bfs_hops' hop distance.  Same
+    int64 mass grid and scatter-gather shape as graph_pagerank; the
+    unrolled SQL oracle is BIT-exact."""
+    from ..stages.graph import pagerank
+
+    return pagerank(_trading_edges(sf_dir), iters=4, seed_nodes=[0, 1, 2])
+
+
+def _ppr_oracle_sql(iters: int = 4) -> str:
+    """Unrolled SQL mirror of the personalized integer recurrence —
+    teleport and initial mass only on the seed set {0,1,2}."""
+    body = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                  CAST(o_custkey AS BIGINT) AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c + 4294967296 AS dst FROM pairs
+  UNION ALL
+  SELECT c + 4294967296 AS src, s AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node,
+         CASE WHEN node IN (0, 1, 2)
+              THEN CAST(1000000000000 // 3 AS BIGINT)
+              ELSE 0 END AS mass
+  FROM nodes
+)"""
+    for k in range(1, iters + 1):
+        body += f""", r{k} AS (
+  SELECT n.node,
+         CASE WHEN n.node IN (0, 1, 2)
+              THEN ((1000000000000 // 3) * 15) // 100
+              ELSE 0 END
+         + COALESCE(SUM((r.mass * 85) // (100 * d.outdeg)), 0) AS mass
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{k - 1} r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)"""
+    return body + f"\nSELECT node, mass FROM r{iters}"
+
+
 _SQL_BFS_HOPS = """
 WITH RECURSIVE pairs AS (
   SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
@@ -11158,6 +11210,7 @@ QUERIES = {
     "events_profile": events_profile,
     "customer_fuzzy_pairs_k2": customer_fuzzy_pairs_k2,
     "customer_fuzzy_clusters": customer_fuzzy_clusters,
+    "graph_pagerank_personalized": graph_pagerank_personalized,
     # r01-green entries displaced below the <=50 gate to make room for
     # the round-3 additions above (driver evidence routing)
     "dedup_cosine_pairs": dedup_cosine_pairs,
@@ -11395,6 +11448,7 @@ ORACLE_SQL = {
     "events_profile": _profile_sql(),
     "customer_fuzzy_pairs_k2": _SQL_FUZZY_PAIRS_K2,
     "customer_fuzzy_clusters": _SQL_FUZZY_CLUSTERS,
+    "graph_pagerank_personalized": _ppr_oracle_sql(),
     "event_value_benford": _benford_sql(),
     "orders_cube": _SQL_ORDERS_CUBE,
     "events_props_extract": _SQL_PROPS_EXTRACT,

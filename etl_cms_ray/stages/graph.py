@@ -72,6 +72,7 @@ def pagerank(
     damping_den: int = 100,
     src: str = "src",
     dst: str = "dst",
+    seed_nodes=None,
 ) -> "ray.data.Dataset":
     """Integer-grid PageRank over a directed edge list (int64 ``src``,
     ``dst`` columns; parallel edges count into outdegree and contribute
@@ -81,6 +82,16 @@ def pagerank(
     node that appears as a source or target.  ``total_mass`` plays the
     role of 1.0: initial mass is ``total_mass // N`` per node and the
     per-node teleport term is ``(m0 * (den-num)) // den``.
+
+    ``seed_nodes`` (optional, small list/array of node ids) switches to
+    PERSONALIZED PageRank: initial mass and the teleport term
+    concentrate on the seed set (m0 = total_mass // len(seeds); zero
+    elsewhere) — proximity-to-trusted-seeds instead of global
+    importance (TrustRank).  The seed set ships inside the stage
+    closures (personalization sets are small by design — hosts you
+    trust, not the corpus); everything stays on the same int64 grid,
+    so the unrolled SQL oracle stays bit-exact.  With ``seed_nodes``
+    None the math reduces exactly to the uniform recurrence.
     """
     sch = pa.schema([(src, pa.int64()), (dst, pa.int64())])
 
@@ -142,7 +153,9 @@ def pagerank(
         return ray.data.from_arrow(pa.table(
             {"node": pa.array([], type=pa.int64()),
              "mass": pa.array([], type=pa.int64())}))
-    m0 = total_mass // n
+    seeds_arr = (None if seed_nodes is None
+                 else np.unique(np.asarray(list(seed_nodes), dtype=np.int64)))
+    m0 = total_mass // (n if seeds_arr is None else max(len(seeds_arr), 1))
     teleport = (m0 * (damping_den - damping_num)) // damping_den
 
     # edge list annotated with its source's outdegree, materialized ONCE
@@ -158,11 +171,17 @@ def pagerank(
 
     rank_schema = pa.schema([("node", pa.int64()), ("mass", pa.int64())])
 
+    def _node_amount(t: pa.Table, amount: int) -> pa.Table:
+        nd = t["node"].cast(pa.int64())
+        if seeds_arr is None:
+            m = np.full(t.num_rows, amount, dtype=np.int64)
+        else:
+            isin = np.isin(nd.to_numpy(zero_copy_only=False), seeds_arr)
+            m = np.where(isin, np.int64(amount), np.int64(0))
+        return pa.table({"node": nd, "mass": pa.array(m)})
+
     def seed(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "node": t["node"].cast(pa.int64()),
-            "mass": pa.array(np.full(t.num_rows, m0, dtype=np.int64)),
-        })
+        return _node_amount(t, m0)
 
     ranks = nodes.map_batches(seed, batch_format="pyarrow").materialize()
 
@@ -182,17 +201,28 @@ def pagerank(
             "mass": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
         })
 
+    def tele_rows(t: pa.Table) -> pa.Table:
+        return _node_amount(t, teleport)
+
     for _ in range(iters):
         scattered = hash_join(
             edeg, ranks, on=src, right_on="node",
             left_schema=edeg_schema, right_schema=rank_schema,
         ).map_batches(contrib, batch_format="pyarrow")
-        # union the zero-seeded node set so isolated-in-edge nodes keep a
-        # row (teleport only) without a left join
-        seeded = scattered.union(
-            nodes.map_batches(zero, batch_format="pyarrow"))
-        ranks = _coarse_sum(seeded, "node", "mass",
-                            add_const=teleport).materialize()
+        if seeds_arr is None:
+            # union the zero-seeded node set so isolated-in-edge nodes
+            # keep a row (teleport only) without a left join
+            seeded = scattered.union(
+                nodes.map_batches(zero, batch_format="pyarrow"))
+            ranks = _coarse_sum(seeded, "node", "mass",
+                                add_const=teleport).materialize()
+        else:
+            # per-node teleport rows (seeds only) double as the
+            # every-node-has-a-row cover; integer addition makes this
+            # exactly the add_const path when every node is a seed
+            seeded = scattered.union(
+                nodes.map_batches(tele_rows, batch_format="pyarrow"))
+            ranks = _coarse_sum(seeded, "node", "mass").materialize()
     return ranks
 
 

@@ -174,3 +174,44 @@ def test_bfs_hops_property_matches_reference(ray_session, edges, max_hops):
         max_hops=max_hops).to_pandas()
     ref = _python_bfs(edges, seeds, max_hops)
     assert dict(zip(got["node"].astype(int), got["hops"].astype(int))) == ref
+
+
+def test_personalized_pagerank_matches_reference(ray_session):
+    """Seeded teleport: numpy-reference equality, and seeding EVERY
+    node reproduces the uniform recurrence bit-for-bit."""
+    rng = np.random.default_rng(9)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 20, size=(80, 2)) if a != b]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in edges], type=pa.int64()),
+        "dst": pa.array([e[1] for e in edges], type=pa.int64()),
+    })).repartition(4)
+    seeds = [0, 1]
+    got = pagerank(ds, iters=3, seed_nodes=seeds).to_pandas()
+    got_m = dict(zip(got["node"].astype(int), got["mass"].astype(int)))
+
+    # independent integer reference
+    src = np.array([e[0] for e in edges]); dst = np.array([e[1] for e in edges])
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    m0 = 10 ** 12 // len(seeds)
+    T = (m0 * 15) // 100
+    outdeg = np.zeros(len(nodes), dtype=np.int64)
+    for s_ in src:
+        outdeg[idx[s_]] += 1
+    mass = np.array([m0 if n in seeds else 0 for n in nodes], dtype=np.int64)
+    for _ in range(3):
+        new = np.array([T if n in seeds else 0 for n in nodes],
+                       dtype=np.int64)
+        for s_, d_ in zip(src, dst):
+            new[idx[d_]] += (mass[idx[s_]] * 85) // (100 * outdeg[idx[s_]])
+        mass = new
+    assert got_m == {int(n): int(mass[idx[n]]) for n in nodes}
+
+    # all-nodes seed set == the uniform recurrence
+    uni = pagerank(ds, iters=3).to_pandas()
+    allseed = pagerank(ds, iters=3,
+                       seed_nodes=[int(n) for n in nodes]).to_pandas()
+    u = dict(zip(uni["node"].astype(int), uni["mass"].astype(int)))
+    a = dict(zip(allseed["node"].astype(int), allseed["mass"].astype(int)))
+    assert u == a
