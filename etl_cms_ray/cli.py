@@ -137,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
                      dest="compact_delta_depth")
     pam.add_argument("--expire-keep-last", type=int, default=None,
                      dest="expire_keep_last")
+    pam.add_argument("--rebalance-skew", type=float, default=None,
+                     dest="rebalance_skew",
+                     help="repartition when max/median partition rows "
+                          "reaches this ratio (the lake_freshness skew "
+                          "signal, acted on)")
+    pam.add_argument("--rebalance-max-partitions", type=int, default=None,
+                     dest="rebalance_max", help="growth cap for --rebalance-skew")
 
     pdv = sub.add_parser("export-duckdb", help="print one SQL statement an "
                                               "external DuckDB session can run "
@@ -359,7 +366,9 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(auto_maintain(
                 args.lake, compact_delta_depth=args.compact_delta_depth,
-                expire_keep_last=args.expire_keep_last)))
+                expire_keep_last=args.expire_keep_last,
+                rebalance_skew_ratio=args.rebalance_skew,
+                rebalance_max_partitions=args.rebalance_max)))
         elif args.cmd == "export-duckdb":
             from .pipelines.interop import export_duckdb_view
 

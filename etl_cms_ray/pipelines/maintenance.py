@@ -479,6 +479,9 @@ def auto_maintain(
     expire_keep_last: int | None = None,
     orphan_grace_sec: float = 3600.0,
     refresh_artifacts: bool = True,
+    rebalance_skew_ratio: float | None = None,
+    rebalance_growth: int = 2,
+    rebalance_max_partitions: int | None = None,
 ) -> dict:
     """One idempotent maintenance sweep — the policy loop a production
     deployment schedules after every commit batch, composed from the
@@ -486,28 +489,43 @@ def auto_maintain(
 
     1. **Compact** the MOR delta chains when any partition's depth has
        reached ``compact_delta_depth`` (read amplification bound).
-    2. **Refresh every registered derived artifact** incrementally —
+    2. **Rebalance** (opt-in via ``rebalance_skew_ratio``): when the
+       hottest partition holds >= ratio × the median partition's rows,
+       repartition the lake to ``num_partitions × rebalance_growth`` —
+       acting on exactly the skew signal ``lake_freshness`` reports.
+       This fixes KEY-COUNT skew (too many keys hashing together);
+       single-key hot spots need ingest-side salting instead (the
+       partitioner keeps a key's rows co-located by design).  Runs
+       before artifact refresh so artifacts rebuild against the new
+       layout; fences ride the repartition unchanged (replays stay
+       no-ops — the partition-evolution contract).
+       ``rebalance_max_partitions`` caps growth: hash-residue clumping
+       (keys that collide at every width) would otherwise re-trigger
+       each sweep and double forever.
+    3. **Refresh every registered derived artifact** incrementally —
        the token index (``_index/``), every sorted projection
        (``_projections/<name>``), every z-order layout
        (``_zorder/<name>``) — each refresh is O(changed partitions) by
        construction and rebuilds nothing when already fresh, so this
        step costs metadata reads on a quiet lake.
-    3. **Expire** snapshots beyond ``expire_keep_last`` (opt-in: time
+    4. **Expire** snapshots beyond ``expire_keep_last`` (opt-in: time
        travel shrinks, so the default keeps everything).
-    4. **Report** orphaned data files (grace-windowed) — report only;
+    5. **Report** orphaned data files (grace-windowed) — report only;
        deletion stays with expire_snapshots.
 
     Returns the action report.  The decision inputs are manifest
     metadata only; no data is read to decide anything."""
     import glob
     import json as _json
+    import statistics
 
     import pyarrow.parquet as _pq
 
     store = LakeStore(lake_root)
     manifest = store.load_manifest()
-    report: dict = {"compacted": False, "index": None, "projections": {},
-                    "zorders": {}, "expired": None, "orphans": []}
+    report: dict = {"compacted": False, "rebalanced": False, "index": None,
+                    "projections": {}, "zorders": {}, "expired": None,
+                    "orphans": []}
 
     max_depth = max((len(p.deltas) for p in manifest.partitions.values()),
                     default=0)
@@ -515,6 +533,26 @@ def auto_maintain(
         m = compact_lake(lake_root)
         report["compacted"] = {"from_max_depth": max_depth,
                                "new_version": m.version}
+        manifest = store.load_manifest()
+
+    if rebalance_skew_ratio is not None:
+        known = [p.rows for p in manifest.partitions.values()
+                 if p.rows is not None and p.rows >= 0]
+        if len(known) >= 2:
+            med = statistics.median(known)
+            mx = max(known)
+            new_n = manifest.num_partitions * rebalance_growth
+            capped = (rebalance_max_partitions is not None
+                      and new_n > rebalance_max_partitions)
+            if med > 0 and mx / med >= rebalance_skew_ratio and not capped:
+                m = repartition_lake(lake_root, new_n)
+                report["rebalanced"] = {
+                    "max_rows": int(mx), "median_rows": float(med),
+                    "ratio": round(mx / med, 2),
+                    "from_partitions": manifest.num_partitions,
+                    "to_partitions": new_n, "new_version": m.version,
+                }
+                manifest = store.load_manifest()
 
     if refresh_artifacts:
         idx_path = os.path.join(lake_root, "_index", "tokens.parquet")
@@ -553,6 +591,7 @@ def auto_maintain(
                                           grace_sec=orphan_grace_sec)
     store.append_lineage({"op": "auto_maintain",
                           "compacted": bool(report["compacted"]),
+                          "rebalanced": bool(report["rebalanced"]),
                           "artifacts": {
                               "index": bool(report["index"]),
                               "projections": sorted(report["projections"]),

@@ -185,3 +185,69 @@ def test_auto_maintain_policy_sweep(ray_session, tmp_path):
     assert rep2["projections"]["by_size"]["changed_parts"] == 0
     assert [os.path.basename(o["file"]) for o in rep2["orphans"]] == [
         "crashed-writer.parquet"]  # report-only: still there until expire
+
+
+def test_auto_maintain_skew_rebalance(ray_session, tmp_path):
+    """The freshness report's skew signal, ACTED on: keys chosen to hash
+    into one partition trigger the opt-in rebalance policy (partition
+    count doubles, content byte-identical, replay still a fenced
+    no-op); a balanced lake never rebalances."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from etl_cms_ray.functions.hashing import part_id_one
+    from etl_cms_ray.pipelines.ingest import ingest, read_lake_table
+    from etl_cms_ray.pipelines.maintenance import audit_lake, auto_maintain
+    from etl_cms_ray.state.manifest import LakeStore
+
+    nparts = 4
+    hot, cold = [], []
+    i = 0
+    while len(hot) < 40 or len(cold) < 6:
+        key = ("r0", f"f{i:05d}.py")
+        if part_id_one(*key, nparts) == 0 and len(hot) < 40:
+            hot.append(key)
+        elif part_id_one(*key, nparts) != 0 and len(cold) < 6:
+            cold.append(key)
+        i += 1
+    keys = hot + cold
+    ev = pa.table({
+        "repo": pa.array([k[0] for k in keys], type=pa.string()),
+        "path": pa.array([k[1] for k in keys], type=pa.string()),
+        "op": pa.array(["update"] * len(keys), type=pa.string()),
+        "commit": pa.array(["c0"] * len(keys), type=pa.string()),
+        "epoch": pa.array([0] * len(keys), type=pa.int64()),
+        "seq": pa.array(range(len(keys)), type=pa.int64()),
+        "lang": pa.array(["py"] * len(keys), type=pa.string()),
+        "content": pa.array([f"body {k[1]}" for k in keys],
+                            type=pa.string()),
+    })
+    from etl_cms_ray.config import EngineConfig
+
+    cfg = EngineConfig(lake_root=str(tmp_path / "skew_lake"),
+                       num_partitions=nparts)
+    ingest(ray.data.from_arrow(ev), cfg)
+    before = read_lake_table(cfg.lake_root).sort_by(
+        [("repo", "ascending"), ("path", "ascending")])
+
+    rep = auto_maintain(cfg.lake_root, rebalance_skew_ratio=4.0,
+                        rebalance_max_partitions=8)
+    assert rep["rebalanced"] and rep["rebalanced"]["to_partitions"] == 8
+    m = LakeStore(cfg.lake_root).load_manifest()
+    assert m.num_partitions == 8
+    after = read_lake_table(cfg.lake_root).sort_by(
+        [("repo", "ascending"), ("path", "ascending")])
+    assert before.equals(after)
+    assert audit_lake(cfg.lake_root)["healthy"]
+    # fences survived: full replay applies nothing (config follows the
+    # manifest's authoritative bucket count, as the CLI does)
+    cfg8 = EngineConfig(lake_root=cfg.lake_root, num_partitions=8)
+    res = ingest(ray.data.from_arrow(ev), cfg8)
+    assert res.events_applied == 0
+    # the growth cap stops adversarial hash-residue clumping (these
+    # synthetic hot keys collide at every width) from doubling forever
+    rep2 = auto_maintain(cfg.lake_root, rebalance_skew_ratio=4.0,
+                         rebalance_max_partitions=8)
+    assert not rep2["rebalanced"]
+    assert LakeStore(cfg.lake_root).load_manifest().num_partitions == 8
