@@ -333,6 +333,9 @@ def run_bench() -> dict:
     timed("cdc_gdpr_purge", Q.cdc_gdpr_purge)
     timed("customer_fuzzy_pairs", Q.customer_fuzzy_pairs)
     timed("lineitem_skyline", Q.lineitem_skyline)
+    timed("graph_bfs_hops", Q.graph_bfs_hops)
+    timed("customer_fuzzy_clusters", Q.customer_fuzzy_clusters)
+    timed("events_profile", Q.events_profile)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

@@ -550,7 +550,9 @@ def main(argv: list[str] | None = None) -> int:
                   "snapshots": _meta.lake_snapshots}[args.table]
             kw = {} if args.table == "snapshots" else \
                 {"version": args.version}
-            for row in fn(args.lake, **kw).to_pandas().to_dict("records"):
+            # take_all keeps Arrow nulls as JSON null and ints as ints
+            # (pandas would surface null int64 as bare NaN — invalid JSON)
+            for row in fn(args.lake, **kw).take_all():
                 print(json.dumps(row, default=str))
         elif args.cmd == "show":
             from .state.manifest import LakeStore

@@ -64,9 +64,13 @@ def replay(
             "size": len(content.encode()),
         }
         for col in registry.defaults_for(registry.latest_version):
-            # events may carry actual values for evolved columns
-            if col in cols:
-                row[col] = cols[col][i]
+            # events may carry actual values for evolved columns — under
+            # the name in force at THEIR epoch, so read through the alias
+            # history (first non-null candidate wins, newest name first)
+            for cand in (col, *registry.alias_history().get(col, ())):
+                if cand in cols and cols[cand][i] is not None:
+                    row[col] = cols[cand][i]
+                    break
         state[key] = row
 
     version = registry.version_at(max_epoch) if max_epoch >= 0 else 0

@@ -517,7 +517,6 @@ def auto_maintain(
     metadata only; no data is read to decide anything."""
     import glob
     import json as _json
-    import statistics
 
     import pyarrow.parquet as _pq
 
@@ -539,7 +538,10 @@ def auto_maintain(
         known = [p.rows for p in manifest.partitions.values()
                  if p.rows is not None and p.rows >= 0]
         if len(known) >= 2:
-            med = statistics.median(known)
+            # same median convention as lake_freshness (upper-middle
+            # element), so operators can tune the threshold from the
+            # monitor's own numbers
+            med = sorted(known)[len(known) // 2]
             mx = max(known)
             new_n = manifest.num_partitions * rebalance_growth
             capped = (rebalance_max_partitions is not None

@@ -10819,6 +10819,9 @@ def customer_fuzzy_clusters(sf_dir: str) -> "rd.Dataset":
               columns=["c_custkey", "c_name", "c_nationkey"])
 
     def with_key(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         nat = pc.utf8_lpad(pc.cast(t["c_nationkey"], pa.string()), 2, "0")
         return pa.table({
             "c_custkey": t["c_custkey"],

@@ -161,8 +161,20 @@ class SchemaRegistry:
 
     def schema_for(self, version: int) -> pa.Schema:
         sch = self.base
+        retired: set = set()  # names consumed by renames — see below
         for ch in self.changes[:version]:
             if ch.change == "add_column":
+                if ch.column in retired:
+                    # a renamed-away name is RETIRED permanently: old data
+                    # files still physically carry it holding the
+                    # pre-rename column's data, so re-adding it would make
+                    # promote-on-read surface stale values under the new
+                    # column.  Pick a fresh name instead.
+                    raise ValueError(
+                        f"column name {ch.column!r} was retired by a "
+                        "rename (old files still carry it physically); "
+                        "re-adding it would alias pre-rename data — use "
+                        "a new name")
                 sch = sch.append(pa.field(ch.column, type_from_name(ch.type_name)))
             elif ch.change == "widen":
                 i = sch.get_field_index(ch.column)
@@ -194,10 +206,16 @@ class SchemaRegistry:
                 if ch.new_name in sch.names:
                     raise ValueError(
                         f"rename target {ch.new_name!r} already exists")
+                if ch.new_name in retired:
+                    raise ValueError(
+                        f"rename target {ch.new_name!r} was retired by an "
+                        "earlier rename (old files still carry it "
+                        "physically) — use a new name")
                 i = sch.get_field_index(ch.column)
                 if i < 0:
                     raise ValueError(f"rename of unknown column {ch.column!r}")
                 sch = sch.set(i, pa.field(ch.new_name, sch.field(i).type))
+                retired.add(ch.column)
             else:
                 raise ValueError(f"unknown change kind {ch.change!r}")
         return sch

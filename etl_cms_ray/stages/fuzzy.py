@@ -286,6 +286,10 @@ def editk_mask(name_a, name_b, k: int) -> np.ndarray:
     return out
 
 
+def _index_meta_path(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "_meta.json"
+
+
 def build_fuzzy_key_index(
     ds: "object", index_dir: str, *, id_col: str, name_col: str, k: int = 1
 ) -> str:
@@ -295,6 +299,8 @@ def build_fuzzy_key_index(
     name, and later increments probe this table instead of re-keying
     the corpus.  Names ride along (short identity strings) so the probe
     needs NO payload join.  Streaming write; never driver-materialized."""
+    import json
+    import os
     import shutil
 
     from ..functions.threads import single_threaded_kernels
@@ -306,6 +312,11 @@ def build_fuzzy_key_index(
         return deletion_key_table(t, id_col=id_col, name_col=name_col, k=k)
 
     ds.map_batches(key_rows, batch_format="pyarrow").write_parquet(index_dir)
+    # sidecar (OUTSIDE the parquet dir, so directory reads stay clean):
+    # probes validate their k against the build k — a k=2 probe of a
+    # k=1 index would silently lose recall otherwise
+    with open(_index_meta_path(index_dir), "w") as f:
+        json.dump({"k": k, "id_col": id_col, "name_col": name_col}, f)
     return index_dir
 
 
@@ -329,11 +340,24 @@ def incremental_fuzzy_pairs(
     Equals fuzzy_pairs_edit1 over corpus ∪ increment restricted to
     new-involving pairs (test-pinned; requires disjoint id spaces, the
     same T2/T5 emit-once discipline as the minhash path)."""
+    import json
+    import os
+
     from ..functions.rayutil import read_parquet_clean
     from ..functions.threads import single_threaded_kernels
 
     if max_bucket is None:
         max_bucket = 512 if k == 1 else 4096
+    mp = _index_meta_path(index_dir)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            stored_k = int(json.load(f).get("k", 1))
+        if stored_k < k:
+            raise ValueError(
+                f"index at {index_dir} was built with k={stored_k} but the "
+                f"probe asks k={k}: stored neighborhoods are too shallow "
+                "and recall would silently drop — rebuild the index at "
+                f"k>={k}")
 
     def key_rows(t: pa.Table) -> pa.Table:
         single_threaded_kernels()

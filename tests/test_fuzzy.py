@@ -276,3 +276,27 @@ def test_fuzzy_pairs_k2_matches_quadratic_reference():
                 ref_pairs.add((i, j))
     assert got_pairs == ref_pairs
     assert len(ref_pairs) >= 20
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_probe_refuses_shallower_index(tmp_path):
+    import ray.data as rd
+
+    from etl_cms_ray.stages.fuzzy import (
+        build_fuzzy_key_index,
+        incremental_fuzzy_pairs,
+    )
+
+    t = pa.table({"id": pa.array([0, 1], type=pa.int64()),
+                  "nm": pa.array(["abcd", "bcde"], type=pa.string())})
+    idx = str(tmp_path / "k1idx")
+    build_fuzzy_key_index(rd.from_arrow(t), idx, id_col="id", name_col="nm")
+    with pytest.raises(ValueError, match="k=1"):
+        incremental_fuzzy_pairs(rd.from_arrow(t), idx, id_col="id",
+                                name_col="nm", k=2)
+    # k<=stored is fine (k=2 index serves k=1 probes: superset keys)
+    idx2 = str(tmp_path / "k2idx")
+    build_fuzzy_key_index(rd.from_arrow(t), idx2, id_col="id",
+                          name_col="nm", k=2)
+    incremental_fuzzy_pairs(rd.from_arrow(t), idx2, id_col="id",
+                            name_col="nm", k=1).to_pandas()

@@ -754,3 +754,57 @@ def test_schema_rename_end_to_end(ray_session, tmp_path):
     assert reg.physical_names(0)["language"] == "lang"
     assert reg.physical_names(1)["language"] == "tongue"
     assert reg.physical_names(2)["language"] == "language"
+
+
+def test_renamed_away_names_are_retired(ray_session):
+    """Re-adding (or renaming onto) a name consumed by a rename must
+    fail loudly: old files physically carry it holding the pre-rename
+    column's data, so reusing it would surface stale values."""
+    from etl_cms_ray.schema import SchemaChange
+
+    with pytest.raises(ValueError, match="retired"):
+        SchemaRegistry(changes=[
+            SchemaChange(epoch=0, change="rename_column", column="lang",
+                         new_name="language"),
+            SchemaChange(epoch=1, change="add_column", column="lang",
+                         type_name="string", default="?"),
+        ]).schema_for(2)
+    with pytest.raises(ValueError, match="retired"):
+        SchemaRegistry(changes=[
+            SchemaChange(epoch=0, change="add_column", column="stars",
+                         type_name="int64", default=0),
+            SchemaChange(epoch=1, change="rename_column", column="lang",
+                         new_name="language"),
+            SchemaChange(epoch=2, change="rename_column", column="stars",
+                         new_name="lang"),
+        ]).schema_for(3)
+
+
+def test_oracle_reads_evolved_values_through_renames(ray_session):
+    """Events that carried an evolved value under its PRE-rename name
+    must surface it in the oracle's post-rename output column."""
+    from etl_cms_ray.schema import SchemaChange
+
+    changes = [
+        SchemaChange(epoch=1, change="add_column", column="stars",
+                     type_name="int64", default=0),
+        SchemaChange(epoch=2, change="rename_column", column="stars",
+                     new_name="rating"),
+    ]
+    # epoch-2 event activates the rename (the oracle emits the schema in
+    # force at the max applied epoch); the epoch-1 event carried its
+    # value under the pre-rename name
+    ev = pa.table({
+        "repo": ["r", "r", "r"], "path": ["a", "b", "c"],
+        "op": ["update", "update", "update"],
+        "commit": ["c1", "c2", "c3"],
+        "epoch": pa.array([1, 1, 2], type=pa.int64()),
+        "seq": pa.array([0, 1, 0], type=pa.int64()),
+        "lang": ["py", "py", "py"], "content": ["x", "y", "z"],
+        "stars": pa.array([7, None, None], type=pa.int64()),
+    })
+    out = replay(ev, registry=SchemaRegistry(changes=changes)).to_pydict()
+    assert "rating" in out and "stars" not in out
+    by_path = dict(zip(out["path"], out["rating"]))
+    assert by_path["a"] == 7      # carried value survives the rename
+    assert by_path["b"] == 0      # null -> backfill default
