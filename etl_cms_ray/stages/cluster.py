@@ -90,18 +90,31 @@ def connected_components(
             "dst": pa.chunked_array([pa.concat_arrays([c.combine_chunks() for c in (b, a)])]),
         })
 
-    edges = pairs.map_batches(
+    def _checkpoint(ds: "rd.Dataset") -> "rd.Dataset":
+        """Materialize AND truncate the stats lineage.  Ray's stats
+        summarizer recurses over the full operator ancestry; an
+        iterative loop's chain (rounds × ~10 operators, on top of an
+        arbitrarily deep upstream pipeline such as the fuzzy-pair
+        derivation) exceeds the Python recursion limit at scale.
+        Rebuilding from the materialized block refs keeps the data
+        (zero copy) and drops the ancestry."""
+        import ray.data as rd
+
+        mat = ds.materialize()
+        return rd.from_arrow_refs(mat.to_arrow_refs())
+
+    edges = _checkpoint(pairs.map_batches(
         to_edges, batch_format="pyarrow", batch_size=65536
-    ).materialize()
+    ))
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["src"], "label": t["src"]})
 
     # distinct nodes, label = self
-    labels = _coarse_min(
+    labels = _checkpoint(_coarse_min(
         edges.map_batches(init_labels, batch_format="pyarrow"),
         "node", "label", num_partitions,
-    ).materialize()
+    ))
 
     for _ in range(max_rounds):
         # hook: neighbor-min labels.  Join each directed edge's dst to its
@@ -160,11 +173,11 @@ def connected_components(
                 "old": t["old"],
             })
 
-        new_labels = comp.map_batches(
+        new_labels = _checkpoint(comp.map_batches(
             shortcut, batch_format="pyarrow", batch_size=65536
-        ).materialize()
+        ))
         changed = new_labels.filter(expr="label != old").count()
-        labels = new_labels.select_columns(["node", "label"]).materialize()
+        labels = _checkpoint(new_labels.select_columns(["node", "label"]))
         if changed == 0:
             return labels
     raise RuntimeError(
