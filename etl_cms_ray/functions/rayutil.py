@@ -32,7 +32,8 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
-def read_parquet_clean(paths, *, columns=None, **kwargs):
+def read_parquet_clean(paths, *, columns=None, storage_options=None,
+                       **kwargs):
     """`ray.data.read_parquet` with a metadata-stripped explicit schema.
 
     Parquet written through pandas carries a ``pandas`` dict in schema
@@ -59,10 +60,27 @@ def read_parquet_clean(paths, *, columns=None, **kwargs):
         # path, so a list of URIs fails without this.
         from pyarrow.fs import FileSystem
 
+        def _resolve(p):
+            try:
+                return FileSystem.from_uri(p)
+            except Exception:
+                # scheme pyarrow doesn't know natively (memory://, a
+                # registered fsspec implementation, cloud schemes routed
+                # through fsspec): wrap the fsspec filesystem so Ray's
+                # read tasks get a pyarrow-compatible handle.  The
+                # filesystem object must survive pickling to worker
+                # processes — true for path-backed fsspec filesystems,
+                # NOT for the process-local memory:// store.
+                import fsspec
+                from pyarrow.fs import FSSpecHandler, PyFileSystem
+
+                f, pth = fsspec.core.url_to_fs(p, **(storage_options or {}))
+                return PyFileSystem(FSSpecHandler(f)), pth
+
         fs = None
         stripped = []
         for p in plist:
-            f, pth = FileSystem.from_uri(p)
+            f, pth = _resolve(p)
             if fs is not None and type(f) is not type(fs):
                 raise ValueError("mixed URI schemes in one read")
             fs = f

@@ -162,6 +162,7 @@ class SchemaRegistry:
     def schema_for(self, version: int) -> pa.Schema:
         sch = self.base
         retired: set = set()  # names consumed by renames — see below
+        dropped: set = set()  # names ever soft-dropped — see drop_column
         for ch in self.changes[:version]:
             if ch.change == "add_column":
                 if ch.column in retired:
@@ -175,6 +176,16 @@ class SchemaRegistry:
                         "rename (old files still carry it physically); "
                         "re-adding it would alias pre-rename data — use "
                         "a new name")
+                if ch.column in dropped:
+                    # same hazard as retired names: a soft drop leaves the
+                    # column physically present in older files, and
+                    # promote-on-read prefers a physically-present name —
+                    # re-adding would surface pre-drop data instead of the
+                    # backfill default.
+                    raise ValueError(
+                        f"column name {ch.column!r} was previously dropped "
+                        "(old files still carry it physically); re-adding "
+                        "it would surface pre-drop data — use a new name")
                 sch = sch.append(pa.field(ch.column, type_from_name(ch.type_name)))
             elif ch.change == "widen":
                 i = sch.get_field_index(ch.column)
@@ -193,6 +204,7 @@ class SchemaRegistry:
                 if i < 0:
                     raise ValueError(f"drop of unknown column {ch.column!r}")
                 sch = sch.remove(i)
+                dropped.add(ch.column)
             elif ch.change == "rename_column":
                 # metadata-plane rename (the Iceberg model): data files
                 # written earlier keep the OLD physical name; reads map it
@@ -211,6 +223,15 @@ class SchemaRegistry:
                         f"rename target {ch.new_name!r} was retired by an "
                         "earlier rename (old files still carry it "
                         "physically) — use a new name")
+                if ch.new_name in dropped:
+                    # drop d then rename c->d would make evolve_table's
+                    # physically-present-name preference surface the stale
+                    # dropped d data from old files instead of following
+                    # the alias chain back to c.
+                    raise ValueError(
+                        f"rename target {ch.new_name!r} was previously "
+                        "dropped (old files still carry it physically) — "
+                        "use a new name")
                 i = sch.get_field_index(ch.column)
                 if i < 0:
                     raise ValueError(f"rename of unknown column {ch.column!r}")

@@ -34,11 +34,15 @@ def _cast_events(t: pa.Table) -> pa.Table:
     return pa.table(cols, names=names)
 
 
-def read_events_parquet(paths, columns=None) -> "rd.Dataset":
-    """Parquet change-event source with column pruning at the read."""
+def read_events_parquet(paths, columns=None, storage_options=None) -> "rd.Dataset":
+    """Parquet change-event source with column pruning at the read.
+    ``storage_options`` are forwarded to fsspec for URI schemes pyarrow
+    doesn't resolve natively (S1: the reference acquires inputs from a
+    remote object store, `scripts/get_synpuf_files.py:65-140`)."""
     from ..functions.rayutil import read_parquet_clean
 
-    ds = read_parquet_clean(paths, columns=columns)
+    ds = read_parquet_clean(paths, columns=columns,
+                            storage_options=storage_options)
     return ds.map_batches(_cast_events, batch_format="pyarrow", zero_copy_batch=True)
 
 

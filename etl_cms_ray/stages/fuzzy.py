@@ -352,12 +352,23 @@ def incremental_fuzzy_pairs(
     if os.path.exists(mp):
         with open(mp) as f:
             stored_k = int(json.load(f).get("k", 1))
-        if stored_k < k:
-            raise ValueError(
-                f"index at {index_dir} was built with k={stored_k} but the "
-                f"probe asks k={k}: stored neighborhoods are too shallow "
-                "and recall would silently drop — rebuild the index at "
-                f"k>={k}")
+    else:
+        # a pre-sidecar index can only have been built at k=1; assume
+        # that rather than silently skipping the depth check, so a k>1
+        # probe against an unlabeled index still fails loudly below
+        # instead of silently losing recall.
+        import warnings
+
+        warnings.warn(
+            f"fuzzy index at {index_dir} has no meta sidecar ({mp}); "
+            "assuming it was built with k=1", stacklevel=2)
+        stored_k = 1
+    if stored_k < k:
+        raise ValueError(
+            f"index at {index_dir} was built with k={stored_k} but the "
+            f"probe asks k={k}: stored neighborhoods are too shallow "
+            "and recall would silently drop — rebuild the index at "
+            f"k>={k}")
 
     def key_rows(t: pa.Table) -> pa.Table:
         single_threaded_kernels()

@@ -300,3 +300,34 @@ def test_incremental_probe_refuses_shallower_index(tmp_path):
                           name_col="nm", k=2)
     incremental_fuzzy_pairs(rd.from_arrow(t), idx2, id_col="id",
                             name_col="nm", k=1).to_pandas()
+
+
+def test_incremental_probe_missing_sidecar_assumes_k1(tmp_path):
+    """An index without the meta sidecar must be treated as k=1 (warn),
+    so a k=2 probe against it still fails loudly instead of silently
+    losing recall (ADVICE r3)."""
+    import os
+    import warnings
+
+    import ray.data as rd
+
+    from etl_cms_ray.stages.fuzzy import (
+        _index_meta_path,
+        build_fuzzy_key_index,
+        incremental_fuzzy_pairs,
+    )
+
+    t = pa.table({"id": pa.array([0, 1], type=pa.int64()),
+                  "nm": pa.array(["abcd", "bcde"], type=pa.string())})
+    idx = str(tmp_path / "nosidecar")
+    build_fuzzy_key_index(rd.from_arrow(t), idx, id_col="id", name_col="nm")
+    os.remove(_index_meta_path(idx))  # simulate a pre-sidecar index
+    with pytest.warns(UserWarning, match="no meta sidecar"):
+        with pytest.raises(ValueError, match="k=1"):
+            incremental_fuzzy_pairs(rd.from_arrow(t), idx, id_col="id",
+                                    name_col="nm", k=2)
+    # a k=1 probe is allowed (with the warning), matching the only
+    # depth a sidecar-less index can have
+    with pytest.warns(UserWarning, match="no meta sidecar"):
+        incremental_fuzzy_pairs(rd.from_arrow(t), idx, id_col="id",
+                                name_col="nm", k=1).to_pandas()

@@ -512,6 +512,54 @@ def test_uri_glob_source_ingest(ray_session, tmp_path):
     assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
 
 
+def test_fsspec_scheme_source_ingest(ray_session, tmp_path):
+    """S1 closure beyond file:// (VERDICT r3 #4): ingest from a
+    non-local-pyarrow URI scheme.  `dir://` is unknown to
+    pyarrow.fs.FileSystem.from_uri, so this exercises the fsspec
+    fallback branch in read_parquet_clean — the same code path an
+    object-store scheme routed through fsspec (s3/gcs/abfs) rides —
+    including pickling the wrapped filesystem into Ray read workers."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from etl_cms_ray.sources.events import read_events_parquet
+
+    repos = make_repos(3, 5)
+    ev = make_events(repos, n_epochs=2, events_per_epoch=30)
+    drop = tmp_path / "bucket"
+    drop.mkdir()
+    for e in (0, 1, 2):
+        pq.write_table(ev.filter(pc.equal(ev["epoch"], e)),
+                       str(drop / f"epoch{e}.parquet"))
+    uris = [f"dir://epoch{e}.parquet" for e in (0, 1, 2)]
+    ds = read_events_parquet(
+        uris, storage_options={"path": str(drop), "target_protocol": "file"})
+    cfg = _cfg(tmp_path, "lake_fsspec")
+    res = ingest(ds, cfg)
+    assert res.events_in == ev.num_rows and res.events_applied > 0
+    assert tables_equal_by_sha(read_lake_table(cfg.lake_root), replay(ev))
+
+
+def test_fsspec_scheme_column_pruning(ray_session, tmp_path):
+    """The fsspec fallback must compose with columns= pruning (the
+    explicit-schema subset path in read_parquet_clean)."""
+    import pyarrow.parquet as pq
+
+    from etl_cms_ray.functions.rayutil import read_parquet_clean
+
+    t = pa.table({"a": pa.array([1, 2, 3], type=pa.int64()),
+                  "b": pa.array(["x", "y", "z"], type=pa.string())})
+    drop = tmp_path / "bucket2"
+    drop.mkdir()
+    pq.write_table(t, str(drop / "t.parquet"))
+    ds = read_parquet_clean(
+        "dir://t.parquet", columns=["b"],
+        storage_options={"path": str(drop), "target_protocol": "file"})
+    out = ds.take_all()
+    assert sorted(r["b"] for r in out) == ["x", "y", "z"]
+    assert all(set(r) == {"b"} for r in out)
+
+
 def test_failed_publish_releases_claim(ray_session, tmp_path, monkeypatch):
     """Regression (ADVICE r2, manifest.py:283): an exception AFTER the
     O_EXCL claim but before the CURRENT flip must unlink the claim —
@@ -775,6 +823,29 @@ def test_renamed_away_names_are_retired(ray_session):
                          type_name="int64", default=0),
             SchemaChange(epoch=1, change="rename_column", column="lang",
                          new_name="language"),
+            SchemaChange(epoch=2, change="rename_column", column="stars",
+                         new_name="lang"),
+        ]).schema_for(3)
+
+
+def test_dropped_names_cannot_be_reused(ray_session):
+    """Re-adding (or renaming onto) a name that was ever soft-dropped
+    must fail loudly: old files physically carry the dropped column, and
+    promote-on-read prefers a physically-present name, so reuse would
+    surface stale pre-drop data (ADVICE r3: drop d then rename c->d)."""
+    from etl_cms_ray.schema import SchemaChange
+
+    with pytest.raises(ValueError, match="dropped"):
+        SchemaRegistry(changes=[
+            SchemaChange(epoch=0, change="drop_column", column="lang"),
+            SchemaChange(epoch=1, change="add_column", column="lang",
+                         type_name="string", default="?"),
+        ]).schema_for(2)
+    with pytest.raises(ValueError, match="dropped"):
+        SchemaRegistry(changes=[
+            SchemaChange(epoch=0, change="add_column", column="stars",
+                         type_name="int64", default=0),
+            SchemaChange(epoch=1, change="drop_column", column="lang"),
             SchemaChange(epoch=2, change="rename_column", column="stars",
                          new_name="lang"),
         ]).schema_for(3)

@@ -43,11 +43,34 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype family matching what the driver's value-hash is
+    sensitive to: int-vs-float-vs-bool-vs-datetime-vs-object drift."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def _assert_equal(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
     assert sorted(ray_df.columns) == sorted(sql_df.columns), (
         f"{name}: columns {sorted(ray_df.columns)} != {sorted(sql_df.columns)}"
     )
     assert len(ray_df) == len(sql_df), f"{name}: rows {len(ray_df)} != {len(sql_df)}"
+    # Dtype-kind strictness BEFORE canonicalization: the driver hashes
+    # raw values, so an int64-vs-float64 drift (e.g. DuckDB HUGEINT ->
+    # pandas float64) fails the gate even when every value is equal.
+    for c in ray_df.columns:
+        rk, sk = _dtype_kind(ray_df[c]), _dtype_kind(sql_df[c])
+        assert rk == sk, (
+            f"{name}.{c}: dtype-kind drift ray={rk}({ray_df[c].dtype}) "
+            f"!= oracle={sk}({sql_df[c].dtype})"
+        )
     a, b = _canon(ray_df), _canon(sql_df)
     for c in a.columns:
         av, bv = a[c], b[c]
