@@ -334,12 +334,17 @@ def run_bench() -> dict:
     timed("customer_fuzzy_pairs", Q.customer_fuzzy_pairs)
     timed("lineitem_skyline", Q.lineitem_skyline)
     timed("graph_bfs_hops", Q.graph_bfs_hops)
-    # customer_fuzzy_clusters is deliberately NOT timed here: the
-    # iterative CC rounds are fixed-overhead-dominated at sf0.1 (~20 s
-    # of per-stage costs over a 500k-row edge list) — measured and
-    # documented in docs/ROUND3.md; dedup_cluster_docs is excluded for
-    # the same reason
     timed("events_profile", Q.events_profile)
+    # round-4 additions (VERDICT r3 #6): the most expensive previously
+    # never-benched lifecycle queries, so regressions there are visible
+    # round-over-round
+    timed("cdc_materialized_view", Q.cdc_materialized_view)
+    timed("cdc_debezium_export", Q.cdc_debezium_export)
+    timed("cdc_partition_evolution", Q.cdc_partition_evolution)
+    # NOTE: fixed-overhead-dominated at sf0.1 (iterative CC rounds over a
+    # ~500k-row edge list, docs/ROUND3.md) — benched for visibility, not
+    # as a scaling signal
+    timed("customer_fuzzy_clusters", Q.customer_fuzzy_clusters)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 # joins
 from .stages.asof import asof_join
+from .stages.intervaljoin import interval_event_join
 from .stages.join import hash_join
 from .stages.rangejoin import interval_join
 from .stages.dimjoin import BroadcastJoiner, put_dim
@@ -113,7 +114,8 @@ from .stages.bloom import BloomFilter, bloom_prune, build_bloom
 from .stages.metrics import make_counter, read_counter
 
 __all__ = [
-    "asof_join", "hash_join", "interval_join", "BroadcastJoiner", "put_dim",
+    "asof_join", "hash_join", "interval_join", "interval_event_join",
+    "BroadcastJoiner", "put_dim",
     "exact_dedup_groups", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "substring_dup_stats", "incremental_exact_dedup",
     "build_minhash_band_index", "incremental_minhash_pairs",

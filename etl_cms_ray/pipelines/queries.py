@@ -6269,7 +6269,10 @@ def cdc_hopping_window(sf_dir: str) -> "rd.Dataset":
         g = df.groupby("w_start", sort=False).agg(
             n_events=("_n", "sum"), _s=("_s", "sum")).reset_index()
         return pd.DataFrame({
-            "w_start": pd.to_datetime(g["w_start"], unit="us"),
+            # datetime64[us] to the byte: pd.to_datetime would yield ns,
+            # which diverges from the oracle's timestamp[us] under a
+            # unit-sensitive value hash (caught by the sf0.01 mirror r4)
+            "w_start": g["w_start"].to_numpy().astype("datetime64[us]"),
             "n_events": g["n_events"].astype("int64"),
             "sum_value": g["_s"].to_numpy().astype(np.float64) / 100.0,
         })
@@ -6575,6 +6578,74 @@ WITH clicks AS (
 SELECT c.event_id, c.user_id, c.ts, p.ts AS purchase_ts, p.purchase_value
 FROM clicks c ASOF LEFT JOIN purchases p
   ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+def events_interval_join(sf_dir: str) -> "rd.Dataset":
+    """Windowed (Flink-style interval) event-time join
+    (stages/intervaljoin.py): every purchase paired with ALL clicks of
+    the same user inside the preceding hour, bounds inclusive — the
+    many-to-many conversion-window shape the as-of join (latest-only)
+    can't express.  One co-group shuffle; per-partition matching is a
+    rank-composite double searchsorted + grouped arange (no per-key
+    Python, no expand-then-filter cross product).  Oracle = the plain
+    BETWEEN join."""
+    from ..stages.intervaljoin import interval_event_join
+
+    purchases = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+                ["event_id", "user_id", "ts"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def click_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        cents = pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5))
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "click_event_id": t["event_id"],
+            "click_value": pc.divide(cents, 100.0),
+        })
+
+    clicks = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                              "value"]).map_batches(
+        click_prep, batch_format="pyarrow")
+    ev_schema = _pq_cols_schema(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = interval_event_join(
+        purchases, clicks, on="ts", by="user_id",
+        lower=np.timedelta64(-3600, "s"), upper=np.timedelta64(0, "s"),
+        left_schema=ev_schema,
+        right_schema=pa.schema(
+            [("user_id", ev_schema.field("user_id").type),
+             ("ts", ev_schema.field("ts").type),
+             ("click_event_id", pa.int64()),
+             ("click_value", pa.float64())]
+        ),
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            [("click_ts" if c == "ts_r" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, event_id AS click_event_id,
+         floor(value * 100 + 0.5) / 100 AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+       c.click_event_id, c.click_value
+FROM purchases p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
 """
 
 
@@ -11153,6 +11224,7 @@ QUERIES = {
     # --- below the <=50 driver gate: never-checked remainder, then
     # the r01-r03 driver-green set (all still pinned by the local
     # sf0.001 mirror sweep in tests/test_queries_duckdb.py)
+    "events_interval_join": events_interval_join,
     "event_type_value_regression": event_type_value_regression,
     "user_trailing_7d_value": user_trailing_7d_value,
     "event_daily_anomaly": event_daily_anomaly,
@@ -11365,6 +11437,7 @@ ORACLE_SQL = {
     "doc_tfidf_topterms": _SQL_TFIDF,
     "approx_quantiles_sketch": _SQL_APPROX_QUANTILES,
     "events_asof_join": _SQL_ASOF_JOIN,
+    "events_interval_join": _SQL_INTERVAL_JOIN,
     "events_value_bands": _SQL_VALUE_BANDS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,

@@ -1,0 +1,139 @@
+"""interval_event_join (stages/intervaljoin.py) semantics vs an
+in-memory quadratic reference: all same-key pairs with
+left.on + lower <= right.on <= left.on + upper, bounds inclusive.
+
+Pins the rank-composite searchsorted + grouped-arange kernel against
+brute force on randomized inputs (numeric and timestamp on-columns),
+plus the edge shapes: empty windows, boundary inclusivity, key
+isolation, suffixing, and negative-to-negative windows.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from etl_cms_ray.stages.intervaljoin import interval_event_join
+
+
+def _quadratic(lt: pd.DataFrame, rt: pd.DataFrame, on, by, lower, upper,
+               rcols) -> pd.DataFrame:
+    rows = []
+    for _, l in lt.iterrows():
+        for _, r in rt.iterrows():
+            if l[by] == r[by] and l[on] + lower <= r[on] <= l[on] + upper:
+                rows.append({**l.to_dict(),
+                             **{f"{c}_pair": r[c] for c in rcols}})
+    cols = list(lt.columns) + [f"{c}_pair" for c in rcols]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(list(df.columns), kind="mergesort") \
+             .reset_index(drop=True)
+
+
+@pytest.mark.fast
+def test_matches_quadratic_numeric(ray_session):
+    rng = np.random.default_rng(11)
+    lt = pa.table({
+        "k": rng.integers(0, 9, 120),
+        "t": rng.integers(0, 200, 120),
+        "lv": np.arange(120, dtype=np.int64),
+    })
+    rt = pa.table({
+        "k": rng.integers(0, 9, 150),
+        "t": rng.integers(0, 200, 150),
+        "rv": np.arange(150, dtype=np.int64) * 7,
+    })
+    out = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="t", by="k", lower=-10, upper=5, num_partitions=8,
+    ).to_pandas()
+    # engine output: left cols + t_r + rv
+    exp = _quadratic(lt.to_pandas(), rt.to_pandas(), "t", "k", -10, 5,
+                     ["t", "rv"])
+    exp = exp.rename(columns={"t_pair": "t_r", "rv_pair": "rv"})
+    assert _canon(out).equals(_canon(exp[out.columns.tolist()]))
+
+
+@pytest.mark.fast
+def test_bounds_inclusive_and_key_isolation(ray_session):
+    lt = pa.table({"k": [1, 1, 2], "t": [100, 50, 100],
+                   "lid": [0, 1, 2]})
+    rt = pa.table({"k": [1, 1, 1, 2, 3], "t": [90, 105, 111, 100, 100],
+                   "rid": [10, 11, 12, 13, 14]})
+    out = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="t", by="k", lower=-10, upper=5, num_partitions=4,
+    ).to_pandas()
+    pairs = set(zip(out["lid"], out["rid"]))
+    # lid 0 (k=1, t=100): window [90, 105] -> rids 10 and 11, NOT 12;
+    # both ends inclusive.  lid 1 (k=1, t=50): empty window.  lid 2
+    # (k=2, t=100): rid 13 only — k=3's identical timestamp is excluded.
+    assert pairs == {(0, 10), (0, 11), (2, 13)}
+
+
+@pytest.mark.fast
+def test_timestamp_window(ray_session):
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    lt = pa.table({"u": [7, 7], "ts": pa.array(
+        [base + np.timedelta64(2, "h"), base + np.timedelta64(9, "h")],
+        type=pa.timestamp("us"))})
+    rt = pa.table({"u": [7, 7, 7], "ts": pa.array(
+        [base + np.timedelta64(90, "m"),   # inside window of left[0]
+         base + np.timedelta64(2, "h"),    # equal -> inclusive upper
+         base + np.timedelta64(5, "h")],   # inside no window
+        type=pa.timestamp("us")), "rid": [0, 1, 2]})
+    out = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="ts", by="u",
+        lower=np.timedelta64(-3600, "s"), upper=np.timedelta64(0, "s"),
+        num_partitions=2,
+    ).to_pandas()
+    assert sorted(out["rid"]) == [0, 1]
+    assert str(out["ts_r"].dtype) == "datetime64[us]"
+
+
+@pytest.mark.fast
+def test_string_keys_and_suffixing(ray_session):
+    lt = pa.table({"k": ["a", "b"], "t": [10, 20],
+                   "v": [1, 2]})  # left has v too -> right v suffixes
+    rt = pa.table({"k": ["a", "b"], "t": [12, 99], "v": [100, 200]})
+    out = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="t", by="k", lower=0, upper=5, num_partitions=2,
+    ).to_pandas()
+    assert set(out.columns) == {"k", "t", "v", "t_r", "v_r"}
+    assert len(out) == 1 and out.iloc[0]["v_r"] == 100
+
+
+@pytest.mark.fast
+def test_empty_sides(ray_session):
+    lt = pa.table({"k": pa.array([], type=pa.int64()),
+                   "t": pa.array([], type=pa.int64())})
+    rt = pa.table({"k": [1], "t": [5], "rv": [9]})
+    ds = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="t", by="k", lower=-1, upper=1, num_partitions=2,
+        left_schema=lt.schema, right_schema=rt.schema,
+    )
+    # an all-empty map_groups output loses block schema in Ray; the
+    # _cogroup_schema attribute is the downstream schema carrier (same
+    # contract as asof_join)
+    assert set(ds._cogroup_schema.names) == {"k", "t", "t_r", "rv"}
+    assert len(ds.to_pandas()) == 0
+
+
+@pytest.mark.fast
+def test_type_mismatch_fails_at_plan_time(ray_session):
+    lt = pa.table({"k": [1], "t": pa.array([1.5], type=pa.float64())})
+    rt = pa.table({"k": [1], "t": pa.array([2], type=pa.int64())})
+    with pytest.raises(TypeError, match="type mismatch"):
+        interval_event_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="t", by="k", lower=0, upper=1,
+            left_schema=lt.schema, right_schema=rt.schema,
+        )

@@ -71,6 +71,13 @@ def _assert_equal(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame):
             f"{name}.{c}: dtype-kind drift ray={rk}({ray_df[c].dtype}) "
             f"!= oracle={sk}({sql_df[c].dtype})"
         )
+        if rk == "datetime":
+            # unit-exact: datetime64[ns] vs [us] hashes differently under
+            # a byte-level value hash even when every instant is equal
+            assert str(ray_df[c].dtype) == str(sql_df[c].dtype), (
+                f"{name}.{c}: datetime unit drift ray={ray_df[c].dtype} "
+                f"!= oracle={sql_df[c].dtype}"
+            )
     a, b = _canon(ray_df), _canon(sql_df)
     for c in a.columns:
         av, bv = a[c], b[c]
