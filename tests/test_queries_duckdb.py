@@ -1,14 +1,22 @@
 """Local mirror of the driver's correctness gate: run every queries()
 entry at sf0.001 and compare against its oracle_sql() via DuckDB —
-row count, column names, and order-insensitive values."""
+row count, column names, dtype kinds (incl. datetime units), and
+order-insensitive values.
+
+The driver itself runs at sf0.01, where scale-dependent drift can hide
+(e.g. the round-4 hopping-window ns-vs-us unit bug only had visible
+consequences there).  Set GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.01 to
+run this same sweep at driver scale (slower; used before each round's
+gate)."""
 
 import math
+import os
 
 import duckdb
 import pandas as pd
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
