@@ -341,10 +341,12 @@ def run_bench() -> dict:
     timed("cdc_materialized_view", Q.cdc_materialized_view)
     timed("cdc_debezium_export", Q.cdc_debezium_export)
     timed("cdc_partition_evolution", Q.cdc_partition_evolution)
-    # NOTE: fixed-overhead-dominated at sf0.1 (iterative CC rounds over a
-    # ~500k-row edge list, docs/ROUND3.md) — benched for visibility, not
-    # as a scaling signal
+    # NOTE: was fixed-overhead-dominated at sf0.1 (docs/ROUND3.md) until
+    # the round-4 small-graph CC fast path (19.2 s -> 2.5 s measured)
     timed("customer_fuzzy_clusters", Q.customer_fuzzy_clusters)
+    # round-4 operator additions (doc_fingerprints is already timed above)
+    timed("events_interval_join", Q.events_interval_join)
+    timed("dedup_minhash_signatures", Q.dedup_minhash_signatures)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",

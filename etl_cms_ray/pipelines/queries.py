@@ -8745,6 +8745,12 @@ FROM dedup
 
 
 def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
+    """Whole-document FNV-1a 64 fingerprints (the exact-dup /
+    content-addressing primitive), oracle-checked bit-for-bit over the
+    FULL corpus since round 4: the DuckDB mirror recomputes the same
+    per-byte integer recurrence (list_reduce fold, HUGEINT wraparound —
+    the machinery proven on the minhash kernel oracle) and re-applies
+    the int64 view's wrap-to-negative."""
     ds = _rpc(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
         lambda t: pa.table(
@@ -8752,6 +8758,27 @@ def doc_fingerprints(sf_dir: str) -> "rd.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+_SQL_DOC_FINGERPRINTS = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(14695981039346656037 AS UBIGINT),
+             list_transform(generate_series(1, length(text)),
+                            i -> CAST(ord(substr(text, i, 1)) AS UBIGINT))),
+           (acc, byte) -> CAST((CAST(xor(acc, byte) AS HUGEINT)
+                                * 1099511628211)
+                               % 18446744073709551616 AS UBIGINT)
+         ) AS HUGEINT) AS fp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN fp >= 9223372036854775808
+                 THEN fp - 18446744073709551616 ELSE fp END
+            AS BIGINT) AS fingerprint
+FROM h
+"""
 
 
 def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
@@ -11621,6 +11648,7 @@ ORACLE_SQL = {
     "events_interval_join": _SQL_INTERVAL_JOIN,
     "dedup_minhash_signatures": _minhash_sig_oracle_sql(),
     "dedup_simhash_signatures": _simhash_sig_oracle_sql(),
+    "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
     "events_value_bands": _SQL_VALUE_BANDS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,
