@@ -46,6 +46,44 @@ from ..functions.threads import single_threaded_kernels
 from .join import _key_part, _ray_schema_to_arrow
 
 
+def match_window_pairs(lkey: np.ndarray, lts: np.ndarray,
+                       rkey: np.ndarray, rts: np.ndarray,
+                       lower, upper) -> tuple[np.ndarray, np.ndarray]:
+    """Core matching kernel (module-level so the property suite can pin
+    it Ray-free against a quadratic reference): returns (lidx, ridx)
+    index pairs with ``lkey[lidx] == rkey[ridx]`` and
+    ``lts[lidx] + lower <= rts[ridx] <= lts[lidx] + upper``."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if len(lkey) == 0 or len(rkey) == 0:
+        return empty
+    codes, inv = np.unique(np.concatenate([lkey, rkey]), return_inverse=True)
+    lcode = inv[: len(lkey)]
+    rcode = inv[len(lkey):]
+
+    uts = np.unique(rts)  # rank grid; native dtype comparisons
+    m = np.int64(len(uts) + 1)  # ranks go up to len(uts) ('right')
+    r_comp = rcode.astype(np.int64) * m + np.searchsorted(uts, rts)
+    r_order = np.argsort(r_comp, kind="stable")
+    r_comp = r_comp[r_order]
+
+    lo_rank = np.searchsorted(uts, lts + lower, side="left")
+    hi_rank = np.searchsorted(uts, lts + upper, side="right")
+    lc = lcode.astype(np.int64) * m
+    start = np.searchsorted(r_comp, lc + lo_rank, side="left")
+    end = np.searchsorted(r_comp, lc + hi_rank, side="left")
+    # an empty window (lower > upper) makes end < start — clamp, don't
+    # feed negative repeat counts downstream (caught by hypothesis)
+    counts = np.maximum(end - start, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    # grouped arange: pair index expansion without a Python loop
+    rep = np.repeat(np.arange(len(counts)), counts)
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total) - np.repeat(offsets, counts)
+    return rep, r_order[start[rep] + within]
+
+
 def interval_event_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -140,36 +178,17 @@ def interval_event_join(
         lt = g.filter(pa.array(lmask))
         rt = g.filter(pa.array(~lmask))
 
-        lkey = lt[by].to_numpy(zero_copy_only=False)
-        rkey = rt[by].to_numpy(zero_copy_only=False)
-        codes, inv = np.unique(np.concatenate([lkey, rkey]),
-                               return_inverse=True)
-        lcode = inv[: len(lkey)]
-        rcode = inv[len(lkey):]
-
-        lts = lt[on].to_numpy(zero_copy_only=False)
-        rts = rt[ren[on]].to_numpy(zero_copy_only=False)
-        uts = np.unique(rts)  # rank grid; native dtype comparisons
-        m = np.int64(len(uts) + 1)  # ranks go up to len(uts) ('right')
-        r_comp = rcode.astype(np.int64) * m + np.searchsorted(uts, rts)
-        r_order = np.argsort(r_comp, kind="stable")
-        r_comp = r_comp[r_order]
-
-        lo_rank = np.searchsorted(uts, lts + lower, side="left")
-        hi_rank = np.searchsorted(uts, lts + upper, side="right")
-        lc = lcode.astype(np.int64) * m
-        start = np.searchsorted(r_comp, lc + lo_rank, side="left")
-        end = np.searchsorted(r_comp, lc + hi_rank, side="left")
-        counts = end - start
-        total = int(counts.sum())
-        if total == 0:
+        rep, rsel = match_window_pairs(
+            lt[by].to_numpy(zero_copy_only=False),
+            lt[on].to_numpy(zero_copy_only=False),
+            rt[by].to_numpy(zero_copy_only=False),
+            rt[ren[on]].to_numpy(zero_copy_only=False),
+            lower, upper,
+        )
+        if len(rep) == 0:
             return _empty_out()
-        # grouped arange: pair index expansion without a Python loop
-        rep = np.repeat(np.arange(len(counts)), counts)
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        within = np.arange(total) - np.repeat(offsets, counts)
         lidx = pa.array(rep)
-        ridx = pa.array(r_order[start[rep] + within])
+        ridx = pa.array(rsel)
 
         cols = {}
         for c in l_cols:

@@ -12,10 +12,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 import ray.data
 
-from etl_cms_ray.stages.intervaljoin import interval_event_join
+from etl_cms_ray.stages.intervaljoin import (
+    interval_event_join,
+    match_window_pairs,
+)
 
 
 def _quadratic(lt: pd.DataFrame, rt: pd.DataFrame, on, by, lower, upper,
@@ -125,6 +130,32 @@ def test_empty_sides(ray_session):
     # contract as asof_join)
     assert set(ds._cogroup_schema.names) == {"k", "t", "t_r", "rv"}
     assert len(ds.to_pandas()) == 0
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32),  # rng seed
+    st.integers(min_value=-20, max_value=20),
+    st.integers(min_value=0, max_value=25),
+)
+def test_match_kernel_matches_quadratic(seed, lower, width):
+    """Ray-free property: the rank-composite searchsorted kernel equals
+    the O(n*m) reference for arbitrary key/ts multisets and windows
+    (incl. lower > upper -> empty, duplicate timestamps, hot keys)."""
+    upper = lower + width - 5  # sometimes lower > upper (empty window)
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(0, 30)), int(rng.integers(0, 40))
+    lkey = rng.integers(0, 5, nl)
+    rkey = rng.integers(0, 5, nr)
+    lts = rng.integers(0, 60, nl)
+    rts = rng.integers(0, 60, nr)
+    lidx, ridx = match_window_pairs(lkey, lts, rkey, rts, lower, upper)
+    got = set(zip(lidx.tolist(), ridx.tolist()))
+    expect = {(i, j)
+              for i in range(nl) for j in range(nr)
+              if lkey[i] == rkey[j] and lts[i] + lower <= rts[j] <= lts[i] + upper}
+    assert got == expect
+    assert len(got) == len(lidx)  # no duplicate emissions
 
 
 @pytest.mark.fast
