@@ -246,7 +246,9 @@ def _add_bucket_part(t: pa.Table) -> pa.Table:
     bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     bkey = t["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
     ph = (bkey + 1000003 * bid) % _PAIR_PARTS
-    return t.append_column("ph", pa.array(ph))
+    # strip schema metadata: upstream pandas-origin blocks carry a
+    # `pandas` dict that defeats schema hashing in the groupby shuffle
+    return t.append_column("ph", pa.array(ph)).replace_schema_metadata(None)
 
 
 def _partition_pairs(g: pd.DataFrame, max_bucket: int = 64,
@@ -789,7 +791,7 @@ def ngram_jaccard_pairs(
             gh = t["gh"].to_numpy(zero_copy_only=False).view(np.uint64)
             return t.append_column(
                 "gp", pa.array((gh % np.uint64(_PAIR_PARTS)).astype(np.int64))
-            )
+            ).replace_schema_metadata(None)
 
         counts = (
             partials.map_batches(add_gp, batch_format="pyarrow", batch_size=65536)
@@ -808,7 +810,8 @@ def ngram_jaccard_pairs(
 
         def add_dp(t: pa.Table) -> pa.Table:
             d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return t.append_column("dp", pa.array(d % _PAIR_PARTS))
+            return t.append_column(
+                "dp", pa.array(d % _PAIR_PARTS)).replace_schema_metadata(None)
 
         def select_prefix(g: pd.DataFrame) -> pd.DataFrame:
             # rarest-first within each doc; one vectorized sweep for every
@@ -920,8 +923,14 @@ def _ngram_pairs_tail(
     exact-Jaccard verify."""
     emitted = emitted.map_batches(_add_bucket_part, batch_format="pyarrow",
                                   batch_size=65536)
+    # emit metadata-stripped Arrow (not pandas): pandas-origin blocks
+    # carry a `pandas` schema-metadata dict that defeats Ray's schema
+    # dedup in the downstream attach shuffle ('Failed to hash the
+    # schemas' per task)
     pairs = emitted.groupby("ph").map_groups(
-        lambda g: _partition_pairs(g, max_bucket=max_bucket, metrics=metrics),
+        lambda g: pa.Table.from_pandas(
+            _partition_pairs(g, max_bucket=max_bucket, metrics=metrics),
+            preserve_index=False).replace_schema_metadata(None),
         batch_format="pandas",
     )
     # no dedicated pair-dedup exchange: the attach stage's zip partition
