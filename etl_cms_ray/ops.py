@@ -93,7 +93,12 @@ from .pipelines.maintenance import (audit_lake, auto_maintain, compact_lake,
                                     find_orphan_files, lake_freshness,
                                     purge_history, repartition_lake,
                                     update_where)
-from .pipelines.meta import lake_files, lake_partitions, lake_snapshots
+from .pipelines.meta import (
+    fast_count,
+    lake_files,
+    lake_partitions,
+    lake_snapshots,
+)
 from .pipelines.replicate import lake_content_hash, sync_lake, verify_replica
 from .state.manifest import LakeStore
 from .pipelines.planner import scan_plans, smart_scan
@@ -155,7 +160,7 @@ __all__ = [
     "exact_group_quantile",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "find_orphan_files", "auto_maintain", "lake_freshness",
-    "lake_files", "lake_partitions", "lake_snapshots",
+    "fast_count", "lake_files", "lake_partitions", "lake_snapshots",
     "export_duckdb_view",
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where", "purge_history",

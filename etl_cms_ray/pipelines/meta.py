@@ -159,3 +159,56 @@ def lake_snapshots(lake_root: str) -> "ray.data.Dataset":
         "schema_version": pa.array(cols["schema_version"], type=pa.int64()),
         "committed_ts": pa.array(cols["committed_ts"], type=pa.float64()),
     }))
+
+
+def fast_count(lake_root: str, version: int | None = None) -> int:
+    """Exact ``COUNT(*)`` of the live relation, served from manifest
+    metadata wherever possible — the Iceberg/Delta metadata-count
+    contract: a delta-free partition's post-merge row count is recorded
+    in the manifest, so it contributes with ZERO data reads; only
+    merge-on-read partitions whose count is unknown (``rows == -1``,
+    live delta chains) are folded, one Ray task per such partition.
+
+    Cost: O(partitions) metadata walk + data reads bounded by the MOR
+    backlog (zero on a compacted lake at ANY size); the driver holds
+    one int per folded partition, never rows.  Equals
+    ``read_lake(...).count()`` by construction — oracle-pinned by the
+    ``cdc_fast_count`` catalog entry."""
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest(version)
+    known = 0
+    todo = []
+    for ps in manifest.partitions.values():
+        if ps.rows >= 0:
+            known += ps.rows
+        else:
+            todo.append({"part_id": ps.part_id, "file": ps.file,
+                         "deltas": list(ps.deltas)})
+    if not todo:
+        return known
+    registry = store.load_registry()
+    reg_json = registry.to_json()
+    schema_version = max(
+        (ps.schema_version for ps in manifest.partitions.values()),
+        default=registry.latest_version)
+
+    def fold_count(batch: pa.Table) -> pa.Table:
+        from ..schema import SchemaRegistry
+        from .ingest import load_partition_live
+
+        reg = SchemaRegistry.from_json(reg_json)
+        counts = []
+        for i in range(batch.num_rows):
+            live = load_partition_live(
+                lake_root, batch["file"][i].as_py(),
+                list(batch["deltas"][i].as_py() or []), reg, schema_version)
+            counts.append(live.num_rows)
+        return pa.table({"n": pa.array(counts, type=pa.int64())})
+
+    folded = ray.data.from_arrow(pa.table({
+        "part_id": pa.array([t["part_id"] for t in todo], type=pa.int64()),
+        "file": pa.array([t["file"] for t in todo], type=pa.string()),
+        "deltas": pa.array([t["deltas"] for t in todo],
+                           type=pa.list_(pa.string())),
+    })).map_batches(fold_count, batch_format="pyarrow", batch_size=1)
+    return known + sum(r["n"] for r in folded.take_all())

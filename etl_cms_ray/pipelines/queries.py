@@ -4963,6 +4963,68 @@ def embedding_pca_project(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def cdc_fast_count(sf_dir: str) -> "rd.Dataset":
+    """Metadata-served COUNT(*) (the Iceberg/Delta metadata-count
+    contract, `pipelines/meta.fast_count`): ingest the docs change
+    stream into a MOR lake in two commits so the manifest holds a MIX
+    of delta-free partitions (count answered from metadata, zero data
+    reads) and live-delta partitions (count unknown, folded one Ray
+    task each) — both paths must be exercised or the entry raises as
+    vacuous.  Pins fast_count == the relational COUNT(*) the oracle
+    computes, and == read_lake().count() (the slow path it replaces)."""
+    from ..functions.hashing import part_id_for
+    from ..state.manifest import LakeStore
+    from .maintenance import compact_lake
+    from .meta import fast_count
+
+    import hashlib as _hl
+    import shutil as _sh
+
+    tag = _hl.sha1(sf_dir.encode()).hexdigest()[:10]
+    lake_root = os.path.join(tempfile.gettempdir(), f"fcnt_lake_{tag}")
+    _sh.rmtree(lake_root, ignore_errors=True)
+    events = _docs_change_events(sf_dir)
+    cfg = EngineConfig(lake_root=lake_root, num_partitions=16,
+                       commit_mode="mor", max_deltas=64)
+
+    def epoch1_part(t: pa.Table, want_zero: bool) -> pa.Table:
+        pid = part_id_for(t["repo"], t["path"], 16).to_numpy(
+            zero_copy_only=False)
+        keep = (pid == 0) if want_zero else (pid != 0)
+        return t.filter(pa.array(
+            keep & (t["epoch"].to_numpy(zero_copy_only=False) == 1)))
+
+    ingest(events.filter(expr="epoch == 0"), cfg, count_input=False)
+    # epoch 1 lands in two fenced sub-commits split by the engine's OWN
+    # key partitioner, with a compaction between them: afterwards
+    # exactly partition 0 carries live deltas (count unknown -> folded)
+    # and every other partition answers from metadata — both fast_count
+    # paths deterministically exercised.
+    ingest(events.map_batches(epoch1_part, fn_kwargs={"want_zero": False},
+                              batch_format="pyarrow"),
+           cfg, count_input=False)
+    compact_lake(lake_root)
+    ingest(events.map_batches(epoch1_part, fn_kwargs={"want_zero": True},
+                              batch_format="pyarrow"),
+           cfg, count_input=False)
+    man = LakeStore(lake_root).load_manifest()
+    kinds = {ps.rows >= 0 for ps in man.partitions.values()}
+    if kinds != {True, False}:
+        raise AssertionError(
+            "fast_count fixture must mix known and unknown partition "
+            f"counts, got {kinds}")
+    n = fast_count(lake_root)
+    slow = read_lake(lake_root, columns=["repo"]).count()
+    if n != slow:
+        raise AssertionError(f"fast_count {n} != read_lake count {slow}")
+    return rd.from_arrow(pa.table({"n_rows": pa.array([n], type=pa.int64())}))
+
+
+_SQL_FAST_COUNT = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows FROM ({_SQL_REPOS_LAKE})
+"""
+
+
 def cdc_compaction(sf_dir: str) -> "rd.Dataset":
     """Merge-on-read delta-fold compaction as an oracle-checked lifecycle
     (Iceberg rewrite_data_files / Delta OPTIMIZE analog; the reference
@@ -11433,6 +11495,7 @@ QUERIES = {
     "events_interval_join": events_interval_join,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_simhash_signatures": dedup_simhash_signatures,
+    "cdc_fast_count": cdc_fast_count,
     "event_type_value_regression": event_type_value_regression,
     "user_trailing_7d_value": user_trailing_7d_value,
     "event_daily_anomaly": event_daily_anomaly,
@@ -11649,6 +11712,7 @@ ORACLE_SQL = {
     "dedup_minhash_signatures": _minhash_sig_oracle_sql(),
     "dedup_simhash_signatures": _simhash_sig_oracle_sql(),
     "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
+    "cdc_fast_count": _SQL_FAST_COUNT,
     "events_value_bands": _SQL_VALUE_BANDS,
     "doc_token_unpivot": _SQL_TOKEN_UNPIVOT,
     "doc_quality_filter": _SQL_QUALITY_FILTER,

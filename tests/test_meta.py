@@ -89,3 +89,33 @@ def test_lake_snapshots_versions_tags_rows(two_commit_lake):
     assert df.loc[2, "max_fence"] > df.loc[1, "max_fence"]
     # commit timestamps come from lineage and are ordered
     assert df.loc[2, "committed_ts"] >= df.loc[1, "committed_ts"] > 0
+
+
+def test_fast_count_cow_and_mor(ray_session, tmp_path):
+    """fast_count == read_lake().count() on a pure-metadata CoW lake
+    (zero unknown partitions) AND on a MOR lake with live deltas
+    (unknown partitions folded), including a pinned snapshot version."""
+    from etl_cms_ray.pipelines.ingest import read_lake
+    from etl_cms_ray.pipelines.meta import fast_count
+
+    ev = make_events(make_repos(4, 8), n_epochs=4, events_per_epoch=50)
+
+    cow = str(tmp_path / "fc_cow")
+    cfg = EngineConfig(lake_root=cow, num_partitions=8)
+    ingest(ray.data.from_arrow(ev), cfg)
+    m = LakeStore(cow).load_manifest()
+    assert all(ps.rows >= 0 for ps in m.partitions.values())
+    assert fast_count(cow) == read_lake(cow, columns=["repo"]).count()
+
+    mor = str(tmp_path / "fc_mor")
+    cfg = EngineConfig(lake_root=mor, num_partitions=8, commit_mode="mor",
+                       max_deltas=10)
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg)
+    m = LakeStore(mor).load_manifest()
+    assert any(ps.rows < 0 for ps in m.partitions.values())
+    assert fast_count(mor) == read_lake(mor, columns=["repo"]).count()
+    # version-pinned count equals the v1 snapshot's size
+    from etl_cms_ray.pipelines.history import read_snapshot
+    assert fast_count(mor, version=1) == \
+        read_snapshot(mor, 1).count()
