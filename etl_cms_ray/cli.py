@@ -201,6 +201,13 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("show", help="print manifest + lineage")
     ps.add_argument("--lake", required=True)
 
+    pcnt = sub.add_parser("count", help="exact COUNT(*) of the live "
+                          "relation, metadata-served (only live-delta "
+                          "MOR partitions are folded)")
+    pcnt.add_argument("--lake", required=True)
+    pcnt.add_argument("--version", type=int, default=None,
+                      help="snapshot version (default current)")
+
     pmt = sub.add_parser("meta", help="queryable metadata tables: one "
                          "JSON line per row of files | partitions | "
                          "snapshots (manifest/lineage only, zero data "
@@ -554,6 +561,13 @@ def main(argv: list[str] | None = None) -> int:
             # (pandas would surface null int64 as bare NaN — invalid JSON)
             for row in fn(args.lake, **kw).take_all():
                 print(json.dumps(row, default=str))
+        elif args.cmd == "count":
+            from .pipelines.meta import fast_count
+
+            print(json.dumps({"lake": args.lake,
+                              "version": args.version,
+                              "n_rows": fast_count(args.lake,
+                                                   version=args.version)}))
         elif args.cmd == "show":
             from .state.manifest import LakeStore
 
