@@ -196,10 +196,9 @@ def run_bench() -> dict:
                count_input=False)
         shutil.rmtree(warm_root, ignore_errors=True)
         rep_times: list = []
-        own_roots = []
+        lake_rows = None
         while len(rep_times) < 6:
             rep_root = tempfile.mkdtemp(prefix="bench_lake_scale_")
-            own_roots.append(rep_root)
             rep_cfg = EngineConfig(
                 lake_root=rep_root,
                 num_partitions=cfg.num_partitions,
@@ -208,6 +207,13 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             ingest(ev_mat, rep_cfg, count_input=False)
             rep_times.append(time.perf_counter() - t0)
+            # rep lakes are deleted IMMEDIATELY (outside the timer):
+            # letting 6 of them accumulate filled the disk at mult=96
+            # (each lake is stream-sized parquet + the object store is
+            # already holding ev_mat and spill)
+            if lake_rows is None:
+                lake_rows = read_lake(rep_root, columns=["repo"]).count()
+            shutil.rmtree(rep_root, ignore_errors=True)
             # adaptive stop: >=4 reps AND the ramp has flattened (latest rep
             # within 15% of the running min); otherwise keep going (max 6) —
             # the warm-up ramp sometimes needs more than the warm-up rep
@@ -216,11 +222,7 @@ def run_bench() -> dict:
         t_total = min(rep_times)
         print(f"# rep walls: {[round(t, 2) for t in rep_times]}",
               file=sys.stderr)
-        lake_rows = read_lake(own_roots[-1], columns=["repo"]).count()
-        # remove only THIS process's scratch lakes (a glob would yank
-        # another concurrently running bench's files mid-measurement)
-        for d in [lake_root, *own_roots]:
-            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(lake_root, ignore_errors=True)
         out = {
             "metric": "cdc_ingest_wall_sec_scaled",
             "value": round(t_total, 3),
