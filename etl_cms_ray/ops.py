@@ -95,6 +95,7 @@ from .pipelines.maintenance import (audit_lake, auto_maintain, compact_lake,
                                     update_where)
 from .pipelines.meta import (
     fast_count,
+    fast_minmax,
     lake_files,
     lake_partitions,
     lake_snapshots,
@@ -160,7 +161,8 @@ __all__ = [
     "exact_group_quantile",
     "audit_lake", "compact_lake", "expire_snapshots", "repartition_lake",
     "find_orphan_files", "auto_maintain", "lake_freshness",
-    "fast_count", "lake_files", "lake_partitions", "lake_snapshots",
+    "fast_count", "fast_minmax",
+    "lake_files", "lake_partitions", "lake_snapshots",
     "export_duckdb_view",
     "sync_lake", "verify_replica", "lake_content_hash",
     "delete_where", "update_where", "purge_history",

@@ -212,3 +212,68 @@ def fast_count(lake_root: str, version: int | None = None) -> int:
                            type=pa.list_(pa.string())),
     })).map_batches(fold_count, batch_format="pyarrow", batch_size=1)
     return known + sum(r["n"] for r in folded.take_all())
+
+
+def fast_minmax(lake_root: str, column: str,
+                version: int | None = None) -> tuple:
+    """Exact ``(MIN(column), MAX(column))`` of the live relation served
+    from manifest zone maps wherever they are exact — the companion of
+    :func:`fast_count` (Iceberg metadata-stats contract): a DELTA-FREE
+    partition's ``[min, max]`` zone map was computed from exactly its
+    live rows at write time, so it contributes with zero data reads.
+    Partitions with live MOR deltas (widened, possibly-stale stats) or
+    with no recorded stats for the column (all-null, content-like, or
+    pre-stats manifests) are folded, one Ray task each — conservative,
+    never wrong.  Returns ``(None, None)`` for an empty or all-null
+    column."""
+    store = LakeStore(lake_root)
+    manifest = store.load_manifest(version)
+    lo = hi = None
+    todo = []
+    for ps in manifest.partitions.values():
+        zone = ps.stats.get(column) if not ps.deltas else None
+        if isinstance(zone, list) and len(zone) == 2:
+            zlo, zhi = zone
+            lo = zlo if lo is None else min(lo, zlo)
+            hi = zhi if hi is None else max(hi, zhi)
+        elif ps.file or ps.deltas:
+            todo.append({"part_id": ps.part_id, "file": ps.file,
+                         "deltas": list(ps.deltas)})
+    if not todo:
+        return lo, hi
+    registry = store.load_registry()
+    reg_json = registry.to_json()
+    schema_version = max(
+        (ps.schema_version for ps in manifest.partitions.values()),
+        default=registry.latest_version)
+
+    def fold_minmax(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..schema import SchemaRegistry
+        from .ingest import load_partition_live
+
+        reg = SchemaRegistry.from_json(reg_json)
+        los, his = [], []
+        for i in range(batch.num_rows):
+            live = load_partition_live(
+                lake_root, batch["file"][i].as_py(),
+                list(batch["deltas"][i].as_py() or []), reg, schema_version)
+            if column not in live.column_names or live.num_rows == 0:
+                continue
+            mm = pc.min_max(live[column])
+            if mm["min"].as_py() is not None:
+                los.append(mm["min"].as_py())
+                his.append(mm["max"].as_py())
+        return pa.table({"lo": pa.array(los), "hi": pa.array(his)})
+
+    folded = ray.data.from_arrow(pa.table({
+        "part_id": pa.array([t["part_id"] for t in todo], type=pa.int64()),
+        "file": pa.array([t["file"] for t in todo], type=pa.string()),
+        "deltas": pa.array([t["deltas"] for t in todo],
+                           type=pa.list_(pa.string())),
+    })).map_batches(fold_minmax, batch_format="pyarrow", batch_size=1)
+    for r in folded.take_all():
+        lo = r["lo"] if lo is None else min(lo, r["lo"])
+        hi = r["hi"] if hi is None else max(hi, r["hi"])
+    return lo, hi

@@ -119,3 +119,36 @@ def test_fast_count_cow_and_mor(ray_session, tmp_path):
     from etl_cms_ray.pipelines.history import read_snapshot
     assert fast_count(mor, version=1) == \
         read_snapshot(mor, 1).count()
+
+
+def test_fast_minmax_cow_mor_and_missing_stats(ray_session, tmp_path):
+    """fast_minmax == exact min/max of the live relation: zone-map-served
+    on delta-free partitions, folded on live-delta MOR partitions and on
+    columns without recorded stats (e.g. content-like strings)."""
+    import pyarrow.compute as pa_pc
+
+    from etl_cms_ray.pipelines.ingest import read_lake
+    from etl_cms_ray.pipelines.meta import fast_minmax
+
+    ev = make_events(make_repos(4, 8), n_epochs=4, events_per_epoch=50)
+
+    def exact(root, col):
+        t = read_lake(root, columns=[col]).to_pandas()[col]
+        return t.min(), t.max()
+
+    cow = str(tmp_path / "fmm_cow")
+    ingest(ray.data.from_arrow(ev),
+           EngineConfig(lake_root=cow, num_partitions=8))
+    assert fast_minmax(cow, "size") == exact(cow, "size")
+    # path records no stats (high-distinct string) -> every partition
+    # takes the fold path even on a CoW lake, still exact
+    assert fast_minmax(cow, "path") == exact(cow, "path")
+
+    mor = str(tmp_path / "fmm_mor")
+    cfg = EngineConfig(lake_root=mor, num_partitions=8, commit_mode="mor",
+                       max_deltas=10)
+    ingest(ray.data.from_arrow(ev.filter(pc.less_equal(ev["epoch"], 1))), cfg)
+    ingest(ray.data.from_arrow(ev.filter(pc.greater(ev["epoch"], 1))), cfg)
+    m = LakeStore(mor).load_manifest()
+    assert any(ps.deltas for ps in m.partitions.values())
+    assert fast_minmax(mor, "size") == exact(mor, "size")
