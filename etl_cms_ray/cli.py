@@ -201,6 +201,14 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("show", help="print manifest + lineage")
     ps.add_argument("--lake", required=True)
 
+    pkh = sub.add_parser("history", help="one key's state across "
+                         "retained snapshots (per-version presence, "
+                         "sha, changed flag); one pruned partition "
+                         "read per version")
+    pkh.add_argument("--lake", required=True)
+    pkh.add_argument("--repo", required=True)
+    pkh.add_argument("--path", required=True)
+
     pcnt = sub.add_parser("count", help="exact COUNT(*) of the live "
                           "relation, metadata-served (only live-delta "
                           "MOR partitions are folded)")
@@ -560,6 +568,12 @@ def main(argv: list[str] | None = None) -> int:
             # take_all keeps Arrow nulls as JSON null and ints as ints
             # (pandas would surface null int64 as bare NaN — invalid JSON)
             for row in fn(args.lake, **kw).take_all():
+                print(json.dumps(row, default=str))
+        elif args.cmd == "history":
+            from .pipelines.history import key_history
+
+            for row in key_history(args.lake, args.repo,
+                                   args.path).to_pylist():
                 print(json.dumps(row, default=str))
         elif args.cmd == "count":
             from .pipelines.meta import fast_count

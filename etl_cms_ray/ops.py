@@ -67,6 +67,7 @@ from .stages.unpivot import unpivot_list
 from .pipelines.history import (consume_changelog, consumer_cursor,
                                 incremental_repo_stats, incremental_token_df,
                                 keyed_join_view, keyed_join_view_refresh,
+                                key_history,
                                 keyed_join_view_snapshot, read_snapshot,
                                 repo_stats_snapshot, snapshot_diff,
                                 token_df_snapshot)
@@ -147,7 +148,7 @@ __all__ = [
     "keyed_join_view_snapshot", "keyed_join_view_refresh", "keyed_join_view",
     "materialize_join_view", "refresh_join_view", "read_join_view",
     "materialize_stats_view", "refresh_stats_view", "read_stats_view",
-    "read_snapshot", "repo_stats_snapshot",
+    "key_history", "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "consume_changelog", "consumer_cursor",
     "ingest", "ingest_with_retry", "read_lake",
     "read_lake_table",

@@ -778,3 +778,53 @@ def consume_changelog(
              "prev_version": last}))
 
     return changes, ack, span
+
+
+def key_history(lake_root: str, repo: str, path: str,
+                versions: "list[int] | None" = None) -> pa.Table:
+    """One key's state across retained snapshots — time travel narrowed
+    to a single (repo, path): one row per manifest version with
+    ``present``, the engine audit columns (epoch, seq, content_sha_hex,
+    size — PROTECTED, so they exist at every schema version) and a
+    ``changed`` flag vs the previous retained version.  The
+    who-changed-this-row debugging tool.
+
+    Cost: one version-pinned :func:`..pipelines.ingest.point_lookup`
+    per retained version — each opens exactly the ONE partition the key
+    hashes to (hash-partition skipping + parquet key pushdown), so the
+    whole walk is O(versions) partition reads and the result is
+    O(versions) rows on the driver, independent of lake size."""
+    from .ingest import point_lookup
+    from .meta import _versions
+
+    store = LakeStore(lake_root)
+    if versions is None:
+        versions = _versions(store)
+    cols = {k: [] for k in ("version", "present", "epoch", "seq",
+                            "content_sha_hex", "size", "changed")}
+    prev = object()  # sentinel: first version always counts as changed
+    for v in sorted(versions):
+        t = point_lookup(lake_root, [(repo, path)],
+                         columns=["epoch", "seq", "content_sha", "size"],
+                         version=v)
+        present = t.num_rows > 0
+        sha = t["content_sha"][0].as_py().hex() if present else None
+        state = (present, sha)
+        cols["version"].append(v)
+        cols["present"].append(present)
+        cols["epoch"].append(t["epoch"][0].as_py() if present else None)
+        cols["seq"].append(t["seq"][0].as_py() if present else None)
+        cols["content_sha_hex"].append(sha)
+        cols["size"].append(t["size"][0].as_py() if present else None)
+        cols["changed"].append(state != prev)
+        prev = state
+    return pa.table({
+        "version": pa.array(cols["version"], type=pa.int64()),
+        "present": pa.array(cols["present"], type=pa.bool_()),
+        "epoch": pa.array(cols["epoch"], type=pa.int64()),
+        "seq": pa.array(cols["seq"], type=pa.int64()),
+        "content_sha_hex": pa.array(cols["content_sha_hex"],
+                                    type=pa.string()),
+        "size": pa.array(cols["size"], type=pa.int64()),
+        "changed": pa.array(cols["changed"], type=pa.bool_()),
+    })

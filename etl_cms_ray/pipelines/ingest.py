@@ -577,7 +577,8 @@ def lookup_plan(manifest: Manifest, keys: list) -> list[dict]:
 
 
 def point_lookup(
-    lake_root: str, keys: list, columns: list[str] | None = None
+    lake_root: str, keys: list, columns: list[str] | None = None,
+    version: int | None = None,
 ) -> pa.Table:
     """Random access into the lake: live rows for the given (repo, path)
     keys, reading ONLY the partitions those keys hash to (hash-partition
@@ -595,7 +596,10 @@ def point_lookup(
     from ..functions.hashing import key_array
 
     store = LakeStore(lake_root)
-    manifest = store.load_manifest()
+    # version pins the SNAPSHOT (manifest) being probed; promotion stays
+    # at the latest registry schema, so engine/audit columns are stable
+    # across versions (key_history depends on this)
+    manifest = store.load_manifest(version)
     registry = store.load_registry()
     latest = registry.latest_version
     schema = registry.schema_for(latest)

@@ -408,3 +408,42 @@ def test_consume_changelog_consumer_groups(lake):
     # hostile consumer ids are rejected
     with pytest.raises(ValueError):
         consume_changelog(lake_root, "../evil")
+
+
+def test_key_history_walks_retained_versions(ray_session, tmp_path):
+    """key_history: per-version presence/sha for one key, changed flags
+    only where the key actually changed, delete visible as absent."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from etl_cms_ray.config import EngineConfig
+    from etl_cms_ray.pipelines.history import key_history
+    from etl_cms_ray.pipelines.ingest import ingest
+
+    root = str(tmp_path / "kh_lake")
+    cfg = EngineConfig(lake_root=root, num_partitions=4)
+
+    def ev(epoch, seq, op, content):
+        return {"repo": "r1", "path": "f.py", "op": op,
+                "commit": f"c{seq}", "epoch": epoch, "seq": seq,
+                "lang": "py", "content": content}
+
+    other = {"repo": "r2", "path": "g.py", "op": "insert", "commit": "x",
+             "epoch": 0, "seq": 1, "lang": "py", "content": "zzz"}
+    # v1: key created; v2: unrelated commit (key untouched); v3: key
+    # updated; v4: key deleted
+    ingest(rd.from_items([ev(0, 1, "insert", "v1"), other]), cfg)
+    ingest(rd.from_items([{**other, "epoch": 1, "seq": 2,
+                           "content": "zzz2", "op": "update"}]), cfg)
+    ingest(rd.from_items([ev(2, 3, "update", "v2")]), cfg)
+    ingest(rd.from_items([ev(3, 4, "delete", "")]), cfg)
+
+    h = key_history(root, "r1", "f.py").to_pandas().set_index("version")
+    assert list(h.index) == [1, 2, 3, 4]
+    assert h["present"].tolist() == [True, True, True, False]
+    assert h["changed"].tolist() == [True, False, True, True]
+    assert h.loc[1, "content_sha_hex"] == h.loc[2, "content_sha_hex"]
+    assert h.loc[3, "content_sha_hex"] != h.loc[1, "content_sha_hex"]
+    import pandas as pd
+    assert pd.isna(h.loc[4, "content_sha_hex"])
