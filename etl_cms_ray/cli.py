@@ -201,6 +201,17 @@ def main(argv: list[str] | None = None) -> int:
     ps = sub.add_parser("show", help="print manifest + lineage")
     ps.add_argument("--lake", required=True)
 
+    prb = sub.add_parser("rollback", help="atomically point CURRENT at "
+                         "an older manifest (restore-from-checkpoint; "
+                         "later manifests stay on disk until their "
+                         "version numbers are reused)")
+    prb.add_argument("--lake", required=True)
+    prb.add_argument("--to-version", type=int, required=True)
+
+    psch = sub.add_parser("schema", help="registry change history + the "
+                          "column set at each schema version")
+    psch.add_argument("--lake", required=True)
+
     pkh = sub.add_parser("history", help="one key's state across "
                          "retained snapshots (per-version presence, "
                          "sha, changed flag); one pruned partition "
@@ -569,6 +580,24 @@ def main(argv: list[str] | None = None) -> int:
             # (pandas would surface null int64 as bare NaN — invalid JSON)
             for row in fn(args.lake, **kw).take_all():
                 print(json.dumps(row, default=str))
+        elif args.cmd == "rollback":
+            from .state.manifest import LakeStore
+
+            store = LakeStore(args.lake)
+            before = store.current_version()
+            store.rollback(args.to_version)
+            print(json.dumps({"lake": args.lake, "was": before,
+                              "current": store.current_version()}))
+        elif args.cmd == "schema":
+            from .state.manifest import LakeStore
+
+            store = LakeStore(args.lake)
+            reg = store.load_registry()
+            for i, ch in enumerate(reg.changes):
+                print(json.dumps({"version": i + 1, **ch.to_json()}))
+            print(json.dumps({"latest_version": reg.latest_version,
+                              "columns": reg.schema_for(
+                                  reg.latest_version).names}))
         elif args.cmd == "history":
             from .pipelines.history import key_history
 
