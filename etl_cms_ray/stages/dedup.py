@@ -165,6 +165,8 @@ def _pair_jaccard(batch: pa.Table, k: int, *, fallback_whole_text: bool,
     ])
     grams, counts = _window_hashes(both, k, fallback_whole_text)
     rid = np.repeat(np.arange(2 * n), counts)
+    # pandas hash dedup + hash merge beat a two-lexsort numpy rewrite
+    # here (121 vs 215 ms/4096-pair batch, measured r4) — keep them
     df = pd.DataFrame({"rid": rid, "gh": grams.view(np.int64)}).drop_duplicates()
     pid = df["rid"].to_numpy() % n
     side = df["rid"].to_numpy() // n
