@@ -60,3 +60,34 @@ def test_cc_distributed_path_matches_local():
     local = _labels(pairs)
     dist = _labels(pairs, driver_threshold=0, max_rounds=16)
     assert local == dist
+
+
+def test_cc_local_kernel_matches_bruteforce():
+    """Hypothesis-style randomized sweep (fixed seeds, Ray-free): the
+    driver-side hook+compress kernel labels every node with the true
+    min reachable id, checked against an O(V*E) relaxation reference."""
+    import numpy as np
+
+    from etl_cms_ray.stages.cluster import _cc_local
+
+    for seed in range(40):
+        rng = np.random.default_rng(seed)
+        m = int(rng.integers(1, 60))
+        src = rng.integers(0, 40, m)
+        dst = rng.integers(0, 40, m)
+        t = _cc_local(np.concatenate([src, dst]),
+                      np.concatenate([dst, src]))
+        got = dict(zip(t["node"].to_pylist(), t["label"].to_pylist()))
+        # brute force: repeatedly relax labels over the edge list
+        nodes = sorted(set(src.tolist()) | set(dst.tolist()))
+        lab = {v: v for v in nodes}
+        for _ in range(len(nodes)):
+            changed = False
+            for a, b in zip(src.tolist(), dst.tolist()):
+                lo = min(lab[a], lab[b])
+                if lab[a] != lo or lab[b] != lo:
+                    lab[a] = lab[b] = lo
+                    changed = True
+            if not changed:
+                break
+        assert got == lab, seed
