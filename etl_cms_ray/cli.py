@@ -227,6 +227,13 @@ def main(argv: list[str] | None = None) -> int:
     pcnt.add_argument("--version", type=int, default=None,
                       help="snapshot version (default current)")
 
+    pmm = sub.add_parser("minmax", help="exact MIN/MAX of a column, "
+                         "zone-map-served (only live-delta MOR "
+                         "partitions and stats-less columns fold)")
+    pmm.add_argument("--lake", required=True)
+    pmm.add_argument("--column", required=True)
+    pmm.add_argument("--version", type=int, default=None)
+
     pmt = sub.add_parser("meta", help="queryable metadata tables: one "
                          "JSON line per row of files | partitions | "
                          "snapshots (manifest/lineage only, zero data "
@@ -604,6 +611,14 @@ def main(argv: list[str] | None = None) -> int:
             for row in key_history(args.lake, args.repo,
                                    args.path).to_pylist():
                 print(json.dumps(row, default=str))
+        elif args.cmd == "minmax":
+            from .pipelines.meta import fast_minmax
+
+            lo, hi = fast_minmax(args.lake, args.column,
+                                 version=args.version)
+            print(json.dumps({"lake": args.lake, "column": args.column,
+                              "version": args.version, "min": lo,
+                              "max": hi}, default=str))
         elif args.cmd == "count":
             from .pipelines.meta import fast_count
 
