@@ -1102,13 +1102,15 @@ def purge_history(lake_root: str, repo: str, path: str | None = None,
                             new_deltas.append(d)
                     ps.deltas = new_deltas
                 if hit:
-                    # dictionary stats naming the subject are themselves
-                    # retained personal data; drop to "unknown" (valid
-                    # conservative semantics) rather than keep the name
-                    for col in ("repo", "path"):
-                        st = ps.stats.get(col)
-                        if isinstance(st, dict):
-                            ps.stats.pop(col, None)
+                    # ALL stats of a rewritten partition are stale: the
+                    # dictionary stats name the subject (retained
+                    # personal data) and the numeric [min,max] zone maps
+                    # were computed over the pre-purge rows, so a later
+                    # zone-map-served MIN/MAX (fast_minmax) could report
+                    # the purged subject's extremes as live values.
+                    # Unknown is valid conservative semantics — readers
+                    # fold the partition instead of trusting the map.
+                    ps.stats = {}
                     changed.add(pid)
             if changed:
                 store._write_manifest(m, expect_version=v,

@@ -188,9 +188,10 @@ def fast_count(lake_root: str, version: int | None = None) -> int:
         return known
     registry = store.load_registry()
     reg_json = registry.to_json()
-    schema_version = max(
-        (ps.schema_version for ps in manifest.partitions.values()),
-        default=registry.latest_version)
+    # Promote folded partitions to the REGISTRY's latest version, the
+    # same target read_lake uses — a column added by schema evolution
+    # after the last write must surface its backfill default here too.
+    schema_version = registry.latest_version
 
     def fold_count(batch: pa.Table) -> pa.Table:
         from ..schema import SchemaRegistry
@@ -243,9 +244,8 @@ def fast_minmax(lake_root: str, column: str,
         return lo, hi
     registry = store.load_registry()
     reg_json = registry.to_json()
-    schema_version = max(
-        (ps.schema_version for ps in manifest.partitions.values()),
-        default=registry.latest_version)
+    # registry.latest_version, matching read_lake (see fast_count).
+    schema_version = registry.latest_version
 
     def fold_minmax(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -139,8 +139,23 @@ def interval_event_join(
         arr = t[name]
         return arr if arr.type == want else arr.cast(want)
 
+    def _drop_null_keys(t: pa.Table, on_col: str) -> pa.Table:
+        # SQL inner-join semantics: NULL by-keys never match (and a NULL
+        # event time has no window).  Dropping them here also keeps the
+        # kernel's np.unique safe — None-bearing object arrays raise on
+        # sort and nullable-int NaNs would make null keys match each
+        # other, both diverging from the BETWEEN-join oracle.
+        import pyarrow.compute as pc
+
+        if by in t.column_names:
+            t = t.filter(pc.is_valid(t[by]))
+        if on_col in t.column_names and t.num_rows:
+            t = t.filter(pc.is_valid(t[on_col]))
+        return t
+
     def prep_left(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
+        t = _drop_null_keys(t, on)
         n = t.num_rows
         cols = {c: _col(t, c, l_types[c]) for c in l_cols}
         for c in r_vals:
@@ -151,6 +166,7 @@ def interval_event_join(
 
     def prep_right(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
+        t = _drop_null_keys(t, on)
         n = t.num_rows
         cols = {c: pa.nulls(n, type=l_types[c]) for c in l_cols}
         cols[by] = _col(t, by, r_types[by])  # by rides in the left slot

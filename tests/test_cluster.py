@@ -62,6 +62,22 @@ def test_cc_distributed_path_matches_local():
     assert local == dist
 
 
+def test_cc_paths_agree_on_schema_for_non_int64_input():
+    # both paths normalize node ids through to_edges' int64 cast, so
+    # crossing driver_threshold must never change the output schema
+    # (dtype-drift guard, CLAUDE.md rule 5a / r4 ADVICE)
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int32()),
+                  "b": pa.array([2, 3, 9], pa.int32())})
+    fast = connected_components(rd.from_arrow(t))
+    slow = connected_components(rd.from_arrow(t), driver_threshold=0)
+    fa = pa.concat_tables([b for b in fast.iter_batches(batch_format="pyarrow")])
+    sa = pa.concat_tables([b for b in slow.iter_batches(batch_format="pyarrow")])
+    assert fa.schema.field("node").type == sa.schema.field("node").type == pa.int64()
+    assert fa.schema.field("label").type == sa.schema.field("label").type == pa.int64()
+    key = lambda r: r["node"]  # noqa: E731
+    assert sorted(fa.to_pylist(), key=key) == sorted(sa.to_pylist(), key=key)
+
+
 def test_cc_local_kernel_matches_bruteforce():
     """Hypothesis-style randomized sweep (fixed seeds, Ray-free): the
     driver-side hook+compress kernel labels every node with the true

@@ -168,3 +168,41 @@ def test_type_mismatch_fails_at_plan_time(ray_session):
             on="t", by="k", lower=0, upper=1,
             left_schema=lt.schema, right_schema=rt.schema,
         )
+
+
+@pytest.mark.fast
+def test_null_keys_dropped_inner_join_semantics(ray_session):
+    """NULL by-keys and NULL on-values never match (SQL inner-join /
+    BETWEEN-oracle semantics): string-key Nones must not crash the
+    kernel's np.unique sort and nullable-int NaN keys must not match
+    each other (r4 ADVICE low)."""
+    lt = pa.table({
+        "k": pa.array(["a", None, "b", None], pa.string()),
+        "t": pa.array([10, 10, None, 10], pa.int64()),
+        "lv": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array(["a", None, "b"], pa.string()),
+        "t": pa.array([12, 12, 12], pa.int64()),
+        "rv": pa.array([100, 200, 300], pa.int64()),
+    })
+    out = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="t", by="k", lower=0, upper=5, num_partitions=4,
+    ).to_pandas()
+    # only ("a",10)x("a",12) survives: null keys on either side and the
+    # null left timestamp all drop
+    assert out[["lv", "rv"]].values.tolist() == [[1, 100]]
+
+    # nullable INT keys: the null-key rows drop instead of NaN-matching
+    lt2 = pa.table({"k": pa.array([1, None], pa.int64()),
+                    "t": pa.array([10, 10], pa.int64()),
+                    "lv": pa.array([1, 2], pa.int64())})
+    rt2 = pa.table({"k": pa.array([1, None], pa.int64()),
+                    "t": pa.array([11, 11], pa.int64()),
+                    "rv": pa.array([5, 6], pa.int64())})
+    out2 = interval_event_join(
+        ray.data.from_arrow(lt2), ray.data.from_arrow(rt2),
+        on="t", by="k", lower=0, upper=5, num_partitions=4,
+    ).to_pandas()
+    assert out2[["lv", "rv"]].values.tolist() == [[1, 5]]

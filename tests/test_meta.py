@@ -152,3 +152,50 @@ def test_fast_minmax_cow_mor_and_missing_stats(ray_session, tmp_path):
     m = LakeStore(mor).load_manifest()
     assert any(ps.deltas for ps in m.partitions.values())
     assert fast_minmax(mor, "size") == exact(mor, "size")
+
+
+def test_fast_minmax_exact_after_gdpr_purge(ray_session, tmp_path):
+    """A gdpr purge rewrites subject-bearing files; the rewritten
+    partitions' zone maps are stale (computed over pre-purge rows), so
+    they must be invalidated — fast_minmax must never report the purged
+    subject's extremes as live values (r4 ADVICE high)."""
+    from etl_cms_ray.pipelines.ingest import read_lake
+    from etl_cms_ray.pipelines.maintenance import purge_history
+    from etl_cms_ray.pipelines.meta import fast_minmax
+
+    ev = make_events(make_repos(4, 8), n_epochs=4, events_per_epoch=50)
+    root = str(tmp_path / "fmm_purge")
+    ingest(ray.data.from_arrow(ev), EngineConfig(lake_root=root,
+                                                 num_partitions=8))
+    live = read_lake(root, columns=["repo", "size"]).to_pandas()
+    # purge the repo holding the GLOBAL max so a stale zone map would
+    # provably report a value no live row holds
+    victim = live.loc[live["size"].idxmax(), "repo"]
+    purge_history(root, victim)
+    kept = live[live["repo"] != victim]["size"]
+    assert fast_minmax(root, "size") == (kept.min(), kept.max())
+    live2 = read_lake(root, columns=["repo"]).to_pandas()
+    assert victim not in set(live2["repo"])
+
+
+def test_fast_minmax_backfill_default_after_schema_add(ray_session, tmp_path):
+    """A column added by schema evolution AFTER the last write must
+    surface its backfill default through fast_minmax (promotion at
+    registry.latest_version, matching read_lake — r4 ADVICE low)."""
+    from etl_cms_ray.pipelines.ingest import read_lake
+    from etl_cms_ray.pipelines.meta import fast_count, fast_minmax
+    from etl_cms_ray.schema import SchemaChange
+
+    ev = make_events(make_repos(4, 8), n_epochs=2, events_per_epoch=50)
+    root = str(tmp_path / "fmm_evolve")
+    ingest(ray.data.from_arrow(ev), EngineConfig(lake_root=root,
+                                                 num_partitions=8))
+    store = LakeStore(root)
+    reg = store.load_registry()
+    reg.changes.append(SchemaChange(epoch=99, change="add_column",
+                                    column="stars", type_name="int64",
+                                    default=7))
+    store.save_registry(reg)
+    df = read_lake(root, columns=["stars"]).to_pandas()["stars"]
+    assert fast_minmax(root, "stars") == (df.min(), df.max()) == (7, 7)
+    assert fast_count(root) == len(df)
