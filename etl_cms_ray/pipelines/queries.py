@@ -6711,6 +6711,73 @@ FROM purchases p JOIN clicks c
 """
 
 
+def events_interval_join_left(sf_dir: str) -> "rd.Dataset":
+    """LEFT-OUTER windowed interval join (stages/intervaljoin.py
+    how='left'): every purchase paired with ALL clicks of the same user
+    inside the preceding hour — AND every purchase with NO click in the
+    window retained once with null click columns, the conversion-funnel
+    "unattributed purchase" shape the inner variant drops.  Oracle =
+    the plain BETWEEN LEFT JOIN."""
+    from ..stages.intervaljoin import interval_event_join
+
+    purchases = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+                ["event_id", "user_id", "ts"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def click_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        cents = pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5))
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "click_event_id": t["event_id"],
+            "click_value": pc.divide(cents, 100.0),
+        })
+
+    clicks = _events(sf_dir, ["event_id", "user_id", "ts", "event_type",
+                              "value"]).map_batches(
+        click_prep, batch_format="pyarrow")
+    ev_schema = _pq_cols_schema(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = interval_event_join(
+        purchases, clicks, on="ts", by="user_id",
+        lower=np.timedelta64(-3600, "s"), upper=np.timedelta64(0, "s"),
+        how="left",
+        left_schema=ev_schema,
+        right_schema=pa.schema(
+            [("user_id", ev_schema.field("user_id").type),
+             ("ts", ev_schema.field("ts").type),
+             ("click_event_id", pa.int64()),
+             ("click_value", pa.float64())]
+        ),
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            [("click_ts" if c == "ts_r" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_INTERVAL_JOIN_LEFT = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, event_id AS click_event_id,
+         floor(value * 100 + 0.5) / 100 AS click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+       c.click_event_id, c.click_value
+FROM purchases p LEFT JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+
 def events_value_bands(sf_dir: str) -> "rd.Dataset":
     """Broadcast interval (range) join (stages/rangejoin.py): every event
     matched to the [lo, hi) value band containing it — one vectorized
@@ -7429,6 +7496,11 @@ GROUP BY g.doc_id, p.perm
 
 
 def dedup_simhash_pairs(sf_dir: str) -> "rd.Dataset":
+    """Banded simhash near-dup pairs over the planted corpus.  Oracle-
+    checked EXACTLY (not rows-only): 4x16-bit banding has exact recall
+    at hamming<=3 by pigeonhole, so `_simhash_pairs_oracle_sql`'s
+    quadratic bit_count sweep over the bit-exact SQL signature kernel
+    must reproduce the full pair set row-for-row."""
     return simhash_pairs(_docs_with_near_dups(sf_dir), max_hamming=3, concurrency=2)
 
 
@@ -7461,10 +7533,16 @@ def dedup_simhash_signatures(sf_dir: str) -> "rd.Dataset":
     return ds.map_batches(sig_batch, batch_format="pyarrow")
 
 
-def _simhash_sig_oracle_sql(k: int = 5, mod: int = 20) -> str:
+def _simhash_sig_oracle_sql(k: int = 5, mod: int = 20,
+                            docs_sql: str | None = None,
+                            select: str | None = None) -> str:
     """SQL mirror of dedup_simhash_signatures: crc32 via a nested
     bitwise fold, uint64 recomposition, per-bit majority vote — all on
-    exact integer arithmetic (HUGEINT where 2^63..2^64 values occur)."""
+    exact integer arithmetic (HUGEINT where 2^63..2^64 values occur).
+    ``docs_sql`` overrides the doc-slice CTE body (default: the 1-in-mod
+    slice); ``select`` overrides the final projection over the ``sigs``
+    relation (doc_id, simhash) — the hook `_simhash_pairs_oracle_sql`
+    uses to turn the same signature kernel into an all-pairs oracle."""
     crc = """
 CAST(xor(list_reduce(
   list_prepend(CAST(4294967295 AS BIGINT), {bytes}),
@@ -7477,9 +7555,13 @@ CAST(xor(list_reduce(
                   "j -> CAST(ord(substr(text, pos + j, 1)) AS BIGINT))")
     lo_bytes = ("list_transform(generate_series(0, 7), "
                 "j -> (lo // CAST(power(256, j) AS BIGINT)) % 256)")
+    if docs_sql is None:
+        docs_sql = f"SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0"
+    if select is None:
+        select = "SELECT doc_id, simhash FROM sigs"
     return f"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0
+  {docs_sql}
 ), pos AS (
   SELECT doc_id, text,
          unnest(generate_series(1, length(text) - {k - 1})) AS pos
@@ -7502,13 +7584,41 @@ WITH docs AS (
          SUM(CASE WHEN vote > 0 THEN CAST(power(2, bit) AS HUGEINT)
                   ELSE 0 END) AS sim
   FROM bits GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+         CAST(CASE WHEN sim >= 9223372036854775808
+                   THEN sim - 18446744073709551616 ELSE sim END
+              AS BIGINT) AS simhash
+  FROM agg
 )
-SELECT doc_id,
-       CAST(CASE WHEN sim >= 9223372036854775808
-                 THEN sim - 18446744073709551616 ELSE sim END
-            AS BIGINT) AS simhash
-FROM agg
+{select}
 """
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """Exact all-pairs oracle for dedup_simhash_pairs: signatures come
+    from the SAME bit-exact crc32/vote kernel as the signature oracle,
+    computed over the full planted near-dup corpus (documents ∪ 30
+    '+200000 … near dup tail' copies), then EVERY (a<b) pair within
+    hamming<=3 via bit_count(xor(...)).  The banded Ray path (4 x
+    16-bit bands) has exact recall at this radius by pigeonhole — 3
+    differing bits cannot touch all 4 bands — so any missed or extra
+    pair, skew-cap drop, or signature drift is a hard row/hash
+    mismatch.  Affordable because the documents table is corpus-capped
+    (500 docs at every sf), so the per-byte fold runs 530x."""
+    docs_sql = (
+        "SELECT doc_id, text FROM documents\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 200000 AS doc_id, text || ' near dup tail'"
+        " AS text FROM documents WHERE doc_id < 30"
+    )
+    select = f"""
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+"""
+    return _simhash_sig_oracle_sql(docs_sql=docs_sql, select=select)
 
 
 def dedup_ngram_jaccard(sf_dir: str) -> "rd.Dataset":
@@ -8846,13 +8956,91 @@ FROM h
 def ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """LSH top-k with a per-query ``recall`` column vs the exact
     brute-force answer (both final results are k x #queries rows, so the
-    comparison is a tiny driver-side merge — the scans stay distributed)."""
+    comparison is a tiny driver-side merge — the scans stay distributed).
+    Both rankings run the floor-quantized (1e-4 grid) score discipline,
+    which makes the WHOLE pipeline SQL-expressible: the oracle
+    recomputes hyperplane sign buckets from the embedded
+    RandomState(11) plane constants, multi-probes hamming<=3 via
+    bit_count(xor(...)), and re-ranks candidates + exact top-5 on the
+    same quantized grid — so bucket drift, probe-mask drift or ranking
+    drift is a hard hash mismatch."""
     return _approx_topk_with_recall(
         sf_dir,
         lambda ds, q_ids, q_vecs: lsh_topk(
-            ds, q_ids, q_vecs, k=5, bits=8, probe_radius=3, concurrency=2
+            ds, q_ids, q_vecs, k=5, bits=8, probe_radius=3, concurrency=2,
+            round_digits=4,
         ),
+        round_digits=4,
     )
+
+
+def _lsh_topk_oracle_sql(bits: int = 8, dim: int = 64, seed: int = 11,
+                         probe_radius: int = 3, k: int = 5) -> str:
+    """SQL mirror of ann_lsh_topk (stages/ann.lsh_topk + the recall
+    harness): the RandomState(seed) hyperplane constants are embedded
+    verbatim (Python repr round-trips float64 exactly); bucket bit b is
+    the sign of the plane-b inner product (sign is invariant under the
+    Ray side's L2 normalization, so the oracle skips it); multi-probe
+    candidacy is hamming<=radius against ANY query bucket via
+    bit_count(xor(...)); candidates are then scored against EVERY query
+    (the BucketScorer mask is any-query, not per-query) minus self;
+    approx and exact rankings both run the floor-quantized 1e-4 grid
+    with neighbor_id tie-break; recall = approx hits / exact rows."""
+    planes = np.random.RandomState(seed).standard_normal((bits, dim))
+    rows = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            b, ", ".join(repr(float(w)) for w in planes[b]))
+        for b in range(bits)
+    )
+    q = "floor((list_cosine_similarity(e.e, qb.qe)) * 10000 + 0.5) / 10000"
+    return f"""
+WITH planes(bit, w) AS (VALUES
+  {rows}
+), emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), buck AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_inner_product(e, p.w) > 0
+                       THEN CAST(power(2, p.bit) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM emb, planes p GROUP BY vec_id
+), qb AS (
+  SELECT b.vec_id AS query_id, b.bucket AS qbucket, e.e AS qe
+  FROM buck b JOIN emb e USING (vec_id) WHERE b.vec_id < 3
+), cand AS (
+  SELECT DISTINCT b.vec_id FROM buck b, qb
+  WHERE bit_count(xor(b.bucket, qb.qbucket)) <= {probe_radius}
+), ascore AS (
+  SELECT qb.query_id, e.vec_id AS neighbor_id, {q} AS score
+  FROM emb e JOIN cand c ON e.vec_id = c.vec_id, qb
+  WHERE e.vec_id <> qb.query_id
+), approx AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS rank
+  FROM ascore
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) <= {k}
+), escore AS (
+  SELECT qb.query_id, e.vec_id AS neighbor_id, {q} AS score
+  FROM emb e, qb WHERE e.vec_id <> qb.query_id
+), exact AS (
+  SELECT query_id, neighbor_id
+  FROM escore
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) <= {k}
+), rec AS (
+  SELECT a.query_id,
+         CAST(count(x.neighbor_id) AS DOUBLE)
+         / (SELECT count(*) FROM exact e2
+            WHERE e2.query_id = a.query_id) AS recall
+  FROM approx a LEFT JOIN exact x
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT a.query_id, a.neighbor_id, a.score, a.rank, r.recall
+FROM approx a JOIN rec r ON a.query_id = r.query_id
+"""
 
 
 def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
@@ -8927,10 +9115,13 @@ def cdc_incremental_ann(sf_dir: str) -> pd.DataFrame:
     return _approx_topk_with_recall(sf_dir, approx)
 
 
-def _approx_topk_with_recall(sf_dir: str, approx_fn) -> pd.DataFrame:
+def _approx_topk_with_recall(sf_dir: str, approx_fn,
+                             round_digits: int | None = None) -> pd.DataFrame:
     """Shared harness for approximate top-k catalog entries: run the
     approximate operator and exact brute force over the same distributed
-    scan, then annotate per-query recall (tiny driver-side merge)."""
+    scan, then annotate per-query recall (tiny driver-side merge).
+    ``round_digits`` quantizes the EXACT ranking too (oracle-bearing
+    entries must rank both sides on the same grid)."""
     q = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", 3)],
@@ -8941,7 +9132,7 @@ def _approx_topk_with_recall(sf_dir: str, approx_fn) -> pd.DataFrame:
     approx = approx_fn(ds, q_ids, q_vecs).to_pandas()
     ds2 = _rpc(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     exact = brute_force_topk(
-        ds2, q_ids, q_vecs, k=5, concurrency=2, round_digits=None
+        ds2, q_ids, q_vecs, k=5, concurrency=2, round_digits=round_digits
     ).to_pandas()
     exact_sets = exact.groupby("query_id")["neighbor_id"].agg(set)
     hit = [
@@ -11493,6 +11684,7 @@ QUERIES = {
     # the r01-r03 driver-green set (all still pinned by the local
     # sf0.001 mirror sweep in tests/test_queries_duckdb.py)
     "events_interval_join": events_interval_join,
+    "events_interval_join_left": events_interval_join_left,
     "dedup_minhash_signatures": dedup_minhash_signatures,
     "dedup_simhash_signatures": dedup_simhash_signatures,
     "cdc_fast_count": cdc_fast_count,
@@ -11709,8 +11901,10 @@ ORACLE_SQL = {
     "approx_quantiles_sketch": _SQL_APPROX_QUANTILES,
     "events_asof_join": _SQL_ASOF_JOIN,
     "events_interval_join": _SQL_INTERVAL_JOIN,
+    "events_interval_join_left": _SQL_INTERVAL_JOIN_LEFT,
     "dedup_minhash_signatures": _minhash_sig_oracle_sql(),
     "dedup_simhash_signatures": _simhash_sig_oracle_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
     "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
     "cdc_fast_count": _SQL_FAST_COUNT,
     "events_value_bands": _SQL_VALUE_BANDS,
@@ -11748,6 +11942,7 @@ ORACLE_SQL = {
     "embedding_norms": _SQL_EMBEDDING_NORMS,
     # formerly rows-only, now hard-checked
     "lang_id_pred": _lang_id_oracle_sql(),
+    "ann_lsh_topk": _lsh_topk_oracle_sql(),
     "dedup_cosine_pairs": _SQL_COSINE_PAIRS,
     "dedup_semantic_pairs": _SQL_SEMDEDUP_PAIRS,
     "cdc_gdpr_purge": _SQL_GDPR_PURGE,

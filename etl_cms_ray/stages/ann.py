@@ -233,11 +233,15 @@ def lsh_topk(
     emb_col: str = "embedding",
     concurrency: int = 4,
     probe_radius: int = 1,
+    round_digits: int | None = None,
 ) -> "ray.data.Dataset":
     """Approximate top-k via multi-probe hyperplane LSH: score only rows
     whose sign-bucket is within hamming ``probe_radius`` of a query's
     bucket.  Candidate fraction ~ sum_{i<=r} C(bits,i) / 2^bits per query
-    (recall < 1); radius 0 is classic single-bucket LSH."""
+    (recall < 1); radius 0 is classic single-bucket LSH.
+    ``round_digits`` applies the brute_force_topk floor-quantized
+    ranking discipline (score desc on the 10^-d grid, neighbor_id asc)
+    so the result is bit-comparable against a SQL oracle."""
     dim = np.asarray(query_vecs).shape[1]
     planes = np.random.RandomState(seed).standard_normal((bits, dim))
     q_buckets = hyperplane_buckets(_normalize(np.asarray(query_vecs, dtype=np.float64)), planes)
@@ -247,9 +251,10 @@ def lsh_topk(
     )
 
     class BucketScorer(BatchScorer):
-        def __init__(self, queries_ref, k, id_col, emb_col):
+        def __init__(self, queries_ref, k, id_col, emb_col, round_digits):
             q = ray.get(queries_ref)
-            super().__init__({"ids": q["ids"], "vecs": q["vecs"]}, k, id_col, emb_col)
+            super().__init__({"ids": q["ids"], "vecs": q["vecs"]}, k, id_col,
+                             emb_col, round_digits=round_digits)
             self.planes = q["planes"]
             self.q_buckets = np.asarray(q["buckets"], dtype=np.uint64)
             self.radius = int(q["probe_radius"])
@@ -271,14 +276,14 @@ def lsh_topk(
     partials = vectors.map_batches(
         BucketScorer,
         fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k, id_col=id_col,
-                                   emb_col=emb_col),
+                                   emb_col=emb_col, round_digits=round_digits),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, concurrency),
     )
 
     return partials.groupby("query_id").map_groups(
-        _global_topk_fn(k), batch_format="pandas"
+        _global_topk_fn(k, round_digits), batch_format="pandas"
     )
 
 

@@ -95,15 +95,24 @@ def interval_event_join(
     num_partitions: int = 64,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """INNER interval join: all (left, right) pairs with equal ``by``
-    keys and ``left.on + lower <= right.on <= left.on + upper``.
+    """Interval join: all (left, right) pairs with equal ``by`` keys and
+    ``left.on + lower <= right.on <= left.on + upper``.
+
+    ``how="left"`` additionally emits every unmatched left row once with
+    null right columns — the conversion-funnel "no click in the
+    window" analysis shape (SQL ``LEFT JOIN ... ON k AND BETWEEN``
+    semantics: left rows with NULL key/time are retained as unmatched,
+    they just can never match).
 
     ``lower``/``upper`` must be addable to the ``on`` column in numpy
     (``np.timedelta64`` for timestamps, plain numbers for numerics) and
     satisfy ``lower <= upper``.  Right's non-key columns are suffixed on
     collision; the right ``on`` value is exposed as ``{on}{suffix}``.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     l_schema = (left_schema or getattr(left, "_cogroup_schema", None)
                 or _ray_schema_to_arrow(left.schema()))
     r_schema = (right_schema or getattr(right, "_cogroup_schema", None)
@@ -155,7 +164,9 @@ def interval_event_join(
 
     def prep_left(t: pa.Table) -> pa.Table:
         single_threaded_kernels()
-        t = _drop_null_keys(t, on)
+        if how == "inner":
+            # left-outer keeps null-key rows: they surface as unmatched
+            t = _drop_null_keys(t, on)
         n = t.num_rows
         cols = {c: _col(t, c, l_types[c]) for c in l_cols}
         for c in r_vals:
@@ -185,25 +196,37 @@ def interval_event_join(
 
     def merge(g: pa.Table) -> pa.Table:
         single_threaded_kernels()
+        import pyarrow.compute as pc
+
         if g.num_rows == 0 or "__side" not in g.column_names:
             return _empty_out()
         side = g["__side"].to_numpy(zero_copy_only=False)
         lmask = side == 0
-        if not lmask.any() or lmask.all():
+        if not lmask.any():
             return _empty_out()
         lt = g.filter(pa.array(lmask))
+        if lmask.all():
+            # no right rows in this partition: inner emits nothing,
+            # left-outer emits every left row (already null-padded)
+            return lt.select(out_cols) if how == "left" else _empty_out()
         rt = g.filter(pa.array(~lmask))
 
+        # kernel runs on the null-free left subset (left-outer retains
+        # null-key rows in lt; they can never match)
+        lvalid = np.logical_and(
+            pc.is_valid(lt[by]).to_numpy(zero_copy_only=False),
+            pc.is_valid(lt[on]).to_numpy(zero_copy_only=False))
+        vidx = np.flatnonzero(lvalid)
         rep, rsel = match_window_pairs(
-            lt[by].to_numpy(zero_copy_only=False),
-            lt[on].to_numpy(zero_copy_only=False),
+            lt[by].take(pa.array(vidx)).to_numpy(zero_copy_only=False),
+            lt[on].take(pa.array(vidx)).to_numpy(zero_copy_only=False),
             rt[by].to_numpy(zero_copy_only=False),
             rt[ren[on]].to_numpy(zero_copy_only=False),
             lower, upper,
         )
         if len(rep) == 0:
-            return _empty_out()
-        lidx = pa.array(rep)
+            return lt.select(out_cols) if how == "left" else _empty_out()
+        lidx = pa.array(vidx[rep])
         ridx = pa.array(rsel)
 
         cols = {}
@@ -211,7 +234,15 @@ def interval_event_join(
             cols[c] = lt[c].take(lidx)
         for c in out_r_cols:
             cols[c] = rt[c].take(ridx)
-        return pa.table({c: cols[c] for c in out_cols})
+        matched = pa.table({c: cols[c] for c in out_cols})
+        if how != "left":
+            return matched
+        hit = np.zeros(lt.num_rows, dtype=bool)
+        hit[vidx[rep]] = True
+        if hit.all():
+            return matched
+        unmatched = lt.filter(pa.array(~hit)).select(out_cols)
+        return pa.concat_tables([matched, unmatched])
 
     out = u.groupby("__jp").map_groups(merge, batch_format="pyarrow")
     out._cogroup_schema = pa.schema([(c, out_types[c]) for c in out_cols])

@@ -206,3 +206,50 @@ def test_null_keys_dropped_inner_join_semantics(ray_session):
         on="t", by="k", lower=0, upper=5, num_partitions=4,
     ).to_pandas()
     assert out2[["lv", "rv"]].values.tolist() == [[1, 5]]
+
+
+@pytest.mark.fast
+def test_left_outer_retains_unmatched_and_null_keys(ray_session):
+    """how='left': unmatched left rows (including null-key/null-ts left
+    rows, per SQL LEFT JOIN ON semantics) emit once with null right
+    columns; matched rows are identical to the inner join."""
+    lt = pa.table({
+        "k": pa.array(["a", "b", None, "c"], pa.string()),
+        "t": pa.array([10, 10, 10, None], pa.int64()),
+        "lv": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    rt = pa.table({
+        "k": pa.array(["a", "z"], pa.string()),
+        "t": pa.array([12, 12], pa.int64()),
+        "rv": pa.array([100, 300], pa.int64()),
+    })
+    out = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="t", by="k", lower=0, upper=5, num_partitions=4, how="left",
+    ).to_pandas().sort_values("lv").reset_index(drop=True)
+    assert len(out) == 4  # every left row exactly once here
+    assert out["lv"].tolist() == [1, 2, 3, 4]
+    assert out.loc[0, "rv"] == 100 and out.loc[0, "t_r"] == 12
+    assert out.loc[1:, "rv"].isna().all()
+    assert out.loc[1:, "t_r"].isna().all()
+
+    # a key with multiple matches duplicates the left row per match,
+    # and the inner join is exactly the left join minus null-rv rows
+    rt2 = pa.table({
+        "k": pa.array(["a", "a"], pa.string()),
+        "t": pa.array([11, 12], pa.int64()),
+        "rv": pa.array([7, 8], pa.int64()),
+    })
+    left2 = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt2),
+        on="t", by="k", lower=0, upper=5, num_partitions=4, how="left",
+    ).to_pandas()
+    inner2 = interval_event_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt2),
+        on="t", by="k", lower=0, upper=5, num_partitions=4,
+    ).to_pandas()
+    assert len(left2) == 5 and len(inner2) == 2
+    got = left2.dropna(subset=["rv"]).sort_values(["lv", "rv"]).reset_index(drop=True)
+    exp = inner2.sort_values(["lv", "rv"]).reset_index(drop=True)
+    assert got[["lv"]].astype("int64").equals(exp[["lv"]].astype("int64"))
+    assert got["rv"].astype("int64").tolist() == exp["rv"].astype("int64").tolist()
