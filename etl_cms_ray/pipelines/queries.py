@@ -11624,12 +11624,42 @@ FROM events""")
 
 
 QUERIES = {
-    # --- driver evidence routing (VERDICT r3 next-round #3): the
-    # driver checks list(QUERIES)[:50] per round, so the head is
-    # graph_pagerank (re-proving the BIGINT oracle fix) followed by
-    # 49 oracle-bearing entries that have never had a driver row
-    # (r01..r03 union).  Entries 51+ are the remaining never-checked
-    # set, then everything already driver-green.
+    # --- driver evidence routing (scripts/rotate_queries.py):
+    # the driver checks list(QUERIES)[:50] per round, so
+    # never-driver-checked oracle-bearing entries lead.
+    "doc_fingerprints": doc_fingerprints,
+    "dedup_cosine_pairs": dedup_cosine_pairs,
+    "lang_id_pred": lang_id_pred,
+    "approx_distinct_sketch": approx_distinct_sketch,
+    "ann_lsh_topk": ann_lsh_topk,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "events_interval_join": events_interval_join,
+    "events_interval_join_left": events_interval_join_left,
+    "dedup_minhash_signatures": dedup_minhash_signatures,
+    "dedup_simhash_signatures": dedup_simhash_signatures,
+    "cdc_fast_count": cdc_fast_count,
+    "event_type_value_regression": event_type_value_regression,
+    "user_trailing_7d_value": user_trailing_7d_value,
+    "event_daily_anomaly": event_daily_anomaly,
+    "user_running_distinct": user_running_distinct,
+    "cdc_debezium_export": cdc_debezium_export,
+    "ab_test_value": ab_test_value,
+    "event_value_benford": event_value_benford,
+    "cdc_partition_evolution": cdc_partition_evolution,
+    "customer_fuzzy_pairs": customer_fuzzy_pairs,
+    "lineitem_skyline": lineitem_skyline,
+    "cdc_incremental_fuzzy": cdc_incremental_fuzzy,
+    "graph_bfs_hops": graph_bfs_hops,
+    "events_profile": events_profile,
+    "customer_fuzzy_pairs_k2": customer_fuzzy_pairs_k2,
+    "customer_fuzzy_clusters": customer_fuzzy_clusters,
+    "graph_pagerank_personalized": graph_pagerank_personalized,
+    "cdc_incremental_minhash": cdc_incremental_minhash,
+    "embedding_pca_project": embedding_pca_project,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
+    "cdc_incremental_ann": cdc_incremental_ann,
+    "multimodal_video_frames": multimodal_video_frames,
     "graph_pagerank": graph_pagerank,
     "cdc_tag_read": cdc_tag_read,
     "doc_bigram_fluency": doc_bigram_fluency,
@@ -11647,6 +11677,8 @@ QUERIES = {
     "cdc_ivm_join": cdc_ivm_join,
     "cdc_materialized_view": cdc_materialized_view,
     "cdc_materialized_stats": cdc_materialized_stats,
+    # --- below the <=50 driver gate: remaining never-checked, then the
+    # driver-green set (all pinned by the local oracle sweep)
     "dedup_apply_best_docs": dedup_apply_best_docs,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_priority_by_flag": q12_priority_by_flag,
@@ -11680,36 +11712,6 @@ QUERIES = {
     "embedding_covariance": embedding_covariance,
     "cdc_compaction": cdc_compaction,
     "cdc_copartition_join": cdc_copartition_join,
-    # --- below the <=50 driver gate: never-checked remainder, then
-    # the r01-r03 driver-green set (all still pinned by the local
-    # sf0.001 mirror sweep in tests/test_queries_duckdb.py)
-    "events_interval_join": events_interval_join,
-    "events_interval_join_left": events_interval_join_left,
-    "dedup_minhash_signatures": dedup_minhash_signatures,
-    "dedup_simhash_signatures": dedup_simhash_signatures,
-    "cdc_fast_count": cdc_fast_count,
-    "event_type_value_regression": event_type_value_regression,
-    "user_trailing_7d_value": user_trailing_7d_value,
-    "event_daily_anomaly": event_daily_anomaly,
-    "user_running_distinct": user_running_distinct,
-    "cdc_debezium_export": cdc_debezium_export,
-    "ab_test_value": ab_test_value,
-    "event_value_benford": event_value_benford,
-    "cdc_partition_evolution": cdc_partition_evolution,
-    "customer_fuzzy_pairs": customer_fuzzy_pairs,
-    "lineitem_skyline": lineitem_skyline,
-    "cdc_incremental_fuzzy": cdc_incremental_fuzzy,
-    "graph_bfs_hops": graph_bfs_hops,
-    "events_profile": events_profile,
-    "customer_fuzzy_pairs_k2": customer_fuzzy_pairs_k2,
-    "customer_fuzzy_clusters": customer_fuzzy_clusters,
-    "graph_pagerank_personalized": graph_pagerank_personalized,
-    "cdc_incremental_minhash": cdc_incremental_minhash,
-    "embedding_pca_project": embedding_pca_project,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_pq_topk": ann_pq_topk,
-    "cdc_incremental_ann": cdc_incremental_ann,
-    "multimodal_video_frames": multimodal_video_frames,
     "decontaminate_docs": decontaminate_docs,
     "training_corpus": training_corpus,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -11759,9 +11761,6 @@ QUERIES = {
     "event_type_value_corr": event_type_value_corr,
     "cdc_zorder_scan": cdc_zorder_scan,
     "cdc_smart_scan": cdc_smart_scan,
-    "dedup_cosine_pairs": dedup_cosine_pairs,
-    "approx_distinct_sketch": approx_distinct_sketch,
-    "lang_id_pred": lang_id_pred,
     "cdc_lww_latest": cdc_lww_latest,
     "cdc_lww_tombstone": cdc_lww_tombstone,
     "cdc_first_occurrence": cdc_first_occurrence,
@@ -11819,9 +11818,6 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
     "dedup_minhash_pairs": dedup_minhash_pairs,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
-    "doc_fingerprints": doc_fingerprints,
-    "ann_lsh_topk": ann_lsh_topk,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
 }
