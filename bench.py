@@ -31,6 +31,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 #: scaling mode: replicate the event stream and measure ONE large ingest
 SCALE_MULT = int(os.environ.get("GRAFT_SCALE_MULT", "1"))
+#: with SCALE_MULT: synthesize the stream INSIDE the read stage
+#: (deterministic per-task generator, zero input storage) instead of
+#: materializing a replicated table up front — the headroom probe past
+#: the sandbox disk wall (VERDICT r4 #6; mult=96 died on materializing
+#: 32 GB of input, not on the pipeline)
+SCALE_STREAM = os.environ.get("GRAFT_SCALE_STREAM", "") not in ("", "0")
 
 
 def _derive_events(sf_dir: str, mult: int = 1):
@@ -109,6 +115,59 @@ def _derive_events(sf_dir: str, mult: int = 1):
     return ds.map_batches(to_events, batch_format="pyarrow")
 
 
+def _generated_events(n_events: int, block_rows: int = 131072):
+    """Deterministic change stream synthesized INSIDE read tasks — the
+    same shape as `_derive_events` (key = (repo, path), epochs 0..7,
+    ~700-byte python-file content) but a pure function of the row id:
+    no input table, no up-front materialization, no disk footprint
+    beyond the pipeline's own shuffle.  `ray.data.range` hands each
+    task an id block; the generator is one vectorized Arrow kernel, so
+    generation parallelizes exactly like a parquet scan would and the
+    8-vs-32-cpu scaling ratio stays a pipeline measurement."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def gen(t: pa.Table) -> pa.Table:
+        from etl_cms_ray.functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
+        import numpy as np
+
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        okey = ids // 4  # ~4 files per synthetic order
+        line = ids % 4
+        rep = okey % 512
+        repo = pc.binary_join_element_wise(
+            "repo-", pc.cast(pa.array(rep), pa.string()), "")
+        path = pc.binary_join_element_wise(
+            "src/f_", pc.cast(pa.array(okey), pa.string()),
+            "_", pc.cast(pa.array(line), pa.string()), ".py", "")
+        qty = pa.array((ids * 2654435761 % 50 + 1).astype(np.int64))
+        price = pa.array((ids * 40503 % 90000 + 1000).astype(np.int64))
+        seq = pa.array(okey * 16 + line)
+        base = pc.binary_join_element_wise(
+            "def item():\n    qty = ", pc.cast(qty, pa.string()),
+            "\n    price = ", pc.cast(price, pa.string()),
+            "\n    return qty * price\n", "")
+        content = pc.binary_join_element_wise(base, base, base, "# pad\n")
+        n = t.num_rows
+        return pa.table({
+            "repo": repo,
+            "path": path,
+            "op": pa.array(["insert"] * n),
+            "commit": pc.cast(seq, pa.string()),
+            "epoch": pa.array((okey % 8).astype(np.int64)),
+            "seq": seq,
+            "lang": pa.array(["py"] * n),
+            "content": content,
+        })
+
+    blocks = max(NUM_CPUS * 2, n_events // block_rows)
+    return rd.range(n_events, override_num_blocks=blocks).map_batches(
+        gen, batch_format="pyarrow")
+
+
 def _host_probe() -> dict:
     """~2 s host-phase fingerprint recorded into every bench JSON: the
     host shows multi-hour windows where parallel CPU delivery collapses
@@ -176,9 +235,19 @@ def run_bench() -> dict:
         applier_concurrency=pool,
         batch_size=32768,
     )
-    events = _derive_events(SF_DIR, mult=SCALE_MULT)
-    ev_mat = events.materialize()  # isolate derivation cost from ingest cost
-    n_events = ev_mat.count()
+    if SCALE_MULT > 1 and SCALE_STREAM:
+        # streaming-generator scaling: the stream never exists at rest —
+        # each rep re-derives it inside read tasks, so walls include
+        # generation (one vectorized kernel; it parallelizes like a scan)
+        import pyarrow.parquet as _pq
+
+        base_rows = _pq.read_metadata(f"{SF_DIR}/lineitem.parquet").num_rows
+        n_events = base_rows * SCALE_MULT
+        ev_mat = _generated_events(n_events)
+    else:
+        events = _derive_events(SF_DIR, mult=SCALE_MULT)
+        ev_mat = events.materialize()  # isolate derivation from ingest cost
+        n_events = ev_mat.count()
 
     if SCALE_MULT > 1:
         # scaling protocol: one large compute-bound ingest, min of 5 TIMED
@@ -224,7 +293,8 @@ def run_bench() -> dict:
               file=sys.stderr)
         shutil.rmtree(lake_root, ignore_errors=True)
         out = {
-            "metric": "cdc_ingest_wall_sec_scaled",
+            "metric": ("cdc_ingest_wall_sec_scaled_stream" if SCALE_STREAM
+                       else "cdc_ingest_wall_sec_scaled"),
             "value": round(t_total, 3),
             "unit": "sec",
             "queries": {},
@@ -349,6 +419,18 @@ def run_bench() -> dict:
     # round-4 operator additions (doc_fingerprints is already timed above)
     timed("events_interval_join", Q.events_interval_join)
     timed("dedup_minhash_signatures", Q.dedup_minhash_signatures)
+    # round-5 additions (VERDICT r4 #5): the remaining expensive entries
+    # invisible round-over-round — customer_fuzzy_pairs_k2 is the single
+    # most expensive catalog entry (~20 s at sf0.1, output-volume-bound:
+    # ~4M verified pairs from digit-structured synthetic names)
+    timed("customer_fuzzy_pairs_k2", Q.customer_fuzzy_pairs_k2)
+    timed("cdc_incremental_fuzzy", Q.cdc_incremental_fuzzy)
+    timed("graph_pagerank_personalized", Q.graph_pagerank_personalized)
+    timed("cdc_fast_count", Q.cdc_fast_count)
+    # round-5 operator additions
+    timed("events_interval_join_left", Q.events_interval_join_left)
+    timed("ann_lsh_topk", Q.ann_lsh_topk)
+    timed("dedup_simhash_pairs", Q.dedup_simhash_pairs)
 
     out = {
         "metric": "cdc_ingest_wall_sec_sf_headline",
