@@ -199,6 +199,10 @@ def fast_count(lake_root: str, version: int | None = None) -> int:
 
         reg = SchemaRegistry.from_json(reg_json)
         counts = []
+        # batch_size=1 below makes this loop one MOR partition per task
+        # (the row IS the unit of work — a partition merge, not a row);
+        # raising the batch size would serialize partition merges inside
+        # a task, so keep it at 1
         for i in range(batch.num_rows):
             live = load_partition_live(
                 lake_root, batch["file"][i].as_py(),
@@ -255,6 +259,7 @@ def fast_minmax(lake_root: str, column: str,
 
         reg = SchemaRegistry.from_json(reg_json)
         los, his = [], []
+        # one MOR partition per task (batch_size=1) — see fold_count
         for i in range(batch.num_rows):
             live = load_partition_live(
                 lake_root, batch["file"][i].as_py(),
