@@ -315,11 +315,24 @@ def _add_pair_part(t: pa.Table) -> pa.Table:
     return t.append_column("pp", pa.array(pp))
 
 
-def _dedup_pairs(pairs: "ray.data.Dataset", keep_cols: list) -> "ray.data.Dataset":
+def _dedup_pairs(pairs: "ray.data.Dataset", keep_cols: list,
+                 pre_split: int | None = None) -> "ray.data.Dataset":
     """Global (a, b) dedup: hash-partition pairs, vectorized drop_duplicates
-    per partition (bands produce the same pair many times)."""
+    per partition (bands produce the same pair many times).
+
+    ``pre_split``: split the pair stream into that many blocks before
+    the shuffle.  Ray's sort-based groupby derives its reduce
+    parallelism from the INPUT block count, and a producer task packs
+    output at ~128 MB/block — so a few-GB candidate stream otherwise
+    reduces (and runs its fused verify) on a handful of partitions
+    while the ``pp`` space has `_PAIR_PARTS` buckets (measured 2-task
+    reduce on a 30M-pair stream).  Pass None when the upstream already
+    yields >= _PAIR_PARTS blocks (large corpora) — a forced coalesce
+    there would concentrate memory instead."""
     pairs = pairs.map_batches(_add_pair_part, batch_format="pyarrow",
                               batch_size=65536)
+    if pre_split:
+        pairs = pairs.repartition(pre_split, shuffle=False)
     return pairs.groupby("pp").map_groups(
         lambda g: g.drop_duplicates(["a", "b"])[keep_cols], batch_format="pandas"
     )

@@ -404,6 +404,7 @@ def fuzzy_pairs(
     k: int = 1,
     max_bucket: int | None = None,
     metrics=None,
+    pre_split: int | None = 64,
 ) -> "object":
     """All (a < b) id pairs whose names are within byte edit distance
     ``k`` (1 or 2), with both names attached: FastSS deletion-key
@@ -413,7 +414,18 @@ def fuzzy_pairs(
     ``metrics`` under the ``fuzzy_`` prefix so any recall loss is
     observable, and the defaults (512 for k=1, 4096 for k=2 — 2-byte
     neighborhoods are naturally larger) are sized so natural
-    neighborhoods never cap."""
+    neighborhoods never cap.
+
+    ``pre_split`` splits the key and candidate streams into that many
+    blocks before each shuffle: Ray's sort-based groupby derives reduce
+    parallelism from input block count, and producer tasks pack output
+    at ~128 MB/block, so a medium corpus otherwise runs the expensive
+    pair-generation/verify reduces on 2-3 partitions while the bucket
+    space has 64 (measured: k=2 over 15k names = 2.6M key rows packed
+    into 2 blocks -> 2-task pair generation, 21 s; split -> 64-way,
+    ~3x faster).  Pass None when the corpus naturally produces more
+    blocks than `_PAIR_PARTS` (a forced 64-way coalesce at that scale
+    would concentrate memory instead of spreading work)."""
     from ..functions.threads import single_threaded_kernels
 
     if max_bucket is None:
@@ -426,13 +438,16 @@ def fuzzy_pairs(
     keys = ds.map_batches(key_rows, batch_format="pyarrow")
     keys = keys.map_batches(_add_bucket_part, batch_format="pyarrow",
                             batch_size=65536)
+    if pre_split:
+        keys = keys.repartition(pre_split, shuffle=False)
     pairs = keys.groupby("ph").map_groups(
         lambda g: _partition_pairs(g, max_bucket=max_bucket,
                                    extra_cols=("name",), metrics=metrics,
                                    metric_prefix="fuzzy"),
         batch_format="pandas",
     )
-    pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"])
+    pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"],
+                         pre_split=pre_split)
 
     return pairs.map_batches(_verify_pairs, fn_kwargs={"k": k},
                              batch_format="pyarrow")
