@@ -7444,10 +7444,16 @@ def dedup_minhash_signatures(sf_dir: str) -> "rd.Dataset":
 
 
 def _minhash_sig_oracle_sql(num_perm: int = 128, seed: int = 7,
-                            k: int = 3, mod: int = 20) -> str:
+                            k: int = 3, mod: int = 20,
+                            docs_sql: str | None = None,
+                            select: str | None = None) -> str:
     """SQL mirror of dedup_minhash_signatures: same FNV-1a/roll/perm
     integer recurrence on the uint64 wraparound grid, permutation
-    constants embedded from the same RandomState(seed) draw."""
+    constants embedded from the same RandomState(seed) draw.
+    ``docs_sql`` overrides the doc-slice CTE body; ``select`` overrides
+    the final statement over the ``sigs`` (doc_id, perm, sig) and
+    ``gr`` (doc_id, g gram-hash) relations — the hook
+    `_minhash_pairs_oracle_sql` uses to mirror the banded pipeline."""
     m = (1 << 61) - 1
     rng = np.random.RandomState(seed)
     a = rng.randint(1, m, size=num_perm, dtype=np.uint64)
@@ -7457,9 +7463,13 @@ def _minhash_sig_oracle_sql(num_perm: int = 128, seed: int = 7,
         for i in range(num_perm))
     P, W64 = 1099511628211, 1 << 64
     assert k == 3, "gram roll below is unrolled for k=3"
+    if docs_sql is None:
+        docs_sql = f"SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0"
+    if select is None:
+        select = "SELECT doc_id, perm, sig FROM sigs"
     return f"""
 WITH docs AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0
+  {docs_sql}
 ), tok AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS token,
@@ -7486,13 +7496,78 @@ WITH docs AS (
   QUALIFY lead(h, 2) OVER w IS NOT NULL
 ), perms(perm, pa, pb) AS (
   VALUES {perm_rows}
+), sigs AS (
+  SELECT g.doc_id, CAST(p.perm AS BIGINT) AS perm,
+         CAST(min(((CAST(p.pa AS HUGEINT) * g.g) % {W64} + p.pb)
+                  % {W64} % {m}) AS BIGINT) AS sig
+  FROM gr g CROSS JOIN perms p
+  GROUP BY g.doc_id, p.perm
 )
-SELECT g.doc_id, CAST(p.perm AS BIGINT) AS perm,
-       CAST(min(((CAST(p.pa AS HUGEINT) * g.g) % {W64} + p.pb)
-                % {W64} % {m}) AS BIGINT) AS sig
-FROM gr g CROSS JOIN perms p
-GROUP BY g.doc_id, p.perm
+{select}
 """
+
+
+def _minhash_pairs_oracle_sql(threshold: float = 0.8, rows: int = 4,
+                              max_bucket: int = 64) -> str:
+    """Exact end-to-end oracle for dedup_minhash_pairs — the COMPLETE
+    banded pipeline in SQL, not an idealized all-pairs relaxation: the
+    bit-exact signature kernel runs over the full planted corpus, band
+    keys are the production FNV fold over each band's ``rows``
+    signature values (ordered list_reduce on the uint64 wraparound
+    grid), candidacy is sharing any band bucket whose deduped
+    membership is within the skew cap (HAVING <= max_bucket — mirroring
+    `_partition_pairs`' counted drop), and verification is the exact
+    distinct-gram-hash-set Jaccard >= threshold with the same integer
+    intersection/union and the same single IEEE division.  So banding
+    drift, cap drift, signature drift and verify drift are all hard
+    row/hash mismatches.  (Unlike simhash's pigeonhole-exact banding,
+    minhash banding is probabilistic — which is exactly why the oracle
+    mirrors the banding instead of relaxing to all-pairs.)"""
+    docs_sql = (
+        "SELECT doc_id, text FROM documents\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 200000 AS doc_id, text || ' near dup tail'"
+        " AS text FROM documents WHERE doc_id < 30"
+    )
+    W64 = 1 << 64
+    select = f"""
+, bandk AS (
+  SELECT doc_id, CAST(perm // {rows} AS BIGINT) AS band_id,
+         list_reduce(
+           list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                        list(CAST(sig AS UBIGINT) ORDER BY perm)),
+           (acc, s) -> CAST((CAST(xor(acc, s) AS HUGEINT)
+                             * 1099511628211) % {W64} AS UBIGINT)) AS ku
+  FROM sigs GROUP BY doc_id, perm // {rows}
+), members AS (
+  SELECT DISTINCT band_id, ku, doc_id FROM bandk
+), okb AS (
+  SELECT band_id, ku FROM members GROUP BY band_id, ku
+  HAVING count(*) BETWEEN 2 AND {max_bucket}
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM okb JOIN members x USING (band_id, ku)
+           JOIN members y USING (band_id, ku)
+  WHERE x.doc_id < y.doc_id
+), gset AS (
+  SELECT DISTINCT doc_id, g FROM gr
+), gsz AS (
+  SELECT doc_id, count(*) AS sz FROM gset GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, count(gb.g) AS i
+  FROM cand c
+  JOIN gset ga ON ga.doc_id = c.a
+  LEFT JOIN gset gb ON gb.doc_id = c.b AND gb.g = ga.g
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) AS jaccard
+FROM inter i JOIN gsz sa ON sa.doc_id = i.a
+             JOIN gsz sb ON sb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE)
+      >= {threshold}
+"""
+    return _minhash_sig_oracle_sql(docs_sql=docs_sql, select=select)
 
 
 def dedup_simhash_pairs(sf_dir: str) -> "rd.Dataset":
@@ -11633,6 +11708,7 @@ QUERIES = {
     "approx_distinct_sketch": approx_distinct_sketch,
     "ann_lsh_topk": ann_lsh_topk,
     "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
     "events_interval_join": events_interval_join,
     "events_interval_join_left": events_interval_join_left,
     "dedup_minhash_signatures": dedup_minhash_signatures,
@@ -11676,9 +11752,9 @@ QUERIES = {
     "orders_cube": orders_cube,
     "cdc_ivm_join": cdc_ivm_join,
     "cdc_materialized_view": cdc_materialized_view,
-    "cdc_materialized_stats": cdc_materialized_stats,
     # --- below the <=50 driver gate: remaining never-checked, then the
     # driver-green set (all pinned by the local oracle sweep)
+    "cdc_materialized_stats": cdc_materialized_stats,
     "dedup_apply_best_docs": dedup_apply_best_docs,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q12_priority_by_flag": q12_priority_by_flag,
@@ -11817,7 +11893,6 @@ QUERIES = {
     "dedup_exact_docs": dedup_exact_docs,
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
-    "dedup_minhash_pairs": dedup_minhash_pairs,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
 }
@@ -11899,6 +11974,7 @@ ORACLE_SQL = {
     "events_interval_join": _SQL_INTERVAL_JOIN,
     "events_interval_join_left": _SQL_INTERVAL_JOIN_LEFT,
     "dedup_minhash_signatures": _minhash_sig_oracle_sql(),
+    "dedup_minhash_pairs": _minhash_pairs_oracle_sql(),
     "dedup_simhash_signatures": _simhash_sig_oracle_sql(),
     "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
     "doc_fingerprints": _SQL_DOC_FINGERPRINTS,
