@@ -253,3 +253,45 @@ def test_left_outer_retains_unmatched_and_null_keys(ray_session):
     exp = inner2.sort_values(["lv", "rv"]).reset_index(drop=True)
     assert got[["lv"]].astype("int64").equals(exp[["lv"]].astype("int64"))
     assert got["rv"].astype("int64").tolist() == exp["rv"].astype("int64").tolist()
+
+
+def test_left_outer_matches_quadratic_randomized(ray_session):
+    """Randomized left-outer semantics vs an in-memory reference: the
+    result is exactly (inner pairs) ∪ (each matchless left row once with
+    null right columns) — across duplicate timestamps, hot keys,
+    matchless keys and empty windows."""
+    rng = np.random.default_rng(29)
+    for trial in range(3):
+        nl, nr = int(rng.integers(5, 40)), int(rng.integers(0, 50))
+        lt = pa.table({
+            "k": rng.integers(0, 6, nl),
+            "t": rng.integers(0, 50, nl),
+            "lv": np.arange(nl, dtype=np.int64),
+        })
+        rt = pa.table({
+            "k": rng.integers(0, 6, nr),
+            "t": rng.integers(0, 50, nr),
+            "rv": np.arange(nr, dtype=np.int64) * 3,
+        })
+        lower, upper = -4, 3
+        out = interval_event_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="t", by="k", lower=lower, upper=upper, num_partitions=4,
+            how="left",
+            left_schema=lt.schema, right_schema=rt.schema,
+        ).to_pandas()
+        lk, lts = lt["k"].to_numpy(), lt["t"].to_numpy()
+        rk, rts = rt["k"].to_numpy(), rt["t"].to_numpy()
+        expect = set()
+        for i in range(nl):
+            ms = [j for j in range(nr)
+                  if lk[i] == rk[j] and lts[i] + lower <= rts[j] <= lts[i] + upper]
+            if ms:
+                expect |= {(int(lt["lv"][i].as_py()), int(rt["rv"][j].as_py()))
+                           for j in ms}
+            else:
+                expect.add((int(lt["lv"][i].as_py()), None))
+        got = {(int(r.lv), None if pd.isna(r.rv) else int(r.rv))
+               for r in out.itertuples()}
+        assert got == expect, trial
+        assert len(out) == len(expect), trial
