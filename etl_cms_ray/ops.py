@@ -114,6 +114,12 @@ from .functions.codecs import (decode_bmp, decode_ppm, decode_wav, encode_bmp,
 from .stages.multimodal import (DecodeStub, FrameSampler, MediaDecoder,
                                 synth_media_table)
 
+# remote-shaped sources: the stdlib-urllib HTTP filesystem (registers
+# the stdhttp:// scheme on import; rides the same fsspec fallback as
+# cloud schemes in functions/rayutil.read_parquet_clean)
+from .functions.httpfs import StdlibHTTPFileSystem
+from .functions.rayutil import read_parquet_clean
+
 # sketches / metrics
 from .functions.sketch import (HyperLogLog, KLL, MisraGries, approx_distinct,
                                approx_quantiles, heavy_hitters)
@@ -151,7 +157,7 @@ __all__ = [
     "key_history", "read_snapshot", "repo_stats_snapshot",
     "snapshot_diff", "consume_changelog", "consumer_cursor",
     "ingest", "ingest_with_retry", "read_lake",
-    "read_lake_table",
+    "read_lake_table", "read_parquet_clean", "StdlibHTTPFileSystem",
     "point_lookup", "lookup_plan", "range_plan", "range_scan",
     "eq_plan", "eq_scan",
     "build_token_index", "token_plan", "token_search",
