@@ -37,6 +37,11 @@ SCALE_MULT = int(os.environ.get("GRAFT_SCALE_MULT", "1"))
 #: the sandbox disk wall (VERDICT r4 #6; mult=96 died on materializing
 #: 32 GB of input, not on the pipeline)
 SCALE_STREAM = os.environ.get("GRAFT_SCALE_STREAM", "") not in ("", "0")
+if SCALE_STREAM and SCALE_MULT <= 1:
+    raise SystemExit(
+        "GRAFT_SCALE_STREAM=1 requires GRAFT_SCALE_MULT>1 (the stream "
+        "generator only exists in the scaled-ingest protocol); refusing "
+        "to silently run the standard headline bench instead")
 
 
 def _derive_events(sf_dir: str, mult: int = 1):
@@ -118,7 +123,7 @@ def _derive_events(sf_dir: str, mult: int = 1):
 def _generated_events(n_events: int, block_rows: int = 131072):
     """Deterministic change stream synthesized INSIDE read tasks — the
     same shape as `_derive_events` (key = (repo, path), epochs 0..7,
-    ~700-byte python-file content) but a pure function of the row id:
+    ~200-byte python-file content) but a pure function of the row id:
     no input table, no up-front materialization, no disk footprint
     beyond the pipeline's own shuffle.  `ray.data.range` hands each
     task an id block; the generator is one vectorized Arrow kernel, so

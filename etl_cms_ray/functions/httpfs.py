@@ -47,6 +47,15 @@ class StdlibHTTPFileSystem(AbstractFileSystem):
     protocol = "stdhttp"
     cachable = False  # no state worth caching; keeps tests independent
 
+    #: per-request timeout (seconds) — a wedged server must fail the
+    #: read task (reachable by ingest_with_retry), never hang it
+    timeout = 30.0
+
+    def __init__(self, *args, timeout: float | None = None, **storage_options):
+        super().__init__(*args, **storage_options)
+        if timeout is not None:
+            self.timeout = float(timeout)
+
     @classmethod
     def _strip_protocol(cls, path):
         for pre in ("stdhttp://", "stdhttp:"):
@@ -61,12 +70,13 @@ class StdlibHTTPFileSystem(AbstractFileSystem):
               cache_options=None, **kwargs):
         if mode != "rb":
             raise NotImplementedError("stdhttp:// is read-only")
-        with urllib.request.urlopen(self._url(path)) as r:
+        with urllib.request.urlopen(self._url(path),
+                                    timeout=self.timeout) as r:
             return io.BytesIO(r.read())
 
     def info(self, path, **kwargs):
         req = urllib.request.Request(self._url(path), method="HEAD")
-        with urllib.request.urlopen(req) as r:
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
             size = int(r.headers.get("Content-Length") or 0)
         return {"name": self._strip_protocol(path), "size": size,
                 "type": "file"}

@@ -807,17 +807,20 @@ def key_history(lake_root: str, repo: str, path: str,
     latest = registry.latest_version
     reg_json = registry.to_json()
     # metadata-only planning on the driver: the key hashes to one
-    # partition per manifest (num_partitions may differ across versions)
-    items, planless = [], []
+    # partition per manifest (num_partitions may differ across versions).
+    # Plan-miss versions (partition never written) need no task; the
+    # assembly loop below defaults them to absent.
+    items = []
     for v in versions:
         plan = lookup_plan(store.load_manifest(v), [(repo, path)])
         if plan:
             items.append({"version": v, "file": plan[0]["file"],
                           "deltas": list(plan[0]["deltas"] or [])})
-        else:
-            planless.append(v)
 
     def fetch(batch: pa.Table) -> pa.Table:
+        from ..functions.threads import single_threaded_kernels
+
+        single_threaded_kernels()
         reg = SchemaRegistry.from_json(reg_json)
         out = {k: [] for k in ("version", "present", "epoch", "seq",
                                "content_sha_hex", "size")}

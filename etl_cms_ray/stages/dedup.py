@@ -316,23 +316,23 @@ def _add_pair_part(t: pa.Table) -> pa.Table:
 
 
 def _dedup_pairs(pairs: "ray.data.Dataset", keep_cols: list,
-                 pre_split: int | None = None) -> "ray.data.Dataset":
+                 pre_split_rows: int | None = None) -> "ray.data.Dataset":
     """Global (a, b) dedup: hash-partition pairs, vectorized drop_duplicates
     per partition (bands produce the same pair many times).
 
-    ``pre_split``: split the pair stream into that many blocks before
-    the shuffle.  Ray's sort-based groupby derives its reduce
+    ``pre_split_rows``: split any pre-shuffle block larger than this
+    many rows (`repartition(target_num_rows_per_block=...)` — ONLY
+    splits, never merges).  Ray's sort-based groupby derives its reduce
     parallelism from the INPUT block count, and a producer task packs
     output at ~128 MB/block — so a few-GB candidate stream otherwise
     reduces (and runs its fused verify) on a handful of partitions
     while the ``pp`` space has `_PAIR_PARTS` buckets (measured 2-task
-    reduce on a 30M-pair stream).  Pass None when the upstream already
-    yields >= _PAIR_PARTS blocks (large corpora) — a forced coalesce
-    there would concentrate memory instead."""
+    reduce on a 30M-pair stream).  Streams already in small blocks are
+    untouched, so the option is safe at any scale; None disables."""
     pairs = pairs.map_batches(_add_pair_part, batch_format="pyarrow",
                               batch_size=65536)
-    if pre_split:
-        pairs = pairs.repartition(pre_split, shuffle=False)
+    if pre_split_rows:
+        pairs = pairs.repartition(target_num_rows_per_block=pre_split_rows)
     return pairs.groupby("pp").map_groups(
         lambda g: g.drop_duplicates(["a", "b"])[keep_cols], batch_format="pandas"
     )

@@ -404,7 +404,7 @@ def fuzzy_pairs(
     k: int = 1,
     max_bucket: int | None = None,
     metrics=None,
-    pre_split: int | None = 64,
+    pre_split_rows: int | None = 65536,
 ) -> "object":
     """All (a < b) id pairs whose names are within byte edit distance
     ``k`` (1 or 2), with both names attached: FastSS deletion-key
@@ -416,16 +416,17 @@ def fuzzy_pairs(
     neighborhoods are naturally larger) are sized so natural
     neighborhoods never cap.
 
-    ``pre_split`` splits the key and candidate streams into that many
-    blocks before each shuffle: Ray's sort-based groupby derives reduce
-    parallelism from input block count, and producer tasks pack output
-    at ~128 MB/block, so a medium corpus otherwise runs the expensive
-    pair-generation/verify reduces on 2-3 partitions while the bucket
-    space has 64 (measured: k=2 over 15k names = 2.6M key rows packed
-    into 2 blocks -> 2-task pair generation, 21 s; split -> 64-way,
-    ~3x faster).  Pass None when the corpus naturally produces more
-    blocks than `_PAIR_PARTS` (a forced 64-way coalesce at that scale
-    would concentrate memory instead of spreading work)."""
+    ``pre_split_rows`` splits any pre-shuffle block larger than that
+    many rows (``repartition(target_num_rows_per_block=...)`` — ONLY
+    splits, never merges, so it is safe at any corpus size): Ray's
+    sort-based groupby derives reduce parallelism from input block
+    count, and producer tasks pack output at ~128 MB/block, so a
+    medium corpus otherwise runs the expensive pair-generation/verify
+    reduces on 2-3 partitions while the bucket space has 64 (measured:
+    k=2 over 15k names = 2.6M key rows packed into 2 blocks -> 2-task
+    pair generation, 21 s; split -> ~40-way, ~2.3x faster end to
+    end).  A corpus already streaming in many small blocks is left
+    untouched.  None disables."""
     from ..functions.threads import single_threaded_kernels
 
     if max_bucket is None:
@@ -438,16 +439,22 @@ def fuzzy_pairs(
     keys = ds.map_batches(key_rows, batch_format="pyarrow")
     keys = keys.map_batches(_add_bucket_part, batch_format="pyarrow",
                             batch_size=65536)
-    if pre_split:
-        keys = keys.repartition(pre_split, shuffle=False)
+    if pre_split_rows:
+        keys = keys.repartition(target_num_rows_per_block=pre_split_rows)
     pairs = keys.groupby("ph").map_groups(
         lambda g: _partition_pairs(g, max_bucket=max_bucket,
                                    extra_cols=("name",), metrics=metrics,
                                    metric_prefix="fuzzy"),
         batch_format="pandas",
     )
+    # the candidate stream is ~an order of magnitude taller than the key
+    # stream (every bucket self-merge multiplies), and a sort shuffle's
+    # intermediate-object count grows as blocks^2 — splitting it at the
+    # keys' row target produced 460+ blocks and a 4x SLOWDOWN (measured);
+    # 8x the target lands near the same ~64-block sweet spot as the keys
     pairs = _dedup_pairs(pairs, ["a", "b", "name_a", "name_b"],
-                         pre_split=pre_split)
+                         pre_split_rows=(pre_split_rows * 8
+                                         if pre_split_rows else None))
 
     return pairs.map_batches(_verify_pairs, fn_kwargs={"k": k},
                              batch_format="pyarrow")
