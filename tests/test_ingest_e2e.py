@@ -925,3 +925,16 @@ def test_oracle_reads_evolved_values_through_renames(ray_session):
     by_path = dict(zip(out["path"], out["rating"]))
     assert by_path["a"] == 7      # carried value survives the rename
     assert by_path["b"] == 0      # null -> backfill default
+
+
+def test_stdhttp_timeout_and_options():
+    """stdhttp:// requests carry a timeout (wedged server must fail the
+    task, not hang it) and the option plumbs through storage options."""
+    from etl_cms_ray.functions.httpfs import StdlibHTTPFileSystem
+
+    assert StdlibHTTPFileSystem().timeout == 30.0
+    assert StdlibHTTPFileSystem(timeout=2.5).timeout == 2.5
+    # read-only contract
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        StdlibHTTPFileSystem()._open("127.0.0.1:1/x", mode="wb")

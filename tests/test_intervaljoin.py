@@ -295,3 +295,13 @@ def test_left_outer_matches_quadratic_randomized(ray_session):
                for r in out.itertuples()}
         assert got == expect, trial
         assert len(out) == len(expect), trial
+
+
+@pytest.mark.fast
+def test_invalid_how_fails_at_plan_time(ray_session):
+    lt = pa.table({"k": [1], "t": pa.array([1], type=pa.int64())})
+    with pytest.raises(ValueError, match="how must be"):
+        interval_event_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(lt),
+            on="t", by="k", lower=0, upper=1, how="outer",
+        )
